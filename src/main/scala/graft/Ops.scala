@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared column helpers.
+  *
+  * Oracle-parity rule: any aggregate over doubles must be computed with
+  * exact (order-independent) arithmetic, because Spark and DuckDB sum
+  * floating point in different orders and the driver hash-compares
+  * values bit-for-bit. We cast inputs to DECIMAL, aggregate exactly,
+  * and cast the final result back to DOUBLE — both engines then derive
+  * the same rational number and therefore the same double.
+  *
+  * The matching DuckDB SQL shape is
+  * `CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)`.
+  */
+object Ops {
+  private val Dec = DecimalType(12, 2)
+
+  /** Exact sum of a 2-dp double column, returned as double. */
+  def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact mean of a 2-dp double column, returned as double.
+    * Division is performed once, in double, identically in both engines:
+    * CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) / COUNT(x).
+    */
+  def decAvg(c: Column): Column = decSum(c) / count(c)
+
+  /** Exact revenue-style product sum: SUM(price * (1 - disc)) with both
+    * operands at 2 dp. Decimal multiply is exact in both engines.
+    * DuckDB shape: CAST(SUM(CAST(p AS DECIMAL(12,2)) *
+    * (1 - CAST(d AS DECIMAL(12,2)))) AS DOUBLE).
+    */
+  def decRevenue(price: Column, disc: Column): Column =
+    sum(price.cast(Dec) * (lit(1).cast(Dec) - disc.cast(Dec))).cast(DoubleType)
+
+  /** m:ss formatting of a millisecond duration (reference new.py:170). */
+  def msToMinSec(ms: Column): Column =
+    format_string("%d:%02d", (ms / 60000).cast(LongType), ((ms % 60000) / 1000).cast(LongType))
+}
