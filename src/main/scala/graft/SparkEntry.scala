@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,7 +130,40 @@ object SparkEntry {
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     }),
+
+    // ---- LLM-pipeline operators: deduplication tiers (operators.Dedup) ----
+    "q10_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"))),
+    "q11_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5)),
+    "q12_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.load(s, dir, "documents"), n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
+    "q13_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 2)),
+
+    // ---- LLM-pipeline operators: text analysis (operators.TextAnalysis) ----
+    "q14_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents"))),
+    "q15_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))),
+    "q16_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.load(s, dir, "documents"), n = 50)),
+    "q17_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
   )
+
+  /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
+    * helpers so q11/q12 stay in sync. `n`-gram shingles over
+    * whitespace-tokenized lowercased text, distinct per doc.
+    */
+  private def shinglesCte(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-${n - 1})) AS i FROM toks WHERE len(w) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+$n], ' ') AS shingle FROM idx),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def hash32Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -194,5 +228,125 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q11_dedup_jaccard" ->
+      s"""WITH ${shinglesCte(3)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q12_dedup_minhash" ->
+      s"""WITH ${shinglesCte(3)},
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+         |           FROM (SELECT unnest(range(0, 16)) AS i)),
+         |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+         |         FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         |buckets AS (SELECT doc_id, i // 4 AS band,
+         |                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bucket
+         |            FROM sigs GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM buckets x JOIN buckets y
+         |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS inter
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q13_dedup_simhash" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, word, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |        FROM documents)
+         |  GROUP BY doc_id, word),
+         |th AS (SELECT doc_id, ${hash32Sql("word")} AS h, cnt FROM terms),
+         |bits AS (SELECT unnest(range(0, 32)) AS j),
+         |s AS (SELECT doc_id, j,
+         |             sum(CASE WHEN (h >> j) % 2 = 1 THEN cnt ELSE -cnt END) AS s
+         |      FROM th CROSS JOIN bits GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM s GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       a.simhash AS sim_a, b.simhash AS sim_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q14_lang_id" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','is'))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS es_hits,
+        |  CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(w, x -> x IN ('le','la','de','et','les'))) AS BIGINT) AS fr_hits,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CASE
+        |    WHEN len(list_filter(w, x -> x IN ('the','a','and','of','is'))) >= len(list_filter(w, x -> x IN ('el','la','de','que','y')))
+        |     AND len(list_filter(w, x -> x IN ('the','a','and','of','is'))) >= len(list_filter(w, x -> x IN ('der','die','und','das','ist')))
+        |     AND len(list_filter(w, x -> x IN ('the','a','and','of','is'))) >= len(list_filter(w, x -> x IN ('le','la','de','et','les')))
+        |    THEN 'en'
+        |    WHEN len(list_filter(w, x -> x IN ('el','la','de','que','y'))) >= len(list_filter(w, x -> x IN ('the','a','and','of','is')))
+        |     AND len(list_filter(w, x -> x IN ('el','la','de','que','y'))) >= len(list_filter(w, x -> x IN ('der','die','und','das','ist')))
+        |     AND len(list_filter(w, x -> x IN ('el','la','de','que','y'))) >= len(list_filter(w, x -> x IN ('le','la','de','et','les')))
+        |    THEN 'es'
+        |    WHEN len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) >= len(list_filter(w, x -> x IN ('the','a','and','of','is')))
+        |     AND len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) >= len(list_filter(w, x -> x IN ('el','la','de','que','y')))
+        |     AND len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) >= len(list_filter(w, x -> x IN ('le','la','de','et','les')))
+        |    THEN 'de'
+        |    ELSE 'fr'
+        |  END AS detected_lang
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q15_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','is','el','la','de','que','y','der','die','und','das','ist','le','et','les'))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+        |  least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+        |    + (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+        |    + least(stopword_ratio * 3.0, 1.0) * 0.3 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q16_top_tokens" ->
+      """SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "q17_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  ${hash32Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp32
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token statistics, content fingerprinting.
+  * All pure column expressions (whole-stage-codegen friendly, no UDFs)
+  * with exact DuckDB-SQL counterparts.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language for the n-gram/stopword-hit
+    * language heuristic. Deterministic CASE tie-break: first language
+    * (list order) with the maximal hit count wins.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  private def tokens: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private def hitsExpr(words: Seq[String]): String =
+    s"size(filter(w, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+
+  /** Language ID by stopword hits. Output:
+    * (doc_id, en_hits, es_hits, de_hits, fr_hits, n_tokens, detected_lang)
+    * ordered by doc_id.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    // cast to long: Spark size() is int32 but DuckDB len() is int64, and
+    // the oracle compare is schema-sensitive
+    val hitCols = langMarkers.map { case (l, ws) => expr(hitsExpr(ws)).cast("long").as(s"${l}_hits") }
+    val langs = langMarkers.map(_._1)
+    // first lang whose hits >= all others
+    val detect = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"${l}_hits") >= col(s"${o}_hits"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    docs.select(col("doc_id") +: tokens.as("w") +: Nil: _*)
+      .select(col("doc_id") +: col("w") +: hitCols: _*)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("detected_lang", detect)
+      .drop("w")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic document-quality score in [0,1]:
+    * 40% length saturation (tokens/200 capped), 30% mean token length
+    * band, 30% stopword presence. Output:
+    * (doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, quality)
+    * ordered by doc_id.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stop = langMarkers.flatMap(_._2).distinct
+    docs.select(col("doc_id"), col("text"), tokens.as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("w"))).as("avg_token_len"),
+        (expr(hitsExpr(stop)).cast("double") / size(col("w"))).as("stopword_ratio"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 200.0, lit(1.0)) * 0.4
+          + when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0)
+          + least(col("stopword_ratio") * 3.0, lit(1.0)) * 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide token frequency top-n (classic wordcount).
+    * Output: (token, n_docs, n_occurrences) ordered by
+    * (n_occurrences desc, token). Map-side partial aggregation makes
+    * this a single cheap shuffle at any scale.
+    */
+  def topTokens(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(n)
+
+  /** Content fingerprints: full md5 plus a 32-bit numeric fingerprint
+    * of the whitespace-normalized text (stable under reformatting).
+    * Output: (doc_id, fp, fp32) ordered by doc_id.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      PortableHash.hash32(norm).as("fp32"))
+      .orderBy(col("doc_id"))
+  }
+}
