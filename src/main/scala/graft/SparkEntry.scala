@@ -150,6 +150,14 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), n = 50)),
     "q17_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))),
+
+    // ---- LLM-pipeline operators: similarity search (operators.Similarity) ----
+    "q18_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)),
+    "q19_top_pairs" -> ((s, dir) =>
+      Similarity.topPairs(Tables.load(s, dir, "embeddings"), n = 20)),
+    "q20_cosine_topk_lsh" -> ((s, dir) =>
+      Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4)),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -164,6 +172,26 @@ object SparkEntry {
 
   private def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+
+  /** DuckDB cosine over two double-list expressions. `list_dot_product`
+    * folds sequentially, bit-matching Spark's
+    * `aggregate(zip_with(a, b, (p,q) -> p*q), 0D, (acc,z) -> acc+z)`
+    * (verified empirically on the testdata vectors).
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB mirror of Similarity.signLshBuckets' deterministic
+    * hyperplane bucket id over double-list expression `v`.
+    */
+  private def lshBucketSql(v: String, planes: Int): String = {
+    def coef(p: Int) =
+      s"(CAST('0x' || substr(md5('$p' || '_' || CAST(d AS VARCHAR)),1,8) AS BIGINT) % 1000) / 1000.0 - 0.5"
+    (0 until planes).map { p =>
+      s"CASE WHEN list_dot_product($v, list_transform(range(0, len($v)), d -> ${coef(p)})) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -348,5 +376,39 @@ object SparkEntry {
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |  ${hash32Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp32
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid, ${cosineSql("q.v", "e.v")} AS cosine
+         |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, nid, cosine,
+         |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q19_top_pairs" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.v", "b.v")} AS cosine
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |ranked AS (SELECT vec_a, vec_b, cosine,
+         |                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rnk
+         |           FROM pairs)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_a, vec_b, cosine FROM ranked
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q20_cosine_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 4)} AS bucket FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, b.vec_id AS nid, ${cosineSql("q.v", "b.v")} AS cosine
+         |  FROM b JOIN b q ON q.vec_id < 10 AND b.bucket = q.bucket AND b.vec_id <> q.vec_id),
+         |ranked AS (SELECT qid, nid, cosine,
+         |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |           FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
   )
 }
