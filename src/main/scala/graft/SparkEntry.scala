@@ -158,6 +158,79 @@ object SparkEntry {
       Similarity.topPairs(Tables.load(s, dir, "embeddings"), n = 20)),
     "q20_cosine_topk_lsh" -> ((s, dir) =>
       Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4)),
+
+    // ---- Set operations (SURVEY §2.8): retained/churned user cohorts ----
+    "q21_user_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val mid = lit("2024-01-08 00:00:00").cast("timestamp")
+      val first = ev.filter($"ts" < mid).select($"user_id").distinct()
+      val second = ev.filter($"ts" >= mid).select($"user_id").distinct()
+      first.intersect(second).withColumn("cohort", lit("retained"))
+        .unionAll(first.except(second).withColumn("cohort", lit("churned")))
+        .select($"cohort", $"user_id")
+        .orderBy($"cohort", $"user_id")
+    }),
+
+    // ---- Scalar-function battery (SURVEY §2.9: F1,F2,F7,F8,F9) ----
+    "q22_scalar_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val fakeMs = pmod($"event_id" * 7919L, lit(600000L))
+      Tables.load(s, dir, "events")
+        .filter($"event_id" < 100)
+        .select(
+          $"event_id",
+          base64(concat_ws(":", $"user_id", $"event_type").cast("binary")).as("auth_token"),
+          concat_ws("/", lit("users"), $"user_id", $"event_type").as("resource_path"),
+          Ops.msToMinSec(fakeMs).as("duration"),
+          lower($"event_type").as("event_type_lc"),
+          regexp_replace($"event_type", "i", "1").as("leeted"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- JSON parse + null-default (SURVEY F10/P4) over events.props ----
+    "q23_json_props" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_id",
+          coalesce(from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"), lit(-1)).as("k"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- Uniqueness assertion as data (SURVEY A9): count vs distinct ----
+    "q24_pk_check" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events").agg(
+        count($"event_id").as("n_rows"),
+        countDistinct($"event_id").as("n_keys"),
+        when(count($"event_id") === countDistinct($"event_id"), lit("unique"))
+          .otherwise(lit("violated")).as("pk_status"))
+    }),
+
+    // ---- Grouped stats + banker's rounding (SURVEY A2/F12 at scale) ----
+    "q25_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          bround(Ops.decAvg($"value"), 2).as("avg_value_2dp"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- Incremental cursor window (SURVEY P6/F5/F6): last 24h of the
+    // feed, cursor = max(ts) - 1 day, reported in epoch-ms ----
+    "q26_cursor_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val cursor = ev.agg((max($"ts") - expr("INTERVAL 1 DAY")).as("cursor"))
+      ev.crossJoin(cursor)
+        .filter($"ts" > $"cursor")
+        .agg(
+          count(lit(1)).as("recent_events"),
+          min(unix_millis($"ts")).as("min_epoch_ms"),
+          max(unix_millis($"ts")).as("max_epoch_ms"))
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -410,5 +483,46 @@ object SparkEntry {
          |           FROM scored)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM ranked
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q21_user_cohorts" ->
+      """WITH first AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'),
+        |second AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00')
+        |SELECT 'retained' AS cohort, user_id FROM (SELECT user_id FROM first INTERSECT SELECT user_id FROM second)
+        |UNION ALL
+        |SELECT 'churned' AS cohort, user_id FROM (SELECT user_id FROM first EXCEPT SELECT user_id FROM second)
+        |ORDER BY cohort, user_id""".stripMargin,
+
+    "q22_scalar_funcs" ->
+      """SELECT event_id,
+        |  to_base64(encode(CAST(user_id AS VARCHAR) || ':' || event_type)) AS auth_token,
+        |  'users' || '/' || CAST(user_id AS VARCHAR) || '/' || event_type AS resource_path,
+        |  printf('%d:%02d', (event_id * 7919) % 600000 // 60000,
+        |                    ((event_id * 7919) % 600000 % 60000) // 1000) AS duration,
+        |  lower(event_type) AS event_type_lc,
+        |  regexp_replace(event_type, 'i', '1', 'g') AS leeted
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "q23_json_props" ->
+      """SELECT event_id,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q24_pk_check" ->
+      """SELECT count(event_id) AS n_rows,
+        |  count(DISTINCT event_id) AS n_keys,
+        |  CASE WHEN count(event_id) = count(DISTINCT event_id) THEN 'unique' ELSE 'violated' END AS pk_status
+        |FROM events""".stripMargin,
+
+    "q25_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round_even(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value), 2) AS avg_value_2dp
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_cursor_window" ->
+      """WITH c AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY AS cursor FROM events)
+        |SELECT count(*) AS recent_events,
+        |  min(epoch_ms(CAST(ts AS TIMESTAMP))) AS min_epoch_ms,
+        |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_epoch_ms
+        |FROM events, c WHERE CAST(ts AS TIMESTAMP) > cursor""".stripMargin,
   )
 }

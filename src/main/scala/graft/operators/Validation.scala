@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's data-quality contract (`check_if_valid_data`,
+  * spotify_etl2.py:42-86), restated as one distributed validation pass.
+  *
+  * Reference behavior, preserved exactly:
+  *  - empty frame        → "invalid", short-circuit (no exception);
+  *  - duplicate `played_at` (when the column exists) → RAISE;
+  *  - any null anywhere  → warn only;
+  *  - `timestamp` older than 7 days → warn with a count.
+  *
+  * The pandas original makes four separate passes over the frame; here
+  * the null/dup/stale checks collapse into a single aggregate job
+  * (one scan, map-side partial aggregation) — at 100 TB the difference
+  * between one scan and four is the whole game. Emptiness uses
+  * `df.isEmpty` (reads at most one partition), not `count() == 0`.
+  */
+object Validation {
+
+  final case class Report(
+      empty: Boolean,
+      duplicatePlayedAt: Long,
+      nullValues: Long,
+      staleRows: Long) {
+    def valid: Boolean = !empty
+  }
+
+  class PrimaryKeyViolation(msg: String) extends RuntimeException(msg)
+
+  /** Validate `df` against the contract; `asOf` pins "now" for the
+    * 7-day staleness window so tests and backfills are deterministic
+    * (the reference uses wall-clock `datetime.now()`).
+    */
+  def check(df: DataFrame, asOf: java.sql.Date): Report = {
+    if (df.isEmpty) return Report(empty = true, 0L, 0L, 0L)
+
+    val cols = df.columns
+    val hasPlayedAt = cols.contains("played_at")
+    val hasTimestamp = cols.contains("timestamp")
+
+    val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
+    val aggs = Seq(
+      sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
+      (if (hasPlayedAt) count(col("played_at")) - countDistinct(col("played_at"))
+       else lit(0L)).as("dups"),
+      (if (hasTimestamp)
+         sum(when(to_date(col("timestamp")) < date_sub(lit(asOf), 7), 1L).otherwise(0L))
+       else lit(0L)).as("stale"))
+
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val report = Report(
+      empty = false,
+      duplicatePlayedAt = r.getAs[Long]("dups"),
+      nullValues = Option(r.getAs[Any]("nulls")).fold(0L)(_.asInstanceOf[Long]),
+      staleRows = Option(r.getAs[Any]("stale")).fold(0L)(_.asInstanceOf[Long]))
+
+    if (report.duplicatePlayedAt > 0)
+      throw new PrimaryKeyViolation(
+        s"Primary Key check is violated - ${report.duplicatePlayedAt} duplicate played_at timestamps found")
+    report
+  }
+}
