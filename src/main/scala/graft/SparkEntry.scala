@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -230,6 +231,18 @@ object SparkEntry {
           count(lit(1)).as("recent_events"),
           min(unix_millis($"ts")).as("min_epoch_ms"),
           max(unix_millis($"ts")).as("max_epoch_ms"))
+    }),
+
+    // ---- Structured Streaming tier (SURVEY §2.10): tumbling daily agg
+    // computed by draining the events feed as a stream; must equal the
+    // batch answer ----
+    "q27_stream_daily_counts" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val agg = EventStream.dailyAgg(EventStream.source(s, s"$dir/events.parquet"))
+      EventStream.runToCompletion(s, agg)
+        .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
+        .orderBy($"day", $"event_type")
     }),
   )
 
@@ -524,5 +537,11 @@ object SparkEntry {
         |  min(epoch_ms(CAST(ts AS TIMESTAMP))) AS min_epoch_ms,
         |  max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_epoch_ms
         |FROM events, c WHERE CAST(ts AS TIMESTAMP) > cursor""".stripMargin,
+
+    "q27_stream_daily_counts" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{EventStream, IncrementalBatch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming tier (SURVEY.md §2.10): the streamed plan must agree with
+  * the equivalent batch plan on the same files, cross-batch dedup must
+  * hold where the reference's intra-batch check fails, and the
+  * incremental-batch cursor must be idempotent under retry.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("streamed daily agg equals batch daily agg over the same files") {
+    val dir = tmp("graft-stream-src")
+    // stage the events parquet as a stream-source directory
+    Tables.load(spark, sf, "events")
+      .withColumn("ts", unix_micros($"ts") * 1000) // back to raw nanos-as-long
+      .write.parquet(s"$dir/data")
+    // the staged copy holds micros*1000 (ns); stream source divs by 1000
+    val streamed = EventStream.runToCompletion(spark,
+      EventStream.dailyAgg(EventStream.source(spark, s"$dir/data")))
+      .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
+
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window($"ts", "1 day").getField("start").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("total_value"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermarked dropDuplicates removes cross-batch duplicates (reference quirk fixed)") {
+    val src = tmp("graft-dedup-src")
+    val out = tmp("graft-dedup-out")
+    val ck = tmp("graft-dedup-ck")
+    val ev = Tables.load(spark, sf, "events").limit(100)
+      .withColumn("ts", unix_micros($"ts") * 1000)
+    // batch 1: rows; batch 2: the SAME rows again (a retried daily pull)
+    ev.write.parquet(s"$src/b1")
+    val stream = EventStream.dedupped(EventStream.source(spark, src))
+    EventStream.runAppendToDir(stream, out, ck)
+    ev.write.parquet(s"$src/b2")
+    EventStream.runAppendToDir(stream, out, ck)
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == result.select("event_id").distinct().count())
+  }
+
+  test("incremental batch: second ingest of same data appends nothing (idempotent retry)") {
+    val sink = tmp("graft-inc-sink") + "/t"
+    val ev = Tables.load(spark, sf, "events")
+    val n1 = IncrementalBatch.ingest(ev, sink)
+    assert(n1 == ev.count())
+    val n2 = IncrementalBatch.ingest(ev, sink) // the reference would double-append here
+    assert(n2 == 0)
+    assert(spark.read.parquet(sink).count() == n1)
+  }
+
+  test("incremental batch: only rows past the high-water mark land") {
+    val sink = tmp("graft-inc2-sink") + "/t"
+    val ev = Tables.load(spark, sf, "events")
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val old = ev.filter(unix_micros($"ts") <= cut)
+    val all = ev
+    IncrementalBatch.ingest(old, sink)
+    val n2 = IncrementalBatch.ingest(all, sink)
+    assert(n2 == all.count() - old.count())
+    assert(spark.read.parquet(sink).count() == all.count())
+  }
+}
