@@ -244,6 +244,19 @@ object SparkEntry {
         .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
         .orderBy($"day", $"event_type")
     }),
+
+    // ---- Multimodal binary-column plumbing (operators.Multimodal):
+    // opaque payload bytes + size/fingerprint metadata ----
+    "q28_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length($"text".cast("binary")).cast("long").as("n_bytes"),
+          substring(hex($"text".cast("binary")), 1, 8).as("head_hex"),
+          md5($"text").as("content_md5"))
+        .orderBy($"doc_id")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -543,5 +556,12 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q28_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 8) AS head_hex,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

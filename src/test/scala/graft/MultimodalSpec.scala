@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema of the media convention, determinism of
+  * the stubbed codec across partitionings, explode fan-out shape, and
+  * feature vectors feeding the similarity kernels.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def media = Multimodal.asMedia(
+    Tables.load(spark, sf, "documents"), "doc_id", "text", "image", "image/fake")
+
+  test("asMedia: binary payload + typed metadata struct") {
+    val df = media.toDF()
+    assert(df.schema("content").dataType.typeName == "binary")
+    assert(df.schema("meta").dataType.typeName == "struct")
+    val r = media.head()
+    assert(r.meta.sizeBytes == r.content.length.toLong && r.meta.kind == "image")
+  }
+
+  test("decodeImages is deterministic and partition-count independent") {
+    val a = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeImages(media.repartition(13)).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(d => d.width >= 64 && d.height >= 64 && d.brightness >= 0 && d.brightness <= 1))
+  }
+
+  test("resize shrinks payload and keeps sizeBytes consistent") {
+    val out = Multimodal.resize(media, maxDim = 32).collect()
+    assert(out.forall(r => r.content.length <= 32 || r.content.length == 16))
+    assert(out.forall(r => r.meta.sizeBytes == r.content.length.toLong))
+  }
+
+  test("sampleFrames fans out one row per sampled timestamp") {
+    val n = media.count()
+    val frames = Multimodal.sampleFrames(media, durationMs = 1000, everyMs = 250)
+    assert(frames.count() == n * 4)
+    val byId = frames.filter($"media_id" === 0).orderBy($"frame_idx").collect()
+    assert(byId.map(_.ts_ms).toSeq == Seq(0L, 250L, 500L, 750L))
+  }
+
+  test("extractFeatures yields unit-norm vectors usable by Similarity") {
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val norms = feats.select($"media_id",
+      sqrt(aggregate(transform($"features", x => x * x),
+        lit(0.0), (acc, z) => acc + z)).as("n2"))
+      .collect()
+    assert(norms.forall(r => math.abs(r.getAs[Double]("n2") - 1.0) < 1e-9))
+    // plumb into the cosine kernel: features as embedding column
+    val emb = feats.select($"media_id".as("vec_id"),
+      transform($"features", x => x.cast("float")).as("embedding"))
+    val topk = graft.operators.Similarity.cosineTopK(emb, nQueries = 3, k = 2)
+    assert(topk.count() == 6)
+  }
+}
