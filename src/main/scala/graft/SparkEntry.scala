@@ -272,13 +272,15 @@ object SparkEntry {
   private def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
 
-  /** DuckDB cosine over two double-list expressions. `list_dot_product`
-    * folds sequentially, bit-matching Spark's
+  /** DuckDB mirror of Similarity's normalize-once kernel.
+    * `list_dot_product` folds sequentially, bit-matching Spark's
     * `aggregate(zip_with(a, b, (p,q) -> p*q), 0D, (acc,z) -> acc+z)`
-    * (verified empirically on the testdata vectors).
+    * (verified empirically on the testdata vectors); cosine is then a
+    * single dot of the two unit vectors.
     */
-  private def cosineSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+  private val normalizedCte: String =
+    """e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |e AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e0)""".stripMargin
 
   /** DuckDB mirror of Similarity.signLshBuckets' deterministic
     * hyperplane bucket id over double-list expression `v`.
@@ -477,9 +479,9 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q18_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH $normalizedCte,
          |scored AS (
-         |  SELECT q.vec_id AS qid, e.vec_id AS nid, ${cosineSql("q.v", "e.v")} AS cosine
+         |  SELECT q.vec_id AS qid, e.vec_id AS nid, list_dot_product(q.u, e.u) AS cosine
          |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
          |ranked AS (SELECT qid, nid, cosine,
          |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
@@ -488,9 +490,9 @@ object SparkEntry {
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q19_top_pairs" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH $normalizedCte,
          |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.v", "b.v")} AS cosine
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.u, b.u) AS cosine
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
          |ranked AS (SELECT vec_a, vec_b, cosine,
          |                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rnk
@@ -499,10 +501,11 @@ object SparkEntry {
          |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q20_cosine_topk_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 4)} AS bucket FROM e),
+      s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 4)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id),
          |scored AS (
-         |  SELECT q.vec_id AS qid, b.vec_id AS nid, ${cosineSql("q.v", "b.v")} AS cosine
+         |  SELECT q.vec_id AS qid, b.vec_id AS nid, list_dot_product(q.u, b.u) AS cosine
          |  FROM b JOIN b q ON q.vec_id < 10 AND b.bucket = q.bucket AND b.vec_id <> q.vec_id),
          |ranked AS (SELECT qid, nid, cosine,
          |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk

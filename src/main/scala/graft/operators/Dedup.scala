@@ -70,26 +70,26 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, bands: Int, minJ: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val spark = docs.sparkSession
-    import spark.implicits._
 
     val sh = shingles(docs, n)
     val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
-    val params = PortableHash.minhashParams(numHashes).toDF("i", "a", "b")
 
-    // (doc_id, i) -> min over shingles of (a_i*h + b_i) mod P
-    val sigs = hashed.crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("h") + col("b")) % lit(PortableHash.P)).as("sig"))
+    // All numHashes signature mins in ONE map-side-combinable groupBy —
+    // no param cross-join (a numHashes× row blowup) and a single
+    // shuffle keyed on doc_id alone.
+    val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
-    // band bucket = comma-joined sigs of the band (one row per i ->
-    // max(when) just selects it; avoids order-unstable collect_list)
-    val bucketCols = (0 until rowsPerBand).map(p =>
-      max(when(col("i") % rowsPerBand === p, col("sig"))).cast("string"))
-    val buckets = sigs
-      .withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",", bucketCols: _*).as("bucket"))
+    // band bucket = comma-joined sigs of the band; one (band, bucket)
+    // row per band via posexplode of per-band concat columns
+    val bandCols = (0 until bands).map { band =>
+      concat_ws(",", (0 until rowsPerBand).map(p =>
+        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
+    }
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
 
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -110,16 +110,38 @@ object Dedup {
 
   /** 32-bit SimHash signature per doc + Hamming-close pairs.
     * Output: (doc_a, doc_b, sim_a, sim_b, hamming) ordered.
-    * The pairing here is all-pairs (fine at verification scale); the
-    * 100 TB path buckets on signature bytes first, same as LSH.
+    *
+    * Pairing is banded, not all-pairs: the signature is split into
+    * `maxHamming + 1` chunks; by pigeonhole, any pair within the
+    * Hamming budget leaves at least one chunk untouched, so an
+    * equi-join on (chunk_idx, chunk_value) generates a candidate set
+    * that provably contains every qualifying pair (lossless — exact
+    * verification then drops false candidates). This turns the O(n²)
+    * cross join into a shuffle-partitioned equi-join, the same recipe
+    * that keeps the operator feasible at 100 TB.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = simhash(docs)
-    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val parts = maxHamming + 1
+    val sigs = simhash(docs) // (doc_id, simhash)
+    // chunk p covers bit range [p*32/parts, (p+1)*32/parts)
+    val bounds = (0 to parts).map(p => p * 32 / parts)
+    val chunkArr = (0 until parts).map { p =>
+      val lo = bounds(p); val width = bounds(p + 1) - lo
+      expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}")
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunkArr: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
-        expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)").as("hamming"))
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.PortableHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,31 +17,42 @@ import org.apache.spark.sql.functions._
   *                      from the portable hash (no RNG state to ship);
   *                      vectors sharing a bucket are compared exactly.
   *
-  * All kernels cast float→double before arithmetic and fold
-  * sequentially (functions.aggregate), so the result is a deterministic
-  * double reproducible by the DuckDB oracle.
+  * Scale design: vectors are L2-normalized ONCE per row (a projection
+  * before the join boundary), so each candidate pair costs a single
+  * 64-lane fused dot product — not three — and the global top-k goes
+  * through `orderBy(...).limit(k)` (planned as a distributed
+  * TakeOrderedAndProject: per-partition heaps, no single-partition
+  * sort). All arithmetic is sequential double folds, bit-reproducible
+  * by the DuckDB oracle.
   */
 object Similarity {
 
-  /** cosine(qv, v) as a SQL expression over two array<double> columns. */
-  private def cosExpr(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  /** Sequential-fold dot product — graft.functions.DotProduct, a
+    * codegen'd native expression bit-identical to
+    * `aggregate(zip_with(a, b, (p,q) -> p*q), 0D, (acc,z) -> acc+z)`.
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"${graft.functions.VectorExprs.DotName}($a, $b)"
 
-  private def asDouble(df: DataFrame): DataFrame =
+  /** (vec_id, u): unit-normalized double vectors — norms computed once
+    * per row, not once per pair.
+    */
+  private def normalized(df: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"),
+        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"))
+  }
 
   /** Top-k nearest neighbours (cosine) for vec_id < nQueries.
     * Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = asDouble(embeddings)
+    val e = normalized(embeddings)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), expr(cosExpr("qv", "v")).as("cosine"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(dotExpr("qu", "u")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -54,14 +64,14 @@ object Similarity {
     * Output: (rnk, vec_a, vec_b, cosine) ordered by rnk.
     */
   def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
-    val e = asDouble(embeddings)
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val e = normalized(embeddings)
+    val top = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr(cosExpr("a.v", "b.v")).as("cosine"))
-    pairs
-      .withColumn("rnk", row_number().over(
+        expr(dotExpr("a.u", "b.u")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(n) // TakeOrderedAndProject: per-partition top-n heaps, no global sort
+    top.withColumn("rnk", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
-      .filter(col("rnk") <= n)
       .select(col("rnk").cast("long").as("rnk"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("rnk"))
   }
@@ -71,7 +81,8 @@ object Similarity {
     * hash32("p_d") mapped to [-0.5, 0.5) — deterministic, no RNG.
     */
   def signLshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
-    val e = asDouble(embeddings)
+    val e = embeddings.select(
+      col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     // coefficient expression for plane p, dim d (0-based): portable hash -> [-0.5, 0.5)
     def coef(p: Int, d: String) =
       s"(CAST(conv(substring(md5(concat('$p', '_', CAST($d AS STRING))),1,8),16,10) AS BIGINT) % 1000) / 1000.0 - 0.5"
@@ -87,11 +98,15 @@ object Similarity {
     * trade. Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
   def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, planes: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
     val b = signLshBuckets(embeddings, planes)
+      .select(col("vec_id"),
+        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"),
+        col("bucket"))
     val q = b.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("bucket").as("qbucket"))
     val scored = b.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), expr(cosExpr("qv", "v")).as("cosine"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(dotExpr("qu", "u")).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
