@@ -39,4 +39,10 @@ object Ops {
   /** m:ss formatting of a millisecond duration (reference new.py:170). */
   def msToMinSec(ms: Column): Column =
     format_string("%d:%02d", (ms / 60000).cast(LongType), ((ms % 60000) / 1000).cast(LongType))
+
+  /** URL-encode a query term (reference spotify_etl.py:108,
+    * `requests.utils.quote`; SURVEY.md P11/F11) — built-in codegen'd
+    * `url_encode`, no UDF.
+    */
+  def urlEncode(c: Column): Column = url_encode(c)
 }

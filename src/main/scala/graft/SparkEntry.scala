@@ -257,6 +257,19 @@ object SparkEntry {
           md5($"text").as("content_md5"))
         .orderBy($"doc_id")
     }),
+
+    // ---- Shuffle-hash join (completes the join-strategy surface:
+    // q6 broadcast, q7 sort-merge, q8 anti, q9 semi) — hinted, since
+    // the optimizer would broadcast at this scale ----
+    "q29_supplier_nation_shj" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation").hint("shuffle_hash"),
+          $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"), Ops.decSum($"s_acctbal").as("total_acctbal"))
+        .orderBy($"n_name")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -566,5 +579,11 @@ object SparkEntry {
         |  substr(hex(encode(text)), 1, 8) AS head_hex,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_supplier_nation_shj" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }
