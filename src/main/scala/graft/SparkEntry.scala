@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sessionize, Similarity, SkewAgg, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -270,6 +270,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_suppliers"), Ops.decSum($"s_acctbal").as("total_acctbal"))
         .orderBy($"n_name")
     }),
+
+    // ---- Skew-safe salted aggregation (operators.SkewAgg): two-stage
+    // plan, result bit-identical to the direct groupBy ----
+    "q30_salted_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      SkewAgg.saltedCountSum(
+        Tables.load(s, dir, "events"),
+        keys = Seq("event_type"), saltSource = $"event_id", buckets = 16,
+        valueCol = "value")
+        .orderBy($"event_type")
+    }),
+
+    // ---- Gap sessionization via analytic windows (operators.Sessionize:
+    // lag + running sum, per-user partitions — no global sort) ----
+    "q31_user_sessions" -> ((s, dir) =>
+      Sessionize.userSessionStats(Tables.load(s, dir, "events"), gapMinutes = 60)),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -585,5 +601,31 @@ object SparkEntry {
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // salted two-stage agg must equal the direct grouped aggregate
+    "q30_salted_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q31_user_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS longest_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -64,6 +64,16 @@ object EventStream {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
 
+  /** Gap-based session aggregate — the built-in `session_window`
+    * (streaming counterpart of operators.Sessionize's analytic-window
+    * batch form; same gap rule, state bounded by the watermark).
+    */
+  def sessionAgg(src: DataFrame, gapMinutes: Int): DataFrame =
+    src
+      .withWatermark("ts", "7 days")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Drain all currently-available input through `plan` and return the
     * final result as a batch DataFrame (Trigger.AvailableNow + complete
     * mode into a memory sink). Used by tests and the oracle-checked
