@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Validation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end runs of the three composed pipelines (SURVEY.md §5.2
+  * item 5): golden summaries, sink contents, validation ordering.
+  */
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp = Files.createTempDirectory("graft-pipe").toString
+
+  private val item1 =
+    """{"played_at":"2024-01-10T12:00:00.000Z","track":{"id":"t1","name":"A",
+      |"popularity":80,"duration_ms":185000,"explicit":true,
+      |"artists":[{"id":"ar1","name":"X"}]}}""".stripMargin.replaceAll("\n", "")
+  private val item2 =
+    """{"played_at":"2024-01-10T13:00:00.000Z","track":{"id":"t2","name":"B",
+      |"popularity":41,"duration_ms":200000,"explicit":false,
+      |"artists":[{"id":"ar2","name":"Y"}]}}""".stripMargin.replaceAll("\n", "")
+
+  test("EP1 end-to-end: CSV written, summary has count and mean popularity") {
+    val dir = tmp
+    val payload = """{"tracks":[{"id":"t1","name":"A","popularity":80,"artists":[{"name":"X"}]},
+                    |{"id":"t2","name":"B","popularity":40,"artists":[{"name":"X"}]}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val json = Pipelines.topTracksEtl(spark, Seq(payload).toDS(), s"$dir/out")
+    assert(json.contains("\"tracks_processed\":2") && json.contains("\"avg_popularity\":60.0"))
+    assert(spark.read.option("header", "true").csv(s"$dir/out").count() == 2)
+  }
+
+  test("EP1 end-to-end: empty payload raises like the reference") {
+    intercept[RuntimeException] {
+      Pipelines.topTracksEtl(spark, Seq("""{"tracks":[]}""").toDS(), s"$tmp/out")
+    }
+  }
+
+  test("EP2 end-to-end: validated, appended by date partition, summarized") {
+    val dir = tmp
+    val json = Pipelines.recentlyPlayedEtl(spark,
+      Seq(s"""{"items":[$item1,$item2]}""").toDS(),
+      s"$dir/tbl", java.sql.Date.valueOf("2024-01-12"))
+    assert(json.contains("\"tracks_processed\":2"))
+    assert(json.contains("\"date_range\":\"2024-01-10 to 2024-01-10\""))
+    val back = spark.read.parquet(s"$dir/tbl")
+    assert(back.count() == 2 && back.columns.contains("timestamp"))
+  }
+
+  test("EP2 end-to-end: duplicate PK raises BEFORE anything is written") {
+    val dir = tmp
+    intercept[Validation.PrimaryKeyViolation] {
+      Pipelines.recentlyPlayedEtl(spark,
+        Seq(s"""{"items":[$item1,$item1]}""").toDS(),
+        s"$dir/tbl", java.sql.Date.valueOf("2024-01-12"))
+    }
+    assert(!new java.io.File(s"$dir/tbl").exists()) // sink untouched
+  }
+
+  test("EP2 end-to-end: empty input short-circuits with no_data status") {
+    val json = Pipelines.recentlyPlayedEtl(spark,
+      Seq("""{"items":[]}""").toDS(), s"$tmp/tbl", java.sql.Date.valueOf("2024-01-12"))
+    assert(json.contains("no_data"))
+  }
+
+  test("EP3 end-to-end: csv + banker's-rounded summary from one cached frame") {
+    val dir = tmp
+    val json = Pipelines.recentlyPlayedAnalysis(spark,
+      Seq(s"""{"items":[$item1,$item2]}""").toDS(), s"$dir/out")
+    assert(json.contains("\"tracks_processed\":2"))
+    assert(json.contains("\"average_popularity\":60.5"))
+    assert(json.contains("\"explicit_tracks\":1"))
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.columns.contains("rank") && back.count() == 2)
+  }
+}
