@@ -65,4 +65,18 @@ object SpotifySchemas {
   /** Read a JSON-lines file of payloads with the declared schema. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** S7 — the checked-in sample CSV table. The reference's sample uses
+    * the older 4-column variant (`duration`, not `duration_ms` —
+    * a documented drift, FIXTURES.md §4); schema declared, never
+    * inferred.
+    */
+  val songsCsv: StructType = StructType(Seq(
+    StructField("artist_name", StringType),
+    StructField("song_name", StringType),
+    StructField("popularity", IntegerType),
+    StructField("duration", StringType)))
+
+  def readSongsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(songsCsv).csv(path)
 }
