@@ -74,3 +74,17 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, (children: Seq[Expression]) => DotProduct(children.head, children(1)), "scala_udf")
 }
+
+/** SparkSessionExtensions entry point: sessions created with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` get the graft
+  * function surface without any per-operator registration call — the
+  * deployment path for spark-submit jobs.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorExprs.DotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, VectorExprs.DotName),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+}
