@@ -158,7 +158,7 @@ object SparkEntry {
     "q19_top_pairs" -> ((s, dir) =>
       Similarity.topPairs(Tables.load(s, dir, "embeddings"), n = 20)),
     "q20_cosine_topk_lsh" -> ((s, dir) =>
-      Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4)),
+      Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4, dim = 64)),
 
     // ---- Set operations (SURVEY §2.8): retained/churned user cohorts ----
     "q21_user_cohorts" -> ((s, dir) => {

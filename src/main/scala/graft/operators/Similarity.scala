@@ -76,19 +76,34 @@ object Similarity {
       .orderBy(col("rnk"))
   }
 
-  /** Sign-LSH bucket id per vector: `planes` random hyperplanes, bit p
-    * set iff dot(v, c_p) > 0. Coefficients c_p[d] are derived from
-    * hash32("p_d") mapped to [-0.5, 0.5) — deterministic, no RNG.
+  /** Deterministic hyperplane coefficient for plane `p`, dim `d`: the
+    * portable hash of "p_d" mapped to [-0.5, 0.5). Same value whether
+    * computed here (driver), by Spark's conv(md5(...)), or by the
+    * DuckDB oracle.
     */
-  def signLshBuckets(embeddings: DataFrame, planes: Int): DataFrame = {
+  private[operators] def lshCoef(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16) % 1000) / 1000.0 - 0.5
+  }
+
+  /** Sign-LSH bucket id per vector: `planes` random hyperplanes, bit p
+    * set iff dot(v, c_p) > 0. Coefficients are materialized driver-side
+    * as literal arrays (they depend only on (p, d)), so each plane test
+    * is one codegen'd `graft_dot` against a constant — not a per-row
+    * rebuild of the coefficient array. `dim` is the embedding
+    * dimension (vectors shorter than `dim` use the leading lanes, as
+    * graft_dot folds over the common prefix).
+    */
+  def signLshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
     val e = embeddings.select(
       col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    // coefficient expression for plane p, dim d (0-based): portable hash -> [-0.5, 0.5)
-    def coef(p: Int, d: String) =
-      s"(CAST(conv(substring(md5(concat('$p', '_', CAST($d AS STRING))),1,8),16,10) AS BIGINT) % 1000) / 1000.0 - 0.5"
     val bitExprs = (0 until planes).map { p =>
-      val dot = s"aggregate(zip_with(v, transform(sequence(0, size(v)-1), d -> ${coef(p, "d")}), (x, c) -> x * c), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-      s"CASE WHEN $dot > 0 THEN shiftleft(CAST(1 AS BIGINT), $p) ELSE CAST(0 AS BIGINT) END"
+      val coefs = (0 until dim).map(d => s"${lshCoef(p, d)}D").mkString(", ")
+      s"CASE WHEN ${dotExpr("v", s"array($coefs)")} > 0 " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), $p) ELSE CAST(0 AS BIGINT) END"
     }
     e.select(col("vec_id"), col("v"), expr(bitExprs.mkString("(", " + ", ")")).as("bucket"))
   }
@@ -97,9 +112,9 @@ object Similarity {
     * in the query's bucket. Recall < 1 by construction; the 100 TB
     * trade. Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
-  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, planes: Int): DataFrame = {
+  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, planes: Int, dim: Int): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
-    val b = signLshBuckets(embeddings, planes)
+    val b = signLshBuckets(embeddings, planes, dim)
       .select(col("vec_id"),
         expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"),
         col("bucket"))
