@@ -59,6 +59,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 100 TB variant of [[jaccardPairs]]: shingles with document
+    * frequency above `maxDf` are dropped BEFORE the pair join — the
+    * standard stop-shingle cap that bounds every join bucket at
+    * maxDf², making worst-case cost linear in corpus size × maxDf.
+    * Jaccard is then computed over the capped shingle universe:
+    * identical to the exact result whenever no shingle exceeds the cap
+    * (asserted in tests), an under-approximation otherwise.
+    */
+  def jaccardPairsCapped(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val capped = sh.join(rare, Seq("shingle"))
+    val cnt = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, cnt)
+      .filter(col("jaccard") >= minJ)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash + banded LSH near-dup detection, exact-verified.
     *
     * numHashes signatures are split into `bands` bands of
