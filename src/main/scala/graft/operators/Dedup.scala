@@ -170,20 +170,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** (doc_id, simhash) — 32-bit SimHash over term frequencies. */
+  /** (doc_id, simhash) — 32-bit SimHash over term frequencies.
+    * All 32 per-bit weighted sums are columns of ONE map-side-
+    * combinable groupBy (no bit-index crossJoin blowup, one shuffle
+    * keyed on doc_id), then the signature assembles as a single
+    * column expression.
+    */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val terms = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), PortableHash.hash32(col("word")).as("h"), col("cnt"))
-    val bits = (0 until 32).toDF("j")
-    terms.crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("shiftright(h, j) % 2") === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L))).as("simhash"))
+    val bitCols = (0 until 32).map { j =>
+      sum(when(expr(s"shiftright(h, $j) % 2") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s_$j")
+    }
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN s_$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+    terms.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
   }
 
   private def withJaccard(inter: DataFrame, cnt: DataFrame): DataFrame =
