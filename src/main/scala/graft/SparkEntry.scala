@@ -286,6 +286,10 @@ object SparkEntry {
     // lag + running sum, per-user partitions — no global sort) ----
     "q31_user_sessions" -> ((s, dir) =>
       Sessionize.userSessionStats(Tables.load(s, dir, "events"), gapMinutes = 60)),
+
+    // ---- Embedding-cosine near-dup tier (operators.Similarity) ----
+    "q32_embedding_neardups" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"), minCos = 0.45)),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -627,5 +631,12 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions,
         |  max(n_events) AS longest_session_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_embedding_neardups" ->
+      s"""WITH $normalizedCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.u, b.u) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.u, b.u) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

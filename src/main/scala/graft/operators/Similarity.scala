@@ -108,6 +108,23 @@ object Similarity {
     e.select(col("vec_id"), col("v"), expr(bitExprs.mkString("(", " + ", ")")).as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
+    * cosine >= minCos — the vector-space member of the dedup tier
+    * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same
+    * normalize-once + single-codegen-dot kernel as top-k; the scale
+    * path replaces the pair join with [[signLshBuckets]] bucketing
+    * (pairs within a bucket only), traded below recall 1.
+    * Output: (vec_a, vec_b, cosine) ordered.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val e = normalized(embeddings)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr(dotExpr("a.u", "b.u")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** LSH-accelerated top-k: exact cosine computed only against vectors
     * in the query's bucket. Recall < 1 by construction; the 100 TB
     * trade. Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
