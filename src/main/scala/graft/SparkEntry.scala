@@ -290,6 +290,44 @@ object SparkEntry {
     // ---- Embedding-cosine near-dup tier (operators.Similarity) ----
     "q32_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"), minCos = 0.45)),
+
+    // ---- ROLLUP hierarchy totals (subtotal + grand total rows) ----
+    "q33_rollup_totals" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), Ops.decSum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // ---- Frame-based analytics: per-user 3-row moving average
+    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), exact arithmetic ----
+    "q34_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter($"user_id" < 10)
+        .select($"user_id", $"event_id",
+          (sum($"value".cast("decimal(12,2)")).over(w).cast("double")
+            / count($"value").over(w)).as("mov_avg"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- Pivot-style conditional aggregation: events per type per day ----
+    "q35_daily_type_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(
+          count(when($"event_type" === "click", 1)).as("clicks"),
+          count(when($"event_type" === "view", 1)).as("views"),
+          count(when($"event_type" === "purchase", 1)).as("purchases"),
+          count(when($"event_type" === "signup", 1)).as("signups"),
+          count(when($"event_type" === "error", 1)).as("errors"),
+          count(lit(1)).as("total"))
+        .orderBy($"day")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -638,5 +676,32 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.u, b.u) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q33_rollup_totals" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q34_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |    / COUNT(value) OVER w AS mov_avg
+        |FROM events
+        |WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q35_daily_type_pivot" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+        |  count(*) AS total
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }
