@@ -328,6 +328,44 @@ object SparkEntry {
           count(lit(1)).as("total"))
         .orderBy($"day")
     }),
+
+    // ---- Array-function battery over the vector column ----
+    "q36_vector_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExprs.register(s)
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(
+          $"vec_id",
+          size($"v").cast("long").as("dim"),
+          expr("sqrt(graft_dot(v, v))").as("l2norm"),
+          array_min($"v").as("vmin"),
+          array_max($"v").as("vmax"))
+        .orderBy($"vec_id")
+    }),
+
+    // ---- Edit-distance pair matrix (fuzzy text matching) ----
+    "q37_editdist_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val heads = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 20)
+        .select($"doc_id", substring($"text", 1, 30).as("h"))
+      heads.as("a").join(heads.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          levenshtein($"a.h", $"b.h").as("edit_dist"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // ---- Calendar truncation + extraction (week/month grains) ----
+    "q38_weekly_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(
+          to_date(date_trunc("week", $"ts")).as("week"),
+          month($"ts").cast("long").as("month"))
+        .agg(count(lit(1)).as("n"), Ops.decSum($"value").as("total_value"))
+        .orderBy($"week", $"month")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -703,5 +741,31 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
         |  count(*) AS total
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q36_vector_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  sqrt(list_dot_product(v, v)) AS l2norm,
+        |  list_min(v) AS vmin,
+        |  list_max(v) AS vmax
+        |FROM (SELECT vec_id, embedding,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q37_editdist_pairs" ->
+      """WITH heads AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS h FROM documents WHERE doc_id < 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.h, b.h) AS edit_dist
+        |FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q38_weekly_summary" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |  CAST(extract(month FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS month,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY week, month""".stripMargin,
   )
 }
