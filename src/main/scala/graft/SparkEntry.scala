@@ -366,6 +366,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), Ops.decSum($"value").as("total_value"))
         .orderBy($"week", $"month")
     }),
+
+    // ---- Token counting: whitespace + BPE-ish regex (TextAnalysis) ----
+    "q39_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"))),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -767,5 +771,13 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY week, month""".stripMargin,
+
+    "q39_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')) AS bpe_per_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

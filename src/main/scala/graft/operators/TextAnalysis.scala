@@ -84,6 +84,27 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(n)
 
+  /** GPT2-style pre-tokenizer regex: contraction suffixes, optionally
+    * space-prefixed letter runs / digit runs / punctuation runs.
+    * Ordered alternation behaves identically in Java regex (Spark) and
+    * RE2 (DuckDB oracle) — no lookarounds used.
+    */
+  val bpeIshPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** Token counting, whitespace and BPE-ish (the two denominators a
+    * training-data pipeline budgets with). Output:
+    * (doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws) ordered by doc_id.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_ws",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints: full md5 plus a 32-bit numeric fingerprint
     * of the whitespace-normalized text (stable under reformatting).
     * Output: (doc_id, fp, fp32) ordered by doc_id.
