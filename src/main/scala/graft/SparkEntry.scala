@@ -588,7 +588,12 @@ object SparkEntry {
     "q17_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-         |  ${hash32Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp32
+         |  ${hash32Sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp32,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+         |                     c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a*31+b) % 2147483647) AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q18_cosine_topk" ->

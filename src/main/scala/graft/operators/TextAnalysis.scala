@@ -105,16 +105,25 @@ object TextAnalysis {
         col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Content fingerprints: full md5 plus a 32-bit numeric fingerprint
-    * of the whitespace-normalized text (stable under reformatting).
-    * Output: (doc_id, fp, fp32) ordered by doc_id.
+  /** Content fingerprints of the whitespace-normalized text (stable
+    * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
+    * and a polynomial rolling hash (base 31 mod 2^31-1) — the
+    * incremental-update-friendly variant a chunking pipeline extends
+    * to sliding windows. Output: (doc_id, fp, fp32, fp_roll) ordered.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(
       col("doc_id"),
       md5(norm).as("fp"),
-      PortableHash.hash32(norm).as("fp32"))
+      PortableHash.hash32(norm).as("fp32"),
+      expr(
+        // slice guards against split's trailing empty string
+        s"""aggregate(
+           |  slice(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ''),
+           |        1, length(regexp_replace(lower(trim(text)), '\\\\s+', ' '))),
+           |  CAST(0 AS BIGINT),
+           |  (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""".stripMargin).as("fp_roll"))
       .orderBy(col("doc_id"))
   }
 }
