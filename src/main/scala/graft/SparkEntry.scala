@@ -370,6 +370,49 @@ object SparkEntry {
     // ---- Token counting: whitespace + BPE-ish regex (TextAnalysis) ----
     "q39_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"))),
+
+    // ---- GROUPING SETS with grouping() marker ----
+    "q40_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupingSets(Seq(Seq($"event_type"), Seq()), $"event_type")
+        .agg(count(lit(1)).as("n"), grouping($"event_type").cast("long").as("is_total"))
+        .orderBy($"event_type".asc_nulls_first)
+    }),
+
+    // ---- Exact interpolated percentiles per group ----
+    "q41_value_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- Positional explode (LATERAL VIEW posexplode analog) ----
+    "q42_doc_word_positions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 5)
+        .select($"doc_id", posexplode(split(lower(trim($"text")), "\\s+")).as(Seq("pos", "word")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"word")
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // ---- first_value / last_value analytics per user ----
+    "q43_user_first_last" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .select($"user_id",
+          first($"event_type").over(w).as("first_type"),
+          last($"event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy($"user_id")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -784,5 +827,33 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS DOUBLE)
         |    / len(string_split_regex(lower(trim(text)), '\s+')) AS bpe_per_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_grouping_sets" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(grouping(event_type) AS BIGINT) AS is_total
+        |FROM events GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q41_value_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_doc_word_positions" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents WHERE doc_id < 5),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM toks)
+        |SELECT doc_id, pos, w[pos+1] AS word FROM idx
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q43_user_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
   )
 }
