@@ -413,6 +413,31 @@ object SparkEntry {
         .distinct()
         .orderBy($"user_id")
     }),
+
+    // ---- lag/lead analytics: inter-event gaps and next-event type ----
+    "q44_event_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .filter($"user_id" < 10)
+        .select($"user_id", $"event_id",
+          (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+          lead($"event_type", 1).over(w).as("next_type"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- Ranking-function family over one window ----
+    "q45_price_ranks" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+      Tables.load(s, dir, "part")
+        .select($"p_brand", $"p_partkey", $"p_retailprice",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"))
+        .orderBy($"p_brand", $"p_partkey")
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -855,5 +880,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
+
+    "q44_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q45_price_ranks" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prank
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
   )
 }
