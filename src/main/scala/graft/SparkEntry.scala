@@ -426,6 +426,37 @@ object SparkEntry {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // ---- JSON round-trip flatten (P2 machinery on testdata): build a
+    // recently-played-shaped payload from events, parse it back with a
+    // declared schema, flatten with null-defaults + string-slice date.
+    // The oracle is the equivalent direct projection — validating that
+    // to_json/from_json/coalesce preserve semantics exactly ----
+    "q46_json_roundtrip_flatten" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(
+        StructField("played_at", StringType),
+        StructField("track", StructType(Seq(
+          StructField("id", StringType),
+          StructField("name", StringType),
+          StructField("value", DoubleType))))))
+      Tables.load(s, dir, "events")
+        .select($"event_id", to_json(struct(
+          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("played_at"),
+          struct(
+            $"event_id".cast("string").as("id"),
+            $"event_type".as("name"),
+            $"value").as("track"))).as("payload"))
+        .select($"event_id", from_json($"payload", payloadSchema).as("p"))
+        .select(
+          $"event_id",
+          coalesce($"p.track.name", lit("Unknown")).as("song_name"),
+          coalesce($"p.played_at", lit("")).as("played_at"),
+          substring($"p.played_at", 1, 10).as("day"),
+          coalesce($"p.track.value", lit(0.0)).as("value"))
+        .orderBy($"event_id")
+    }),
+
     // ---- Ranking-function family over one window ----
     "q45_price_ranks" -> ((s, dir) => {
       import s.implicits._
@@ -888,6 +919,14 @@ object SparkEntry {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q46_json_roundtrip_flatten" ->
+      """SELECT event_id,
+        |  COALESCE(event_type, 'Unknown') AS song_name,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS played_at,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  COALESCE(value, 0.0) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q45_price_ranks" ->
       """SELECT p_brand, p_partkey, p_retailprice,
