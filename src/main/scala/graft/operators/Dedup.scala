@@ -1,28 +1,32 @@
 package graft.operators
 
 import graft.functions.PortableHash
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
   *
-  * Four tiers, in increasing tolerance to variation:
+  * Tiers, in increasing tolerance to variation:
   *  - [[exact]]        — hash-groupBy on the raw text (one shuffle).
   *  - [[jaccardPairs]] — exact word n-gram Jaccard via a shingle
-  *                       self-join (the correctness baseline).
+  *                       self-join (the correctness baseline);
+  *                       [[jaccardPairsCapped]] is its 100 TB form
+  *                       (stop-shingle document-frequency cap bounds
+  *                       every join bucket).
   *  - [[minhashLsh]]   — MinHash signatures + banded LSH candidate
   *                       generation, then exact verification of the
-  *                       candidates only. This is the 100 TB path: cost
-  *                       is O(docs × shingles) for signatures plus the
-  *                       (tiny) candidate set, never all-pairs.
-  *  - [[simhashPairs]] — 32-bit SimHash signatures + Hamming-distance
-  *                       pairing.
+  *                       candidates only: cost is O(docs × shingles)
+  *                       for signatures plus the (small) candidate
+  *                       set, never all-pairs.
+  *  - [[simhashPairs]] — 32-bit SimHash signatures, paired via
+  *                       lossless pigeonhole chunk banding.
+  * The vector-space tier (embedding cosine) lives in
+  * [[Similarity.embeddingNearDups]].
   *
-  * Scale notes: the shingle self-join in [[jaccardPairs]] is quadratic
-  * in the worst case (a stop-shingle shared by every doc); production
-  * use at 100 TB should drop shingles with document frequency above a
-  * cap before joining (standard trick), or use [[minhashLsh]] whose
-  * band join groups only docs with equal 4-minhash buckets.
+  * AQE note: the shingle subplan appears on several branches of these
+  * plans; adaptive execution reuses the identical shuffle stages at
+  * runtime, so the tokenize+explode work runs once, not per-branch
+  * (verified against the executed plans — see SCALING.md).
   */
 object Dedup {
 
