@@ -21,10 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: absorb JVM/codegen/parquet-reader init so the
-    // per-query numbers measure the queries, not session startup
-    try SparkEntry.queries("q5_top_parts")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // per-query numbers measure the queries, not session startup; one
+    // representative per table family (relational / text-HOF / vector)
+    for (w <- Seq("q5_top_parts", "q17_fingerprint", "q18_cosine_topk"))
+      try SparkEntry.queries(w)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
