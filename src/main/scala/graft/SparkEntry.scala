@@ -291,6 +291,11 @@ object SparkEntry {
     "q32_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"), minCos = 0.45)),
 
+    // ---- IVF coarse-quantizer ANN (operators.Similarity) ----
+    "q47_cosine_topk_ivf" -> ((s, dir) =>
+      Similarity.cosineTopKIvf(Tables.load(s, dir, "embeddings"),
+        nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
+
     // ---- ROLLUP hierarchy totals (subtotal + grand total rows) ----
     "q33_rollup_totals" -> ((s, dir) => {
       import s.implicits._
@@ -822,6 +827,26 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.u, b.u) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q47_cosine_topk_ivf" ->
+      s"""WITH $normalizedCte,
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.u, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.u, c.cu) DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, u, cid AS cell FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, u AS qu, cid AS cell FROM ranked
+         |           WHERE vec_id < 10 AND crn <= 4),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid, list_dot_product(q.qu, a.u) AS cosine
+         |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.vec_id <> q.qid),
+         |topk AS (SELECT qid, nid, cosine,
+         |                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |         FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q33_rollup_totals" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

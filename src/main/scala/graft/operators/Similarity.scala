@@ -108,6 +108,40 @@ object Similarity {
     e.select(col("vec_id"), col("v"), expr(bitExprs.mkString("(", " + ", ")")).as("bucket"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
+    * alternative to sign-LSH. Deterministic construction (no RNG, no
+    * training iterations): the first `nlist` vectors by id act as
+    * centroids; every vector joins the cell of its most-similar
+    * centroid; a query probes its `nprobe` nearest cells and scores
+    * exactly within them. Centroid assignment ties break on centroid
+    * id, so the DuckDB oracle reproduces the structure bit-for-bit.
+    * At 100 TB the cell column becomes the table's partition key and a
+    * probe reads nprobe/nlist of the corpus — this operator's join
+    * keys are exactly that layout.
+    * Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
+    */
+  def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val e = normalized(embeddings)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val simToCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val ranked = simToCent.withColumn("crn", row_number().over(byVec))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("u"), col("cid").as("cell"))
+    val qprobe = ranked.filter(col("vec_id") < nQueries && col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("cid").as("cell"))
+    val scored = assign.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(dotExpr("qu", "u")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier
     * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same
