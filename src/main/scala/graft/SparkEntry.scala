@@ -296,6 +296,60 @@ object SparkEntry {
       Similarity.cosineTopKIvf(Tables.load(s, dir, "embeddings"),
         nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
+    // ---- Array-function battery over token arrays ----
+    "q48_array_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id", split(lower(trim($"text")), "\\s+").as("w"))
+        .select(
+          $"doc_id",
+          array_join(sort_array(slice($"w", 1, 5)), ",").as("first5_sorted"),
+          array_contains($"w", "the").cast("boolean").as("has_the"),
+          array_position($"w", "data").cast("long").as("data_pos"),
+          size(array_distinct($"w")).cast("long").as("n_distinct"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- String-function battery ----
+    "q49_string_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .filter($"event_id" < 100)
+        .select(
+          $"event_id",
+          lpad($"user_id".cast("string"), 6, "0").as("padded_uid"),
+          rpad($"event_type", 10, ".").as("padded_type"),
+          reverse($"event_type").as("rev_type"),
+          translate($"event_type", "aeiou", "AEIOU").as("caps_vowels"),
+          upper($"event_type").as("upper_type"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- Unpivot: the daily type-pivot back to long form (stack) ----
+    "q50_unpivot_daily" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(
+          count(when($"event_type" === "click", 1)).as("clicks"),
+          count(when($"event_type" === "view", 1)).as("views"))
+        .select($"day", expr(
+          "stack(2, 'clicks', clicks, 'views', views) AS (metric, n)"))
+        .orderBy($"day", $"metric")
+    }),
+
+    // ---- spark.sql entry path + correlated scalar subquery ----
+    "q51_sql_correlated" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer
+          |WHERE c_custkey < 200
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- ROLLUP hierarchy totals (subtotal + grand total rows) ----
     "q33_rollup_totals" -> ((s, dir) => {
       import s.implicits._
@@ -847,6 +901,43 @@ object SparkEntry {
          |         FROM scored)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q48_array_ops" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(w[1:5]), ',') AS first5_sorted,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(w, 'data'), 0) AS BIGINT) AS data_pos,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q49_string_ops" ->
+      """SELECT event_id,
+        |  lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded_uid,
+        |  rpad(event_type, 10, '.') AS padded_type,
+        |  reverse(event_type) AS rev_type,
+        |  translate(event_type, 'aeiou', 'AEIOU') AS caps_vowels,
+        |  upper(event_type) AS upper_type
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "q50_unpivot_daily" ->
+      """WITH p AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS views
+        |  FROM events GROUP BY 1)
+        |SELECT day, 'clicks' AS metric, clicks AS n FROM p
+        |UNION ALL
+        |SELECT day, 'views' AS metric, views AS n FROM p
+        |ORDER BY day, metric""".stripMargin,
+
+    "q51_sql_correlated" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin,
 
     "q33_rollup_totals" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
