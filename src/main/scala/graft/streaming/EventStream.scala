@@ -105,4 +105,22 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** foreachBatch drain into an arbitrary batch sink — the §2.10
+    * "append output mode to JDBC/Parquet sink via foreachBatch"
+    * mapping. Each micro-batch arrives as a plain DataFrame, so any
+    * batch writer (JDBC, partitioned parquet, MERGE upsert) slots in;
+    * the checkpoint still provides exactly-once per batch id.
+    */
+  def runForeachBatch(
+      stream: DataFrame,
+      checkpoint: String)(write: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch(write)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

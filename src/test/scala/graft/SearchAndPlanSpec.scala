@@ -88,4 +88,21 @@ class SearchAndPlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_"))
   }
+
+  test("q12 minhash has no cross join: signatures come from a keyed aggregation") {
+    val p = plan("q12_dedup_minhash")
+    assert(p.contains("partial_min"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "minhash reintroduced a params cross-join")
+  }
+
+  test("q30 salted aggregation is two stages (salt key then real key)") {
+    val p = plan("q30_salted_type_stats")
+    assert(p.contains("_salt"))
+    assert("HashAggregate".r.findAllIn(p).length >= 4) // partial+final per stage
+  }
+
+  test("q29 honors the shuffle_hash hint") {
+    assert(plan("q29_supplier_nation_shj").contains("ShuffledHashJoin"))
+  }
 }

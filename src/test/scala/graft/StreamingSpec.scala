@@ -56,6 +56,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == result.select("event_id").distinct().count())
   }
 
+  test("foreachBatch drains deduped stream into a batch sink exactly once") {
+    val src = tmp("graft-feb-src")
+    val out = tmp("graft-feb-out") + "/tbl"
+    val ck = tmp("graft-feb-ck")
+    val ev = Tables.load(spark, sf, "events").limit(50)
+      .withColumn("ts", unix_micros($"ts") * 1000)
+    ev.write.parquet(s"$src/b1")
+    val stream = EventStream.dedupped(EventStream.source(spark, src))
+    EventStream.runForeachBatch(stream, ck) { (batch, _) =>
+      batch.write.mode("append").parquet(out)
+    }
+    // re-drain with the same checkpoint: no new input -> no new writes
+    EventStream.runForeachBatch(stream, ck) { (batch, _) =>
+      batch.write.mode("append").parquet(out)
+    }
+    assert(spark.read.parquet(out).count() == 50)
+  }
+
   test("incremental batch: second ingest of same data appends nothing (idempotent retry)") {
     val sink = tmp("graft-inc-sink") + "/t"
     val ev = Tables.load(spark, sf, "events")
