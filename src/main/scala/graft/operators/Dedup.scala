@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
   *
+  * North-star extension (BASELINE.json): no counterpart exists in the
+  * reference; semantics are defined by this engine (SURVEY.md §7.2 step
+  * 6) and pinned by the DuckDB oracle + ScalaTest.
+  *
   * Tiers, in increasing tolerance to variation:
   *  - [[exact]]        — hash-groupBy on the raw text (one shuffle).
   *  - [[jaccardPairs]] — exact word n-gram Jaccard via a shingle

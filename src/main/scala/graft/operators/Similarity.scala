@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
+  * North-star extension (BASELINE.json): no counterpart exists in the
+  * reference; semantics are defined by this engine (SURVEY.md §7.2 step
+  * 6) and pinned by the DuckDB oracle + ScalaTest.
+  *
   * - [[cosineTopK]]   — brute-force cosine top-k: the correctness
   *                      baseline. Query side is broadcast; candidate
   *                      side streams, so at 100 TB this is one scan of

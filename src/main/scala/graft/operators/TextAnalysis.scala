@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * quality scoring, token statistics, content fingerprinting.
   * All pure column expressions (whole-stage-codegen friendly, no UDFs)
   * with exact DuckDB-SQL counterparts.
+  *
+  * North-star extension (BASELINE.json): no counterpart exists in the
+  * reference; semantics are defined by this engine (SURVEY.md §7.2 step
+  * 6) and pinned by the DuckDB oracle + ScalaTest.
   */
 object TextAnalysis {
 
