@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sessionize, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Sessionize, Similarity, SkewAgg, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -337,6 +337,21 @@ object SparkEntry {
         .select($"day", expr(
           "stack(2, 'clicks', clicks, 'views', views) AS (metric, n)"))
         .orderBy($"day", $"metric")
+    }),
+
+    // ---- Deterministic hash split + per-group sampling (Sampling) ----
+    "q52_train_test_split" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.trainTestSplit(Tables.load(s, dir, "documents"), "doc_id", trainPct = 80)
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), Ops.decSum($"n_chars".cast("double")).as("total_chars"))
+        .orderBy($"lang", $"split")
+    }),
+    "q53_per_lang_sample" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.samplePerGroup(Tables.load(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select($"lang", $"doc_id")
+        .orderBy($"lang", $"doc_id")
     }),
 
     // ---- spark.sql entry path + correlated scalar subquery ----
@@ -931,6 +946,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT day, 'views' AS metric, views AS n FROM p
         |ORDER BY day, metric""".stripMargin,
+
+    "q52_train_test_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q53_per_lang_sample" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "q51_sql_correlated" ->
       """SELECT c_custkey, c_name,
