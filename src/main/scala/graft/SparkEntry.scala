@@ -354,6 +354,23 @@ object SparkEntry {
         .orderBy($"lang", $"doc_id")
     }),
 
+    // ---- Corpus prep: chunking, redaction, mixture (TextPrep) ----
+    "q54_chunking" -> ((s, dir) => {
+      import s.implicits._
+      operators.TextPrep.chunk(Tables.load(s, dir, "documents").filter($"doc_id" < 50),
+        size = 40, overlap = 10)
+    }),
+    "q55_redaction" -> ((s, dir) =>
+      operators.TextPrep.redact(Tables.load(s, dir, "documents"))),
+    "q56_source_mixture" -> ((s, dir) => {
+      import s.implicits._
+      operators.TextPrep.sourceMixture(Tables.load(s, dir, "documents"),
+        weights = Map("src0" -> 100, "src1" -> 50), defaultPct = 10)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    }),
+
     // ---- spark.sql entry path + correlated scalar subquery ----
     "q51_sql_correlated" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -962,6 +979,29 @@ object SparkEntry {
          |      ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "q54_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents WHERE doc_id < 50),
+        |idx AS (SELECT doc_id, w, unnest(range(0, (len(w)-1) // 30 + 1)) AS chunk_idx FROM toks),
+        |ch AS (SELECT doc_id, chunk_idx, w[chunk_idx*30 + 1 : chunk_idx*30 + 40] AS cw FROM idx)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  array_to_string(cw, ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q55_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_source_mixture" ->
+      s"""SELECT source, count(*) AS n_kept FROM documents
+         |WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE source WHEN 'src1' THEN 50 WHEN 'src0' THEN 100 ELSE 10 END
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q51_sql_correlated" ->
       """SELECT c_custkey, c_name,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators: context-window chunking, PII-style
+  * redaction, and per-source mixture sampling — the steps between "raw
+  * documents" and "training batches".
+  *
+  * North-star extension (BASELINE.json): no reference counterpart;
+  * semantics pinned by the DuckDB oracle + ScalaTest. All pure column
+  * expressions; chunking fans out via posexplode, so a 100 TB corpus
+  * chunks in one narrow pass with no shuffle at all.
+  */
+object TextPrep {
+
+  /** Split each document into token chunks of `size` with `overlap`
+    * tokens shared between neighbours (stride = size - overlap).
+    * Output: (doc_id, chunk_idx, n_tokens, chunk) ordered.
+    */
+  def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        // starts at 0, stride, 2*stride, ... while start < size(w)
+        s"transform(sequence(0, (size(w)-1) div $stride), i -> slice(w, i*$stride + 1, $size))"
+      )).as(Seq("chunk_idx", "cw")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("cw")).cast("long").as("n_tokens"),
+        array_join(col("cw"), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Redact digit runs and email-shaped tokens — the pattern layer of
+    * a PII scrub (real deployments chain more patterns; each is one
+    * more codegen'd regexp_replace). RE2-safe patterns, so the oracle
+    * applies the identical regexes.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic mixture sampling: keep each source at its weight
+    * (percent in [0,100]) by portable-hash bucket — the "data mixing"
+    * step of corpus assembly, reproducible across engines and retries.
+    * Unlisted sources keep `defaultPct`.
+    */
+  def sourceMixture(docs: DataFrame, weights: Map[String, Int], defaultPct: Int): DataFrame = {
+    val bucket = pmod(PortableHash.hash32(col("doc_id").cast("string")), lit(100L))
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    docs.filter(bucket < pct)
+  }
+}
