@@ -21,9 +21,29 @@ object Verify {
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            // Spark writes a directory; the contract wants a single
+            // parquet FILE at outDir/<name>.parquet (readable by plain
+            // duckdb read_parquet / pyarrow without globbing). Write a
+            // temp dir, move the one part file into place, and ALSO
+            // keep a directory alias at outDir/<name> for dir-globbing
+            // consumers.
+            val tmp = s"$outDir/.$name.tmp"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val tmpDir = new java.io.File(tmp)
+            val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file for $name"))
+            val fileOut = Paths.get(s"$outDir/$name.parquet")
+            Files.deleteIfExists(fileOut)
+            val aliasDir = new java.io.File(s"$outDir/$name")
+            if (aliasDir.exists()) {
+              aliasDir.listFiles().foreach(_.delete()); aliasDir.delete()
+            }
+            aliasDir.mkdirs()
+            Files.copy(part.toPath, Paths.get(s"$outDir/$name/part-0.parquet"))
+            Files.move(part.toPath, fileOut)
+            tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
