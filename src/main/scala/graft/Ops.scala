@@ -36,13 +36,38 @@ object Ops {
   def decRevenue(price: Column, disc: Column): Column =
     sum(price.cast(Dec) * (lit(1).cast(Dec) - disc.cast(Dec))).cast(DoubleType)
 
+  /** [[decRevenue]] without the final double cast — for
+    * pre-aggregate-then-reaggregate plans (partial per-key revenue,
+    * summed again after a 1:1 join). Decimal sums are associative and
+    * exact, so re-summing the partials and casting to double ONCE at
+    * the end derives the same rational — and therefore the same double
+    * — as the single flat sum the oracle computes.
+    */
+  def decRevenuePartial(price: Column, disc: Column): Column =
+    sum(price.cast(Dec) * (lit(1).cast(Dec) - disc.cast(Dec)))
+
   /** m:ss formatting of a millisecond duration (reference new.py:170). */
   def msToMinSec(ms: Column): Column =
     format_string("%d:%02d", (ms / 60000).cast(LongType), ((ms % 60000) / 1000).cast(LongType))
 
-  /** URL-encode a query term (reference spotify_etl.py:108,
-    * `requests.utils.quote`; SURVEY.md P11/F11) — built-in codegen'd
-    * `url_encode`, no UDF.
+  /** URL-encode a query term matching `requests.utils.quote` semantics
+    * (reference spotify_etl.py:108; SURVEY.md P11/F11): RFC-3986
+    * percent-encoding with safe chars `/` + unreserved (`-._~`).
+    * Built-in `url_encode` is application/x-www-form-urlencoded, which
+    * differs in exactly four places — space → `+` (quote: `%20`),
+    * `/` → `%2F` (quote keeps it, safe default), `~` → `%7E` (quote
+    * keeps it, unreserved), `*` kept (quote: `%2A`). Each rewrite is
+    * unambiguous on the encoded alphabet: a literal `+`/`*` in the
+    * encoded string can only denote the source space/`*` (input `+`
+    * becomes `%2B`), and `%2F`/`%7E` only the escapes. The whole chain
+    * is codegen'd string ops — no UDF.
     */
-  def urlEncode(c: Column): Column = url_encode(c)
+  def urlEncode(c: Column): Column =
+    replace(
+      replace(
+        replace(
+          replace(url_encode(c), lit("+"), lit("%20")),
+          lit("%2F"), lit("/")),
+        lit("%7E"), lit("~")),
+      lit("*"), lit("%2A"))
 }

@@ -41,10 +41,13 @@ object ScaleProbe {
     }
 
     time("dedup_exact", Dedup.exact(docs))
+    time("jaccard_capped", Dedup.jaccardPairsCapped(docs, 3, 0.5, 20))
     time("minhash_lsh", Dedup.minhashLsh(docs, 3, 16, 4, 0.5))
     time("simhash_banded", Dedup.simhashPairs(docs, 2))
     time("cosine_topk_brute", Similarity.cosineTopK(embs, 10, 5))
     time("cosine_topk_lsh", Similarity.cosineTopKLsh(embs, 10, 5, 8, 64))
+    time("neardups_lsh", Similarity.embeddingNearDupsLsh(embs, 0.45, 4, 64))
+    time("toppairs_lsh", Similarity.topPairsLsh(embs, 20, 4, 64))
     spark.stop()
   }
 }

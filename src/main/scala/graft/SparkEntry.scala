@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, Sessionize, Similarity, SkewAgg, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Sessionize, Similarity, SkewAgg, SpotifyFlatten, TextAnalysis}
+import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -100,15 +101,23 @@ object SparkEntry {
         .orderBy($"r_name")
     }),
 
-    // ---- Large-side shuffle join + grouped agg (sort-merge at scale) ----
+    // ---- Large-side shuffle join + grouped agg (sort-merge at scale).
+    // Lineitem revenue is pre-aggregated per order FIRST (one shuffle
+    // with map-side combine), so the join is 1:1 and per-priority
+    // counting is a plain count(*) — no countDistinct computed over a
+    // ×lineitems join fan-out. Same result: every order with lineitems
+    // contributes exactly one joined row. ----
     "q7_order_revenue" -> ((s, dir) => {
       import s.implicits._
+      val perOrder = Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(Ops.decRevenuePartial($"l_extendedprice", $"l_discount").as("order_rev"))
       Tables.load(s, dir, "orders")
-        .join(Tables.load(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(perOrder, $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderpriority")
         .agg(
-          countDistinct($"o_orderkey").as("n_orders"),
-          Ops.decRevenue($"l_extendedprice", $"l_discount").as("revenue"))
+          count(lit(1)).as("n_orders"),
+          sum($"order_rev").cast("double").as("revenue"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -135,8 +144,14 @@ object SparkEntry {
     // ---- LLM-pipeline operators: deduplication tiers (operators.Dedup) ----
     "q10_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents"))),
+    // The catalog pins the 100 TB form: stop-shingles with document
+    // frequency > maxDf are dropped before the pair join, bounding
+    // every join bucket at maxDf². The oracle mirrors the cap exactly,
+    // and maxDf=20 is above the max shingle df at sf0.01 (7), so the
+    // result there is identical to the uncapped baseline (which stays
+    // exercised by DedupSpec + q12's exact-verify path).
     "q11_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5)),
+      Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20)),
     "q12_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
     "q13_dedup_simhash" -> ((s, dir) =>
@@ -295,6 +310,15 @@ object SparkEntry {
     "q47_cosine_topk_ivf" -> ((s, dir) =>
       Similarity.cosineTopKIvf(Tables.load(s, dir, "embeddings"),
         nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
+
+    // ---- Bucketed scale twins of the pair operators: candidates from
+    // a sign-LSH bucket equi-join, never all-pairs (the plans a 100 TB
+    // corpus actually runs; q19/q32 remain the exact-recall baselines) ----
+    "q57_top_pairs_lsh" -> ((s, dir) =>
+      Similarity.topPairsLsh(Tables.load(s, dir, "embeddings"), n = 20, planes = 4, dim = 64)),
+    "q58_embedding_neardups_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings"),
+        minCos = 0.45, planes = 4, dim = 64)),
 
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
@@ -548,6 +572,73 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ---- EP1 10-col top-tracks flatten (P1) on testdata: build a
+    // top-tracks-shaped JSON payload from events (nulls injected via
+    // untaken WHENs to exercise every coalesce default), parse it with
+    // the declared schema, and run the REAL SpotifyFlatten.topTracks.
+    // Oracle = the equivalent direct projection. ----
+    "q59_toptracks_flatten" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Tables.load(s, dir, "events")
+        .filter($"event_id" < 2000)
+        .select(to_json(struct(array(struct(
+          lpad($"event_id".cast("string"), 6, "0").as("id"),
+          when($"event_type" =!= "error", $"event_type").as("name"),
+          $"user_id".cast("int").as("popularity"),
+          pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
+          ($"event_id" % 2 === 0).as("explicit"),
+          when($"value".isNotNull,
+            concat(lit("https://p/"), lpad($"event_id".cast("string"), 6, "0"))).as("preview_url"),
+          struct(concat(lit("https://open/"),
+            lpad($"event_id".cast("string"), 6, "0")).as("spotify")).as("external_urls"),
+          struct(
+            concat(lit("al"), $"user_id").as("id"),
+            concat(lit("Album "), $"user_id").as("name"),
+            date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
+          array(struct(
+            concat(lit("ar"), $"user_id").as("id"),
+            when($"event_type" =!= "signup", concat(lit("Artist "), $"user_id")).as("name"))).as("artists")
+        )).as("tracks"))).as("json"))
+      SpotifyFlatten.topTracks(SpotifySchemas.parse(raw.as[String], SpotifySchemas.topTracksPayload))
+        .orderBy($"track_id")
+    }),
+
+    // ---- EP3 13-col ranked projection (P3) on testdata: recently-
+    // played-shaped payloads (one item each; error events get a NULL
+    // track, which the flatten drops per reference semantics), ranked
+    // by the REAL SpotifyFlatten.rankedRecentlyPlayed. Input bounded to
+    // <1000 rows — the operator's global rank window mirrors the
+    // reference's ≤50-item API contract (SURVEY.md W1). ----
+    "q60_ranked_flatten" -> ((s, dir) => {
+      import s.implicits._
+      val id6 = lpad($"event_id".cast("string"), 6, "0")
+      val raw = Tables.load(s, dir, "events")
+        .filter($"event_id" < 1000)
+        .select(to_json(struct(array(struct(
+          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("played_at"),
+          when($"event_type" =!= "error", struct(
+            id6.as("id"),
+            when($"event_type" =!= "view", $"event_type").as("name"),
+            $"user_id".cast("int").as("popularity"),
+            pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
+            ($"event_id" % 3 === 0).as("explicit"),
+            when($"value".isNotNull, concat(lit("https://p/"), id6)).as("preview_url"),
+            struct(concat(lit("https://open/"), id6).as("spotify")).as("external_urls"),
+            struct(
+              concat(lit("al"), $"user_id").as("id"),
+              concat(lit("Album "), $"user_id").as("name"),
+              date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
+            array(struct(
+              concat(lit("ar"), $"user_id").as("id"),
+              concat(lit("Artist "), $"user_id").as("name"))).as("artists")
+          )).as("track")
+        )).as("items"))).as("json"))
+      SpotifyFlatten.rankedRecentlyPlayed(
+          SpotifySchemas.parse(raw.as[String], SpotifySchemas.recentlyPlayedPayload))
+        .withColumn("rank", $"rank".cast("long"))
+        .orderBy($"rank")
+    }),
+
     // ---- Ranking-function family over one window ----
     "q45_price_ranks" -> ((s, dir) => {
       import s.implicits._
@@ -570,6 +661,18 @@ object SparkEntry {
     s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-${n - 1})) AS i FROM toks WHERE len(w) >= $n),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+$n], ' ') AS shingle FROM idx),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** [[shinglesCte]] with the Dedup.jaccardPairsCapped document-
+    * frequency cap mirrored: shingles with df > maxDf are dropped
+    * before `sh`/`cnt`, exactly as the Spark plan does.
+    */
+  private def cappedShinglesCte(n: Int, maxDf: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-${n - 1})) AS i FROM toks WHERE len(w) >= $n),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+$n], ' ') AS shingle FROM idx),
+       |rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private def hash32Sql(x: String): String =
@@ -666,7 +769,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q11_dedup_jaccard" ->
-      s"""WITH ${shinglesCte(3)},
+      s"""WITH ${cappedShinglesCte(3, 20)},
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -934,6 +1037,28 @@ object SparkEntry {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    "q57_top_pairs_lsh" ->
+      s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 4)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |ranked AS (SELECT vec_a, vec_b, cosine,
+         |                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rnk
+         |           FROM pairs)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_a, vec_b, cosine FROM ranked
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    "q58_embedding_neardups_lsh" ->
+      s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 4)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_dot_product(x.u, y.u) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |              FROM documents WHERE doc_id < 50)
@@ -1114,6 +1239,43 @@ object SparkEntry {
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
         |  COALESCE(value, 0.0) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // q59/q60 oracles are the direct projections the flatten must
+    // reproduce after the build-payload → to_json → from_json →
+    // explode → coalesce-defaults round trip.
+    "q59_toptracks_flatten" ->
+      """SELECT
+        |  CASE WHEN event_type <> 'signup' THEN 'Artist ' || CAST(user_id AS VARCHAR) ELSE 'Unknown' END AS artist_name,
+        |  CASE WHEN event_type <> 'error' THEN event_type ELSE 'Unknown' END AS song_name,
+        |  CAST(user_id AS INTEGER) AS popularity,
+        |  (event_id * 7919) % 400000 AS duration_ms,
+        |  event_id % 2 = 0 AS explicit,
+        |  'https://open/' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS external_url,
+        |  CASE WHEN value IS NOT NULL THEN 'https://p/' || lpad(CAST(event_id AS VARCHAR), 6, '0') ELSE '' END AS preview_url,
+        |  'Album ' || CAST(user_id AS VARCHAR) AS album_name,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS release_date,
+        |  lpad(CAST(event_id AS VARCHAR), 6, '0') AS track_id
+        |FROM events WHERE event_id < 2000 ORDER BY track_id""".stripMargin,
+
+    "q60_ranked_flatten" ->
+      """WITH base AS (
+        |  SELECT
+        |    CASE WHEN event_type <> 'view' THEN event_type ELSE 'Unknown' END AS track_name,
+        |    'Artist ' || CAST(user_id AS VARCHAR) AS artist_name,
+        |    'Album ' || CAST(user_id AS VARCHAR) AS album_name,
+        |    'https://open/' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS spotify_url,
+        |    CASE WHEN value IS NOT NULL THEN 'https://p/' || lpad(CAST(event_id AS VARCHAR), 6, '0') ELSE '' END AS preview_url,
+        |    (event_id * 7919) % 400000 AS duration_ms,
+        |    CAST(user_id AS INTEGER) AS popularity,
+        |    event_id % 3 = 0 AS explicit,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS played_at,
+        |    lpad(CAST(event_id AS VARCHAR), 6, '0') AS track_id,
+        |    'ar' || CAST(user_id AS VARCHAR) AS artist_id,
+        |    'al' || CAST(user_id AS VARCHAR) AS album_id
+        |  FROM events
+        |  WHERE event_id < 1000 AND event_type <> 'error')
+        |SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY played_at DESC, track_id) AS BIGINT) AS "rank"
+        |FROM base ORDER BY "rank"""".stripMargin,
 
     "q45_price_ranks" ->
       """SELECT p_brand, p_partkey, p_retailprice,

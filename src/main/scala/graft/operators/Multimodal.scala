@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * a batched pandas UDF, and the shape that matters at 100 TB (no
   * per-row codec setup, no driver collect, partition-parallel).
   *
-  * STUB NOTICE: this container has no image/audio codecs, so
-  * [[StubCodec]] is a clearly-marked deterministic fake (byte-derived
-  * pseudo-dimensions and features). Everything around it — schemas,
-  * encoders, batch shape, explode semantics, partitioning — is real
-  * and tested; swapping in a real codec touches only StubCodec.
+  * Codec status: the IMAGE decode path is REAL — `javax.imageio`
+  * (JDK built-in, no external dependency) decodes PNG/JPEG/GIF/BMP
+  * payloads to true width/height/channels plus average luminance.
+  * Payloads no installed reader recognizes (and the audio/video
+  * operations — resize re-encode, frame extraction, learned features)
+  * fall back to the clearly-marked deterministic fake, because this
+  * container ships no media codecs beyond the JDK. Everything around
+  * the codec — schemas, encoders, batch shape, explode semantics,
+  * partitioning — is real and tested; swapping in a full codec
+  * touches only [[StubCodec]].
   */
 object Multimodal {
 
@@ -31,18 +36,46 @@ object Multimodal {
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** === STUB === Deterministic fake codec. A real deployment replaces
-    * this object with JNI/javacv bindings; the call signature (init
-    * once, then per-record calls) is the contract the operators rely on.
+  /** Per-partition codec. Image decode is real (`javax.imageio`);
+    * the remaining operations are === STUB === deterministic fakes —
+    * a full deployment replaces them with JNI/javacv bindings. The
+    * call signature (init once per partition, then per-record calls)
+    * is the contract the operators rely on.
     */
   final class StubCodec {
-    /** Fake decode: dimensions and brightness derived from the bytes. */
+    /** Decode image payloads with the JDK's ImageIO: true dimensions,
+      * color-model component count, and mean Rec.601 luma in [0,1].
+      * Non-image payloads (no registered reader claims the bytes) fall
+      * back to the deterministic byte-derived fake.
+      */
     def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-      val h = bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
-      val w = 64 + (h % 1024).toInt
-      val ht = 64 + ((h / 1024) % 1024).toInt
-      val brightness = (h % 255).toDouble / 255.0
-      (w, ht, 3, brightness)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val w = img.getWidth
+        val h = img.getHeight
+        var lumaSum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)) / 255.0
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, img.getColorModel.getNumComponents, lumaSum / (w.toLong * h))
+      } else {
+        // === STUB === byte-derived pseudo-dimensions for non-image payloads
+        val h = bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
+        val w = 64 + (h % 1024).toInt
+        val ht = 64 + ((h / 1024) % 1024).toInt
+        val brightness = (h % 255).toDouble / 255.0
+        (w, ht, 3, brightness)
+      }
     }
 
     /** Fake resize: new payload is a deterministic function of the old. */

@@ -64,7 +64,9 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Top-n most similar pairs corpus-wide (vec_a < vec_b).
+  /** Top-n most similar pairs corpus-wide (vec_a < vec_b) — the
+    * exact-recall O(n²) correctness baseline; [[topPairsLsh]] is the
+    * bucketed 100 TB form.
     * Output: (rnk, vec_a, vec_b, cosine) ordered by rnk.
     */
   def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
@@ -149,9 +151,10 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier
     * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same
-    * normalize-once + single-codegen-dot kernel as top-k; the scale
-    * path replaces the pair join with [[signLshBuckets]] bucketing
-    * (pairs within a bucket only), traded below recall 1.
+    * normalize-once + single-codegen-dot kernel as top-k. This is the
+    * exact-recall correctness baseline (O(n²) pair join); the 100 TB
+    * form is [[embeddingNearDupsLsh]], which generates candidates via
+    * [[signLshBuckets]] bucketing instead.
     * Output: (vec_a, vec_b, cosine) ordered.
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {
@@ -161,6 +164,59 @@ object Similarity {
         expr(dotExpr("a.u", "b.u")).as("cosine"))
       .filter(col("cosine") >= minCos)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** (vec_id, u, bucket): unit vectors tagged with their sign-LSH
+    * bucket — the shared candidate-generation input of the bucketed
+    * pair operators.
+    */
+  private def bucketed(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
+    signLshBuckets(embeddings, planes, dim)
+      .select(col("vec_id"),
+        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"),
+        col("bucket"))
+
+  /** 100 TB form of [[embeddingNearDups]]: candidate pairs are
+    * generated only within a sign-LSH bucket — a shuffle-partitioned
+    * equi-join on the bucket id, never all-pairs — then scored with the
+    * exact cosine and filtered at minCos. With 2^planes buckets the
+    * candidate volume drops from n²/2 to Σ_b |bucket_b|²/2 (≈ n²/2^p
+    * under balance), and the join parallelizes across buckets. Recall
+    * < 1 by construction: a qualifying pair whose vectors land in
+    * different buckets is missed — the standard LSH trade, tunable via
+    * `planes` (fewer planes = bigger buckets = higher recall).
+    * Output: (vec_a, vec_b, cosine) ordered.
+    */
+  def embeddingNearDupsLsh(embeddings: DataFrame, minCos: Double, planes: Int, dim: Int): DataFrame = {
+    val b = bucketed(embeddings, planes, dim)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr(dotExpr("a.u", "b.u")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** 100 TB form of [[topPairs]]: the same bucket equi-join candidate
+    * generation as [[embeddingNearDupsLsh]], with the global top-n
+    * planned as TakeOrderedAndProject over the candidate set
+    * (per-partition heaps — no global sort, no all-pairs join).
+    * Top-ranked pairs are overwhelmingly near-duplicates, which LSH
+    * buckets together by design, so recall loss concentrates in the
+    * low-cosine tail. Output: (rnk, vec_a, vec_b, cosine) by rnk.
+    */
+  def topPairsLsh(embeddings: DataFrame, n: Int, planes: Int, dim: Int): DataFrame = {
+    val b = bucketed(embeddings, planes, dim)
+    val top = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr(dotExpr("a.u", "b.u")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(n) // TakeOrderedAndProject: per-partition top-n heaps
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
+      .select(col("rnk").cast("long").as("rnk"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("rnk"))
   }
 
   /** LSH-accelerated top-k: exact cosine computed only against vectors

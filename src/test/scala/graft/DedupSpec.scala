@@ -23,6 +23,12 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
   }
 
+  test("catalog cap (maxDf=20) is inactive on small SFs: q11 equals the uncapped baseline") {
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+    val catalog = Dedup.jaccardPairsCapped(docs, 3, 0.5, maxDf = 20)
+    assert(catalog.exceptAll(exact).isEmpty && exact.exceptAll(catalog).isEmpty)
+  }
+
   test("aggressive cap only removes pairs, never invents them") {
     val exactPairs = Dedup.jaccardPairs(docs, 3, 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

@@ -25,6 +25,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.meta.sizeBytes == r.content.length.toLong && r.meta.kind == "image")
   }
 
+  test("decodeImages really decodes a PNG: true dimensions, channels, luma") {
+    import java.awt.image.BufferedImage
+    // 3x2: top row white, bottom row black → mean Rec.601 luma = 0.5
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3) { img.setRGB(x, 0, 0xffffff); img.setRGB(x, 1, 0x000000) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(df, "doc_id", "payload", "image", "image/png")
+    val d = Multimodal.decodeImages(media).head()
+    assert(d.width == 3 && d.height == 2 && d.channels == 3)
+    assert(math.abs(d.brightness - 0.5) < 1e-6)
+  }
+
   test("decodeImages is deterministic and partition-count independent") {
     val a = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     val b = Multimodal.decodeImages(media.repartition(13)).collect().sortBy(_.media_id)

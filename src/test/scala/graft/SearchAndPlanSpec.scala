@@ -49,8 +49,17 @@ class SearchAndPlanSpec extends AnyFunSuite {
   }
 
   test("P11/F11 url_encode matches requests.utils.quote semantics for query terms") {
-    val df = Seq("Mot rhead & Friends").toDF("q").select(Ops.urlEncode($"q").as("e"))
-    assert(df.head().getString(0) == "Mot+rhead+%26+Friends")
+    // expectations pinned against Python urllib.parse.quote (the
+    // function requests.utils.quote re-exports): RFC-3986 percent
+    // encoding, '/' and unreserved '-._~' safe, everything else escaped
+    val cases = Seq(
+      "Mot rhead & Friends" -> "Mot%20rhead%20%26%20Friends",
+      "a/b~c*d+e"           -> "a/b~c%2Ad%2Be",
+      "Mötley Crüe" -> "M%C3%B6tley%20Cr%C3%BCe",
+      "100% legit?"         -> "100%25%20legit%3F")
+    val got = cases.map(_._1).toDF("q").select(Ops.urlEncode($"q").as("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
   }
 
   private def plan(name: String): String = {
@@ -75,6 +84,25 @@ class SearchAndPlanSpec extends AnyFunSuite {
   test("q8/q9 plan as anti/semi joins (no row explosion)") {
     assert(plan("q8_customers_without_orders").toLowerCase.contains("anti"))
     assert(plan("q9_big_spender_customers").toLowerCase.contains("semi"))
+  }
+
+  test("q8/q9 compile to the same broadcast existence-join shape (r1 bench gap was noise)") {
+    assert(plan("q8_customers_without_orders").contains("BroadcastHashJoin"))
+    assert(plan("q9_big_spender_customers").contains("BroadcastHashJoin"))
+  }
+
+  test("q7 pre-aggregates lineitem per order: no distinct over the join fan-out") {
+    val p = plan("q7_order_revenue")
+    assert(!p.toLowerCase.contains("distinct"), "q7 reintroduced countDistinct over the fan-out")
+    assert(p.contains("partial_sum"), "per-order revenue must combine map-side")
+  }
+
+  test("q57/q58 bucketed pair ops join on bucket equality — never all-pairs") {
+    for (q <- Seq("q57_top_pairs_lsh", "q58_embedding_neardups_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to an all-pairs join")
+    }
   }
 
   test("q18 scores with the native codegen'd dot kernel, query side broadcast") {

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed pair-operator consistency: the 100 TB LSH forms must agree
+  * with their exact all-pairs baselines on every pair they emit —
+  * bucketing may only LOSE pairs (recall < 1), never invent or
+  * mis-score one.
+  */
+class SimilarityLshSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  test("embeddingNearDupsLsh is a subset of the exact near-dups with identical cosines") {
+    val exact = Similarity.embeddingNearDups(embs, minCos = 0.45)
+    val lsh = Similarity.embeddingNearDupsLsh(embs, minCos = 0.45, planes = 4, dim = 64)
+    assert(lsh.exceptAll(exact).isEmpty)
+    assert(lsh.count() > 0) // the bucketing keeps at least one real near-dup on testdata
+  }
+
+  test("topPairsLsh emits real pairs with exactly-scored cosines and contiguous ranks") {
+    val allPairs = Similarity.embeddingNearDups(embs, minCos = -2.0) // every pair, exact cosine
+      .select($"vec_a", $"vec_b", $"cosine")
+    val lsh = Similarity.topPairsLsh(embs, n = 20, planes = 4, dim = 64)
+    assert(lsh.select($"rnk").as[Long].collect().toSeq == (1L to 20L))
+    assert(lsh.select($"vec_a", $"vec_b", $"cosine").exceptAll(allPairs).isEmpty)
+  }
+
+  test("fewer planes means bigger buckets and monotonically higher recall") {
+    val exact = Similarity.embeddingNearDups(embs, minCos = 0.45).count()
+    val coarse = Similarity.embeddingNearDupsLsh(embs, 0.45, planes = 1, dim = 64).count()
+    val fine = Similarity.embeddingNearDupsLsh(embs, 0.45, planes = 8, dim = 64).count()
+    assert(fine <= coarse && coarse <= exact)
+  }
+}

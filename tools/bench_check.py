@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Bench regression gate (dev tool, not part of the engine).
+
+Compares a graft.Bench JSON line against tools/bench_baseline.json and
+flags any query slower than REGRESSION_X times its baseline (new
+queries, absent from the baseline, are reported but never fail).
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+      2>/dev/null | grep '"metric"' > /tmp/bench.json
+  python3 tools/bench_check.py /tmp/bench.json
+
+Exit code 1 iff any baseline query regressed more than REGRESSION_X.
+Queries faster than ABS_FLOOR_SEC in both runs are ignored — at
+sub-second scale the variance is JVM noise, not plan changes.
+"""
+import json
+import re
+import sys
+
+REGRESSION_X = 2.0
+ABS_FLOOR_SEC = 2.0
+
+def main(path):
+    raw = open(path).read()
+    m = re.search(r'\{"metric":.*"sf":"[^"]*"\}', raw)
+    if not m:
+        print("no bench JSON line found in", path)
+        return 2
+    cur = json.loads(m.group(0))
+    base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
+    regressed = []
+    for name, sec in sorted(cur["queries"].items()):
+        b = base["queries"].get(name)
+        if b is None:
+            print(f"new  {name}: {sec:.2f}s (no baseline)")
+            continue
+        ratio = sec / b if b > 0 else float("inf")
+        flag = ratio > REGRESSION_X and max(sec, b) > ABS_FLOOR_SEC
+        mark = "REGRESSED" if flag else ("faster" if ratio < 0.8 else "ok")
+        print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x)")
+        if flag:
+            regressed.append(name)
+    print(f"\ntotal: {cur['value']:.1f}s vs baseline {base['total']:.1f}s")
+    if regressed:
+        print("REGRESSIONS:", ", ".join(regressed))
+        return 1
+    print("no regressions >", REGRESSION_X, "x")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"))
