@@ -320,6 +320,38 @@ object SparkEntry {
       Similarity.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings"),
         minCos = 0.45, planes = 4, dim = 64)),
 
+    // ---- Incremental dedup: today's batch vs the historical corpus.
+    // The catalog pins the Bloom-prefiltered 100 TB form (exact by
+    // construction — false positives are verified by the anti-join);
+    // the deterministic hash split carves batch/corpus from the same
+    // table so the oracle can reproduce both sides ----
+    "q61_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+      Dedup.incrementalExactBloom(
+        batch = docs.filter(bucket >= 80),
+        corpus = docs.filter(bucket < 80),
+        expectedItems = 100000L, fpp = 0.01)
+    }),
+
+    // ---- Gopher-style repetition / quality gate (TextAnalysis) ----
+    "q62_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"))),
+
+    // ---- Point-in-time as-of join: each click enriched with the
+    // user's most recent preceding purchase (operators.AsOfJoin) ----
+    "q63_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      operators.AsOfJoin.asOf(
+        left = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id", $"value"),
+        right = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id", valueCol = "value")
+        .orderBy($"event_id")
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1058,6 +1090,58 @@ object SparkEntry {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE list_dot_product(x.u, y.u) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q61_incremental_dedup" ->
+      s"""SELECT b.doc_id, md5(b.text) AS fp
+         |FROM documents b
+         |WHERE ${hash32Sql("CAST(b.doc_id AS VARCHAR)")} % 100 >= 80
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM documents c
+         |    WHERE ${hash32Sql("CAST(c.doc_id AS VARCHAR)")} % 100 < 80
+         |      AND md5(c.text) = md5(b.text))
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "q62_repetition_stats" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+        |wstats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |                  count(*) AS n_distinct, max(cnt) AS top_cnt
+        |           FROM wc GROUP BY doc_id),
+        |toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |         FROM documents),
+        |bgrows AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)-1),
+        |                          i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bgrows GROUP BY doc_id, bg),
+        |bstats AS (SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bg_cnt
+        |           FROM bc GROUP BY doc_id),
+        |j AS (
+        |  SELECT w.doc_id, w.n_tokens, w.n_distinct,
+        |    CAST(w.top_cnt AS DOUBLE) / w.n_tokens AS top_token_frac,
+        |    CAST(w.n_tokens - w.n_distinct AS DOUBLE) / w.n_tokens AS dup_token_frac,
+        |    COALESCE(CAST(b.top_bg_cnt AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_frac
+        |  FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, top_token_frac, dup_token_frac,
+        |  top_bigram_frac,
+        |  (n_tokens >= 10 AND top_token_frac <= 0.20 AND dup_token_frac <= 0.90
+        |   AND top_bigram_frac <= 0.18) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q63_asof_join" ->
+      """SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.event_id, l.value,
+        |  (SELECT max(CAST(r.ts AS TIMESTAMP)) FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)) AS asof_ts,
+        |  (SELECT r.value FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+        |   ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC LIMIT 1) AS asof_value
+        |FROM events l WHERE l.event_type = 'click'
+        |ORDER BY l.event_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
