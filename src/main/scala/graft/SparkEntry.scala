@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, Sessionize, Similarity, SkewAgg, SpotifyFlatten, TextAnalysis}
+import graft.operators.{Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SpotifyFlatten, TextAnalysis}
 import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -351,6 +351,39 @@ object SparkEntry {
         keyCol = "user_id", tsCol = "ts", idCol = "event_id", valueCol = "value")
         .orderBy($"event_id")
     }),
+
+    // ---- Duplicate-pair graph → connected components: cluster id =
+    // min reachable doc through any chain of near-dup pairs ----
+    "q64_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
+
+    // ---- Benchmark decontamination: corpus docs sharing any 5-gram
+    // with the (hash-split) held-out benchmark slice ----
+    "q65_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+      Dedup.contamination(
+        corpus = docs.filter(bucket < 80),
+        benchmark = docs.filter(bucket >= 80),
+        n = 5, minShared = 1)
+    }),
+
+    // ---- Keyless temporal band join: errors within ±5 min of each
+    // click, zero-preserving count (operators.RangeJoin) ----
+    "q66_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      RangeJoin.bandCount(
+        left = ev.filter($"event_type" === "click"),
+        right = ev.filter($"event_type" === "error"),
+        tsCol = "ts", idCol = "event_id", widthSec = 300L)
+    }),
+
+    // ---- BM25 retrieval scoring against a fixed query-term bag ----
+    "q67_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.load(s, dir, "documents"),
+        terms = Seq("merge", "window", "scan"), k1 = 1.2, b = 0.75, k = 100)),
 
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
@@ -1142,6 +1175,78 @@ object SparkEntry {
         |   ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC LIMIT 1) AS asof_value
         |FROM events l WHERE l.event_type = 'click'
         |ORDER BY l.event_id""".stripMargin,
+
+    "q64_dup_clusters" ->
+      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+         |SELECT src AS doc_id, min(node) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q65_contamination" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents
+         |              WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80),
+         |bench AS (SELECT doc_id, text FROM documents
+         |          WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 >= 80),
+         |ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corp),
+         |cidx AS (SELECT doc_id, w, unnest(range(0, len(w)-4)) AS i FROM ctoks WHERE len(w) >= 5),
+         |csh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+5], ' ') AS shingle FROM cidx),
+         |btoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM bench),
+         |bidx AS (SELECT doc_id, w, unnest(range(0, len(w)-4)) AS i FROM btoks WHERE len(w) >= 5),
+         |bsh AS (SELECT DISTINCT array_to_string(w[i+1:i+5], ' ') AS shingle FROM bidx),
+         |hits AS (SELECT doc_id, count(*) AS n_shared
+         |         FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+         |SELECT c.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+         |       COALESCE(h.n_shared, 0) >= 1 AS contaminated
+         |FROM corp c LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q66_band_join" ->
+      """SELECT l.event_id AS l_id, count(r.event_id) AS n
+        |FROM events l LEFT JOIN events r
+        |  ON r.event_type = 'error'
+        | AND abs(epoch_us(CAST(r.ts AS TIMESTAMP)) - epoch_us(CAST(l.ts AS TIMESTAMP))) <= 300000000
+        |WHERE l.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+        |       WHERE t IN ('merge', 'window', 'scan') GROUP BY doc_id, dl, t),
+        |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+        |parts AS (
+        |  -- all literals cast to DOUBLE: DuckDB's bare decimals are
+        |  -- DECIMAL-typed and would round differently from Spark's
+        |  -- IEEE double arithmetic
+        |  SELECT doc_id, tf.t AS t,
+        |    ln(CAST(1.0 AS DOUBLE) + ((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * tf * CAST(2.2 AS DOUBLE)
+        |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS part
+        |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats),
+        |agg AS (SELECT doc_id,
+        |    COALESCE(sum(CASE WHEN t = 'merge' THEN part END), 0.0) AS s0,
+        |    COALESCE(sum(CASE WHEN t = 'window' THEN part END), 0.0) AS s1,
+        |    COALESCE(sum(CASE WHEN t = 'scan' THEN part END), 0.0) AS s2
+        |  FROM parts GROUP BY doc_id)
+        |SELECT doc_id, s0 + s1 + s2 AS score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

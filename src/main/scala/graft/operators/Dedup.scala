@@ -229,6 +229,84 @@ object Dedup {
     definitelyNew.union(suspects).orderBy(col("doc_id"))
   }
 
+  /** Connected components over a duplicate-pair edge list: every doc
+    * that appears in `pairs` is labeled with the smallest doc_id
+    * reachable through any chain of pairs — the cluster
+    * representative. This is the step that turns pairwise near-dup
+    * output (jaccard / minhash / simhash / embedding tiers) into
+    * keep-one-per-cluster decisions; without it, A~B and B~C keeps
+    * both A and C.
+    *
+    * Implementation: iterative min-label propagation. Each round is
+    * one equi-join (edge.dst → current label) plus one map-side-
+    * combinable min-groupBy — fully distributed, no driver-side graph.
+    * Rounds needed = cluster diameter, which for near-dup clusters is
+    * small (they are near-cliques: every member shares most shingles
+    * with every other, so most pairs are direct edges). The loop stops
+    * as soon as a round changes nothing (one count per round — a
+    * cheap scalar action on the label frame), and `localCheckpoint`
+    * truncates lineage so plan size stays constant across rounds
+    * instead of growing geometrically. For adversarially long chains
+    * at extreme scale the standard fix is pointer-jumping
+    * (large-star/small-star), which this propagation loop degrades to
+    * gracefully: maxIter bounds the work and the labels are still a
+    * valid (if unconverged) refinement.
+    * Output: (doc_id, cluster_id) ordered by doc_id.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val next = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination scan: for every corpus document, how many
+    * distinct word n-grams it shares with ANY document of `benchmark`
+    * (the held-out eval set), plus a contaminated flag. The industry-
+    * standard pretraining hygiene check (n-gram overlap
+    * decontamination).
+    *
+    * Scale shape: both sides reduce to distinct (doc, gram) /(gram)
+    * sets; the join is a plain equi-join on the gram — the benchmark
+    * side is tiny by construction (eval sets are
+    * thousands of docs, the corpus is billions), so AQE broadcasts it
+    * and the corpus side never shuffles. Short docs (< n tokens)
+    * surface with n_shared = 0 via the final left join against the
+    * corpus keys.
+    * Output: (doc_id, n_shared, contaminated) ordered by doc_id.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int, minShared: Int): DataFrame = {
+    val hits = shingles(corpus, n)
+      .join(shingles(benchmark, n).select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, simhash) — 32-bit SimHash over term frequencies.
     * All 32 per-bit weighted sums are columns of ONE map-side-
     * combinable groupBy (no bit-index crossJoin blowup, one shuffle

@@ -149,6 +149,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms — the retrieval scorer behind corpus search and
+    * quality-weighted sampling. Lucene's BM25 variant:
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * score  = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    *
+    * Scale shape: the token stream is filtered to the query terms
+    * BEFORE any shuffle (the grouped tf frame is |terms|·|matching
+    * docs| rows, tiny); df/N/avgdl are scalar aggregates joined in as
+    * 1-row broadcasts. The per-document term sum is written as one
+    * conditional-aggregate column per query term added in a fixed
+    * order — bit-reproducible regardless of partitioning (a floating
+    * sum over an unordered group would not be), and mirrored exactly
+    * by the oracle. Top-k plans as TakeOrderedAndProject.
+    * Output: (doc_id, score) — top `k` by (score desc, doc_id).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), Seq("t")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+    // fixed-order sum: one conditional-aggregate column per term, added
+    // left-to-right — each aggregates at most one row, so the float
+    // addition order is pinned by the expression, not the partitioning
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, col("part"))).as(s"_s$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        terms.indices.map(i => coalesce(col(s"_s$i"), lit(0.0)))
+          .reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
     * and a polynomial rolling hash (base 31 mod 2^31-1) — the
