@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,12 +32,28 @@ object ScaleProbe {
     }
     val docs = staged("documents", "doc_id").cache()
     val embs = staged("embeddings", "vec_id").cache()
-    println(s"""{"docs":${docs.count()},"embeddings":${embs.count()},"mult":$mult}""")
+    // events: remap user_id too, so per-user row counts stay constant
+    // while TEMPORAL density grows with mult — the band join's worst case
+    val events = {
+      val base = Tables.load(spark, sfDir, "events")
+      (0 until mult).map(i => base
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+    }.cache()
+    println(s"""{"docs":${docs.count()},"embeddings":${embs.count()},"events":${events.count()},"mult":$mult}""")
 
     def time(name: String, df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"""{"op":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      // construction is inside the timer (duplicateClusters iterates
+      // eagerly while building); noop write, not count(), forces the
+      // full plan — count() prunes zero-preserving joins and window
+      // columns right out of it
+      val frame = df
+      frame.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = frame.count()
+      println(f"""{"op":"$name","sec":$sec%.2f,"rows":$n}""")
     }
 
     time("dedup_exact", Dedup.exact(docs))
@@ -48,6 +64,23 @@ object ScaleProbe {
     time("cosine_topk_lsh", Similarity.cosineTopKLsh(embs, 10, 5, 8, 64))
     time("neardups_lsh", Similarity.embeddingNearDupsLsh(embs, 0.45, 4, 64))
     time("toppairs_lsh", Similarity.topPairsLsh(embs, 20, 4, 64))
+
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    time("incremental_bloom", Dedup.incrementalExactBloom(
+      docs.filter(bucket >= 80), docs.filter(bucket < 80), 1000000L, 0.01))
+    time("dup_clusters", Dedup.duplicateClusters(
+      Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)))
+    time("contamination", Dedup.contamination(
+      docs.filter(bucket < 80), docs.filter(bucket >= 80), 5, 1))
+    time("repetition_stats", TextAnalysis.repetitionStats(docs))
+    time("bm25", TextAnalysis.bm25(docs, Seq("merge", "window", "scan"), 1.2, 0.75, 100))
+    time("band_count", RangeJoin.bandCount(
+      events.filter($"event_type" === "click"),
+      events.filter($"event_type" === "error"), "ts", "event_id", 300L))
+    time("asof_join", AsOfJoin.asOf(
+      events.filter($"event_type" === "click").select($"user_id", $"ts", $"event_id", $"value"),
+      events.filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id", $"value"),
+      "user_id", "ts", "event_id", "value"))
     spark.stop()
   }
 }
