@@ -385,6 +385,19 @@ object SparkEntry {
       TextAnalysis.bm25(Tables.load(s, dir, "documents"),
         terms = Seq("merge", "window", "scan"), k1 = 1.2, b = 0.75, k = 100)),
 
+    // ---- Stream-stream interval join: clicks joined to the same
+    // user's purchases in the preceding hour, drained AvailableNow;
+    // must equal the batch join answer ----
+    "q68_stream_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      EventStream.runAppendToMemory(s, EventStream.intervalJoined(
+        EventStream.source(s, s"$dir/events.parquet"),
+        EventStream.source(s, s"$dir/events.parquet"),
+        windowMinutes = 60))
+        .orderBy($"c_id", $"p_id")
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1247,6 +1260,16 @@ object SparkEntry {
         |  FROM parts GROUP BY doc_id)
         |SELECT doc_id, s0 + s1 + s2 AS score FROM agg
         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q68_stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+        |  (epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))) // 1000000 AS gap_sec
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY c_id, p_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

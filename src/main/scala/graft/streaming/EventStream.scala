@@ -74,6 +74,49 @@ object EventStream {
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream interval join (§2.10 extension): each click paired
+    * with the same user's purchases in the preceding `windowMinutes`.
+    * Both sides carry watermarks, so the join state Spark keeps is
+    * bounded: a purchase row can be dropped once the click-side
+    * watermark passes `p_ts + windowMinutes` — at 100 TB the state
+    * store holds one window of purchases per user, not all history.
+    * The equi half (user_id) partitions the state; the range half is
+    * evaluated inside each partition — the streaming analogue of
+    * [[graft.operators.AsOfJoin]]'s shuffle-once design.
+    * Output: (user_id, c_id, p_id, gap_sec) — gap_sec = whole seconds
+    * from purchase to click.
+    */
+  def intervalJoined(src1: DataFrame, src2: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = src1.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "7 days")
+    val purchases = src2.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "7 days")
+    clicks.join(purchases,
+      expr(s"""c_user = p_user
+              |AND p_ts >= c_ts - INTERVAL $windowMinutes MINUTES
+              |AND p_ts <= c_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("c_id"), col("p_id"),
+        expr("(unix_micros(c_ts) - unix_micros(p_ts)) div 1000000").as("gap_sec"))
+  }
+
+  /** Append-mode drain into a memory sink — for streams (joins,
+    * dedup) that don't admit complete mode. With AvailableNow all
+    * input is final, so append emits every result row.
+    */
+  def runAppendToMemory(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Drain all currently-available input through `plan` and return the
     * final result as a batch DataFrame (Trigger.AvailableNow + complete
     * mode into a memory sink). Used by tests and the oracle-checked

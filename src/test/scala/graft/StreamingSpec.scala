@@ -39,6 +39,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join on the same files") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"/root/testdata/sf0.001/events.parquet"
+    val streamed = EventStream.runAppendToMemory(spark, EventStream.intervalJoined(
+      EventStream.source(spark, src), EventStream.source(spark, src), windowMinutes = 60))
+
+    val ev = Tables.load(spark, sf, "events")
+    val batch = ev.filter($"event_type" === "click").as("c")
+      .join(ev.filter($"event_type" === "purchase").as("p"),
+        $"c.user_id" === $"p.user_id" &&
+          $"p.ts" >= $"c.ts" - expr("INTERVAL 60 MINUTES") && $"p.ts" <= $"c.ts")
+      .select($"c.user_id", $"c.event_id".as("c_id"), $"p.event_id".as("p_id"),
+        expr("(unix_micros(c.ts) - unix_micros(p.ts)) div 1000000").as("gap_sec"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("watermarked dropDuplicates removes cross-batch duplicates (reference quirk fixed)") {
     val src = tmp("graft-dedup-src")
     val out = tmp("graft-dedup-out")
