@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SpotifyFlatten, TextAnalysis}
+import graft.operators.{Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
 import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -396,6 +396,30 @@ object SparkEntry {
         EventStream.source(s, s"$dir/events.parquet"),
         windowMinutes = 60))
         .orderBy($"c_id", $"p_id")
+    }),
+
+    // ---- Unigram LM score (perplexity proxy): decimal-accumulated,
+    // order-independent per-doc sums ----
+    "q69_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.load(s, dir, "documents"))),
+
+    // ---- Int8-quantized ANN top-k: exact i64 scoring via the native
+    // graft_dotl kernel (zero float accumulation) ----
+    "q70_cosine_topk_int8" -> ((s, dir) =>
+      Similarity.cosineTopKInt8(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)),
+
+    // ---- Salted skew-safe equi-join: events (5 hot keys) joined to a
+    // per-type dim, result identical to the plain join ----
+    "q71_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val dim = ev.groupBy($"event_type")
+        .agg((Ops.decSum($"value") / count($"value")).as("ta"))
+      SkewJoin.saltedEquiJoin(ev, dim, "event_type", $"event_id", buckets = 16)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"value" > $"ta", 1)).as("n_above"))
+        .orderBy($"event_type")
     }),
 
     // ---- Array-function battery over token arrays ----
@@ -1270,6 +1294,45 @@ object SparkEntry {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
         |ORDER BY c_id, p_id""".stripMargin,
+
+    "q69_unigram_logprob" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |               FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY doc_id, t),
+        |corpus AS (SELECT t, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY t),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM corpus),
+        |perterm AS (
+        |  SELECT doc_id, tf,
+        |    CAST(-ln(CAST(ctf AS DOUBLE) / total) * tf AS DECIMAL(28,9)) AS nlp
+        |  FROM tf JOIN corpus USING (t) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nlp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_neg_logprob
+        |FROM perterm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q70_cosine_topk_int8" ->
+      s"""WITH $normalizedCte,
+         |qz AS (SELECT vec_id,
+         |         list_transform(u, x -> CAST(floor(x * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+         |       FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         CAST(list_dot_product(q.qv, n.qv) AS BIGINT) AS qdot
+         |  FROM qz q JOIN qz n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |r AS (SELECT qid, nid, qdot,
+         |        row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk
+         |      FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, qdot
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q71_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS ta
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  count(CASE WHEN e.value > d.ta THEN 1 END) AS n_above
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -197,6 +197,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unigram language-model score per document: average token negative
+    * log-probability under the corpus' own unigram distribution — the
+    * cheap perplexity proxy pretraining pipelines use to rank text
+    * "naturalness" before anything model-based.
+    *
+    * Two map-side-combinable shuffles (per-doc term counts; corpus
+    * term counts) and one equi-join on the term. The per-document sum
+    * Σ tf·(-ln p) is accumulated in DECIMAL(28,9), not double: decimal
+    * addition is exact and therefore order-independent, so the score
+    * is bit-reproducible under any partitioning (a double sum would
+    * drift with shuffle order) and hash-matches the oracle.
+    * Output: (doc_id, n_tokens, avg_neg_logprob) ordered by doc_id.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy(col("t")).agg(sum(col("tf")).as("ctf"))
+    val total = corpus.agg(sum(col("ctf")).as("total"))
+    tf.join(corpus, Seq("t")).crossJoin(broadcast(total))
+      .withColumn("nlp",
+        (-log(col("ctf").cast("double") / col("total")) * col("tf")).cast("decimal(28,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nlp")).as("nlp_sum"), sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nlp_sum").cast("double") / col("n_tokens")).as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
     * and a polynomial rolling hash (base 31 mod 2^31-1) — the

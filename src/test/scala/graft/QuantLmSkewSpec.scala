@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Similarity, SkewJoin, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q69–q71 operators: unigram LM scoring, int8-quantized ANN, salted
+  * skew-safe equi-join.
+  */
+class QuantLmSkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+  private def events = Tables.load(spark, sf, "events")
+
+  // ---- unigram LM --------------------------------------------------------
+
+  test("unigram logprob matches a hand computation on a two-doc corpus") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus: a=2, b=2, c=1, total=5
+    val out = TextAnalysis.unigramLogProb(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exp1 = (2 * -math.log(2.0 / 5) + -math.log(2.0 / 5)) / 3
+    val exp2 = (-math.log(2.0 / 5) + -math.log(1.0 / 5)) / 2
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - exp1) < 1e-9)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - exp2) < 1e-9)
+  }
+
+  test("unigram logprob: rare-token docs score higher than common-token docs") {
+    val common = Seq.fill(20)("x").mkString(" ")
+    val d = (Seq((1L, common), (2L, common), (3L, common)) :+ (4L, "raretoken " + common))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L))
+  }
+
+  test("unigram logprob is identical across repartitionings (decimal accumulation)") {
+    val a = TextAnalysis.unigramLogProb(docs)
+    val b = TextAnalysis.unigramLogProb(docs.repartition(7, $"lang"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  // ---- int8 ANN ----------------------------------------------------------
+
+  test("int8 top-k recall >= 0.8 vs exact cosine top-k") {
+    val exact = Similarity.cosineTopK(embs, 10, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val quant = Similarity.cosineTopKInt8(embs, 10, 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("int8 scores are exact integers bounded by 127^2 * dim") {
+    val dim = embs.select(size($"embedding")).head().getInt(0)
+    val out = Similarity.cosineTopKInt8(embs, 10, 5)
+    val bad = out.filter(abs($"qdot") > lit(127L * 127 * dim))
+    assert(bad.isEmpty)
+    assert(out.schema("qdot").dataType.typeName == "long")
+  }
+
+  test("graft_dotl evaluates exactly and plans inside whole-stage codegen") {
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
+      .select(expr("graft_dotl(a, b)").as("d"))
+    assert(df.head().getLong(0) == 11L)
+    // a literal frame constant-folds to LocalTableScan; assert codegen
+    // on the real parquet-backed int8 scoring plan instead (the AQE
+    // plan string hides codegen stars pre-execution, so use explain
+    // mode "codegen", which compiles the stages)
+    val qe = Similarity.cosineTopKInt8(embs, 10, 5).queryExecution
+    assert(qe.executedPlan.toString.contains("graft_dotl"))
+    val cg = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"))
+  }
+
+  // ---- salted join -------------------------------------------------------
+
+  test("salted equi-join returns exactly the plain join's rows") {
+    val dim = events.groupBy($"event_type")
+      .agg((Ops.decSum($"value") / count($"value")).as("ta"))
+    val plain = events.join(dim, Seq("event_type"))
+    val salted = SkewJoin.saltedEquiJoin(events, dim, "event_type", $"event_id", 16)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salting spreads a hot key across buckets") {
+    val salted = events.withColumn("_salt", pmod(hash($"event_id"), lit(16)))
+      .filter($"event_type" === "click")
+      .groupBy($"_salt").count()
+    assert(salted.count() >= 12) // 210 clicks land in nearly all 16 buckets
+  }
+}
