@@ -422,6 +422,17 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ---- Greedy per-doc sequence packing of q54's chunks into
+    // 100-token training sequences ----
+    "q72_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      operators.TextPrep.packSequences(
+        operators.TextPrep.chunk(
+          Tables.load(s, dir, "documents").filter($"doc_id" < 50),
+          size = 40, overlap = 10),
+        budget = 100)
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1333,6 +1344,25 @@ object SparkEntry {
         |  count(CASE WHEN e.value > d.ta THEN 1 END) AS n_above
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q72_sequence_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id < 50),
+        |idx AS (SELECT doc_id, w, unnest(range(0, (len(w)-1) // 30 + 1)) AS chunk_idx FROM toks),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        CAST(len(w[chunk_idx*30 + 1 : chunk_idx*30 + 40]) AS BIGINT) AS n_tokens
+        |      FROM idx),
+        |pack(doc_id, chunk_idx, n_tokens, seq_idx, acc) AS (
+        |  SELECT doc_id, chunk_idx, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM c WHERE chunk_idx = 0
+        |  UNION ALL
+        |  SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+        |    CASE WHEN p.acc + c.n_tokens > 100 THEN p.seq_idx + 1 ELSE p.seq_idx END,
+        |    CASE WHEN p.acc + c.n_tokens > 100 THEN c.n_tokens ELSE p.acc + c.n_tokens END
+        |  FROM pack p JOIN c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1)
+        |SELECT doc_id, chunk_idx, n_tokens, seq_idx
+        |FROM pack ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -61,4 +61,41 @@ object TextPrep {
     }
     docs.filter(bucket < pct)
   }
+
+  /** Greedy sequence packing: assign each document's chunks (in
+    * chunk_idx order) to training sequences of at most `budget`
+    * tokens — a new sequence starts when the next chunk would
+    * overflow the current one. An overlong single chunk still gets a
+    * sequence of its own.
+    *
+    * Packing never crosses documents (the standard contamination-free
+    * choice), so the computation is embarrassingly parallel keyed by
+    * doc_id: one shuffle via `groupByKey`, then a linear per-doc scan
+    * in `flatMapGroups` — the typed-Dataset shape for genuinely
+    * sequential per-group logic (a running sum with reset is not
+    * expressible as a window frame). Chunks of one document fit in
+    * memory by construction (a document's own size bounds them);
+    * cross-document bin packing would instead pack within partitions
+    * after a size-descending sort.
+    * Output: (doc_id, chunk_idx, n_tokens, seq_idx) ordered.
+    */
+  def packSequences(chunks: DataFrame, budget: Int): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, it: Iterator[(Long, Long, Long)]) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var seq = 0L
+        var acc = 0L
+        sorted.iterator.map { case (_, idx, n) =>
+          if (acc > 0 && acc + n > budget) { seq += 1; acc = 0L }
+          acc += n
+          (doc, idx, n, seq)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tokens", "seq_idx")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -78,6 +78,30 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(cg.contains("WholeStageCodegen subtrees"))
   }
 
+  // ---- sequence packing --------------------------------------------------
+
+  test("sequence packing: greedy reset, overlong chunk gets its own sequence") {
+    val chunks = Seq(
+      (1L, 0L, 60L), (1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 150L), (1L, 4L, 10L),
+      (2L, 0L, 100L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val got = operators.TextPrep.packSequences(chunks, budget = 100)
+      .select($"doc_id", $"chunk_idx", $"seq_idx").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: [60+30] then [20] is still seq0? no: 60+30=90, +20 would be 110 > 100 -> seq1;
+    // 150 overflows alone -> seq2; 10 -> seq3 (150 already > budget, so next chunk resets)
+    assert(got == Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 0L, 0L)))
+  }
+
+  test("sequence packing on real chunks: no sequence except singletons exceeds the budget") {
+    val chunks = operators.TextPrep.chunk(docs.filter($"doc_id" < 50), 40, 10)
+    val packed = operators.TextPrep.packSequences(chunks, budget = 100)
+    val over = packed.groupBy($"doc_id", $"seq_idx")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("nchunks"))
+      .filter($"tot" > 100 && $"nchunks" > 1)
+    assert(over.isEmpty)
+    assert(packed.count() == chunks.count()) // every chunk assigned exactly once
+  }
+
   // ---- salted join -------------------------------------------------------
 
   test("salted equi-join returns exactly the plain join's rows") {
