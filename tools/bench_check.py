@@ -41,7 +41,8 @@ def main(path):
         print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x)")
         if flag:
             regressed.append(name)
-    print(f"\ntotal: {cur['value']:.1f}s vs baseline {base['total']:.1f}s")
+    base_total = base.get("total", base.get("value", 0.0))
+    print(f"\ntotal: {cur['value']:.1f}s vs baseline {base_total:.1f}s")
     if regressed:
         print("REGRESSIONS:", ", ".join(regressed))
         return 1
