@@ -433,6 +433,31 @@ object SparkEntry {
         budget = 100)
     }),
 
+    // ---- Temperature-scaled mixture rebalancing: per-lang keep rates
+    // follow n^0.5 (flattened toward uniform), deterministic hash keep ----
+    "q73_temperature_mixture" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.temperatureMixture(Tables.load(s, dir, "documents"),
+          groupCol = "lang", keyCol = "doc_id", alpha = 0.5, targetFrac = 0.5)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), max($"rate_pct").as("rate_pct"))
+        .orderBy($"lang")
+    }),
+
+    // ---- Dedup with representative selection: each near-dup cluster
+    // collapses to its longest member (singleton docs survive as-is) ----
+    "q74_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.keepBestPerCluster(docs,
+        Dedup.jaccardPairsCapped(docs, n = 3, minJ = 0.5, maxDf = 20),
+        scoreCol = "n_chars")
+    }),
+
+    // ---- Spherical k-means (2 Lloyd rounds, deterministic init and
+    // integer-quantized centroid sums): semantic cluster assignment ----
+    "q75_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"), k = 8, iters = 2)),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1363,6 +1388,77 @@ object SparkEntry {
         |  FROM pack p JOIN c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1)
         |SELECT doc_id, chunk_idx, n_tokens, seq_idx
         |FROM pack ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q73_temperature_mixture" ->
+      s"""WITH g AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+         |t AS (SELECT SUM(n_g) AS n_total,
+         |             SUM(pow(CAST(n_g AS DOUBLE), 0.5)) AS pow_total FROM g),
+         |r AS (SELECT lang,
+         |        LEAST(CAST(100 AS BIGINT), CAST(floor(
+         |          50.0 * n_total * pow(CAST(n_g AS DOUBLE), 0.5)
+         |            / (pow_total * n_g) + 0.5) AS BIGINT)) AS rate_pct
+         |      FROM g CROSS JOIN t),
+         |kept AS (SELECT d.lang, r.rate_pct FROM documents d JOIN r USING (lang)
+         |         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < r.rate_pct)
+         |SELECT lang, COUNT(*) AS n_kept, MAX(rate_pct) AS rate_pct
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q74_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+         |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |               d.n_chars
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |rk AS (SELECT cluster_id, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |       FROM lab)
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS best_score, n_members
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q75_kmeans" ->
+      s"""WITH $normalizedCte,
+         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.u, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, u, cid FROM (
+         |         SELECT vec_id, u, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s1) WHERE rn = 1),
+         |ux AS (SELECT cid, unnest(u) AS x, unnest(range(0, len(u))) AS pos FROM a1),
+         |mx AS (SELECT cid, pos,
+         |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         COUNT(*) AS cnt
+         |       FROM ux GROUP BY cid, pos),
+         |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
+         |       FROM mx GROUP BY cid),
+         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |       FROM cm),
+         |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s2) WHERE rn = 1)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+         |FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -279,6 +279,32 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Dedup with representative selection: collapse each near-dup
+    * cluster (from [[duplicateClusters]] over a pair frame) to its
+    * best member — here "best" = longest text (`scoreCol` desc),
+    * tie-broken to the lowest doc_id. Docs in no pair are their own
+    * singleton cluster, so the output is exactly the deduplicated
+    * corpus: one surviving doc per cluster, plus the cluster size.
+    *
+    * Scale shape: the cluster labels cover only docs that appear in
+    * some pair (a small fraction of the corpus), so the label join
+    * broadcasts; the argmax is ONE map-side-combinable groupBy via a
+    * struct-max (score, -doc_id) — no window, no second pass for the
+    * member count.
+    * Output: (cluster_id, rep_doc_id, best_score, n_members)
+    * ordered by cluster_id.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame =
+    docs.join(broadcast(duplicateClusters(pairs)), Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("doc_id"), col(scoreCol).cast("long").as("score"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.negid")).as("rep_doc_id"),
+        col("best.score").as("best_score"), col("n_members"))
+      .orderBy(col("cluster_id"))
+
   /** Benchmark-contamination scan: for every corpus document, how many
     * distinct word n-grams it shares with ANY document of `benchmark`
     * (the held-out eval set), plus a contaminated flag. The industry-

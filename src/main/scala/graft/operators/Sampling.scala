@@ -27,6 +27,39 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(keyCol)) < trainPct, lit("train")).otherwise(lit("test")))
 
+  /** Temperature-scaled mixture subsample: group g keeps a
+    * deterministic hash slice of its rows sized so group shares follow
+    * `n_g^alpha` (alpha < 1 flattens the mixture toward uniform — the
+    * multilingual-pretraining rebalancing rule), with the total draw
+    * targeting `targetFrac` of the corpus. Rates are quantized to
+    * integer percent so the keep decision is an exact integer compare
+    * in any engine (no float-boundary flakiness), and capped at 100
+    * (a filter cannot upsample; document groups needing >1× get rate
+    * 100).
+    *
+    * Scale shape: group counts are one map-side-combinable shuffle
+    * over a handful of groups; the resulting rate table is a few rows,
+    * so AQE broadcasts it back onto the corpus and the keep filter is
+    * a codegen'd hash-compare — the corpus itself never shuffles.
+    * Output: input columns + rate_pct, kept rows only.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         alpha: Double, targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val totals = counts.agg(
+      sum(col("n_g")).as("n_total"),
+      sum(pow(col("n_g").cast("double"), lit(alpha))).as("pow_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        least(lit(100L), floor(
+          lit(100.0 * targetFrac) * col("n_total")
+            * pow(col("n_g").cast("double"), lit(alpha))
+            / (col("pow_total") * col("n_g")) + lit(0.5)).cast("long"))
+          .as("rate_pct"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(keyCol).cast("string")) < col("rate_pct"))
+  }
+
   /** Deterministic k-per-group sample: rows ranked by content-hash
     * order within each group (a fixed pseudo-random order), first k
     * kept. Reproducible alternative to per-group reservoir sampling.

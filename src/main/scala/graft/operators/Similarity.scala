@@ -176,6 +176,57 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Spherical k-means assignment after `iters` Lloyd rounds over the
+    * unit vectors — the semantic-clustering primitive behind
+    * cluster-balanced corpus curation and IVF index training. Every
+    * step is deterministic and engine-portable: centroids initialize
+    * to the first k unit vectors (vec_id < k), assignment is argmax
+    * cosine with ties to the lowest centroid id, and the centroid
+    * update sums integer-quantized lanes (`floor(x·1e6 + 0.5)` as i64
+    * — exact and associative, so the mean is identical under any
+    * partitioning and in the DuckDB oracle) before renormalizing.
+    *
+    * Scale shape per round: the k×dim centroid frame broadcasts; the
+    * assignment is one corpus scan + per-vec argmax over k candidate
+    * rows; the update is a posexplode → (cid, pos) groupBy — n·dim
+    * narrow rows, map-side combinable, one shuffle. Empty clusters
+    * drop out (standard Lloyd degeneracy) and later rounds assign
+    * against the survivors. Centroids stay a DataFrame end to end —
+    * no driver-side model state to ship.
+    * Output: (vec_id, cluster_id) ordered by vec_id.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = normalized(embeddings)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    var assign: DataFrame = e.limit(0)
+    for (i <- 1 to iters) {
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      assign = e.join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("cs"))
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("u"), col("cid"))
+      if (i < iters) {
+        val sums = assign
+          .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+          .select(col("cid"), col("pos"),
+            expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
+        val cv = sums
+          .select(col("cid"), col("pos"),
+            (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
+        cents = cv.select(col("cid"),
+          expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
+      }
+    }
+    assign.select(col("vec_id"), col("cid").cast("long").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier
     * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same
