@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Sampling, Similarity, SkewJoin, TextAnalysis, TextPrep}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,23 @@ object ScaleProbe {
       events.filter($"event_type" === "click").select($"user_id", $"ts", $"event_id", $"value"),
       events.filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id", $"value"),
       "user_id", "ts", "event_id", "value"))
+
+    time("unigram_logprob", TextAnalysis.unigramLogProb(docs))
+    time("cosine_topk_int8", Similarity.cosineTopKInt8(embs, 10, 5))
+    time("kmeans_assign", Similarity.kmeansAssign(embs, 8, 2))
+    time("temperature_mixture",
+      Sampling.temperatureMixture(docs, "lang", "doc_id", 0.5, 0.5))
+    time("dedup_keep_best", Dedup.keepBestPerCluster(
+      docs, Dedup.jaccardPairsCapped(docs, 3, 0.5, 20), "n_chars"))
+    time("sequence_packing",
+      TextPrep.packSequences(TextPrep.chunk(docs, 40, 10), 100))
+    time("salted_join", {
+      val dim = events.groupBy($"event_type")
+        .agg((Ops.decSum($"value") / count($"value")).as("ta"))
+      SkewJoin.saltedEquiJoin(events, dim, "event_type", $"event_id", buckets = 16)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), count(when($"value" > $"ta", 1)).as("n_above"))
+    })
     spark.stop()
   }
 }

@@ -11,16 +11,20 @@ import org.apache.spark.sql.functions._
   * a batched pandas UDF, and the shape that matters at 100 TB (no
   * per-row codec setup, no driver collect, partition-parallel).
   *
-  * Codec status: the IMAGE decode path is REAL — `javax.imageio`
-  * (JDK built-in, no external dependency) decodes PNG/JPEG/GIF/BMP
-  * payloads to true width/height/channels plus average luminance.
-  * Payloads no installed reader recognizes (and the audio/video
-  * operations — resize re-encode, frame extraction, learned features)
-  * fall back to the clearly-marked deterministic fake, because this
-  * container ships no media codecs beyond the JDK. Everything around
-  * the codec — schemas, encoders, batch shape, explode semantics,
-  * partitioning — is real and tested; swapping in a full codec
-  * touches only [[StubCodec]].
+  * Codec status: the IMAGE decode AND resize paths are REAL —
+  * `javax.imageio` (JDK built-in, no external dependency) decodes
+  * PNG/JPEG/GIF/BMP payloads to true width/height/channels plus
+  * average luminance, and resize renders through a Graphics2D
+  * bilinear scale and re-encodes as PNG. The AUDIO decode path is
+  * REAL for WAV/AIFF — `javax.sound.sampled` (also JDK built-in)
+  * yields true sample rate, channel count, frame count, duration and
+  * PCM RMS level. Payloads no installed reader recognizes (and the
+  * video operations — frame extraction, learned features) fall back
+  * to the clearly-marked deterministic fake, because this container
+  * ships no media codecs beyond the JDK. Everything around the codec
+  * — schemas, encoders, batch shape, explode semantics, partitioning
+  * — is real and tested; swapping in a full codec touches only
+  * [[StubCodec]].
   */
 object Multimodal {
 
@@ -30,11 +34,14 @@ object Multimodal {
   final case class DecodedImage(media_id: Long, width: Int, height: Int, channels: Int, brightness: Double)
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
   final case class MediaFeatures(media_id: Long, dim: Int, features: Array[Double])
+  final case class DecodedAudio(media_id: Long, sample_rate: Double, channels: Int,
+                                n_frames: Long, duration_ms: Double, rms: Double)
 
   implicit val mediaEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val decodedEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit val audioEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
 
   /** Per-partition codec. Image decode is real (`javax.imageio`);
     * the remaining operations are === STUB === deterministic fakes —
@@ -78,9 +85,71 @@ object Multimodal {
       }
     }
 
-    /** Fake resize: new payload is a deterministic function of the old. */
-    def resize(bytes: Array[Byte], maxDim: Int): Array[Byte] =
-      bytes.take(math.max(16, math.min(bytes.length, maxDim)))
+    /** Resize image payloads for real: decode with ImageIO, scale the
+      * long edge down to `maxDim` (aspect preserved, bilinear, never
+      * upscales), re-encode as PNG. Non-image payloads keep the
+      * deterministic byte-truncation fake.
+      */
+    def resize(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val (w, h) = (math.max(1, (img.getWidth * scale).round.toInt),
+          math.max(1, (img.getHeight * scale).round.toInt))
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      } else
+        // === STUB === non-image payloads: deterministic truncation
+        bytes.take(math.max(16, math.min(bytes.length, maxDim)))
+    }
+
+    /** Decode audio payloads with the JDK's sampled-sound stack: true
+      * format parameters and the RMS level of the 16-bit PCM frames.
+      * Returns null for payloads no installed provider recognizes
+      * (WAV/AIFF/AU ship with the JDK).
+      */
+    def decodeAudio(bytes: Array[Byte]): DecodedAudio = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val durMs = nFrames * 1000.0 / fmt.getSampleRate
+        val data = in.readAllBytes()
+        var sumSq = 0.0
+        var n = 0
+        if (fmt.getSampleSizeInBits == 16) {
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort / 32768.0
+            sumSq += s * s
+            n += 1
+          }
+        } else if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) {
+          data.foreach { b =>
+            val s = (if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+              ((b & 0xff) - 128) else b.toInt) / 128.0
+            sumSq += s * s
+            n += 1
+          }
+        }
+        DecodedAudio(0L, fmt.getSampleRate.toDouble, fmt.getChannels,
+          nFrames, durMs, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+      } catch { case _: Exception => null }
+    }
 
     /** Fake frame decode at a timestamp. */
     def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] = {
@@ -122,6 +191,26 @@ object Multimodal {
       it.map { r =>
         val (w, h, c, b) = codec.decode(r.content)
         DecodedImage(r.media_id, w, h, c, b)
+      }
+    }
+
+  /** Decode audio metadata + level for every record — real for
+    * WAV/AIFF/AU via the JDK; unrecognized payloads get the
+    * deterministic byte-derived fake so the operator stays total.
+    */
+  def decodeAudios(media: Dataset[MediaRecord]): Dataset[DecodedAudio] =
+    media.mapPartitions { it =>
+      val codec = new StubCodec
+      it.map { r =>
+        val real = codec.decodeAudio(r.content)
+        if (real != null) real.copy(media_id = r.media_id)
+        else {
+          // === STUB === byte-derived fake for non-audio payloads
+          val h = r.content.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
+          DecodedAudio(r.media_id, 8000.0 + (h % 40000), 1 + (h % 2).toInt,
+            h % 100000, (h % 100000) * 1000.0 / (8000.0 + (h % 40000)),
+            (h % 1000) / 1000.0)
+        }
       }
     }
 

@@ -52,6 +52,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.meta.sizeBytes == r.content.length.toLong))
   }
 
+  test("resize really rescales a PNG: re-decoded dims honor maxDim and aspect") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(64, 16, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 16) img.setRGB(x, y, 0x4080c0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val m = Multimodal.asMedia(df, "doc_id", "payload", "image", "image/png")
+    val r = Multimodal.resize(m, maxDim = 16).head()
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+    assert(back.getWidth == 16 && back.getHeight == 4) // 64x16 -> /4, aspect kept
+    assert(back.getRGB(8, 2) == 0xff4080c0.toInt) // solid color survives the scale
+    // never upscales: a tiny image passes through at original dims
+    val small = Multimodal.resize(m, maxDim = 1000).head()
+    val b2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small.content))
+    assert(b2.getWidth == 64 && b2.getHeight == 16)
+  }
+
+  test("decodeAudios really decodes a WAV: rate, channels, frames, duration, RMS") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 1000 frames of a full-scale square wave at 8 kHz mono 16-bit -> RMS ~ 1.0
+    val pcm = new Array[Byte](2000)
+    for (i <- 0 until 1000) {
+      val v = if (i % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1000), AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
+    val m = Multimodal.asMedia(df, "doc_id", "payload", "audio", "audio/wav")
+    val a = Multimodal.decodeAudios(m).head()
+    assert(a.media_id == 7L && a.sample_rate == 8000.0 && a.channels == 1)
+    assert(a.n_frames == 1000L && math.abs(a.duration_ms - 125.0) < 1e-9)
+    assert(math.abs(a.rms - 1.0) < 1e-3)
+  }
+
+  test("decodeAudios falls back deterministically on non-audio payloads") {
+    val a = Multimodal.decodeAudios(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeAudios(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(d => d.sample_rate >= 8000.0 && d.channels >= 1 && d.rms >= 0 && d.rms <= 1))
+  }
+
   test("sampleFrames fans out one row per sampled timestamp") {
     val n = media.count()
     val frames = Multimodal.sampleFrames(media, durationMs = 1000, everyMs = 250)
