@@ -147,5 +147,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductLong].getName, VectorExprs.DotLongName),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    // users writing the portable HOF dot form get the codegen kernel
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
   }
 }
