@@ -458,6 +458,18 @@ object SparkEntry {
     "q75_kmeans" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.load(s, dir, "embeddings"), k = 8, iters = 2)),
 
+    // ---- Per-document TF-IDF top terms (smoothed idf, decimal-quantized) ----
+    "q76_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"), k = 3)),
+
+    // ---- Zipf vocabulary profile: exact log2 df-buckets ----
+    "q77_zipf_histogram" -> ((s, dir) =>
+      TextAnalysis.zipfHistogram(Tables.load(s, dir, "documents"))),
+
+    // ---- Per-source curation funnel: cumulative quality-gate survival ----
+    "q78_quality_funnel" -> ((s, dir) =>
+      TextAnalysis.qualityFunnel(Tables.load(s, dir, "documents"), groupCol = "source")),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1459,6 +1471,66 @@ object SparkEntry {
          |         FROM s2) WHERE rn = 1)
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
          |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q76_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(CAST(tf.tf AS DOUBLE)
+        |      * (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0)
+        |      AS DECIMAL(18,9)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q77_zipf_histogram" ->
+      """WITH dfreq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY term)
+        |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_terms, CAST(SUM(df) AS BIGINT) AS total_doc_hits
+        |FROM dfreq GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q78_quality_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','and','of','is','el','la','de','que','y','der','die','und','das','ist','le','et','les'))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio
+        |  FROM documents),
+        |q AS (SELECT *,
+        |        least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+        |          + (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+        |          + least(stopword_ratio * 3.0, 1.0) * 0.3 AS quality
+        |      FROM t),
+        |f AS (SELECT source,
+        |        n_tokens >= 10 AS g1,
+        |        n_tokens >= 10 AND avg_token_len BETWEEN 3.0 AND 10.0 AS g2,
+        |        n_tokens >= 10 AND avg_token_len BETWEEN 3.0 AND 10.0
+        |          AND stopword_ratio >= 0.05 AS g3,
+        |        n_tokens >= 10 AND avg_token_len BETWEEN 3.0 AND 10.0
+        |          AND stopword_ratio >= 0.05 AND quality >= 0.5 AS g4
+        |      FROM q)
+        |SELECT source, count(*) AS n_input,
+        |  count(CASE WHEN g1 THEN 1 END) AS n_len_ok,
+        |  count(CASE WHEN g2 THEN 1 END) AS n_shape_ok,
+        |  count(CASE WHEN g3 THEN 1 END) AS n_stopword_ok,
+        |  count(CASE WHEN g4 THEN 1 END) AS n_quality_ok
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -60,21 +60,93 @@ object TextAnalysis {
     * (doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, quality)
     * ordered by doc_id.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityCols(docs, Nil).orderBy(col("doc_id"))
+
+  /** The quality-metric columns (doc_id + `extra` passthrough cols +
+    * n_chars/n_tokens/avg_token_len/stopword_ratio/quality) — shared
+    * by [[qualityScore]] and [[qualityFunnel]].
+    */
+  private def qualityCols(docs: DataFrame, extra: Seq[String]): DataFrame = {
     val stop = langMarkers.flatMap(_._2).distinct
-    docs.select(col("doc_id"), col("text"), tokens.as("w"))
-      .select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(col("w")).cast("long").as("n_tokens"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("w"))).as("avg_token_len"),
-        (expr(hitsExpr(stop)).cast("double") / size(col("w"))).as("stopword_ratio"))
+    docs.select(col("doc_id") +: extra.map(col) :+ col("text") :+ tokens.as("w"): _*)
+      .select(col("doc_id") +: extra.map(col)
+        :+ length(col("text")).cast("long").as("n_chars")
+        :+ size(col("w")).cast("long").as("n_tokens")
+        :+ (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("w"))).as("avg_token_len")
+        :+ (expr(hitsExpr(stop)).cast("double") / size(col("w"))).as("stopword_ratio"): _*)
       .withColumn("quality",
         least(col("n_tokens").cast("double") / 200.0, lit(1.0)) * 0.4
           + when(col("avg_token_len").between(3.0, 10.0), 0.3).otherwise(0.0)
           + least(col("stopword_ratio") * 3.0, lit(1.0)) * 0.3)
-      .orderBy(col("doc_id"))
   }
+
+  /** Curation funnel: per group, how many docs survive each
+    * CUMULATIVE quality gate (length → token shape → stopword
+    * presence → composite score). The standard corpus-curation report
+    * — where does each source lose its documents? — computed in ONE
+    * pass: every gate is a conditional count inside a single
+    * map-side-combinable aggregate over a handful of groups; the
+    * corpus is scanned exactly once and never reshuffled.
+    * Output: (group, n_input, n_len_ok, n_shape_ok, n_stopword_ok,
+    * n_quality_ok) ordered by group.
+    */
+  def qualityFunnel(docs: DataFrame, groupCol: String): DataFrame = {
+    val len = col("n_tokens") >= 10
+    val shape = len && col("avg_token_len").between(3.0, 10.0)
+    val stopw = shape && col("stopword_ratio") >= 0.05
+    val qual = stopw && col("quality") >= 0.5
+    qualityCols(docs, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_input"),
+        count(when(len, 1)).as("n_len_ok"),
+        count(when(shape, 1)).as("n_shape_ok"),
+        count(when(stopw, 1)).as("n_stopword_ok"),
+        count(when(qual, 1)).as("n_quality_ok"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Per-document TF-IDF top-k terms — the classic retrieval weighting
+    * (smoothed idf: ln((N+1)/(df+1)) + 1), decimal-quantized so the
+    * ranking is identical in any engine. Two map-side-combinable
+    * shuffles ((doc,term) counts, then term df) plus a per-doc window
+    * — no global sort, no all-pairs anything.
+    * Output: (doc_id, rnk, term, tfidf) ordered by (doc_id, rnk).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
+          .cast("decimal(18,9)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Zipf profile: log2-bucketed document-frequency histogram over the
+    * vocabulary — the corpus-health fingerprint (a natural corpus is
+    * near-linear in log-log space; crawler loops and boilerplate show
+    * up as bulges). The log2 bucket is computed EXACTLY via the binary
+    * string length (`length(bin(df)) - 1`), dodging floating log2's
+    * power-of-two boundary ulps in either engine.
+    * Output: (bucket, n_terms, total_doc_hits) ordered by bucket.
+    */
+  def zipfHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("total_doc_hits"))
+      .orderBy(col("bucket"))
 
   /** Corpus-wide token frequency top-n (classic wordcount).
     * Output: (token, n_docs, n_occurrences) ordered by

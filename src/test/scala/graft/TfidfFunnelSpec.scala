@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q76–q78 operators: TF-IDF top terms, Zipf df-histogram, per-source
+  * quality funnel.
+  */
+class TfidfFunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tfidfTopTerms ranks the distinctive term above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common common common"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .filter($"doc_id" === 1 && $"rnk" === 1).select($"term").as[String].head()
+    // "zebra": df=1 -> idf=ln(4/2)+1; "common": df=3, tf=3 -> 3*(ln(1)+1)=3
+    // 3 > 1.69 so common outranks by weight; doc 1 rank 1 is "common"
+    assert(top == "common")
+    val doc3 = TextAnalysis.tfidfTopTerms(docs, k = 4).filter($"doc_id" === 3)
+      .orderBy($"rnk").select($"term").as[String].collect().toSeq
+    // all tf=1: distinctive (df=1) terms outrank "common" (df=3)
+    assert(doc3.take(3).toSet == Set("filler", "here", "words") && doc3.last == "common")
+  }
+
+  test("zipfHistogram buckets document frequencies by exact log2") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a b"), (4L, "a")).toDF("doc_id", "text")
+    // df: a=4 (bucket 2), b=3 (bucket 1), c=1 (bucket 0)
+    val got = TextAnalysis.zipfHistogram(docs)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((0L, 1L, 1L), (1L, 1L, 3L), (2L, 1L, 4L)))
+  }
+
+  test("qualityFunnel gates are cumulative and bounded by n_input") {
+    val f = TextAnalysis.qualityFunnel(Tables.load(spark, sf, "documents"), "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(f.nonEmpty)
+    f.foreach { case (_, n, g1, g2, g3, g4) =>
+      assert(n >= g1 && g1 >= g2 && g2 >= g3 && g3 >= g4 && g4 >= 0)
+    }
+    // totals agree with the corpus row count
+    assert(f.map(_._2).sum == Tables.load(spark, sf, "documents").count())
+  }
+
+  test("qualityFunnel first gate equals a direct recount") {
+    val docs = Tables.load(spark, sf, "documents")
+    val direct = docs
+      .select(size(split(lower(trim($"text")), "\\s+")).as("n"), $"source")
+      .filter($"n" >= 10).groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val funnel = TextAnalysis.qualityFunnel(docs, "source")
+      .select($"source", $"n_len_ok").as[(String, Long)].collect().toMap
+    assert(funnel.filter(_._2 > 0) == direct)
+  }
+}
