@@ -470,6 +470,28 @@ object SparkEntry {
     "q78_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables.load(s, dir, "documents"), groupCol = "source")),
 
+    // ---- Interval-overlap join via time slabs: click windows (5 min)
+    // overlapping error windows (1 min), emitted exactly once ----
+    "q79_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"ts".as("start"),
+          ($"ts" + expr("INTERVAL 300 SECONDS")).as("end"))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"ts".as("start"),
+          ($"ts" + expr("INTERVAL 60 SECONDS")).as("end"))
+      RangeJoin.intervalOverlapJoin(clicks, errors, "start", "end", "event_id",
+          slabSec = 300L)
+        .orderBy($"l_id", $"r_id")
+    }),
+
+    // ---- Fixed-point PageRank over the near-dup pair graph ----
+    "q80_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(
+        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"),
+          n = 3, minJ = 0.5, maxDf = 20), iters = 2)),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1531,6 +1553,44 @@ object SparkEntry {
         |  count(CASE WHEN g3 THEN 1 END) AS n_stopword_ok,
         |  count(CASE WHEN g4 THEN 1 END) AS n_quality_ok
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q79_interval_overlap" ->
+      """WITH l AS (SELECT event_id AS l_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS r_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) + 60000000 AS e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT l_id, r_id,
+        |  CAST(least(l.e, r.e) - greatest(l.s, r.s) AS DOUBLE) / 1e6 AS overlap_sec
+        |FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "q80_pagerank" ->
+      s"""WITH ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+         |pr1 AS (SELECT e.b AS node,
+         |          150000000 + (SUM(1000000000 // d.deg) * 85 + 50) // 100 AS rq
+         |        FROM edges e JOIN deg d ON e.a = d.a GROUP BY e.b),
+         |pr2 AS (SELECT e.b AS node,
+         |          150000000 + (SUM(p.rq // d.deg) * 85 + 50) // 100 AS rq
+         |        FROM edges e JOIN deg d ON e.a = d.a JOIN pr1 p ON p.node = e.a
+         |        GROUP BY e.b)
+         |SELECT node AS doc_id, CAST(rq AS DOUBLE) / 1e9 AS rank
+         |FROM pr2 ORDER BY doc_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -45,6 +45,42 @@ object RangeJoin {
         ((col("r_us") - col("l_us")).cast("double") / 1e6).as("dt_sec"))
   }
 
+  /** Interval-overlap join: every (left, right) interval pair that
+    * overlaps — `l_s <= r_e AND r_s <= l_e` — without the
+    * BroadcastNestedLoopJoin a raw theta join would plan.
+    *
+    * Scale shape: time is cut into `slabSec`-wide slabs and each
+    * interval explodes to the slabs it covers; overlapping intervals
+    * necessarily share their overlap's first slab, so the join is a
+    * plain hash equi-join on the slab id. Each qualifying pair is kept
+    * exactly once — at the FIRST slab both intervals cover (the
+    * greater of the two start slabs) — so no distinct pass is needed.
+    * Fan-out is interval_length/slabSec per row: pick slabSec near the
+    * typical interval length to bound it (the classic spatial-grid
+    * trade-off).
+    * Output: (l_id, r_id, overlap_sec) — overlap inclusive of touching
+    * endpoints (overlap_sec = 0).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          startCol: String, endCol: String, idCol: String,
+                          slabSec: Long): DataFrame = {
+    val sUs = slabSec * 1000000L
+    def prep(df: DataFrame, p: String) = df.select(
+      col(idCol).as(s"${p}_id"),
+      unix_micros(col(startCol)).as(s"${p}_s"),
+      unix_micros(col(endCol)).as(s"${p}_e"))
+    val l = prep(left, "l").select(col("l_id"), col("l_s"), col("l_e"),
+      explode(sequence(floor(col("l_s") / sUs), floor(col("l_e") / sUs))).as("slab"))
+    val r = prep(right, "r").select(col("r_id"), col("r_s"), col("r_e"),
+      explode(sequence(floor(col("r_s") / sUs), floor(col("r_e") / sUs))).as("slab"))
+    l.join(r, Seq("slab"))
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .filter(col("slab") === greatest(floor(col("l_s") / sUs), floor(col("r_s") / sUs)))
+      .select(col("l_id"), col("r_id"),
+        ((least(col("l_e"), col("r_e")) - greatest(col("l_s"), col("r_s"))).cast("double") / 1e6)
+          .as("overlap_sec"))
+  }
+
   /** Per-left-row band count: how many right rows fall within
     * ±`widthSec` of each left row, zero-preserving (left rows with no
     * neighbor surface with n = 0). The common aggregate consumer of

@@ -118,4 +118,57 @@ class ClusterRangeBm25Spec extends AnyFunSuite {
     val sorted = got.sortBy { case (id, s) => (-s, id) }.toSeq
     assert(got.toSeq == sorted)
   }
+
+  // ---- interval overlap join ---------------------------------------------
+
+  test("intervalOverlapJoin finds overlaps once each, including slab-spanning and touching") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // slab = 100 s. left interval [50, 450] spans 5 slabs.
+    val left = Seq((1L, t(50), t(450))).toDF("event_id", "start", "end")
+    val right = Seq(
+      (10L, t(0), t(49)),    // ends before left starts -> no match
+      (11L, t(0), t(50)),    // touches left start -> overlap 0
+      (12L, t(100), t(400)), // nested, shares 4 slabs -> exactly one row
+      (13L, t(450), t(500)), // touches left end -> overlap 0
+      (14L, t(451), t(600))  // after -> no match
+    ).toDF("event_id", "start", "end")
+    val got = RangeJoin
+      .intervalOverlapJoin(left, right, "start", "end", "event_id", slabSec = 100L)
+      .orderBy($"r_id").as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 11L, 0.0), (1L, 12L, 300.0), (1L, 13L, 0.0)))
+  }
+
+  test("intervalOverlapJoin plans an equi hash join, not a nested loop") {
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"ts".as("start"), ($"ts" + expr("INTERVAL 300 SECONDS")).as("end"))
+    val errors = events.filter($"event_type" === "error")
+      .select($"event_id", $"ts".as("start"), ($"ts" + expr("INTERVAL 60 SECONDS")).as("end"))
+    val joined = RangeJoin.intervalOverlapJoin(clicks, errors, "start", "end", "event_id", 300L)
+    assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    // agrees with the direct theta-join answer
+    val theta = clicks.select($"event_id".as("l_id"), $"start".as("ls"), $"end".as("le"))
+      .join(errors.select($"event_id".as("r_id"), $"start".as("rs"), $"end".as("re")),
+        $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(joined.select($"l_id", $"r_id").as[(Long, Long)].collect().toSet == theta)
+  }
+
+  // ---- pagerank ----------------------------------------------------------
+
+  test("pageRank: star center outranks its leaves, leaves tie exactly") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("doc_a", "doc_b")
+    val got = operators.Graph.pageRank(star, iters = 3).as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+    assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1) // exact fixed-point tie
+    // total mass stays ~n (no dangling nodes; fixed-point rounding only)
+    assert(math.abs(got.values.sum - 5.0) < 1e-6)
+  }
+
+  test("pageRank is deterministic across partitionings") {
+    val pairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    val a = operators.Graph.pageRank(pairs, 2).as[(Long, Double)].collect().toSeq
+    val b = operators.Graph.pageRank(pairs.repartition(17), 2).as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
 }
