@@ -492,6 +492,16 @@ object SparkEntry {
         Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"),
           n = 3, minJ = 0.5, maxDf = 20), iters = 2)),
 
+    // ---- Custom whole-operator plan: per-user top-3 events by value
+    // (plans.TopKPerGroupExec — partial per-partition heaps, then a
+    // grouped final pass after one hash exchange) ----
+    "q81_custom_topk" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select($"user_id", $"event_id", $"value")
+      plans.TopK.perGroup(ev, Seq($"user_id"), Seq($"value".desc, $"event_id".asc), k = 3)
+        .orderBy($"user_id", $"value".desc, $"event_id")
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1591,6 +1601,15 @@ object SparkEntry {
          |        GROUP BY e.b)
          |SELECT node AS doc_id, CAST(rq AS DOUBLE) / 1e9 AS rank
          |FROM pr2 ORDER BY doc_id""".stripMargin,
+
+    "q81_custom_topk" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, value FROM r WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
