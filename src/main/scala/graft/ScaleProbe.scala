@@ -91,6 +91,20 @@ object ScaleProbe {
       docs, Dedup.jaccardPairsCapped(docs, 3, 0.5, 20), "n_chars"))
     time("sequence_packing",
       TextPrep.packSequences(TextPrep.chunk(docs, 40, 10), 100))
+    time("tfidf_top_terms", TextAnalysis.tfidfTopTerms(docs, 3))
+    time("zipf_histogram", TextAnalysis.zipfHistogram(docs))
+    time("quality_funnel", TextAnalysis.qualityFunnel(docs, "lang"))
+    time("interval_overlap", RangeJoin.intervalOverlapJoin(
+      events.filter($"event_type" === "click")
+        .select($"event_id", $"ts".as("start"), ($"ts" + expr("INTERVAL 300 SECONDS")).as("end")),
+      events.filter($"event_type" === "error")
+        .select($"event_id", $"ts".as("start"), ($"ts" + expr("INTERVAL 60 SECONDS")).as("end")),
+      "start", "end", "event_id", 300L))
+    time("pagerank", operators.Graph.pageRank(
+      Dedup.jaccardPairsCapped(docs, 3, 0.5, 20), 2))
+    time("custom_topk", graft.plans.TopK.perGroup(
+      events.select($"user_id", $"event_id", $"value"),
+      Seq($"user_id"), Seq($"value".desc, $"event_id".asc), 3))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -502,6 +502,20 @@ object SparkEntry {
         .orderBy($"user_id", $"value".desc, $"event_id")
     }),
 
+    // ---- Bigram LM fluency score (add-1 smoothing, decimal sums) ----
+    "q82_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.load(s, dir, "documents"))),
+
+    // ---- Quality-weighted deterministic sampling: survival ∝ score ----
+    "q83_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.weightedSample(
+          TextAnalysis.qualityScore(Tables.load(s, dir, "documents")),
+          weightCol = "quality", keyCol = "doc_id")
+        .select($"doc_id", $"rate_pct")
+        .orderBy($"doc_id")
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1610,6 +1624,48 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id, value FROM r WHERE rn <= 3
         |ORDER BY user_id, value DESC, event_id""".stripMargin,
+
+    "q82_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |p AS (SELECT doc_id, w[i+1] AS a, w[i+2] AS b
+        |      FROM (SELECT doc_id, w, unnest(range(0, len(w)-1)) AS i
+        |            FROM w WHERE len(w) >= 2)),
+        |tf AS (SELECT doc_id, a, b, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |c2 AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY a, b),
+        |c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+        |v AS (SELECT count(DISTINCT t) AS v
+        |      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |            FROM documents)),
+        |per AS (SELECT doc_id, tf,
+        |          CAST(-ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v)) * tf
+        |               AS DECIMAL(28,9)) AS nlp
+        |        FROM tf JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(nlp) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_neg_logprob
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q83_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS avg_token_len,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x IN ('the','a','and','of','is','el','la','de','que','y','der','die','und','das','ist','le','et','les'))) AS DOUBLE)
+         |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS stopword_ratio
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |        least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.4
+         |          + (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+         |          + least(stopword_ratio * 3.0, 1.0) * 0.3 AS quality
+         |      FROM t),
+         |r AS (SELECT doc_id,
+         |        CAST(floor(quality * 100.0 + 0.5) AS BIGINT) AS rate_pct
+         |      FROM q)
+         |SELECT doc_id, rate_pct FROM r
+         |WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < rate_pct
+         |ORDER BY doc_id""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -60,6 +60,19 @@ object Sampling {
       .filter(hashBucket(col(keyCol).cast("string")) < col("rate_pct"))
   }
 
+  /** Weighted deterministic sample: each row survives with probability
+    * `weightCol` (a double in [0,1] — e.g. a quality score), decided
+    * by its hash bucket against the integer-percent-quantized weight.
+    * The reproducible form of "sample proportional to quality": a row
+    * keeps or loses its slot for life, under any partitioning, retry,
+    * or engine. Pure codegen filter — no shuffle at all.
+    * Output: input columns + rate_pct, kept rows only.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, keyCol: String): DataFrame =
+    df.withColumn("rate_pct",
+        floor(col(weightCol) * 100.0 + lit(0.5)).cast("long"))
+      .filter(hashBucket(col(keyCol).cast("string")) < col("rate_pct"))
+
   /** Deterministic k-per-group sample: rows ranked by content-hash
     * order within each group (a fixed pseudo-random order), first k
     * kept. Reproducible alternative to per-group reservoir sampling.

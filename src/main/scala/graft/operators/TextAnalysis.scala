@@ -297,6 +297,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model score: per-doc average negative conditional
+    * log-prob under corpus bigram statistics with add-1 smoothing —
+    * p(b|a) = (c(a,b) + 1) / (c(a) + V). The next LM-scoring rung
+    * above [[unigramLogProb]]: fluency, not just vocabulary rarity.
+    *
+    * Scale shape: bigrams come from an ARRAY ZIP per document (no
+    * positional self-join); corpus counts are two map-side-combinable
+    * aggregates; the stats join back onto doc-bigrams is a plain
+    * equi-join (vocabulary-sized right side); per-doc sums accumulate
+    * in DECIMAL so they are order-independent under any partitioning.
+    * Output: (doc_id, n_bigrams, avg_neg_logprob) ordered by doc_id;
+    * docs with < 2 tokens are absent (no bigrams — the caller's
+    * zero-preserving left join if needed).
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))")).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
+    val tf = pairs.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs.select(explode(tokens).as("t")).agg(countDistinct(col("t")).as("v"))
+    tf.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(vocab))
+      .withColumn("nlp",
+        (-log((col("c2").cast("double") + 1.0) / (col("c1").cast("double") + col("v")))
+          * col("tf")).cast("decimal(28,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nlp")).as("nlp_sum"), sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nlp_sum").cast("double") / col("n_bigrams")).as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
     * and a polynomial rolling hash (base 31 mod 2^31-1) — the

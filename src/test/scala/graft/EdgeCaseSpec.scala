@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Degenerate inputs must not throw or divide by zero: empty text,
@@ -45,5 +46,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(media, 8).collect()
     assert(f.forall(_.features.length == 8))
     assert(f.forall(_.features.forall(!_.isNaN))) // zero-norm guarded
+  }
+
+  test("graph/cluster operators are total on an empty pair frame") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(operators.Graph.pageRank(noPairs, 2).count() == 0)
+    assert(Dedup.duplicateClusters(noPairs).count() == 0)
+    // keep-best with no pairs = every doc its own singleton cluster
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "n_chars")
+    val reps = Dedup.keepBestPerCluster(docs, noPairs, "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(reps == List((1L, 1L, 5L, 1L), (2L, 2L, 9L, 1L)))
+  }
+
+  test("tfidf/zipf/funnel are total on degenerate inputs") {
+    assert(TextAnalysis.tfidfTopTerms(weird, 3).count() >= 1)
+    assert(TextAnalysis.zipfHistogram(weird).count() >= 1)
+    val docs = weird.withColumn("source", lit("s"))
+    val funnel = TextAnalysis.qualityFunnel(docs, "source").collect()
+    assert(funnel.length == 1 && funnel.head.getAs[Long]("n_input") == 5L)
+  }
+
+  test("temperatureMixture on a single group degenerates to plain targetFrac") {
+    val one = weird.withColumn("grp", lit("only"))
+    val rates = operators.Sampling.temperatureMixture(one, "grp", "doc_id", 0.5, 0.4)
+      .groupBy($"grp").agg(max($"rate_pct")).as[(String, Long)].collect().toMap
+    assert(rates.getOrElse("only", 40L) == 40L) // n^a/n^a = 1 -> rate = targetFrac
+  }
+
+  test("kmeans with k larger than the corpus still assigns every vector") {
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity.kmeansAssign(tiny, k = 10, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L)) // each its own centroid
   }
 }

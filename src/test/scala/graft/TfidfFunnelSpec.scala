@@ -49,6 +49,33 @@ class TfidfFunnelSpec extends AnyFunSuite {
     assert(f.map(_._2).sum == Tables.load(spark, sf, "documents").count())
   }
 
+  test("bigramLogProb matches hand-computed add-1 smoothed probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, a) => id -> ((n, a)) }.toMap
+    // V=3 (a, b, solo); c2: (a,b)=2 (b,a)=1 (a,a)=1; c1: a=3, b=1
+    val pAB = 3.0 / 6.0; val pBA = 2.0 / 4.0; val pAA = 2.0 / 6.0
+    val d1 = (-math.log(pAB) * 2 - math.log(pBA)) / 3
+    val d2 = -math.log(pAA) / 1
+    assert(got.keySet == Set(1L, 2L)) // "solo" has no bigrams
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-9)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - d2) < 1e-9)
+  }
+
+  test("weightedSample keeps everything at weight 1, nothing at 0, slice in between") {
+    val df = (1 to 200).map(i => (i.toLong, if (i <= 100) 1.0 else 0.0))
+      .toDF("doc_id", "wt")
+    val kept = graft.operators.Sampling.weightedSample(df, "wt", "doc_id")
+      .as[(Long, Double, Long)].collect()
+    assert(kept.forall(_._1 <= 100) && kept.length == 100) // rate 100 keeps all, 0 none
+    val half = (1 to 1000).map(i => (i.toLong, 0.5)).toDF("doc_id", "wt")
+    val keptHalf = graft.operators.Sampling.weightedSample(half, "wt", "doc_id")
+    val expect = half.filter(
+      graft.operators.Sampling.hashBucket($"doc_id".cast("string")) < 50).count()
+    assert(keptHalf.count() == expect && expect > 300 && expect < 700)
+  }
+
   test("qualityFunnel first gate equals a direct recount") {
     val docs = Tables.load(spark, sf, "documents")
     val direct = docs
