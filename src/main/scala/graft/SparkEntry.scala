@@ -516,6 +516,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ---- Batch upsert merge: latest event per user across a base
+    // slice and an updates slice (SCD-1 latest-wins) ----
+    "q84_upsert_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val bucket = Sampling.hashBucket(col("event_id").cast("string"))
+      operators.Merge.latestWins(
+          base = ev.filter(bucket < 80).select($"user_id", $"event_id", $"value", $"ts"),
+          updates = ev.filter(bucket >= 80).select($"user_id", $"event_id", $"value", $"ts"),
+          keyCol = "user_id", versionCol = "ts", idCol = "event_id")
+        .select($"user_id", $"event_id", $"value", $"src")
+        .orderBy($"user_id")
+    }),
+
+    // ---- One-pass ANALYZE-style numeric column profile ----
+    "q85_table_profile" -> ((s, dir) =>
+      operators.Profile.numericColumns(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1666,6 +1685,43 @@ object SparkEntry {
          |SELECT doc_id, rate_pct FROM r
          |WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < rate_pct
          |ORDER BY doc_id""".stripMargin,
+
+    "q84_upsert_merge" ->
+      s"""WITH all_rows AS (
+         |  SELECT user_id, event_id, value, ts, 'base' AS src FROM events
+         |  WHERE ${hash32Sql("CAST(event_id AS VARCHAR)")} % 100 < 80
+         |  UNION ALL
+         |  SELECT user_id, event_id, value, ts, 'update' AS src FROM events
+         |  WHERE ${hash32Sql("CAST(event_id AS VARCHAR)")} % 100 >= 80),
+         |r AS (SELECT user_id, event_id, value, src,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+         |                   (src = 'update') DESC, event_id DESC) AS rn
+         |      FROM all_rows)
+         |SELECT user_id, event_id, value, src FROM r WHERE rn = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "q85_table_profile" ->
+      """WITH s AS (SELECT
+        |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n1,
+        |  count(DISTINCT l_quantity) AS d1,
+        |  CAST(min(l_quantity) AS DOUBLE) AS mn1, CAST(max(l_quantity) AS DOUBLE) AS mx1,
+        |  count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS n2,
+        |  count(DISTINCT l_extendedprice) AS d2,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS mn2, CAST(max(l_extendedprice) AS DOUBLE) AS mx2,
+        |  count(CASE WHEN l_discount IS NULL THEN 1 END) AS n3,
+        |  count(DISTINCT l_discount) AS d3,
+        |  CAST(min(l_discount) AS DOUBLE) AS mn3, CAST(max(l_discount) AS DOUBLE) AS mx3,
+        |  count(CASE WHEN l_tax IS NULL THEN 1 END) AS n4,
+        |  count(DISTINCT l_tax) AS d4,
+        |  CAST(min(l_tax) AS DOUBLE) AS mn4, CAST(max(l_tax) AS DOUBLE) AS mx4
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, n1 AS n_nulls, d1 AS n_distinct,
+        |       mn1 AS min_val, mx1 AS max_val FROM s
+        |UNION ALL SELECT 'l_extendedprice', n2, d2, mn2, mx2 FROM s
+        |UNION ALL SELECT 'l_discount', n3, d3, mn3, mx3 FROM s
+        |UNION ALL SELECT 'l_tax', n4, d4, mn4, mx4 FROM s
+        |ORDER BY column_name""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
