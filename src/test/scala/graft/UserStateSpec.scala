@@ -38,6 +38,37 @@ class UserStateSpec extends AnyFunSuite {
     assert(rows.length == 3)
   }
 
+  test("transformWithState (v2 API) produces the identical profile stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // the v2 arbitrary-state API requires the RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val query = graft.streaming.UserStateV2.profiles(input.toDS())
+        .writeStream.format("memory").queryName("graft_profiles_v2")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(UserEvent(1L, 100L, 2.0), UserEvent(1L, 200L, 3.0), UserEvent(2L, 50L, 1.0))
+      query.processAllAvailable()
+      input.addData(UserEvent(1L, 300L, 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("graft_profiles_v2").as[UserProfile].collect()
+      query.stop()
+      assert(rows.toSet == Set(
+        UserProfile(1L, 2L, 100L, 200L, 5.0),
+        UserProfile(2L, 1L, 50L, 50L, 1.0),
+        UserProfile(1L, 3L, 100L, 300L, 10.0)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("graft_dot resolves in SQL after registration; extensions hook applies cleanly") {
     // spark.sql.extensions is a STATIC conf — it cannot be exercised on
     // the suite's shared context, so the deployment wiring is applied
