@@ -29,6 +29,25 @@ object Sinks {
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
+  /** Format breadth beyond the reference: ORC sink (columnar sibling
+    * of parquet, ships with Spark). Same append-partitioned shape as
+    * [[appendPartitioned]].
+    */
+  def appendPartitionedOrc(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).orc(path)
+
+  /** Sorted write for data skipping: repartition by range on
+    * `sortCol` then sort within partitions before writing — every
+    * parquet row group gets tight min/max bounds on `sortCol`, so at
+    * 100 TB a point/range predicate prunes most row groups at scan
+    * time (the poor man's Z-order, exact for one dimension). One
+    * range shuffle at write time buys every subsequent read's skip.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String, partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** K2 (RDBMS path) — JDBC append, any driver on the classpath.
     * Untested here (no JDBC driver ships in /opt/spark/jars —
     * SURVEY.md §7.5.7); the parquet path above is the tested default.

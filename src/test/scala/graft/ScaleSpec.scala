@@ -63,4 +63,50 @@ class ScaleSpec extends AnyFunSuite {
     val oneShot = ApproxDistinct.estimate(ev, "user_id").head().getLong(0).toDouble
     assert(math.abs(oneShot - exact) / exact < 0.05)
   }
+
+  test("partitioned sink: a partition-column predicate prunes at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date($"ts").cast("string"))
+    graft.sources.Sinks.appendPartitioned(ev, dir, "day")
+    val read = spark.read.parquet(dir)
+    val days = read.select($"day").distinct().as[String].collect().sorted
+    assert(days.length > 1)
+    val q = read.filter($"day" === days.head)
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (directory pruning), not
+    // in the data filter — only one partition's files are ever listed
+    assert(scan.contains("PartitionFilters: [isnotnull(day"))
+    assert(q.count() == ev.filter($"day" === days.head).count())
+  }
+
+  test("sorted write: range predicate is pushed to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
+    val ev = Tables.load(spark, sf, "events").select($"event_id", $"user_id", $"value")
+    graft.sources.Sinks.writeSorted(ev, dir, "event_id", partitions = 8)
+    val read = spark.read.parquet(dir)
+    val q = read.filter($"event_id" >= 100 && $"event_id" < 200)
+    val scan = q.queryExecution.executedPlan.toString
+    // pushed filters reach the reader, where the sorted layout's tight
+    // row-group min/max stats make them effective skips
+    assert(scan.contains("PushedFilters: [") && scan.contains("GreaterThanOrEqual(event_id,100)"))
+    assert(q.count() == ev.filter($"event_id" >= 100 && $"event_id" < 200).count())
+    // the range partitioning put each key range in few files: the
+    // matching rows live in at most 2 of the 8 files
+    val hit = read.filter($"event_id" >= 100 && $"event_id" < 200)
+      .select(input_file_name()).distinct().count()
+    assert(hit <= 2, s"expected <=2 files, got $hit")
+  }
+
+  test("ORC sink round-trips with partitioning intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date($"ts").cast("string"))
+      .select($"event_id", $"user_id", $"value", $"day")
+    graft.sources.Sinks.appendPartitionedOrc(ev, dir, "day")
+    val read = spark.read.orc(dir)
+    assert(read.count() == ev.count())
+    assert(read.filter($"day" === ev.select(min($"day")).as[String].head()).count() ==
+      ev.filter($"day" === ev.select(min($"day")).as[String].head()).count())
+  }
 }
