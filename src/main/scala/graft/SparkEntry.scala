@@ -535,6 +535,35 @@ object SparkEntry {
       operators.Profile.numericColumns(Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // ---- Sliding event-time windows (2-day windows every 1 day):
+    // the third window type next to q27's tumbling and the session
+    // windows in SessionSkewSpec ----
+    "q86_sliding_windows" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "2 days", "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          Ops.decSum($"value").cast("double").as("total_value"))
+        .select($"window.start".as("win_start"), $"window.end".as("win_end"),
+          $"n_events", $"total_value")
+        .orderBy($"win_start")
+    }),
+
+    // ---- ANN evaluation harness: recall@5 of sign-LSH vs brute ----
+    "q87_ann_recall" -> ((s, dir) =>
+      Similarity.recallAtK(Tables.load(s, dir, "embeddings"),
+        nQueries = 10, k = 5, planes = 4, dim = 64)),
+
+    // ---- CUBE: every aggregate grain over (event_type, weekday) ----
+    "q88_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .cube($"event_type", dayofweek(to_date($"ts")).cast("long").as("weekday"))
+        .agg(count(lit(1)).as("n"),
+          grouping($"event_type").cast("long").as("g_type"))
+        .orderBy($"event_type".asc_nulls_first, $"weekday".asc_nulls_first)
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1722,6 +1751,46 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', n3, d3, mn3, mx3 FROM s
         |UNION ALL SELECT 'l_tax', n4, d4, mn4, mx4 FROM s
         |ORDER BY column_name""".stripMargin,
+
+    "q86_sliding_windows" ->
+      """WITH k AS (SELECT unnest(range(0, 2)) AS k),
+        |w AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) - k.k * INTERVAL '1 day' AS win_start,
+        |             value
+        |      FROM events CROSS JOIN k)
+        |SELECT win_start, win_start + INTERVAL '2 days' AS win_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "q87_ann_recall" ->
+      s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 4)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id),
+         |ex AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.u, n.u) DESC, n.vec_id) AS rnk
+         |       FROM e n JOIN e q ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |exact AS (SELECT qid, nid FROM ex WHERE rnk <= 5),
+         |ap AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.u, n.u) DESC, n.vec_id) AS rnk
+         |       FROM b n JOIN b q ON q.vec_id < 10 AND n.bucket = q.bucket
+         |                        AND n.vec_id <> q.vec_id),
+         |approx AS (SELECT qid, nid FROM ap WHERE rnk <= 5),
+         |m AS (SELECT exact.qid, count(*) AS n_matched
+         |      FROM exact JOIN approx USING (qid, nid) GROUP BY exact.qid),
+         |tot AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
+         |SELECT t.qid, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+         |FROM tot t LEFT JOIN m USING (qid) ORDER BY qid""".stripMargin,
+
+    "q88_cube" ->
+      """SELECT event_type,
+        |  CAST(dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1 AS BIGINT) AS weekday,
+        |  count(*) AS n,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type
+        |FROM events GROUP BY CUBE (event_type, weekday)
+        |ORDER BY event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -227,6 +227,29 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Recall@k of the sign-LSH ANN path against the exact brute-force
+    * answer — the evaluation harness every approximate index needs
+    * before it replaces the exact scan in production. Both sides are
+    * the existing oracle-checked operators; the join is on (qid, nid)
+    * over 2·nQueries·k rows, so the evaluation costs what the two
+    * searches cost.
+    * Output: (qid, n_matched, recall) ordered by qid.
+    */
+  def recallAtK(embeddings: DataFrame, nQueries: Int, k: Int,
+                planes: Int, dim: Int): DataFrame = {
+    val brute = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid"))
+    val approx = cosineTopKLsh(embeddings, nQueries, k, planes, dim)
+      .select(col("qid"), col("nid"))
+    val matched = brute.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_matched"))
+    brute.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(matched, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier
     * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same

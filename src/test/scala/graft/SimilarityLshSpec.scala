@@ -36,4 +36,19 @@ class SimilarityLshSpec extends AnyFunSuite {
     val fine = Similarity.embeddingNearDupsLsh(embs, 0.45, planes = 8, dim = 64).count()
     assert(fine <= coarse && coarse <= exact)
   }
+
+  test("recallAtK: bounded per query, coarser bucketing only helps") {
+    val r = Similarity.recallAtK(embs, nQueries = 10, k = 5, planes = 4, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 10)
+    r.foreach { case (_, n, rec) =>
+      assert(n >= 0 && n <= 5 && rec >= 0.0 && rec <= 1.0 && rec == n / 5.0)
+    }
+    // halving the planes doubles expected bucket size: recall can
+    // only rise (same candidate sets or supersets)
+    val coarse = Similarity.recallAtK(embs, 10, 5, planes = 1, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(coarse.map(_._3).sum >= r.map(_._3).sum)
+    assert(coarse.map(_._3).sum > 0.0) // the 2-bucket split still finds neighbors
+  }
 }
