@@ -88,6 +88,13 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df")
+      // materialize once: this frame feeds BOTH self-join sides plus
+      // the per-doc counts, and no ReusedExchange fires across those
+      // branches — without truncation the text explode + window runs
+      // 3-4x per query (and again in every downstream consumer:
+      // clusters, keep-best, PageRank). localCheckpoint preserves the
+      // shingle partitioning, so the self-join still skips its shuffle.
+      .localCheckpoint()
     val cnt = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = capped.as("a")
       .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
