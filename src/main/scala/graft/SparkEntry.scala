@@ -564,6 +564,35 @@ object SparkEntry {
         .orderBy($"event_type".asc_nulls_first, $"weekday".asc_nulls_first)
     }),
 
+    // ---- Per-group z-score normalization (feature engineering):
+    // decimal-exact sums make mean/variance order-independent ----
+    "q89_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val dec = $"value".cast("decimal(12,2)")
+      val stats = ev.groupBy($"event_type").agg(
+        count($"value").as("n"),
+        sum(dec).cast("double").as("sv"),
+        sum(dec * dec).cast("double").as("svv"))
+        .select($"event_type", ($"sv" / $"n").as("mu"),
+          sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter($"event_id" < 200)
+        .select($"event_id", $"event_type",
+          (($"value" - $"mu") / $"sd").cast("decimal(18,9)").as("z"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- Equi-width value histogram per event type ----
+    "q90_value_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type", floor($"value" / 10.0).cast("long").as("bucket"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
     // ---- Array-function battery over token arrays ----
     "q48_array_ops" -> ((s, dir) => {
       import s.implicits._
@@ -1791,6 +1820,23 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type
         |FROM events GROUP BY CUBE (event_type, weekday)
         |ORDER BY event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
+
+    "q89_zscore" ->
+      """WITH s AS (SELECT event_type, count(value) AS n,
+        |             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+        |             CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS svv
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT event_type, sv / n AS mu,
+        |              sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM s)
+        |SELECT event_id, e.event_type,
+        |  CAST((value - mu) / sd AS DECIMAL(18,9)) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q90_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q48_array_ops" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
