@@ -170,8 +170,13 @@ object SparkEntry {
     // ---- LLM-pipeline operators: similarity search (operators.Similarity) ----
     "q18_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)),
+    // q19/q32 are owned by the LSH forms (planes=2: coarser buckets →
+    // near-exact recall, a second operating point next to q57/q58's
+    // planes=4). The O(n²) brute baselines live in Similarity and are
+    // equality-asserted against these in SimilarityLshSpec — no
+    // all-pairs plan is reachable from the catalog.
     "q19_top_pairs" -> ((s, dir) =>
-      Similarity.topPairs(Tables.load(s, dir, "embeddings"), n = 20)),
+      Similarity.topPairsLsh(Tables.load(s, dir, "embeddings"), n = 20, planes = 2, dim = 64)),
     "q20_cosine_topk_lsh" -> ((s, dir) =>
       Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4, dim = 64)),
 
@@ -304,7 +309,8 @@ object SparkEntry {
 
     // ---- Embedding-cosine near-dup tier (operators.Similarity) ----
     "q32_embedding_neardups" -> ((s, dir) =>
-      Similarity.embeddingNearDups(Tables.load(s, dir, "embeddings"), minCos = 0.45)),
+      Similarity.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings"),
+        minCos = 0.45, planes = 2, dim = 64)),
 
     // ---- IVF coarse-quantizer ANN (operators.Similarity) ----
     "q47_cosine_topk_ivf" -> ((s, dir) =>
@@ -565,7 +571,10 @@ object SparkEntry {
     }),
 
     // ---- Per-group z-score normalization (feature engineering):
-    // decimal-exact sums make mean/variance order-independent ----
+    // decimal-exact sums make mean/variance order-independent; the
+    // final z is emitted as micro-unit fixed-point i64 (floor(z*1e6
+    // + 0.5)) because a double→decimal cast of sqrt-derived values is
+    // ulp-fragile across engines ----
     "q89_zscore" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
@@ -579,7 +588,7 @@ object SparkEntry {
       ev.join(broadcast(stats), Seq("event_type"))
         .filter($"event_id" < 200)
         .select($"event_id", $"event_type",
-          (($"value" - $"mu") / $"sd").cast("decimal(18,9)").as("z"))
+          floor((($"value" - $"mu") / $"sd") * 1e6 + 0.5).cast("long").as("z"))
         .orderBy($"event_id")
     }),
 
@@ -1175,9 +1184,11 @@ object SparkEntry {
 
     "q19_top_pairs" ->
       s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 2)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.u, b.u) AS cosine
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
          |ranked AS (SELECT vec_a, vec_b, cosine,
          |                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rnk
          |           FROM pairs)
@@ -1284,10 +1295,12 @@ object SparkEntry {
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q32_embedding_neardups" ->
-      s"""WITH $normalizedCte
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.u, b.u) AS cosine
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.u, b.u) >= 0.45
+      s"""WITH $normalizedCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 2)} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_dot_product(x.u, y.u) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q47_cosine_topk_ivf" ->
@@ -1605,9 +1618,9 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,
-        |    CAST(CAST(tf.tf AS DOUBLE)
+        |    CAST(floor(CAST(tf.tf AS DOUBLE)
         |      * (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0)
-        |      AS DECIMAL(18,9)) AS tfidf
+        |      * 1000000.0 + 0.5) AS BIGINT) AS tfidf
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
         |r AS (SELECT doc_id, term, tfidf,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
@@ -1829,7 +1842,7 @@ object SparkEntry {
         |st AS (SELECT event_type, sv / n AS mu,
         |              sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM s)
         |SELECT event_id, e.event_type,
-        |  CAST((value - mu) / sd AS DECIMAL(18,9)) AS z
+        |  CAST(floor((value - mu) / sd * 1000000.0 + 0.5) AS BIGINT) AS z
         |FROM events e JOIN st USING (event_type)
         |WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 

@@ -93,8 +93,10 @@ object Similarity {
   }
 
   /** Top-n most similar pairs corpus-wide (vec_a < vec_b) — the
-    * exact-recall O(n²) correctness baseline; [[topPairsLsh]] is the
-    * bucketed 100 TB form.
+    * exact-recall O(n²) correctness baseline, TEST-ONLY: the catalog
+    * qid (q19) is owned by [[topPairsLsh]], and this brute form exists
+    * solely so SimilarityLshSpec can assert the bucketed plan against
+    * exact recall. Never reachable from SparkEntry.queries.
     * Output: (rnk, vec_a, vec_b, cosine) ordered by rnk.
     */
   def topPairs(embeddings: DataFrame, n: Int): DataFrame = {
@@ -254,9 +256,11 @@ object Similarity {
     * cosine >= minCos — the vector-space member of the dedup tier
     * (exact / Jaccard / MinHash / SimHash / embedding-cosine). Same
     * normalize-once + single-codegen-dot kernel as top-k. This is the
-    * exact-recall correctness baseline (O(n²) pair join); the 100 TB
-    * form is [[embeddingNearDupsLsh]], which generates candidates via
-    * [[signLshBuckets]] bucketing instead.
+    * exact-recall correctness baseline (O(n²) pair join), TEST-ONLY:
+    * the catalog qid (q32) is owned by [[embeddingNearDupsLsh]], which
+    * generates candidates via [[signLshBuckets]] bucketing; this brute
+    * form backs the SimilarityLshSpec subset/equality assertions and
+    * is never reachable from SparkEntry.queries.
     * Output: (vec_a, vec_b, cosine) ordered.
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double): DataFrame = {

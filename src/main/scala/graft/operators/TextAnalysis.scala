@@ -108,10 +108,13 @@ object TextAnalysis {
   }
 
   /** Per-document TF-IDF top-k terms — the classic retrieval weighting
-    * (smoothed idf: ln((N+1)/(df+1)) + 1), decimal-quantized so the
-    * ranking is identical in any engine. Two map-side-combinable
-    * shuffles ((doc,term) counts, then term df) plus a per-doc window
-    * — no global sort, no all-pairs anything.
+    * (smoothed idf: ln((N+1)/(df+1)) + 1), emitted as micro-unit
+    * fixed-point i64 (`floor(x·1e6 + 0.5)`) so the value AND the
+    * ranking are bit-identical in any engine — a double→decimal cast
+    * here is ulp-fragile because JVM and DuckDB libm `ln` differ in
+    * the last bit. Two map-side-combinable shuffles ((doc,term)
+    * counts, then term df) plus a per-doc window — no global sort, no
+    * all-pairs anything.
     * Output: (doc_id, rnk, term, tfidf) ordered by (doc_id, rnk).
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
@@ -122,9 +125,9 @@ object TextAnalysis {
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        (col("tf").cast("double") *
-          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
-          .cast("decimal(18,9)"))
+        floor(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0)
+          * 1e6 + 0.5).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
