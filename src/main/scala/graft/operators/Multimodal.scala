@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * bilinear scale and re-encodes as PNG. The AUDIO decode path is
   * REAL for WAV/AIFF — `javax.sound.sampled` (also JDK built-in)
   * yields true sample rate, channel count, frame count, duration and
-  * PCM RMS level. Payloads no installed reader recognizes (and the
-  * video operations — frame extraction, learned features) fall back
-  * to the clearly-marked deterministic fake, because this container
-  * ships no media codecs beyond the JDK. Everything around the codec
+  * PCM RMS level. VIDEO frame extraction is REAL for animated GIF —
+  * ImageIO iterates the frames and their GraphicControl delays, and
+  * [[sampleFrames]] maps each sampled timestamp to the frame shown at
+  * that instant. Payloads no installed reader recognizes (and learned
+  * features / non-GIF video) fall back to the clearly-marked
+  * deterministic fake, because this container ships no media codecs
+  * beyond the JDK. Everything around the codec
   * — schemas, encoders, batch shape, explode semantics, partitioning
   * — is real and tested; swapping in a full codec touches only
   * [[StubCodec]].
@@ -151,7 +154,65 @@ object Multimodal {
       } catch { case _: Exception => null }
     }
 
-    /** Fake frame decode at a timestamp. */
+    /** REAL multi-frame decode for animated GIF — the one video-like
+      * format the JDK can iterate without external codecs. Returns
+      * every frame as (endMs, png): `endMs` is the cumulative display
+      * timeline built from each frame's GraphicControlExtension
+      * delayTime (centiseconds; 0 → the de-facto 100 ms default), and
+      * the pixels are the frame re-encoded as PNG. Frames are decoded
+      * per-index without disposal-method compositing (full-frame GIFs
+      * round-trip exactly; partial-update GIFs yield the delta image).
+      * Returns null when no GIF reader claims the bytes or the payload
+      * has a single frame.
+      */
+    def gifFrames(bytes: Array[Byte]): Array[(Long, Array[Byte])] = {
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (iis == null) return null
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) return null
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n < 2) return null
+        var tl = 0L
+        val out = new Array[(Long, Array[Byte])](n)
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val meta = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val gce = meta.getElementsByTagName("GraphicControlExtension")
+          val delayCs =
+            if (gce.getLength > 0)
+              gce.item(0).asInstanceOf[org.w3c.dom.Element]
+                .getAttribute("delayTime").toIntOption.getOrElse(0)
+            else 0
+          tl += (if (delayCs <= 0) 100L else delayCs * 10L)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          out(i) = (tl, bos.toByteArray)
+          i += 1
+        }
+        reader.dispose()
+        out
+      } catch { case _: Exception => null }
+      finally iis.close()
+    }
+
+    /** The frame displayed at `tsMs` on the looping GIF timeline. */
+    def frameActiveAt(frames: Array[(Long, Array[Byte])], tsMs: Long): Array[Byte] = {
+      val t = tsMs % frames.last._1
+      frames.find(_._1 > t).getOrElse(frames.last)._2
+    }
+
+    /** === STUB === fake frame decode at a timestamp, for payloads in
+      * formats this container has no codec for (MP4, WebM, ...).
+      */
     def frameAt(bytes: Array[Byte], tsMs: Long): Array[Byte] = {
       val off = (tsMs % math.max(1, bytes.length)).toInt
       bytes.slice(off, math.min(bytes.length, off + 16))
@@ -226,13 +287,22 @@ object Multimodal {
 
   /** Sample one frame every `everyMs` over `durationMs` — a typed
     * explode: one input row fans out to durationMs/everyMs frame rows.
+    * REAL for animated GIF: the payload's frames are decoded once per
+    * record (with their GraphicControl delays) and each sampled
+    * timestamp receives the frame actually displayed at that instant
+    * on the looping timeline, PNG-encoded. Non-GIF payloads fall back
+    * to the clearly-marked deterministic fake (no other video codec
+    * ships in this container).
     */
   def sampleFrames(media: Dataset[MediaRecord], durationMs: Long, everyMs: Long): Dataset[Frame] =
     media.mapPartitions { it =>
       val codec = new StubCodec
       it.flatMap { r =>
+        val real = codec.gifFrames(r.content) // one decode per record, reused per tick
         (0L until durationMs by everyMs).zipWithIndex.map { case (ts, idx) =>
-          Frame(r.media_id, idx, ts, codec.frameAt(r.content, ts))
+          val px = if (real != null) codec.frameActiveAt(real, ts)
+                   else codec.frameAt(r.content, ts)
+          Frame(r.media_id, idx, ts, px)
         }
       }
     }

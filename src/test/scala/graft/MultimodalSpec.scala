@@ -106,6 +106,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId.map(_.ts_ms).toSeq == Seq(0L, 250L, 500L, 750L))
   }
 
+  test("sampleFrames really extracts animated-GIF frames by display time") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // two 4x4 frames — solid red then solid blue — each displayed 100 ms
+    def solid(rgb: Int) = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (img <- Seq(solid(0xff0000), solid(0x0000ff))) {
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10") // centiseconds -> 100 ms
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    val df = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val m = Multimodal.asMedia(df, "doc_id", "payload", "video", "image/gif")
+    // ticks 0 and 100 ms land on frame 0 (red) and frame 1 (blue)
+    val frames = Multimodal.sampleFrames(m, durationMs = 200, everyMs = 100)
+      .orderBy($"frame_idx").collect()
+    assert(frames.length == 2)
+    val decoded = frames.map(f =>
+      ImageIO.read(new java.io.ByteArrayInputStream(f.frame)))
+    assert(decoded.forall(i => i != null && i.getWidth == 4 && i.getHeight == 4))
+    assert((decoded(0).getRGB(2, 2) & 0xffffff) == 0xff0000)
+    assert((decoded(1).getRGB(2, 2) & 0xffffff) == 0x0000ff)
+  }
+
   test("extractFeatures yields unit-norm vectors usable by Similarity") {
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val norms = feats.select($"media_id",
