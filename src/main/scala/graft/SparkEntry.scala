@@ -560,6 +560,16 @@ object SparkEntry {
       Similarity.recallAtK(Tables.load(s, dir, "embeddings"),
         nQueries = 10, k = 5, planes = 4, dim = 64)),
 
+    // ---- Recall@5 of the IVF coarse-quantizer path vs brute ----
+    "q91_ann_recall_ivf" -> ((s, dir) =>
+      Similarity.recallAtKIvf(Tables.load(s, dir, "embeddings"),
+        nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
+
+    // ---- Recall@5 of the int8-quantized scan vs brute ----
+    "q92_ann_recall_int8" -> ((s, dir) =>
+      Similarity.recallAtKInt8(Tables.load(s, dir, "embeddings"),
+        nQueries = 10, k = 5)),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -1819,6 +1829,56 @@ object SparkEntry {
          |       FROM b n JOIN b q ON q.vec_id < 10 AND n.bucket = q.bucket
          |                        AND n.vec_id <> q.vec_id),
          |approx AS (SELECT qid, nid FROM ap WHERE rnk <= 5),
+         |m AS (SELECT exact.qid, count(*) AS n_matched
+         |      FROM exact JOIN approx USING (qid, nid) GROUP BY exact.qid),
+         |tot AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
+         |SELECT t.qid, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+         |FROM tot t LEFT JOIN m USING (qid) ORDER BY qid""".stripMargin,
+
+    "q91_ann_recall_ivf" ->
+      s"""WITH $normalizedCte,
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.u, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.u, c.cu) DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, u, cid AS cell FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, u AS qu, cid AS cell FROM ranked
+         |           WHERE vec_id < 10 AND crn <= 4),
+         |ap AS (SELECT q.qid, a.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid
+         |           ORDER BY list_dot_product(q.qu, a.u) DESC, a.vec_id) AS rnk
+         |       FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.vec_id <> q.qid),
+         |approx AS (SELECT qid, nid FROM ap WHERE rnk <= 5),
+         |ex AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.u, n.u) DESC, n.vec_id) AS rnk
+         |       FROM e n JOIN e q ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |exact AS (SELECT qid, nid FROM ex WHERE rnk <= 5),
+         |m AS (SELECT exact.qid, count(*) AS n_matched
+         |      FROM exact JOIN approx USING (qid, nid) GROUP BY exact.qid),
+         |tot AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
+         |SELECT t.qid, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
+         |FROM tot t LEFT JOIN m USING (qid) ORDER BY qid""".stripMargin,
+
+    "q92_ann_recall_int8" ->
+      s"""WITH $normalizedCte,
+         |qz AS (SELECT vec_id,
+         |         list_transform(u, x -> CAST(floor(x * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+         |       FROM e),
+         |ap AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY CAST(list_dot_product(q.qv, n.qv) AS BIGINT) DESC, n.vec_id) AS rnk
+         |       FROM qz q JOIN qz n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |approx AS (SELECT qid, nid FROM ap WHERE rnk <= 5),
+         |ex AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.u, n.u) DESC, n.vec_id) AS rnk
+         |       FROM e n JOIN e q ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |exact AS (SELECT qid, nid FROM ex WHERE rnk <= 5),
          |m AS (SELECT exact.qid, count(*) AS n_matched
          |      FROM exact JOIN approx USING (qid, nid) GROUP BY exact.qid),
          |tot AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)

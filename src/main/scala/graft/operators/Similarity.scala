@@ -229,19 +229,14 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Recall@k of the sign-LSH ANN path against the exact brute-force
-    * answer — the evaluation harness every approximate index needs
-    * before it replaces the exact scan in production. Both sides are
-    * the existing oracle-checked operators; the join is on (qid, nid)
-    * over 2·nQueries·k rows, so the evaluation costs what the two
-    * searches cost.
+  /** Recall@k harness core: per-query overlap of an approximate
+    * (qid, nid) result set against the exact brute-force one. The join
+    * is on (qid, nid) over 2·nQueries·k rows, so the evaluation costs
+    * what the two searches cost. The ratio is a small-integer division
+    * — exactly representable, engine-portable.
     * Output: (qid, n_matched, recall) ordered by qid.
     */
-  def recallAtK(embeddings: DataFrame, nQueries: Int, k: Int,
-                planes: Int, dim: Int): DataFrame = {
-    val brute = cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid"))
-    val approx = cosineTopKLsh(embeddings, nQueries, k, planes, dim)
-      .select(col("qid"), col("nid"))
+  private def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
     val matched = brute.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_matched"))
     brute.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
@@ -251,6 +246,41 @@ object Similarity {
         (coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
       .orderBy(col("qid"))
   }
+
+  /** Recall@k of the sign-LSH ANN path against the exact brute-force
+    * answer — the evaluation harness every approximate index needs
+    * before it replaces the exact scan in production. Both sides are
+    * the existing oracle-checked operators.
+    * Output: (qid, n_matched, recall) ordered by qid.
+    */
+  def recallAtK(embeddings: DataFrame, nQueries: Int, k: Int,
+                planes: Int, dim: Int): DataFrame =
+    recallOf(
+      cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid")),
+      cosineTopKLsh(embeddings, nQueries, k, planes, dim).select(col("qid"), col("nid")))
+
+  /** Recall@k of the IVF coarse-quantizer path ([[cosineTopKIvf]])
+    * against brute force. Monotone in `nprobe`: probing more cells can
+    * only add candidates, so recall at nprobe=nlist is exactly 1
+    * (asserted in SimilarityLshSpec).
+    * Output: (qid, n_matched, recall) ordered by qid.
+    */
+  def recallAtKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+                   nlist: Int, nprobe: Int): DataFrame =
+    recallOf(
+      cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid")),
+      cosineTopKIvf(embeddings, nQueries, k, nlist, nprobe).select(col("qid"), col("nid")))
+
+  /** Recall@k of the int8-quantized full-scan path ([[cosineTopKInt8]])
+    * against brute force — measures pure ranking fidelity lost to
+    * 8-bit lane quantization (no candidate pruning on this path, so
+    * any miss is a quantization tie-flip near the k boundary).
+    * Output: (qid, n_matched, recall) ordered by qid.
+    */
+  def recallAtKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallOf(
+      cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid")),
+      cosineTopKInt8(embeddings, nQueries, k).select(col("qid"), col("nid")))
 
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier

@@ -51,4 +51,30 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(coarse.map(_._3).sum >= r.map(_._3).sum)
     assert(coarse.map(_._3).sum > 0.0) // the 2-bucket split still finds neighbors
   }
+
+  test("recallAtKIvf: monotone in nprobe, exactly 1.0 at nprobe = nlist") {
+    def total(nprobe: Int): Double =
+      Similarity.recallAtKIvf(embs, nQueries = 10, k = 5, nlist = 16, nprobe = nprobe)
+        .as[(Long, Long, Double)].collect().map(_._3).sum
+    val narrow = total(1)
+    val mid = total(4)
+    val full = total(16)
+    // probing more cells can only add candidates — never drop one
+    assert(narrow <= mid && mid <= full)
+    // probing every cell IS the exact scan (minus nothing): recall 1.0/query
+    assert(full == 10.0)
+    assert(mid > 0.0)
+  }
+
+  test("recallAtKInt8: bounded per query and high (quantization only flips near-ties)") {
+    val r = Similarity.recallAtKInt8(embs, nQueries = 10, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 10)
+    r.foreach { case (_, n, rec) =>
+      assert(n >= 0 && n <= 5 && rec == n / 5.0)
+    }
+    // int8 scans every vector — misses come only from 8-bit rank
+    // tie-flips at the k boundary, so aggregate recall stays high
+    assert(r.map(_._3).sum / 10.0 >= 0.8)
+  }
 }
