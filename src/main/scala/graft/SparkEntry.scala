@@ -570,6 +570,23 @@ object SparkEntry {
       Similarity.recallAtKInt8(Tables.load(s, dir, "embeddings"),
         nQueries = 10, k = 5)),
 
+    // ---- SemDeDup: k-means clusters as the candidate generator,
+    // exact cosine only within a cluster ----
+    "q93_semantic_neardups" -> ((s, dir) =>
+      Similarity.semanticNearDups(Tables.load(s, dir, "embeddings"),
+        k = 8, iters = 2, minCos = 0.45)),
+
+    // ---- MinHash estimator accuracy on LSH candidates: estimated vs
+    // exact Jaccard with absolute error ----
+    "q94_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimateAccuracy(Tables.load(s, dir, "documents"),
+        n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
+
+    // ---- N-gram novelty: share of a doc's distinct n-grams first
+    // owned by that doc (min-doc_id window on one shingle exchange) ----
+    "q95_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.load(s, dir, "documents"), n = 3)),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -1863,6 +1880,80 @@ object SparkEntry {
          |SELECT t.qid, CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
          |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_exact AS recall
          |FROM tot t LEFT JOIN m USING (qid) ORDER BY qid""".stripMargin,
+
+    "q93_semantic_neardups" ->
+      s"""WITH $normalizedCte,
+         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.u, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, u, cid FROM (
+         |         SELECT vec_id, u, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s1) WHERE rn = 1),
+         |ux AS (SELECT cid, unnest(u) AS x, unnest(range(0, len(u))) AS pos FROM a1),
+         |mx AS (SELECT cid, pos,
+         |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         COUNT(*) AS cnt
+         |       FROM ux GROUP BY cid, pos),
+         |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
+         |       FROM mx GROUP BY cid),
+         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |       FROM cm),
+         |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s2) WHERE rn = 1),
+         |t AS (SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster_id, e.u
+         |      FROM a2 JOIN e USING (vec_id))
+         |SELECT x.cluster_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  list_dot_product(x.u, y.u) AS cosine
+         |FROM t x JOIN t y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+         |WHERE list_dot_product(x.u, y.u) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q94_minhash_estimate" ->
+      s"""WITH ${shinglesCte(3)},
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+         |           FROM (SELECT unnest(range(0, 16)) AS i)),
+         |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+         |         FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         |buckets AS (SELECT doc_id, i // 4 AS band,
+         |                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bucket
+         |            FROM sigs GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM buckets x JOIN buckets y
+         |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |agree AS (SELECT c.doc_a, c.doc_b,
+         |                 count(CASE WHEN pa.sig = pb.sig THEN 1 END) AS m
+         |          FROM cand c JOIN sigs pa ON pa.doc_id = c.doc_a
+         |                      JOIN sigs pb ON pb.doc_id = c.doc_b AND pb.i = pa.i
+         |          GROUP BY c.doc_a, c.doc_b),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+         |          FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |                    JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |          GROUP BY doc_a, doc_b),
+         |j AS (SELECT doc_a, doc_b,
+         |             CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         |      FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+         |                 JOIN cnt cb ON doc_b = cb.doc_id)
+         |SELECT j.doc_a, j.doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard, j.jaccard,
+         |  abs(CAST(m AS DOUBLE) / 16 - j.jaccard) AS abs_err
+         |FROM j JOIN agree ON j.doc_a = agree.doc_a AND j.doc_b = agree.doc_b
+         |WHERE j.jaccard >= 0.5
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    "q95_ngram_novelty" ->
+      s"""WITH ${shinglesCte(3)},
+         |own AS (SELECT doc_id,
+         |               min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+         |        FROM sh)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+         |  CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE) / count(*) AS novelty
+         |FROM own GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q92_ann_recall_int8" ->
       s"""WITH $normalizedCte,

@@ -154,6 +154,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash estimate-accuracy harness: for every LSH candidate pair,
+    * the signature-agreement Jaccard estimate (matching components /
+    * numHashes — the unbiased MinHash estimator) next to the exact
+    * shingle-set Jaccard, with the absolute error. The measured
+    * contract for [[minhashLsh]], parallel to the ANN recall rows
+    * (q87/q91/q92): before the estimator replaces exact verification
+    * at scale, this row says how far off it runs on real candidates.
+    *
+    * Scale shape: signatures come from the same single groupBy as
+    * [[minhashLsh]]; the agreement count is a numHashes-column compare
+    * after two equi-joins on doc id (codegen'd sum of whens, no
+    * explode); exact Jaccard is computed for candidates only. All
+    * ratios are small-int divisions — exact and engine-portable.
+    * Output: (doc_a, doc_b, est_jaccard, jaccard, abs_err) ordered.
+    */
+  def minhashEstimateAccuracy(docs: DataFrame, n: Int, numHashes: Int,
+                              bands: Int, minJ: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sh = shingles(docs, n)
+    val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
+    val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val bandCols = (0 until bands).map { band =>
+      concat_ws(",", (0 until rowsPerBand).map(p =>
+        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
+    }
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(sh.as("ib"), col("doc_b") === col("ib.doc_id") && col("ia.shingle") === col("ib.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, cnt)
+      .filter(col("jaccard") >= minJ)
+      .join(est, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 32-bit SimHash signature per doc + Hamming-close pairs.
     * Output: (doc_a, doc_b, sim_a, sim_b, hamming) ordered.
     *

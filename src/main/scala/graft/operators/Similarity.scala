@@ -229,6 +229,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with spherical k-means ([[kmeansAssign]]), then score exact
+    * cosine ONLY within a cluster — the third candidate-generation
+    * family next to sign-LSH buckets and IVF cells. Near-duplicates
+    * sit at cosine ≈ 1, which k-means co-clusters by construction, so
+    * recall loss concentrates at the threshold boundary (same trade as
+    * LSH, tunable via k).
+    *
+    * Scale shape: the pair join is a shuffle-partitioned equi-join on
+    * cluster_id — never all-pairs. Candidate volume is Σ_c |c|² ≈ n²/k
+    * under balance; k grows with the corpus (k ≈ n/⟨cluster⟩ keeps the
+    * per-cluster pair work constant per partition), exactly how
+    * SemDeDup runs at web scale.
+    * Output: (cluster_id, vec_a, vec_b, cosine) ordered by (vec_a, vec_b).
+    */
+  def semanticNearDups(embeddings: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val e = normalized(embeddings)
+    val t = e.join(kmeansAssign(embeddings, k, iters), Seq("vec_id"))
+    t.as("a").join(t.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr(dotExpr("a.u", "b.u")).as("cosine"))
+      .filter(col("cosine") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Recall@k harness core: per-query overlap of an approximate
     * (qid, nid) result set against the exact brute-force one. The join
     * is on (qid, nid) over 2·nQueries·k rows, so the evaluation costs

@@ -15,6 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** N-gram novelty scoring: per document, the share of its distinct
+    * word n-grams that FIRST appear in that document (owner = lowest
+    * doc_id over the corpus — deterministic, mirrors an
+    * ingestion-order scan). Curation pipelines use this to rank
+    * documents by marginal n-gram contribution: boilerplate-heavy docs
+    * score near 0, fresh content near 1.
+    *
+    * Scale shape: first-owner is a `min(doc_id) OVER (PARTITION BY
+    * shingle)` window — it rides ONE shingle-partitioned exchange (the
+    * df-cap trick from [[Dedup.jaccardPairsCapped]]) instead of a
+    * groupBy + join-back pair; the per-doc rollup is one
+    * map-side-combinable groupBy. Novelty is a small-int division —
+    * exact and engine-portable.
+    * Output: (doc_id, n_grams, n_novel, novelty) ordered by doc_id.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.shingles(docs, n)
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword-hit
     * language heuristic. Deterministic CASE tie-break: first language
     * (list order) with the maximal hit count wins.

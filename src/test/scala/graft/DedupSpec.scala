@@ -44,4 +44,19 @@ class DedupSpec extends AnyFunSuite {
     val lsh = Dedup.minhashLsh(docs, 3, 16, 4, 0.5)
     assert(lsh.exceptAll(exact).isEmpty) // every LSH pair exists exactly, same jaccard
   }
+
+  test("minhashEstimateAccuracy covers exactly the minhash-LSH pairs, bounded error") {
+    val lshPairs = Dedup.minhashLsh(docs, 3, 16, 4, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val est = Dedup.minhashEstimateAccuracy(docs, 3, 16, 4, 0.5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(est.map(r => (r._1, r._2)).toSet == lshPairs)
+    est.foreach { case (_, _, e, j, err) =>
+      assert(e >= 0.0 && e <= 1.0 && j >= 0.5)
+      assert(math.abs(err - math.abs(e - j)) == 0.0)
+    }
+    // 16 hashes: the estimator's per-pair std dev is sqrt(j(1-j)/16)
+    // <= 0.125; mean |error| over true near-dups stays well inside 3 sigma
+    assert(est.map(_._5).sum / est.length <= 0.375)
+  }
 }

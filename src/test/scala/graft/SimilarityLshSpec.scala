@@ -66,6 +66,18 @@ class SimilarityLshSpec extends AnyFunSuite {
     assert(mid > 0.0)
   }
 
+  test("semanticNearDups pairs exist in the exact baseline with identical cosines") {
+    val exact = Similarity.embeddingNearDups(embs, minCos = 0.45)
+    val sem = Similarity.semanticNearDups(embs, k = 8, iters = 2, minCos = 0.45)
+    assert(sem.select($"vec_a", $"vec_b", $"cosine").exceptAll(exact).isEmpty)
+    assert(sem.count() > 0) // co-clustered near-dups survive on testdata
+    // every pair's two vectors really share the emitted cluster
+    val assign = Similarity.kmeansAssign(embs, k = 8, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    sem.select($"cluster_id", $"vec_a", $"vec_b").as[(Long, Long, Long)].collect()
+      .foreach { case (c, a, b) => assert(assign(a) == c && assign(b) == c) }
+  }
+
   test("recallAtKInt8: bounded per query and high (quantization only flips near-ties)") {
     val r = Similarity.recallAtKInt8(embs, nQueries = 10, k = 5)
       .as[(Long, Long, Double)].collect()

@@ -29,6 +29,23 @@ class TfidfFunnelSpec extends AnyFunSuite {
     assert(doc3.take(3).toSet == Set("filler", "here", "words") && doc3.last == "common")
   }
 
+  test("ngramNovelty: lowest doc owns all its grams; hand-built overlap scores exactly") {
+    val docs = Seq(
+      (1L, "a b c d"),      // grams: "a b c", "b c d" — both first owned here
+      (2L, "a b c d"),      // identical: zero novel
+      (3L, "a b c x y z")). // "a b c" seen; "b c x", "c x y", "x y z" novel
+      toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 4L, 3L, 0.75)))
+    // corpus identity: novel grams across docs == distinct grams overall
+    val total = TextAnalysis.ngramNovelty(Tables.load(spark, sf, "documents"), n = 3)
+    val novelSum = total.agg(sum($"n_novel")).head().getLong(0)
+    val distinctGrams = graft.operators.Dedup.shingles(
+      Tables.load(spark, sf, "documents"), 3).select($"shingle").distinct().count()
+    assert(novelSum == distinctGrams)
+  }
+
   test("zipfHistogram buckets document frequencies by exact log2") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b"), (3L, "a b"), (4L, "a")).toDF("doc_id", "text")
