@@ -170,13 +170,16 @@ object SparkEntry {
     // ---- LLM-pipeline operators: similarity search (operators.Similarity) ----
     "q18_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5)),
-    // q19/q32 are owned by the LSH forms (planes=2: coarser buckets →
-    // near-exact recall, a second operating point next to q57/q58's
-    // planes=4). The O(n²) brute baselines live in Similarity and are
-    // equality-asserted against these in SimilarityLshSpec — no
-    // all-pairs plan is reachable from the catalog.
+    // q19/q32 are owned by the LSH forms at the CORPUS-DERIVED
+    // operating point (Similarity.derivePlanes: enough hyperplanes
+    // that the mean bucket holds ≤125 vectors — candidate volume stays
+    // linear in n at any scale; at sf0.01's 500 vectors this reduces
+    // to planes=2). q57/q58 keep an explicit planes=4 as the fixed
+    // comparison point. The O(n²) brute baselines live in Similarity
+    // and are equality-asserted against these in SimilarityLshSpec —
+    // no all-pairs plan is reachable from the catalog.
     "q19_top_pairs" -> ((s, dir) =>
-      Similarity.topPairsLsh(Tables.load(s, dir, "embeddings"), n = 20, planes = 2, dim = 64)),
+      Similarity.topPairsLshAuto(Tables.load(s, dir, "embeddings"), n = 20, dim = 64)),
     "q20_cosine_topk_lsh" -> ((s, dir) =>
       Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4, dim = 64)),
 
@@ -307,10 +310,11 @@ object SparkEntry {
     "q31_user_sessions" -> ((s, dir) =>
       Sessionize.userSessionStats(Tables.load(s, dir, "events"), gapMinutes = 60)),
 
-    // ---- Embedding-cosine near-dup tier (operators.Similarity) ----
+    // ---- Embedding-cosine near-dup tier (operators.Similarity) at
+    // the corpus-derived plane count (see q19's comment) ----
     "q32_embedding_neardups" -> ((s, dir) =>
-      Similarity.embeddingNearDupsLsh(Tables.load(s, dir, "embeddings"),
-        minCos = 0.45, planes = 2, dim = 64)),
+      Similarity.embeddingNearDupsLshAuto(Tables.load(s, dir, "embeddings"),
+        minCos = 0.45, dim = 64)),
 
     // ---- IVF coarse-quantizer ANN (operators.Similarity) ----
     "q47_cosine_topk_ivf" -> ((s, dir) =>
@@ -571,10 +575,12 @@ object SparkEntry {
         nQueries = 10, k = 5)),
 
     // ---- SemDeDup: k-means clusters as the candidate generator,
-    // exact cosine only within a cluster ----
+    // exact cosine only within a cluster. k is corpus-derived
+    // (Similarity.deriveK: mean cluster ≤64 vectors, so intra-cluster
+    // pair volume stays linear in n; 500 vectors → k=8) ----
     "q93_semantic_neardups" -> ((s, dir) =>
-      Similarity.semanticNearDups(Tables.load(s, dir, "embeddings"),
-        k = 8, iters = 2, minCos = 0.45)),
+      Similarity.semanticNearDupsAuto(Tables.load(s, dir, "embeddings"),
+        iters = 2, minCos = 0.45)),
 
     // ---- MinHash estimator accuracy on LSH candidates: estimated vs
     // exact Jaccard with absolute error ----
@@ -1009,6 +1015,29 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** DuckDB mirror of Similarity.derivePlanes / deriveK: the same
+    * integer scan (`min p >= 2 with 2^p * 125 >= n`) and ceil-division
+    * (`max(8, ceil(n/64))`) over the live corpus count — so the oracle
+    * lands on the identical operating point at EVERY scale factor, not
+    * just the one the driver checks.
+    */
+  private val derivedParCte: String =
+    """nn AS (SELECT count(*) AS n FROM embeddings),
+      |par AS (SELECT min(p.range) AS planes FROM range(2, 40) p, nn
+      |        WHERE (CAST(1 AS BIGINT) << CAST(p.range AS INT)) * 125 >= nn.n),
+      |kk AS (SELECT greatest(8, CAST((n + 63) // 64 AS BIGINT)) AS k FROM nn)""".stripMargin
+
+  /** Dynamic-plane-count twin of [[lshBucketSql]]: the per-plane CASE
+    * terms fold inside a `list_transform(range(0, par.planes), p -> …)`
+    * (requires `CROSS JOIN par` in the enclosing FROM), bit-identical
+    * to the unrolled form for the same plane count.
+    */
+  private def lshBucketDynSql(v: String): String =
+    s"""CAST(list_sum(list_transform(range(0, CAST(par.planes AS INT)), p ->
+       |  CASE WHEN list_dot_product($v, list_transform(range(0, len($v)),
+       |    d -> (CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,8) AS BIGINT) % 1000) / 1000.0 - 0.5)) > 0
+       |  THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1211,8 +1240,9 @@ object SparkEntry {
 
     "q19_top_pairs" ->
       s"""WITH $normalizedCte,
-         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 2)} AS bucket
-         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id),
+         |$derivedParCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketDynSql("e0.v")} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id CROSS JOIN par),
          |pairs AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
@@ -1323,8 +1353,9 @@ object SparkEntry {
 
     "q32_embedding_neardups" ->
       s"""WITH $normalizedCte,
-         |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 2)} AS bucket
-         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id)
+         |$derivedParCte,
+         |b AS (SELECT e0.vec_id, e.u, ${lshBucketDynSql("e0.v")} AS bucket
+         |      FROM e0 JOIN e ON e0.vec_id = e.vec_id CROSS JOIN par)
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, list_dot_product(x.u, y.u) AS cosine
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE list_dot_product(x.u, y.u) >= 0.45
@@ -1883,7 +1914,8 @@ object SparkEntry {
 
     "q93_semantic_neardups" ->
       s"""WITH $normalizedCte,
-         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 8),
+         |$derivedParCte,
+         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < (SELECT k FROM kk)),
          |s1 AS (SELECT e.vec_id, e.u, c.cid, list_dot_product(e.u, c.cu) AS cs
          |       FROM e CROSS JOIN c0 c),
          |a1 AS (SELECT vec_id, u, cid FROM (

@@ -170,10 +170,11 @@ object Multimodal {
         try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
       if (iis == null) return null
+      var reader: javax.imageio.ImageReader = null
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return null
-        val reader = readers.next()
+        reader = readers.next()
         if (!reader.getFormatName.equalsIgnoreCase("gif")) return null
         reader.setInput(iis, false, false)
         val n = reader.getNumImages(true)
@@ -198,10 +199,14 @@ object Multimodal {
           out(i) = (tl, bos.toByteArray)
           i += 1
         }
-        reader.dispose()
         out
       } catch { case _: Exception => null }
-      finally iis.close()
+      finally {
+        // dispose/close must not fail the task: a malformed payload's
+        // contract is the null → stub fallback, never an exception
+        if (reader != null) try reader.dispose() catch { case _: Exception => () }
+        try iis.close() catch { case _: Exception => () }
+      }
     }
 
     /** The frame displayed at `tsMs` on the looping GIF timeline. */

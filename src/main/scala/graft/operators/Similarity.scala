@@ -112,6 +112,40 @@ object Similarity {
       .orderBy(col("rnk"))
   }
 
+  /** Corpus-derived hyperplane count: the smallest `p >= minPlanes`
+    * with `2^p * targetBucket >= n` — i.e. enough buckets that the
+    * MEAN bucket holds at most `targetBucket` vectors. Integer-exact
+    * on purpose (no floating log2 whose ulp could flip the answer at a
+    * power-of-two corpus size), so the DuckDB oracle reproduces it
+    * with the same `min(p) WHERE (1 << p) * targetBucket >= n` scan.
+    *
+    * This is the scale guard for every bucketed pair operator: with a
+    * FIXED plane count the candidate volume Σ_b |b|² is Θ(n²/2^p) —
+    * quadratic at any operating point — while with planes derived from
+    * n the mean bucket stays ≤ targetBucket and the expected candidate
+    * volume is Θ(n · targetBucket), linear in the corpus. At the
+    * testdata sizes the derivation reduces to the catalog's historical
+    * constants: n=500 → 2 planes, n=2000 → 4, n=50000 → 9.
+    */
+  def derivePlanes(n: Long, targetBucket: Long = 125L, minPlanes: Int = 2): Int = {
+    require(targetBucket > 0 && minPlanes >= 0 && minPlanes <= 62)
+    var p = minPlanes
+    while (p < 62 && (1L << p) * targetBucket < n) p += 1
+    p
+  }
+
+  /** Corpus-derived k-means cluster count: `max(minK, ceil(n /
+    * targetCluster))`, integer-exact (`(n + t - 1) / t`). Same role as
+    * [[derivePlanes]] for the SemDeDup candidate generator: fixed k
+    * means Θ(n²/k) intra-cluster pairs; k ∝ n keeps the mean cluster
+    * at targetCluster vectors and the pair volume linear. n=500 → 8,
+    * n=2000 → 32.
+    */
+  def deriveK(n: Long, targetCluster: Long = 64L, minK: Int = 8): Int = {
+    require(targetCluster > 0 && minK >= 1)
+    math.max(minK.toLong, (n + targetCluster - 1) / targetCluster).toInt
+  }
+
   /** Deterministic hyperplane coefficient for plane `p`, dim `d`: the
     * portable hash of "p_d" mapped to [-0.5, 0.5). Same value whether
     * computed here (driver), by Spark's conv(md5(...)), or by the
@@ -198,6 +232,7 @@ object Similarity {
     * Output: (vec_id, cluster_id) ordered by vec_id.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters): round 1 produces the assignment")
     val e = normalized(embeddings)
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
@@ -381,6 +416,31 @@ object Similarity {
       .select(col("rnk").cast("long").as("rnk"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("rnk"))
   }
+
+  /** [[topPairsLsh]] at the corpus-derived operating point: `planes`
+    * comes from [[derivePlanes]] over a cheap metadata-only corpus
+    * count, so the candidate volume stays Θ(n · targetBucket) — linear
+    * — at ANY corpus size instead of Θ(n²/2^p) at a frozen p. This is
+    * the catalog form (q19); the explicit-planes overload remains for
+    * fixed-operating-point comparison rows (q57) and tests.
+    */
+  def topPairsLshAuto(embeddings: DataFrame, n: Int, dim: Int): DataFrame =
+    topPairsLsh(embeddings, n, derivePlanes(embeddings.count()), dim)
+
+  /** [[embeddingNearDupsLsh]] at the corpus-derived operating point
+    * (see [[topPairsLshAuto]]); the catalog form (q32).
+    */
+  def embeddingNearDupsLshAuto(embeddings: DataFrame, minCos: Double, dim: Int): DataFrame =
+    embeddingNearDupsLsh(embeddings, minCos, derivePlanes(embeddings.count()), dim)
+
+  /** [[semanticNearDups]] at the corpus-derived cluster count: `k`
+    * comes from [[deriveK]] so the mean cluster stays at targetCluster
+    * vectors and intra-cluster pair volume is linear in n — how
+    * SemDeDup actually runs at web scale (k grows with the corpus).
+    * The catalog form (q93).
+    */
+  def semanticNearDupsAuto(embeddings: DataFrame, iters: Int, minCos: Double): DataFrame =
+    semanticNearDups(embeddings, deriveK(embeddings.count()), iters, minCos)
 
   /** LSH-accelerated top-k: exact cosine computed only against vectors
     * in the query's bucket. Recall < 1 by construction; the 100 TB

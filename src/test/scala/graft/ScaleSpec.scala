@@ -53,6 +53,39 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("corpus-derived planes bound LSH candidate volume on 10x/20x staged corpora") {
+    import graft.operators.Similarity
+    val base = Tables.load(spark, sf, "embeddings")
+    val baseN = base.count()
+    def staged(mult: Int) =
+      (0 until mult).map(i => base.withColumn("vec_id", $"vec_id" + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+    for (mult <- Seq(10, 20)) {
+      val e = staged(mult).cache()
+      val n = e.count()
+      val planes = Similarity.derivePlanes(n)
+      // the defining bound: enough buckets that the MEAN bucket holds
+      // at most 125 vectors — so expected candidate volume is linear
+      assert((1L << planes) * 125 >= n)
+      assert(planes == 2 || (1L << (planes - 1)) * 125 < n) // and no overshoot
+      def candVolume(p: Int): Long =
+        Similarity.signLshBuckets(e, p, 64)
+          .groupBy($"bucket").agg(count(lit(1)).as("nb"))
+          .agg(expr("sum(nb * (nb - 1) DIV 2)")).as[Long].head()
+      val derived = candVolume(planes)
+      val frozen = candVolume(2) // the old fixed catalog operating point
+      // staging by exact copies is the LSH worst case (identical
+      // vectors always share a bucket), yet the derived plane count
+      // still cuts candidate volume far below the frozen-planes
+      // quadratic — the scale guard this derivation exists for
+      assert(derived * 2 <= frozen, s"mult=$mult derived=$derived frozen=$frozen")
+      // sanity floor: the mult-sized identical-copy cliques are
+      // irreducible candidates, so the measurement is really counting
+      assert(derived >= baseN * mult * (mult - 1) / 2)
+      e.unpersist()
+    }
+  }
+
   test("merged per-day HLL sketches estimate global distinct within 5%") {
     val ev = Tables.load(spark, sf, "events")
     val exact = ev.agg(countDistinct($"user_id")).head().getLong(0).toDouble

@@ -78,6 +78,41 @@ class SimilarityLshSpec extends AnyFunSuite {
       .foreach { case (c, a, b) => assert(assign(a) == c && assign(b) == c) }
   }
 
+  test("derivePlanes/deriveK reduce to the catalog constants at testdata sizes and scale with n") {
+    assert(Similarity.derivePlanes(500) == 2)   // sf0.001 / sf0.01
+    assert(Similarity.derivePlanes(2000) == 4)  // sf0.1 — the q57/q58 point
+    assert(Similarity.derivePlanes(50000) == 9) // 100× sf0.01
+    assert(Similarity.deriveK(500) == 8)
+    assert(Similarity.deriveK(2000) == 32)
+    // integer-exact at the boundary: one vector past a power-of-two
+    // capacity must open the next plane (a float log2 could ulp-flip)
+    assert(Similarity.derivePlanes(2000 * 1) == 4 && Similarity.derivePlanes(2001) == 5)
+    assert(Similarity.deriveK(2048) == 32 && Similarity.deriveK(2049) == 33)
+    // floors: tiny corpora never go below the minimum operating point
+    assert(Similarity.derivePlanes(1) == 2 && Similarity.deriveK(1) == 8)
+  }
+
+  test("auto pair operators equal the explicit forms at the derived operating point") {
+    val n = embs.count()
+    val planes = Similarity.derivePlanes(n)
+    val auto = Similarity.embeddingNearDupsLshAuto(embs, 0.45, dim = 64)
+    val explicit = Similarity.embeddingNearDupsLsh(embs, 0.45, planes, dim = 64)
+    assert(auto.count() == explicit.count() && auto.exceptAll(explicit).isEmpty)
+    val autoTop = Similarity.topPairsLshAuto(embs, n = 20, dim = 64)
+    val explicitTop = Similarity.topPairsLsh(embs, n = 20, planes, dim = 64)
+    assert(autoTop.exceptAll(explicitTop).isEmpty && autoTop.count() == explicitTop.count())
+    val autoSem = Similarity.semanticNearDupsAuto(embs, iters = 2, minCos = 0.45)
+    val explicitSem = Similarity.semanticNearDups(embs, Similarity.deriveK(n), iters = 2, minCos = 0.45)
+    assert(autoSem.count() == explicitSem.count() && autoSem.exceptAll(explicitSem).isEmpty)
+    // the auto pairs remain a subset of the exact all-pairs baseline
+    assert(auto.exceptAll(Similarity.embeddingNearDups(embs, 0.45)).isEmpty)
+  }
+
+  test("kmeansAssign rejects iters < 1 with a clear error") {
+    val e = intercept[IllegalArgumentException](Similarity.kmeansAssign(embs, k = 8, iters = 0))
+    assert(e.getMessage.contains("iters"))
+  }
+
   test("recallAtKInt8: bounded per query and high (quantization only flips near-ties)") {
     val r = Similarity.recallAtKInt8(embs, nQueries = 10, k = 5)
       .as[(Long, Long, Double)].collect()
