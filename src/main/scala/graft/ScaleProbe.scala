@@ -105,6 +105,10 @@ object ScaleProbe {
     time("custom_topk", graft.plans.TopK.perGroup(
       events.select($"user_id", $"event_id", $"value"),
       Seq($"user_id"), Seq($"value".desc, $"event_id".asc), 3))
+    time("semantic_neardups_auto", Similarity.semanticNearDupsAuto(embs, iters = 2, minCos = 0.45))
+    time("neardups_lsh_auto", Similarity.embeddingNearDupsLshAuto(embs, minCos = 0.45, dim = 64))
+    time("minhash_estimate", Dedup.minhashEstimateAccuracy(docs, 3, 16, 4, 0.5))
+    time("ngram_novelty", TextAnalysis.ngramNovelty(docs, 3))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

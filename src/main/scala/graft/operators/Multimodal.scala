@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * REAL for WAV/AIFF — `javax.sound.sampled` (also JDK built-in)
   * yields true sample rate, channel count, frame count, duration and
   * PCM RMS level. VIDEO frame extraction is REAL for animated GIF —
-  * ImageIO iterates the frames and their GraphicControl delays, and
-  * [[sampleFrames]] maps each sampled timestamp to the frame shown at
-  * that instant. Payloads no installed reader recognizes (and learned
-  * features / non-GIF video) fall back to the clearly-marked
+  * ImageIO iterates the frames and their GraphicControl delays — and
+  * for MJPEG-in-AVI — a pure-JVM RIFF chunk walk feeds each frame
+  * chunk's JPEG through the same ImageIO path — and [[sampleFrames]]
+  * maps each sampled timestamp to the frame shown at that instant.
+  * Payloads no installed reader recognizes (and learned features /
+  * other video containers) fall back to the clearly-marked
   * deterministic fake, because this container ships no media codecs
   * beyond the JDK. Everything around the codec
   * — schemas, encoders, batch shape, explode semantics, partitioning
@@ -215,6 +217,69 @@ object Multimodal {
       frames.find(_._1 > t).getOrElse(frames.last)._2
     }
 
+    /** Real frame extraction for MJPEG-in-AVI — the second true video
+      * container beside animated GIF, decodable with zero non-JDK
+      * dependencies: AVI is RIFF framing, and in motion-JPEG each
+      * `##dc`/`##db` movi chunk is a complete JPEG the existing
+      * ImageIO path decodes. The walker reads `avih`'s
+      * dwMicroSecPerFrame for the timeline (0 → the 100 ms fallback
+      * GIF also uses) and collects every JPEG-bearing frame chunk
+      * (word-aligned, nested LISTs recursed). Returns the same
+      * (cumulative display-end ms, PNG bytes) shape as [[gifFrames]],
+      * or null when the payload is not a multi-frame MJPEG AVI.
+      */
+    def aviFrames(bytes: Array[Byte]): Array[(Long, Array[Byte])] = {
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      try {
+        if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+        var frameMs = 100L
+        val jpegs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = u32(off + 4).toInt
+            if (sz < 0 || off + 8 + sz > end) return // malformed size: stop cleanly
+            if (id == "LIST") walk(off + 12, off + 8 + sz) // skip the list-type fourcc
+            else if (id == "avih" && sz >= 4) {
+              val usPerFrame = u32(off + 8)
+              if (usPerFrame > 0) frameMs = math.max(1L, usPerFrame / 1000L)
+            } else if (sz > 2 && (id.endsWith("dc") || id.endsWith("db")) &&
+              bytes(off + 8) == 0xff.toByte && bytes(off + 9) == 0xd8.toByte) {
+              jpegs += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+            }
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, math.min(bytes.length.toLong, 8L + u32(4)).toInt)
+        if (jpegs.length < 2) return null
+        var tl = 0L
+        val out = new Array[(Long, Array[Byte])](jpegs.length)
+        var i = 0
+        while (i < jpegs.length) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegs(i)))
+          if (img == null) return null
+          tl += frameMs
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          out(i) = (tl, bos.toByteArray)
+          i += 1
+        }
+        out
+      } catch { case _: Exception => null }
+    }
+
+    /** Frames of any REAL container this codec can walk (animated GIF,
+      * then MJPEG-AVI), or null → callers use the labeled fake.
+      */
+    def videoFrames(bytes: Array[Byte]): Array[(Long, Array[Byte])] = {
+      val g = gifFrames(bytes)
+      if (g != null) g else aviFrames(bytes)
+    }
+
     /** === STUB === fake frame decode at a timestamp, for payloads in
       * formats this container has no codec for (MP4, WebM, ...).
       */
@@ -292,18 +357,18 @@ object Multimodal {
 
   /** Sample one frame every `everyMs` over `durationMs` — a typed
     * explode: one input row fans out to durationMs/everyMs frame rows.
-    * REAL for animated GIF: the payload's frames are decoded once per
-    * record (with their GraphicControl delays) and each sampled
-    * timestamp receives the frame actually displayed at that instant
-    * on the looping timeline, PNG-encoded. Non-GIF payloads fall back
-    * to the clearly-marked deterministic fake (no other video codec
-    * ships in this container).
+    * REAL for animated GIF and MJPEG-in-AVI: the payload's frames are
+    * decoded once per record (GraphicControl delays / avih frame
+    * period) and each sampled timestamp receives the frame actually
+    * displayed at that instant on the looping timeline, PNG-encoded.
+    * Other payloads fall back to the clearly-marked deterministic
+    * fake (no further video codec ships in this container).
     */
   def sampleFrames(media: Dataset[MediaRecord], durationMs: Long, everyMs: Long): Dataset[Frame] =
     media.mapPartitions { it =>
       val codec = new StubCodec
       it.flatMap { r =>
-        val real = codec.gifFrames(r.content) // one decode per record, reused per tick
+        val real = codec.videoFrames(r.content) // one decode per record, reused per tick
         (0L until durationMs by everyMs).zipWithIndex.map { case (ts, idx) =>
           val px = if (real != null) codec.frameActiveAt(real, ts)
                    else codec.frameAt(r.content, ts)

@@ -151,6 +151,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert((decoded(1).getRGB(2, 2) & 0xffffff) == 0x0000ff)
   }
 
+  test("sampleFrames really extracts MJPEG-AVI frames via the RIFF walk") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // two 4x4 frames — solid red then solid blue — at 40 ms/frame
+    def solid(rgb: Int) = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+      img
+    }
+    def jpeg(img: BufferedImage) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def lst(typ: String, body: Array[Byte]) =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val hdrl = lst("hdrl", chunk("avih", le32(40000L) ++ Array.fill[Byte](52)(0)))
+    val movi = lst("movi",
+      chunk("00dc", jpeg(solid(0xff0000))) ++ chunk("00dc", jpeg(solid(0x0000ff))))
+    val payload = hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4L + payload.length) ++
+      "AVI ".getBytes("US-ASCII") ++ payload
+
+    val df = Seq((11L, avi)).toDF("doc_id", "payload")
+    val m = Multimodal.asMedia(df, "doc_id", "payload", "video", "video/x-msvideo")
+    // ticks 0 and 40 ms land on frame 0 (red) and frame 1 (blue)
+    val frames = Multimodal.sampleFrames(m, durationMs = 80, everyMs = 40)
+      .orderBy($"frame_idx").collect()
+    assert(frames.length == 2)
+    val decoded = frames.map(f => ImageIO.read(new java.io.ByteArrayInputStream(f.frame)))
+    assert(decoded.forall(i => i != null && i.getWidth == 4 && i.getHeight == 4))
+    def rgb(i: BufferedImage) = { val v = i.getRGB(2, 2); ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff) }
+    val (r0, g0, b0) = rgb(decoded(0))
+    val (r1, g1, b1) = rgb(decoded(1))
+    // JPEG is lossy: assert channel dominance, not exact values
+    assert(r0 > 180 && g0 < 100 && b0 < 100, s"frame0 not red: ($r0,$g0,$b0)")
+    assert(b1 > 180 && r1 < 100 && g1 < 100, s"frame1 not blue: ($r1,$g1,$b1)")
+    // malformed RIFF payloads fall back to null (→ labeled fake), never throw
+    assert(new Multimodal.StubCodec().aviFrames("RIFF????AVI garbage".getBytes("US-ASCII")) == null)
+  }
+
   test("extractFeatures yields unit-norm vectors usable by Similarity") {
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val norms = feats.select($"media_id",
