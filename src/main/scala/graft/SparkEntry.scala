@@ -593,6 +593,33 @@ object SparkEntry {
     "q95_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.load(s, dir, "documents"), n = 3)),
 
+    // ---- kNN majority-vote label classification: queries broadcast,
+    // one pass over the labeled train corpus ----
+    "q96_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.load(s, dir, "embeddings"),
+        nQueries = 50, k = 5)),
+
+    // ---- Embedding outlier scoring: fixed-point cosine to the
+    // quantized-sum corpus centroid, 50 most outlying ----
+    "q97_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(Tables.load(s, dir, "embeddings"), n = 50)),
+
+    // ---- Deterministic sharded epoch shuffle: seed-keyed hash order
+    // within hash-assigned shards (trainer file layout) ----
+    "q98_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(Tables.load(s, dir, "documents"),
+        keyCol = "doc_id", seed = "epoch0", nShards = 8)),
+
+    // ---- Cluster purity vs ground-truth labels over the q75 k-means
+    // assignment (clustering acceptance check) ----
+    "q99_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(Tables.load(s, dir, "embeddings"), k = 8, iters = 2)),
+
+    // ---- Duplicated-span inventory: word 8-grams in >=2 docs with
+    // df / occurrences / first owner (boilerplate detector) ----
+    "q100_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.load(s, dir, "documents"), n = 8, minDf = 2)),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -1986,6 +2013,98 @@ object SparkEntry {
          |  count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
          |  CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE) / count(*) AS novelty
          |FROM own GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_knn_classify" ->
+      s"""WITH $normalizedCte,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |el AS (SELECT e.vec_id, e.u, l.label FROM e JOIN lab l USING (vec_id)),
+         |scored AS (SELECT q.vec_id AS qid, q.label AS true_label, t.label AS label,
+         |                  t.vec_id AS nid, list_dot_product(q.u, t.u) AS cosine
+         |           FROM el q JOIN el t ON q.vec_id < 50 AND t.vec_id >= 50),
+         |rk AS (SELECT qid, true_label, label,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |       FROM scored),
+         |votes AS (SELECT qid, true_label, label, count(*) AS votes
+         |          FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |pick AS (SELECT qid, true_label, label, votes,
+         |                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+         |         FROM votes)
+         |SELECT qid, true_label, label AS pred_label, votes
+         |FROM pick WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "q97_embedding_outliers" ->
+      s"""WITH $normalizedCte,
+         |ux AS (SELECT unnest(u) AS x, unnest(range(0, len(u))) AS pos FROM e),
+         |mx AS (SELECT pos, SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |              COUNT(*) AS cnt
+         |       FROM ux GROUP BY pos),
+         |cm AS (SELECT list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv FROM mx),
+         |c1 AS (SELECT list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu FROM cm),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |scored AS (SELECT e.vec_id,
+         |             CAST(floor(list_dot_product(e.u, c.cu) * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
+         |           FROM e CROSS JOIN c1 c),
+         |r AS (SELECT s.vec_id, l.label, s.cos_fp,
+         |             ROW_NUMBER() OVER (ORDER BY s.cos_fp ASC, s.vec_id) AS rnk
+         |      FROM scored s JOIN lab l USING (vec_id))
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, label, cos_fp
+         |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    "q98_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             ${hash32Sql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS hh
+         |           FROM documents),
+         |s AS (SELECT doc_id, hh, hh % 8 AS shard FROM h)
+         |SELECT shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS shard_pos,
+         |  doc_id
+         |FROM s ORDER BY shard, shard_pos""".stripMargin,
+
+    "q99_cluster_purity" ->
+      s"""WITH $normalizedCte,
+         |c0 AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.u, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, u, cid FROM (
+         |         SELECT vec_id, u, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s1) WHERE rn = 1),
+         |ux AS (SELECT cid, unnest(u) AS x, unnest(range(0, len(u))) AS pos FROM a1),
+         |mx AS (SELECT cid, pos,
+         |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         COUNT(*) AS cnt
+         |       FROM ux GROUP BY cid, pos),
+         |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
+         |       FROM mx GROUP BY cid),
+         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |       FROM cm),
+         |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
+         |       FROM e CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |         FROM s2) WHERE rn = 1),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |bl AS (SELECT a2.cid, l.label, count(*) AS n
+         |       FROM a2 JOIN lab l USING (vec_id) GROUP BY 1, 2),
+         |pk AS (SELECT cid, label, n,
+         |              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+         |       FROM bl)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id,
+         |  CAST(SUM(n) AS BIGINT) AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN label END) AS maj_label,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN n END) * 1000000 // SUM(n) AS BIGINT) AS purity_ppm
+         |FROM pk GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
+    "q100_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-7)) AS i FROM toks WHERE len(w) >= 8),
+        |sp AS (SELECT doc_id, array_to_string(w[i+1:i+8], ' ') AS span FROM idx)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS occurrences, min(doc_id) AS first_doc
+        |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, span""".stripMargin,
 
     "q92_ann_recall_int8" ->
       s"""WITH $normalizedCte,

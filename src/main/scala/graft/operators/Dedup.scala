@@ -45,6 +45,35 @@ object Dedup {
       ).as("shingle"))
       .distinct()
 
+  /** Duplicated-span inventory: every word n-gram span occurring in at
+    * least `minDf` DISTINCT documents, with its document frequency,
+    * total occurrence count, and first owner — the boilerplate
+    * detector (exact-substring dedup at n-gram granularity, the
+    * Lee et al. "Deduplicating Training Data" diagnostic): spans with
+    * high df are headers/footers/license blocks to strip before
+    * training.
+    *
+    * Scale shape: one narrow explode (no distinct — occurrences
+    * counted too) into ONE map-side-combinable groupBy keyed on the
+    * span; count-distinct over doc_id rides the same exchange. No
+    * joins, no pair enumeration — linear in total corpus tokens.
+    * Output: (span, n_docs, occurrences, first_doc) ordered by
+    * (n_docs desc, span).
+    */
+  def dupSpans(docs: DataFrame, n: Int, minDf: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")
+      ).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(col("n_docs").desc, col("span"))
+
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id.
     * Output: (fp, keep_id, n_copies) ordered by keep_id.
     */

@@ -84,4 +84,31 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Deterministic sharded epoch shuffle: the training-order
+    * materializer. Each row gets a seed-keyed hash; the hash's modulus
+    * picks one of `nShards` output shards and its value orders rows
+    * WITHIN the shard. Changing the seed string ("epoch0", "epoch1",
+    * …) produces an independent permutation, and any engine — or a
+    * retried task — reproduces the identical order, which `rand()`
+    * cannot promise.
+    *
+    * Scale shape: a global `row_number` would funnel 100 TB through
+    * one window partition; sharding makes every window partition a
+    * shard (nShards in the tens of thousands at real scale, so each
+    * shard is a bounded trainer-file-sized slice), i.e. one hash-
+    * partitioned exchange and fully parallel sorts — the same layout
+    * trainers consume (one file per shard, read in shard_pos order).
+    * Output: input keyCol + (shard, shard_pos), ordered by (shard, shard_pos).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val h = PortableHash.hash32(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.select(col(keyCol), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("shard_pos"), col(keyCol))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
 }

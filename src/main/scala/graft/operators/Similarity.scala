@@ -462,4 +462,108 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("cosine"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** kNN majority-vote label classification: the labeled vectors with
+    * `vec_id >= nQueries` are the train set; each query (`vec_id <
+    * nQueries`) takes its k exact-cosine nearest train neighbours and
+    * predicts the most frequent neighbour label (ties broken by the
+    * smaller label — deterministic, engine-portable). The standard
+    * weak-supervision / label-propagation primitive for seeding
+    * training-data taxonomies from a small labeled pool.
+    *
+    * Scale shape: the query side is bounded (a labeling batch, not the
+    * corpus) and broadcast, so scoring is ONE pass over the train
+    * corpus with no shuffle of the corpus itself; the top-k window and
+    * vote agg shuffle only nQueries·n candidate rows, and at real
+    * scale the scoring join swaps to the IVF/LSH candidate generators
+    * above without touching the vote logic.
+    * Output: (qid, true_label, pred_label, votes) ordered by qid.
+    */
+  def knnClassify(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val el = normalized(embeddings).join(lab, Seq("vec_id"))
+    val q = el.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("label").as("true_label"))
+    val train = el.filter(col("vec_id") >= nQueries)
+    val scored = train.crossJoin(broadcast(q))
+      .select(col("qid"), col("true_label"), col("label"), col("vec_id").as("nid"),
+        expr(dotExpr("qu", "u")).as("cosine"))
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    val votes = scored.withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(pick)).filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
+  /** Distance-to-centroid outlier scoring: cosine of each unit vector
+    * against the corpus centroid, most outlying first — the embedding-
+    * space quality filter (mislabeled / off-distribution documents sit
+    * far from the data's mean direction). The centroid is computed
+    * from micro-unit-quantized i64 lane sums (exactly as
+    * [[kmeansAssign]]'s update step) so it is order-independent and
+    * bit-reproducible in any engine; the emitted score is fixed-point
+    * i64 (`floor(cos·1e6 + 0.5)`) for the same reason.
+    *
+    * Scale shape: one map-side-combinable groupBy over dim·n quantized
+    * lanes (dim rows out), centroid broadcast back via a 1-row cross
+    * join, then a codegen dot per row — no corpus shuffle anywhere;
+    * the top-n is a TakeOrderedAndProject heap, not a global sort.
+    * Output: (rnk, vec_id, label, cos_fp) ordered by rnk (ascending cosine).
+    */
+  def embeddingOutliers(embeddings: DataFrame, n: Int): DataFrame = {
+    val e = normalized(embeddings)
+    val cv = e.select(posexplode(col("u")).as(Seq("pos", "x")))
+      .select(col("pos"), expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("pos"), (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(expr("transform(pm, s -> s.m)").as("cv"))
+      .select(expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val scored = e.crossJoin(broadcast(cv))
+      .select(col("vec_id"),
+        expr(s"cast(floor(${dotExpr("u", "cu")} * 1000000.0D + 0.5D) as bigint)").as("cos_fp"))
+      .join(lab, Seq("vec_id"))
+      .orderBy(col("cos_fp").asc, col("vec_id"))
+      .limit(n) // TakeOrderedAndProject: per-partition bottom-n heaps
+    scored.withColumn("rnk", row_number().over(
+        Window.orderBy(col("cos_fp").asc, col("vec_id"))))
+      .select(col("rnk").cast("long").as("rnk"), col("vec_id"), col("label"), col("cos_fp"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Cluster-quality evaluation: purity of each [[kmeansAssign]]
+    * cluster against the ground-truth `label` column — members, the
+    * majority label, and purity as exact parts-per-million (integer
+    * `maj·1e6 div n`, no float division to drift between engines). The
+    * standard acceptance check before using clusters for curation
+    * (SemDeDup, mixture balancing): low-purity clusters mean k is too
+    * small or the embedding space is poor.
+    *
+    * Scale shape: rides [[kmeansAssign]] (broadcast centroids, one
+    * corpus pass per Lloyd round) plus two map-side-combinable
+    * groupBys over (cluster, label) — at most k·|labels| rows after
+    * the first agg.
+    * Output: (cluster_id, n_members, maj_label, purity_ppm) ordered by cluster_id.
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val byLabel = kmeansAssign(embeddings, k, iters).join(lab, Seq("vec_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val pick = Window.partitionBy(col("cluster_id")).orderBy(col("n").desc, col("label"))
+    byLabel.withColumn("rn", row_number().over(pick))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_members"),
+        max(when(col("rn") === 1, col("label"))).as("maj_label"),
+        max(when(col("rn") === 1, col("n"))).as("maj_n"))
+      .select(col("cluster_id"), col("n_members"), col("maj_label"),
+        expr("maj_n * 1000000L div n_members").as("purity_ppm"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline operator semantics: kNN label voting, centroid
+  * outlier scoring, sharded epoch shuffle, cluster purity, and the
+  * duplicated-span inventory (q96-q100).
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  // Two tight clusters on orthogonal axes: vec 0/1 near +x (label 1,
+  // except the query), vec 2/3/4 near +y (label 2). Queries are 0 and 2.
+  private def tinyEmbs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 9),
+    (1L, Array(0.9f, 0.1f, 0.0f), 1),
+    (2L, Array(0.0f, 1.0f, 0.0f), 9),
+    (3L, Array(0.1f, 0.9f, 0.0f), 2),
+    (4L, Array(0.0f, 0.95f, 0.1f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnClassify predicts the label of the geometric neighbours, not the query's own") {
+    val out = Similarity.knnClassify(tinyEmbs, nQueries = 3, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // queries are 0,1,2; train is 3,4 (both label 2)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    out.foreach { case (_, _, pred, votes) => assert(pred == 2L && votes == 2L) }
+    // true_label passes through unchanged
+    assert(out.map(r => r._1 -> r._2).toMap == Map(0L -> 9L, 1L -> 1L, 2L -> 9L))
+  }
+
+  test("knnClassify vote tie breaks to the smaller label") {
+    // query 0 at the bisector of two train vectors with labels 7 and 3
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f), 0),
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(e, nQueries = 1, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 1 && out.head._3 == 3L && out.head._4 == 1L)
+  }
+
+  test("knnClassify on testdata: 50 rows, votes within [1,k], deterministic") {
+    val a = Similarity.knnClassify(embs, nQueries = 50, k = 5).collect()
+    val b = Similarity.knnClassify(embs, nQueries = 50, k = 5).collect()
+    assert(a.length == 50 && a.sameElements(b))
+    a.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L))
+  }
+
+  test("embeddingOutliers ranks the contrarian vector first") {
+    // three aligned vectors and one pointing the opposite way
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(e, n = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.head._2 == 3L)              // most outlying = the flipped vector
+    assert(out.map(_._1).toSeq == (1L to 4L)) // dense ranks
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted) // ascending cosine
+  }
+
+  test("embeddingOutliers scores are fixed-point cosines in [-1e6, 1e6]") {
+    val out = Similarity.embeddingOutliers(embs, n = 20).collect()
+    assert(out.length == 20)
+    out.foreach(r => assert(math.abs(r.getLong(3)) <= 1000000L))
+  }
+
+  test("epochShuffle partitions every row into dense per-shard positions") {
+    val out = Sampling.epochShuffle(docs, "doc_id", "epoch0", nShards = 8)
+    assert(out.count() == docs.count())
+    val perShard = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"shard_pos").as("lo"), max($"shard_pos").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    perShard.foreach { case (shard, n, lo, hi) =>
+      assert(shard >= 0L && shard < 8L && lo == 1L && hi == n)
+    }
+  }
+
+  test("epochShuffle is seed-deterministic and seed-sensitive") {
+    val a = Sampling.epochShuffle(docs, "doc_id", "epoch0", 8).collect()
+    val b = Sampling.epochShuffle(docs, "doc_id", "epoch0", 8).collect()
+    val c = Sampling.epochShuffle(docs, "doc_id", "epoch1", 8).collect()
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c)) // a different epoch is a different permutation
+  }
+
+  test("epochShuffle rejects nShards < 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, "doc_id", "epoch0", 0)
+    }
+  }
+
+  test("clusterPurity is 1e6 on perfectly label-separated clusters") {
+    // vec_id < k seeds the centroids, so 0 and 1 seed the two clusters
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 5),
+      (1L, Array(0.0f, 1.0f), 6),
+      (2L, Array(0.9f, 0.1f), 5),
+      (3L, Array(0.1f, 0.9f), 6)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(e, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 4L)
+    assert(out.map(r => r._3 -> r._4).toSet == Set(5L -> 1000000L, 6L -> 1000000L))
+  }
+
+  test("clusterPurity members sum to the corpus and purity is a valid ppm") {
+    val out = Similarity.clusterPurity(embs, k = 8, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == embs.count())
+    out.foreach { case (_, n, _, ppm) =>
+      assert(ppm >= 1000000L / n && ppm <= 1000000L) // majority >= 1/n share
+    }
+  }
+
+  test("dupSpans finds a shared 8-gram with exact df and occurrence counts") {
+    val shared = "a b c d e f g h"
+    val d = Seq(
+      (1L, s"$shared x y z"),
+      (2L, s"p q $shared"),
+      (3L, s"p q r s t u v w x y"), // no shared span
+      (4L, s"$shared $shared")      // two occurrences, one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, n = 8, minDf = 2)
+      .as[(String, Long, Long, Long)].collect()
+    val hit = out.find(_._1 == shared).get
+    assert(hit._2 == 3L && hit._4 == 1L) // docs 1,2,4; first owner 1
+    assert(hit._3 >= 4L)                 // 1+1+2 occurrences (overlaps add more)
+    out.foreach(r => assert(r._2 >= 2L))
+  }
+
+  test("dupSpans never reports a span absent from the shingle inventory") {
+    val spans = Dedup.dupSpans(docs, n = 8, minDf = 2).select($"span")
+    val all = Dedup.shingles(docs, 8).select($"shingle".as("span")).distinct()
+    assert(spans.exceptAll(all).isEmpty)
+  }
+}
