@@ -109,6 +109,11 @@ object ScaleProbe {
     time("neardups_lsh_auto", Similarity.embeddingNearDupsLshAuto(embs, minCos = 0.45, dim = 64))
     time("minhash_estimate", Dedup.minhashEstimateAccuracy(docs, 3, 16, 4, 0.5))
     time("ngram_novelty", TextAnalysis.ngramNovelty(docs, 3))
+    time("knn_classify", Similarity.knnClassify(embs, 50, 5))
+    time("embedding_outliers", Similarity.embeddingOutliers(embs, 50))
+    time("epoch_shuffle", Sampling.epochShuffle(docs, "doc_id", "epoch0", 8 * mult))
+    time("cluster_purity", Similarity.clusterPurity(embs, Similarity.deriveK(embs.count()), 2))
+    time("dup_spans", Dedup.dupSpans(docs, 8, 2))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -620,6 +620,12 @@ object SparkEntry {
     "q100_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(Tables.load(s, dir, "documents"), n = 8, minDf = 2)),
 
+    // ---- IVF-accelerated kNN classification: probed-cell candidates,
+    // identical vote logic to q96 (the swap-the-generator scale path) ----
+    "q101_knn_classify_ivf" -> ((s, dir) =>
+      Similarity.knnClassifyIvf(Tables.load(s, dir, "embeddings"),
+        nQueries = 50, k = 5, nlist = 16, nprobe = 4)),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -2105,6 +2111,35 @@ object SparkEntry {
         |  count(*) AS occurrences, min(doc_id) AS first_doc
         |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, span""".stripMargin,
+
+    "q101_knn_classify_ivf" ->
+      s"""WITH $normalizedCte,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.u, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.u, c.cu) DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |train AS (SELECT r.vec_id, r.u, l.label, r.cid AS cell
+         |          FROM ranked r JOIN lab l USING (vec_id)
+         |          WHERE r.crn = 1 AND r.vec_id >= 50),
+         |qprobe AS (SELECT r.vec_id AS qid, r.u AS qu, l.label AS true_label, r.cid AS cell
+         |           FROM ranked r JOIN lab l USING (vec_id)
+         |           WHERE r.vec_id < 50 AND r.crn <= 4),
+         |scored AS (SELECT q.qid, q.true_label, t.label, t.vec_id AS nid,
+         |                  list_dot_product(q.qu, t.u) AS cosine
+         |           FROM train t JOIN qprobe q ON t.cell = q.cell),
+         |rk AS (SELECT qid, true_label, label,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |       FROM scored),
+         |votes AS (SELECT qid, true_label, label, count(*) AS votes
+         |          FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         |pick AS (SELECT qid, true_label, label, votes,
+         |                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+         |         FROM votes)
+         |SELECT qid, true_label, label AS pred_label, votes
+         |FROM pick WHERE vr = 1 ORDER BY qid""".stripMargin,
 
     "q92_ann_recall_int8" ->
       s"""WITH $normalizedCte,

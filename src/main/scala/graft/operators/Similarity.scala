@@ -488,6 +488,15 @@ object Similarity {
     val scored = train.crossJoin(broadcast(q))
       .select(col("qid"), col("true_label"), col("label"), col("vec_id").as("nid"),
         expr(dotExpr("qu", "u")).as("cosine"))
+    majorityVote(scored, k)
+  }
+
+  /** The vote half of kNN classification, shared by every candidate
+    * generator: per-query top-k by cosine (ties to the lower nid),
+    * label counts, majority with ties to the smaller label.
+    * Input columns: (qid, true_label, label, nid, cosine).
+    */
+  private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
     val byQ = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     val votes = scored.withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
@@ -497,6 +506,39 @@ object Similarity {
     votes.withColumn("vr", row_number().over(pick)).filter(col("vr") === 1)
       .select(col("qid"), col("true_label"), col("label").as("pred_label"), col("votes"))
       .orderBy(col("qid"))
+  }
+
+  /** IVF-accelerated [[knnClassify]]: candidates come from the coarse
+    * quantizer's probed cells (exactly [[cosineTopKIvf]]'s generator)
+    * instead of a full train scan, and the vote logic is shared
+    * verbatim — the promised "swap the candidate generator, keep the
+    * classifier" scale path. With `nprobe = nlist` every cell is
+    * probed and the result equals the brute [[knnClassify]] exactly
+    * (asserted in TrainingOpsSpec); at scale nprobe ≪ nlist touches
+    * only ~nprobe/nlist of the corpus per query batch.
+    * Output: (qid, true_label, pred_label, votes) ordered by qid.
+    */
+  def knnClassifyIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+                     nlist: Int, nprobe: Int): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val e = normalized(embeddings)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+    val train = ranked.filter(col("crn") === 1 && col("vec_id") >= nQueries)
+      .join(lab, Seq("vec_id"))
+      .select(col("vec_id"), col("u"), col("label"), col("cid").as("cell"))
+    val qprobe = ranked.filter(col("vec_id") < nQueries && col("crn") <= nprobe)
+      .join(lab, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("u").as("qu"),
+        col("label").as("true_label"), col("cid").as("cell"))
+    val scored = train.join(broadcast(qprobe), Seq("cell"))
+      .select(col("qid"), col("true_label"), col("label"), col("vec_id").as("nid"),
+        expr(dotExpr("qu", "u")).as("cosine"))
+    majorityVote(scored, k)
   }
 
   /** Distance-to-centroid outlier scoring: cosine of each unit vector

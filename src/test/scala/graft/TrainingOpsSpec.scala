@@ -55,6 +55,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= 5L))
   }
 
+  test("knnClassifyIvf with nprobe = nlist equals the brute classifier exactly") {
+    val brute = Similarity.knnClassify(embs, nQueries = 10, k = 5)
+    val ivf = Similarity.knnClassifyIvf(embs, nQueries = 10, k = 5, nlist = 8, nprobe = 8)
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+  }
+
+  test("knnClassifyIvf probing fewer cells still answers every query here") {
+    val out = Similarity.knnClassifyIvf(embs, nQueries = 10, k = 5, nlist = 8, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach(r => assert(r._4 >= 1L && r._4 <= 5L))
+  }
+
   test("embeddingOutliers ranks the contrarian vector first") {
     // three aligned vectors and one pointing the opposite way
     val e = Seq(
