@@ -158,4 +158,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     val all = Dedup.shingles(docs, 8).select($"shingle".as("span")).distinct()
     assert(spans.exceptAll(all).isEmpty)
   }
+
+  // ---- physical-plan scale guards: the shapes that make these ops
+  // survive 100x are locked here, not just described in scaladoc ----
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q96/q101 broadcast the query batch and heap-prune the top-k before the exchange") {
+    for (q <- Seq("q96_knn_classify", "q101_knn_classify_ivf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q must broadcast the bounded query side")
+      assert(p.contains("WindowGroupLimit"), s"$q must pre-prune top-k per partition")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle the train corpus for a join")
+    }
+  }
+
+  test("q97 takes the bottom-n with a heap, not a global sort of the corpus") {
+    val p = plan("q97_embedding_outliers")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_sum"), "centroid lane sums must combine map-side")
+  }
+
+  test("q98 windows per shard — no empty-frame global window over the corpus") {
+    val p = plan("q98_epoch_shuffle")
+    // a global row_number renders as windowspecdefinition with no
+    // partition key before the ordering spec; the shard key must be there
+    assert(p.contains("windowspecdefinition(shard#") ||
+      p.contains("windowspecdefinition(shard"), "shard must partition the window")
+  }
+
+  test("q100 is one agg over the explode — no join operator anywhere in the plan") {
+    val p = plan("q100_dup_spans")
+    for (op <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(op), s"q100 must not contain $op")
+    assert(p.contains("partial_count") || p.contains("partial_min") || p.contains("HashAggregate"),
+      "span counts must combine map-side")
+  }
 }
