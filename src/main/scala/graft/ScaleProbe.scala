@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * near-duplicate clusters) and times the quadratic-risk operators —
   * the evidence behind SCALING.md. Not part of the driver contract.
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> <multiplier>
+  * Usage: runMain graft.ScaleProbe <sfDir> <multiplier> [op1,op2,...]
+  * (the optional third arg restricts the run to the named ops)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +47,7 @@ object ScaleProbe {
     println(s"""{"docs":${docs.count()},"embeddings":${embs.count()},"events":${events.count()},"mult":$mult}""")
 
     def time(name: String, df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       // construction is inside the timer (duplicateClusters iterates
       // eagerly while building); noop write, not count(), forces the
@@ -114,6 +118,8 @@ object ScaleProbe {
     time("epoch_shuffle", Sampling.epochShuffle(docs, "doc_id", "epoch0", 8 * mult))
     time("cluster_purity", Similarity.clusterPurity(embs, Similarity.deriveK(embs.count()), 2))
     time("dup_spans", Dedup.dupSpans(docs, 8, 2))
+    time("quality_logit", TextAnalysis.qualityLogit(docs))
+    time("cross_source_dups", Dedup.crossSourceDups(docs, 3, 0.5, 20))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

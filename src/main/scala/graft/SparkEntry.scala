@@ -626,6 +626,17 @@ object SparkEntry {
       Similarity.knnClassifyIvf(Tables.load(s, dir, "embeddings"),
         nQueries = 50, k = 5, nlist = 16, nprobe = 4)),
 
+    // ---- Linear quality-classifier inference: integer fixed-point
+    // features and logit, keep = logit >= 0 (model-based filter) ----
+    "q102_quality_logit" -> ((s, dir) =>
+      TextAnalysis.qualityLogit(Tables.load(s, dir, "documents"))),
+
+    // ---- Cross-source duplication matrix over the capped-Jaccard
+    // near-dup pairs (provenance diagnostic) ----
+    "q103_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDups(Tables.load(s, dir, "documents"),
+        n = 3, minJ = 0.5, maxDf = 20)),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -2037,6 +2048,41 @@ object SparkEntry {
          |         FROM votes)
          |SELECT qid, true_label, label AS pred_label, votes
          |FROM pick WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "q102_quality_logit" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |             CAST(length(text) AS BIGINT) AS nc FROM documents),
+        |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, nc
+        |      FROM t WHERE len(w) >= 1),
+        |g AS (SELECT doc_id, n_uniq * 1000000 // n_tok AS ttr_fp,
+        |             nc * 1000000 // n_tok AS len_fp, n_tok FROM f),
+        |l AS (SELECT doc_id, ttr_fp, len_fp, n_tok,
+        |             (2 * ttr_fp) // 1000 + (1 * len_fp) // 1000 + 10 * n_tok - 7000 AS logit_fp
+        |      FROM g)
+        |SELECT doc_id, ttr_fp, len_fp, n_tok, logit_fp,
+        |  CAST(CASE WHEN logit_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "q103_cross_source_dups" ->
+      s"""WITH ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         |      FROM inter
+         |      JOIN cnt ca ON doc_a = ca.doc_id
+         |      JOIN cnt cb ON doc_b = cb.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |s AS (SELECT j.jaccard, da.source AS src_a, db.source AS src_b
+         |      FROM j JOIN documents da ON j.doc_a = da.doc_id
+         |             JOIN documents db ON j.doc_b = db.doc_id)
+         |SELECT least(src_a, src_b) AS source_lo, greatest(src_a, src_b) AS source_hi,
+         |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
+         |FROM s GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_lo, source_hi""".stripMargin,
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,

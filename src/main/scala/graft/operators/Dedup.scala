@@ -74,6 +74,32 @@ object Dedup {
       .filter(col("n_docs") >= minDf)
       .orderBy(col("n_docs").desc, col("span"))
 
+  /** Cross-source duplication matrix: near-duplicate pairs (from the
+    * DF-capped Jaccard generator) rolled up by unordered source pair —
+    * the provenance diagnostic behind dedup policy ("which feeds copy
+    * from which?"): a hot (source_lo, source_hi) cell means one feed
+    * mirrors another and can be dropped wholesale instead of pair-by-
+    * pair. `max_jaccard` is an order-independent witness (no float
+    * summation, so the cell is engine-exact).
+    *
+    * Scale shape: rides [[jaccardPairsCapped]]'s output-bound pair
+    * list; the two source lookups are equi-joins keyed on doc id, and
+    * the rollup is one map-side-combinable groupBy over ≤ |sources|²
+    * result rows.
+    * Output: (source_lo, source_hi, n_pairs, max_jaccard) ordered by
+    * (n_pairs desc, source_lo, source_hi).
+    */
+  def crossSourceDups(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPairsCapped(docs, n, minJ, maxDf)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
+  }
+
   /** Exact dedup: group by content fingerprint, keep the lowest doc_id.
     * Output: (fp, keep_id, n_copies) ordered by keep_id.
     */

@@ -90,6 +90,40 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     qualityCols(docs, Nil).orderBy(col("doc_id"))
 
+  /** Linear quality-classifier inference — the model-based filter
+    * stage of a modern pretraining pipeline (a regression/fastText-
+    * style head exported as weights), distinct from [[qualityScore]]'s
+    * hand-tuned heuristic: features are integer fixed-point
+    * (type-token ratio and chars-per-token in micro units, token
+    * count), the logit is a pure-integer weighted sum, and the keep
+    * decision is `logit >= 0` — bit-reproducible in any engine, under
+    * any partitioning, with no float anywhere. Weights are positive
+    * and the bias subtracts last, so every division operand is
+    * non-negative (Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors; they only agree on non-negatives).
+    *
+    * Scale shape: per-row column math fused into whole-stage codegen —
+    * no shuffle, no UDF; at 100 TB this is a single map pass.
+    * Output: (doc_id, ttr_fp, len_fp, n_tok, logit_fp, keep) ordered by doc_id.
+    */
+  def qualityLogit(docs: DataFrame, wTtr: Long = 2L, wLen: Long = 1L,
+                   wTok: Long = 10L, bias: Long = 7000L): DataFrame = {
+    require(wTtr >= 0 && wLen >= 0 && wTok >= 0,
+      "weights must be non-negative: div semantics differ across engines on negatives")
+    docs.select(col("doc_id"), tokens.as("w"),
+        length(col("text")).cast("long").as("nc"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000L div size(w)").as("ttr_fp"),
+        expr("nc * 1000000L div size(w)").as("len_fp"),
+        size(col("w")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("ttr_fp"), col("len_fp"), col("n_tok"),
+        expr(s"($wTtr * ttr_fp) div 1000 + ($wLen * len_fp) div 1000 + $wTok * n_tok - $bias")
+          .as("logit_fp"))
+      .withColumn("keep", (col("logit_fp") >= 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The quality-metric columns (doc_id + `extra` passthrough cols +
     * n_chars/n_tokens/avg_token_len/stopword_ratio/quality) — shared
     * by [[qualityScore]] and [[qualityFunnel]].

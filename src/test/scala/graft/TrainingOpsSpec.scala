@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -157,6 +157,53 @@ class TrainingOpsSpec extends AnyFunSuite {
     val spans = Dedup.dupSpans(docs, n = 8, minDf = 2).select($"span")
     val all = Dedup.shingles(docs, 8).select($"shingle".as("span")).distinct()
     assert(spans.exceptAll(all).isEmpty)
+  }
+
+  test("qualityLogit computes the exact integer logit on a known document") {
+    // "aa bb aa" -> 3 tokens, 2 distinct, 8 chars
+    // ttr = 2*1e6/3 = 666666, len = 8*1e6/3 = 2666666
+    // logit = (2*666666)/1000 + 2666666/1000 + 10*3 - 7000 = 1333 + 2666 + 30 - 7000
+    val d = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityLogit(d).as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((1L, 666666L, 2666666L, 3L, -2971L, 0L)))
+  }
+
+  test("qualityLogit keep flag matches the sign of the logit corpus-wide") {
+    val out = TextAnalysis.qualityLogit(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == docs.count())
+    out.foreach { case (_, ttr, len, ntok, logit, keep) =>
+      assert(logit == (2 * ttr) / 1000 + len / 1000 + 10 * ntok - 7000)
+      assert(keep == (if (logit >= 0) 1L else 0L))
+      assert(ttr >= 0 && ttr <= 1000000L && ntok >= 1)
+    }
+  }
+
+  test("qualityLogit rejects negative weights (engine div semantics diverge)") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityLogit(docs, wTtr = -1L)
+    }
+  }
+
+  test("crossSourceDups accounts for every capped-Jaccard pair exactly once") {
+    val pairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    val matrix = Dedup.crossSourceDups(docs, 3, 0.5, 20)
+      .as[(String, String, Long, Double)].collect()
+    assert(matrix.map(_._3).sum == pairs.count())
+    matrix.foreach { case (lo, hi, n, maxJ) =>
+      assert(lo <= hi && n >= 1 && maxJ >= 0.5 && maxJ <= 1.0)
+    }
+  }
+
+  test("crossSourceDups normalizes the source pair order") {
+    val d = Seq(
+      (1L, "one two three four five six seven", "srcB"),
+      (2L, "one two three four five six seven", "srcA"),
+      (3L, "totally different words here now ok fine", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDups(d, 3, 0.5, 20)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L, 1.0)))
   }
 
   // ---- physical-plan scale guards: the shapes that make these ops
