@@ -120,6 +120,7 @@ object ScaleProbe {
     time("dup_spans", Dedup.dupSpans(docs, 8, 2))
     time("quality_logit", TextAnalysis.qualityLogit(docs))
     time("cross_source_dups", Dedup.crossSourceDups(docs, 3, 0.5, 20))
+    time("cdf_quantiles", operators.Profile.cdfQuantiles(events, "event_type", "value", Seq(50, 90, 99)))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

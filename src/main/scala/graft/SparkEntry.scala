@@ -637,6 +637,13 @@ object SparkEntry {
       Dedup.crossSourceDups(Tables.load(s, dir, "documents"),
         n = 3, minJ = 0.5, maxDf = 20)),
 
+    // ---- Grouped-CDF quantiles: the no-global-collection percentile
+    // path (quantized counts + window over the distinct-cent domain;
+    // q41's exact percentile() is the small-data baseline) ----
+    "q104_cdf_quantiles" -> ((s, dir) =>
+      operators.Profile.cdfQuantiles(Tables.load(s, dir, "events"),
+        "event_type", "value", percents = Seq(50, 90, 99))),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -2083,6 +2090,20 @@ object SparkEntry {
          |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
          |FROM s GROUP BY 1, 2
          |ORDER BY n_pairs DESC, source_lo, source_hi""".stripMargin,
+
+    "q104_cdf_quantiles" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cent
+        |           FROM events),
+        |g AS (SELECT event_type, cent, count(*) AS n FROM c GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cent,
+        |          SUM(n) OVER (PARTITION BY event_type ORDER BY cent) AS cum,
+        |          SUM(n) OVER (PARTITION BY event_type) AS total
+        |        FROM g),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT cum.event_type, p.p, min(cum.cent) AS q_cents
+        |FROM cum JOIN p ON cum.cum * 100 >= p.p * cum.total
+        |GROUP BY 1, 2 ORDER BY event_type, p""".stripMargin,
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling (ANALYZE-style column statistics) — the first query
@@ -35,5 +36,43 @@ object Profile {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_nulls, n_distinct, min_val, max_val)")
       .orderBy(col("column_name"))
+  }
+
+  /** Grouped-CDF quantiles — the 100 TB percentile path. The exact
+    * `percentile()` (q41) materializes every value per group; this
+    * form instead quantizes values to cents (exact i64), reduces to
+    * per-(group, cent) counts — ONE map-side-combinable shuffle whose
+    * width is the distinct-cent domain, not the row count — and walks
+    * the cumulative distribution with a window over that tiny domain.
+    * The reported quantile is the smallest cent whose cumulative count
+    * reaches ⌈p·n⌉ (type-1 / lower quantile), so everything is integer
+    * arithmetic: bit-identical in any engine, under any partitioning.
+    *
+    * Mergeable by construction: per-day (group, cent) count tables sum
+    * cell-wise into the corpus CDF without rescanning history — the
+    * same contract as the HLL sketches in [[ApproxDistinct]], but
+    * exact, because counts (unlike rank positions) are associative.
+    * Output: (groupCol, p, q_cents) ordered by (groupCol, p).
+    */
+  def cdfQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100] (got $percents)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(groupCol),
+        expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cent"))
+      .groupBy(col(groupCol), col("cent"))
+      .agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("cent"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col(groupCol))))
+    val ps = percents.toDF("p").select(col("p").cast("long").as("p"))
+    cum.join(broadcast(ps), col("cum") * lit(100L) >= col("p") * col("total"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("cent")).as("q_cents"))
+      .orderBy(col(groupCol), col("p"))
   }
 }

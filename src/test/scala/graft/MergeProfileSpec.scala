@@ -57,4 +57,40 @@ class MergeProfileSpec extends AnyFunSuite {
     // exactly one file scan feeds the profile
     assert("FileScan parquet".r.findAllIn(plan).length == 1)
   }
+
+  test("cdfQuantiles picks the type-1 quantile on a known distribution") {
+    val d = Seq(("a", 1.00), ("a", 2.00), ("a", 3.00), ("a", 4.00),
+                ("b", 10.00)).toDF("g", "v")
+    val got = Profile.cdfQuantiles(d, "g", "v", Seq(50, 90, 99))
+      .as[(String, Long, Long)].collect().toSeq
+    // group a: n=4 -> p50 needs cum >= 2 (cent 200), p90/p99 need cum >= 3.6/3.96 (cent 400)
+    assert(got == Seq(("a", 50L, 200L), ("a", 90L, 400L), ("a", 99L, 400L),
+                      ("b", 50L, 1000L), ("b", 90L, 1000L), ("b", 99L, 1000L)))
+  }
+
+  test("cdfQuantiles equals rank-then-pick on the quantized values corpus-wide") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val got = Profile.cdfQuantiles(ev, "event_type", "value", Seq(50, 90, 99))
+      .as[(String, Long, Long)].collect()
+    val cents = ev.selectExpr("event_type", "cast(floor(value * 100.0D + 0.5D) as bigint) as c")
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (g, p, q) =>
+      val xs = cents(g)
+      val idx = math.ceil(p * xs.length / 100.0).toInt - 1
+      assert(q == xs(idx), s"group $g p$p")
+    }
+  }
+
+  test("cdfQuantiles is partitioning-invariant") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val a = Profile.cdfQuantiles(ev, "event_type", "value", Seq(50, 90)).collect()
+    val b = Profile.cdfQuantiles(ev.repartition(7), "event_type", "value", Seq(50, 90)).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("cdfQuantiles rejects percents outside [1,100]") {
+    val d = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Seq(0)) }
+    intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Nil) }
+  }
 }
