@@ -121,6 +121,8 @@ object ScaleProbe {
     time("quality_logit", TextAnalysis.qualityLogit(docs))
     time("cross_source_dups", Dedup.crossSourceDups(docs, 3, 0.5, 20))
     time("cdf_quantiles", operators.Profile.cdfQuantiles(events, "event_type", "value", Seq(50, 90, 99)))
+    time("inverted_index", TextAnalysis.invertedIndex(docs, docs.count() * 4 / 5))
+    time("label_centroid_drift", Similarity.labelCentroidDrift(embs))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -644,6 +644,19 @@ object SparkEntry {
       operators.Profile.cdfQuantiles(Tables.load(s, dir, "events"),
         "event_type", "value", percents = Seq(50, 90, 99))),
 
+    // ---- Inverted-index build: sorted postings per term, DF cap
+    // derived from the corpus (4n/5 — stop-list terms present in >80%
+    // of docs) so the cap scales with n ----
+    "q105_inverted_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.invertedIndex(docs, maxDf = docs.count() * 4 / 5)
+    }),
+
+    // ---- Per-label embedding centroid drift vs the global centroid
+    // (distribution-shift diagnostic, fixed-point i64) ----
+    "q106_label_centroid_drift" -> ((s, dir) =>
+      Similarity.labelCentroidDrift(Tables.load(s, dir, "embeddings"))),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -2104,6 +2117,39 @@ object SparkEntry {
         |SELECT cum.event_type, p.p, min(cum.cent) AS q_cents
         |FROM cum JOIN p ON cum.cum * 100 >= p.p * cum.total
         |GROUP BY 1, 2 ORDER BY event_type, p""".stripMargin,
+
+    "q105_inverted_index" ->
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |              FROM documents),
+        |agg AS (SELECT term, count(*) AS df,
+        |          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |        FROM toks GROUP BY term)
+        |SELECT term, df, postings FROM agg
+        |WHERE df <= (SELECT count(*) * 4 // 5 FROM documents)
+        |ORDER BY term""".stripMargin,
+
+    "q106_label_centroid_drift" ->
+      s"""WITH $normalizedCte,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |ux AS (SELECT l.label, unnest(e.u) AS x, unnest(range(0, len(e.u))) AS pos
+         |       FROM e JOIN lab l USING (vec_id)),
+         |mx AS (SELECT label, pos,
+         |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+         |         COUNT(*) AS cnt
+         |       FROM ux GROUP BY label, pos),
+         |lm AS (SELECT label, MAX(cnt) AS n_members,
+         |         list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
+         |       FROM mx GROUP BY label),
+         |lu AS (SELECT label, n_members,
+         |         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS lu
+         |       FROM lm),
+         |gm AS (SELECT pos, SUM(sx) AS sx, SUM(cnt) AS cnt FROM mx GROUP BY pos),
+         |gv AS (SELECT list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv FROM gm),
+         |gu AS (SELECT list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS gu FROM gv)
+         |SELECT l.label, l.n_members,
+         |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
+         |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,

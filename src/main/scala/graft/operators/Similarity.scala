@@ -579,6 +579,51 @@ object Similarity {
       .orderBy(col("rnk"))
   }
 
+  /** Per-label embedding centroid drift — the distribution-shift
+    * diagnostic: each label's unit-vector centroid scored by cosine
+    * against the global centroid, fixed-point i64. A label whose
+    * centroid sits far from the corpus mean direction (low drift_fp)
+    * is the slice to re-balance or audit before training. Both
+    * centroids derive from ONE set of micro-unit-quantized i64 lane
+    * sums — the global sums are the per-label sums re-added, exact
+    * because integer addition is associative — so the whole report is
+    * order-independent and engine-portable.
+    *
+    * Scale shape: one posexplode pass into a (label, pos) map-side-
+    * combinable groupBy (≤ |labels|·dim rows out); the global rollup
+    * re-aggregates those rows, not the corpus; the final join is
+    * |labels| rows against a broadcast 1-row global vector.
+    * Output: (label, n_members, drift_fp) ordered by label.
+    */
+  def labelCentroidDrift(embeddings: DataFrame): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val lanes = normalized(embeddings).join(lab, Seq("vec_id"))
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
+    def toUnit(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+      val m = df.select(keys.map(col) :+ col("pos") :+ col("cnt")
+          :+ (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+          max(col("cnt")).as("cnt")) // cnt is constant across a group's lanes
+        .select(keys.map(col) :+ col("cnt") :+ expr("transform(pm, s -> s.m)").as("cv"): _*)
+      m.select(keys.map(col) :+ col("cnt")
+        :+ expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as(out): _*)
+    }
+    val perLabel = toUnit(lanes, Seq("label"), "lu")
+    val global = toUnit(
+      lanes.groupBy(col("pos")).agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+        .withColumn("g", lit(1)),
+      Seq("g"), "gu")
+    perLabel.crossJoin(broadcast(global.select(col("gu"))))
+      .select(col("label"), col("cnt").as("n_members"),
+        expr(s"cast(floor(${dotExpr("lu", "gu")} * 1000000.0D + 0.5D) as bigint)").as("drift_fp"))
+      .orderBy(col("label"))
+  }
+
   /** Cluster-quality evaluation: purity of each [[kmeansAssign]]
     * cluster against the ground-truth `label` column — members, the
     * majority label, and purity as exact parts-per-million (integer

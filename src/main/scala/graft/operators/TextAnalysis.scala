@@ -124,6 +124,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Inverted-index build — the search-index materialization pass: one
+    * postings row per term with its document frequency and the sorted
+    * doc-id list (comma-joined so the row is a plain string any engine
+    * hashes identically). Terms with df above `maxDf` are dropped the
+    * same way the DF-capped shingle pipeline drops stop-shingles:
+    * their postings ARE the corpus (every search hits them), they
+    * blow the row width, and real indexes stop-list them anyway.
+    *
+    * Scale shape: one distinct-(doc, term) explode into ONE term-keyed
+    * map-side-combinable groupBy; postings width is bounded by maxDf,
+    * so no row can exceed maxDf ids no matter the corpus size. Callers
+    * derive maxDf from the corpus (the catalog uses ⌈n/10⌉) so the cap
+    * scales with n instead of silently emptying the index at 100×.
+    * Output: (term, df, postings) ordered by term.
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    docs
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+          .as("postings"))
+      .filter(col("df") <= maxDf)
+      .orderBy(col("term"))
+  }
+
   /** The quality-metric columns (doc_id + `extra` passthrough cols +
     * n_chars/n_tokens/avg_token_len/stopword_ratio/quality) — shared
     * by [[qualityScore]] and [[qualityFunnel]].

@@ -206,6 +206,52 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("srcA", "srcB", 1L, 1.0)))
   }
 
+  test("invertedIndex builds sorted postings, counts df once per doc, and stop-lists") {
+    val d = Seq(
+      (3L, "apple banana apple"),  // apple twice in one doc -> df 1
+      (1L, "apple cherry"),
+      (2L, "stopword stopword"),
+      (4L, "stopword apple cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, maxDf = 2)
+      .as[(String, Long, String)].collect().toSeq
+    // apple df=3 exceeds the cap; stopword df=2 stays
+    assert(out == Seq(("banana", 1L, "3"), ("cherry", 2L, "1,4"), ("stopword", 2L, "2,4")))
+  }
+
+  test("invertedIndex postings cover exactly the docs containing each term") {
+    val idx = TextAnalysis.invertedIndex(docs, maxDf = docs.count())
+      .as[(String, Long, String)].collect()
+    idx.take(5).foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == df && (ids.toSeq == ids.sorted.toSeq))
+      val expected = docs.filter(array_contains(split(lower(trim($"text")), "\\s+"), term))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(ids.toSeq == expected, s"term $term")
+    }
+  }
+
+  test("labelCentroidDrift: a label aligned with the corpus mean scores higher than a contrarian one") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(-1.0f, 0.02f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidDrift(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.map(_._2) == Seq(3L, 1L))           // member counts
+    assert(out(0)._3 > 900000L && out(1)._3 < 0L)  // aligned vs contrarian
+  }
+
+  test("labelCentroidDrift members sum to the corpus and drift is a valid fixed-point cosine") {
+    val out = Similarity.labelCentroidDrift(embs)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == embs.count())
+    out.foreach(r => assert(math.abs(r._3) <= 1000000L))
+  }
+
   // ---- physical-plan scale guards: the shapes that make these ops
   // survive 100x are locked here, not just described in scaladoc ----
 
