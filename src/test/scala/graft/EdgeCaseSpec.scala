@@ -74,6 +74,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rates.getOrElse("only", 40L) == 40L) // n^a/n^a = 1 -> rate = targetFrac
   }
 
+  test("round-5 text/sampling operators are total on degenerate inputs") {
+    // below the span size, empty text, whitespace-only
+    assert(Dedup.dupSpans(weird, n = 8, minDf = 2).count() == 0)
+    assert(TextAnalysis.qualityLogit(weird).count() == 5) // "" tokenizes to [""], size 1
+    assert(TextAnalysis.invertedIndex(weird, maxDf = 10).count() >= 1)
+    val shuffled = graft.operators.Sampling.epochShuffle(weird, "doc_id", "e", 100)
+    assert(shuffled.count() == 5) // more shards than rows: positions still dense
+    shuffled.collect().foreach(r => assert(r.getLong(1) == 1L))
+  }
+
+  test("round-5 embedding operators are total when the query/train split is degenerate") {
+    val e = Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    // every vector is a query -> empty train set -> empty result, no throw
+    assert(graft.operators.Similarity.knnClassify(e, nQueries = 2, k = 3).count() == 0)
+    // k larger than the train set: votes bounded by what exists
+    val out = graft.operators.Similarity.knnClassify(e, nQueries = 1, k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 1 && out.head._4 == 1L)
+    // outliers with n larger than the corpus returns the whole corpus ranked
+    assert(graft.operators.Similarity.embeddingOutliers(e, n = 10).count() == 2)
+  }
+
   test("kmeans with k larger than the corpus still assigns every vector") {
     val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
