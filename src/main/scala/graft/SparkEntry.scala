@@ -657,6 +657,20 @@ object SparkEntry {
     "q106_label_centroid_drift" -> ((s, dir) =>
       Similarity.labelCentroidDrift(Tables.load(s, dir, "embeddings"))),
 
+    // ---- Streaming session windows (built-in session_window, the
+    // third ST6 window type in the catalog next to tumbling q27 and
+    // sliding q86): AvailableNow drain equals gap-based islands SQL ----
+    "q107_stream_session_windows" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val agg = EventStream.sessionAgg(
+        EventStream.source(s, s"$dir/events.parquet"), gapMinutes = 30)
+      EventStream.runToCompletion(s, agg)
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    }),
+
     // ---- CUBE: every aggregate grain over (event_type, weekday) ----
     "q88_cube" -> ((s, dir) => {
       import s.implicits._
@@ -2150,6 +2164,22 @@ object SparkEntry {
          |SELECT l.label, l.n_members,
          |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
          |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
+
+    "q107_stream_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,
