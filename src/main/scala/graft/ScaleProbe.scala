@@ -123,6 +123,10 @@ object ScaleProbe {
     time("cdf_quantiles", operators.Profile.cdfQuantiles(events, "event_type", "value", Seq(50, 90, 99)))
     time("inverted_index", TextAnalysis.invertedIndex(docs, docs.count() * 4 / 5))
     time("label_centroid_drift", Similarity.labelCentroidDrift(embs))
+    time("kmeans_flat_derivedk",
+      Similarity.kmeansAssign(embs, Similarity.deriveK(embs.count()), 2))
+    time("kmeans_coarse_derivedk",
+      Similarity.kmeansAssignCoarse(embs, Similarity.deriveK(embs.count()), 2, nprobe = 2))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -243,22 +243,85 @@ object Similarity {
         .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("cs"))
         .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
         .select(col("vec_id"), col("u"), col("cid"))
-      if (i < iters) {
-        val sums = assign
-          .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
-          .select(col("cid"), col("pos"),
-            expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
-        val cv = sums
-          .select(col("cid"), col("pos"),
-            (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
-        cents = cv.select(col("cid"),
-          expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
-      }
+      if (i < iters) cents = updateCentroids(assign)
+    }
+    assign.select(col("vec_id"), col("cid").cast("long").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Lloyd update: integer-quantized lane sums per cluster → renormalized
+    * unit centroids (cid, cu). Shared by [[kmeansAssign]] and
+    * [[kmeansAssignCoarse]]. Input columns: (vec_id, u, cid).
+    */
+  private def updateCentroids(assign: DataFrame): DataFrame = {
+    val sums = assign
+      .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos"),
+        expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
+    sums
+      .select(col("cid"), col("pos"),
+        (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
+      .select(col("cid"),
+        expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
+  }
+
+  /** Coarse (two-level) k-means assignment — the implemented scale
+    * path for the Θ(n·k) flat argmax that [[kmeansAssign]] pays when
+    * k is corpus-derived ([[deriveK]]: k ∝ n, so flat assignment is
+    * Θ(n²/targetCluster)). The ⌈√k⌉ lowest-cid centroids double as
+    * super-centroids; every centroid registers under its nearest
+    * super, each vector probes its `nprobe` nearest supers and runs
+    * exact argmax ONLY over the centroids registered there —
+    * per-vector candidate work drops from k to ≈ √k·(1 + nprobe),
+    * the standard IVF coarse-quantizer trade applied to Lloyd itself.
+    * With `nprobe >= ⌈√k⌉` every super is probed and the assignment
+    * equals the flat one EXACTLY (asserted in MixtureKmeansSpec);
+    * below that it is approximate with ties broken identically
+    * (cosine desc, lowest cid), still deterministic and
+    * partitioning-invariant.
+    * Output: (vec_id, cluster_id) ordered by vec_id.
+    */
+  def kmeansAssignCoarse(embeddings: DataFrame, k: Int, iters: Int, nprobe: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val m = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val e = normalized(embeddings)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    var assign: DataFrame = e.limit(0)
+    for (i <- 1 to iters) {
+      // the m lowest-cid survivors are this round's super-centroids
+      val supers = cents
+        .withColumn("srn", row_number().over(Window.orderBy(col("cid"))))
+        .filter(col("srn") <= m)
+        .select(col("cid").as("sid"), col("cu").as("su"))
+      // each centroid registers under its nearest super (k·m rows, broadcast-tiny)
+      val registry = cents.crossJoin(broadcast(supers))
+        .select(col("cid"), col("cu"), col("sid"), expr(dotExpr("cu", "su")).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("cs").desc, col("sid"))))
+        .filter(col("rn") === 1)
+        .select(col("sid"), col("cid"), col("cu"))
+      // vectors probe their nprobe nearest supers, then argmax over
+      // the registered candidates only
+      val probed = e.crossJoin(broadcast(supers))
+        .select(col("vec_id"), col("u"), col("sid"), expr(dotExpr("u", "su")).as("ss"))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ss").desc, col("sid"))))
+        .filter(col("prn") <= nprobe)
+        .select(col("vec_id"), col("u"), col("sid"))
+      assign = probed.join(broadcast(registry), Seq("sid"))
+        .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("u"), col("cid"))
+      if (i < iters) cents = updateCentroids(assign)
     }
     assign.select(col("vec_id"), col("cid").cast("long").as("cluster_id"))
       .orderBy(col("vec_id"))

@@ -106,4 +106,37 @@ class MixtureKmeansSpec extends AnyFunSuite {
     val b = Similarity.kmeansAssign(embs, k = 4, iters = 2).as[(Long, Long)].collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("coarse k-means with every super probed equals the flat assignment exactly") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    for (k <- Seq(4, 9)) {
+      val m = math.ceil(math.sqrt(k.toDouble)).toInt
+      val flat = Similarity.kmeansAssign(embs, k, iters = 2)
+      val coarse = Similarity.kmeansAssignCoarse(embs, k, iters = 2, nprobe = m)
+      assert(coarse.exceptAll(flat).isEmpty && flat.exceptAll(coarse).isEmpty, s"k=$k")
+    }
+  }
+
+  test("coarse k-means below full probe stays deterministic and mostly agrees with flat") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val flat = Similarity.kmeansAssign(embs, k = 9, iters = 2).as[(Long, Long)].collect()
+    val c1 = Similarity.kmeansAssignCoarse(embs, k = 9, iters = 2, nprobe = 2)
+      .as[(Long, Long)].collect()
+    val c2 = Similarity.kmeansAssignCoarse(embs, k = 9, iters = 2, nprobe = 2)
+      .as[(Long, Long)].collect()
+    assert(c1.toSeq == c2.toSeq) // deterministic under re-run
+    assert(c1.length == flat.length)
+    val agree = c1.zip(flat).count { case ((v1, a1), (v2, a2)) => v1 == v2 && a1 == a2 }
+    assert(agree.toDouble / flat.length >= 0.6, s"agreement $agree/${flat.length}")
+  }
+
+  test("coarse k-means rejects bad nprobe/iters") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignCoarse(embs, 4, iters = 0, nprobe = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignCoarse(embs, 4, iters = 1, nprobe = 0)
+    }
+  }
 }
