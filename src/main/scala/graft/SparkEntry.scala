@@ -657,6 +657,41 @@ object SparkEntry {
     "q106_label_centroid_drift" -> ((s, dir) =>
       Similarity.labelCentroidDrift(Tables.load(s, dir, "embeddings"))),
 
+    // ---- FULL OUTER join (completes the join surface: q6 broadcast,
+    // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
+    // reconciliation with coalesced key and zero-fill ----
+    "q108_full_outer_daily" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      def daily(t: String, minV: Double, out: String) = ev
+        .filter($"event_type" === t && $"value" > minV)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as(out))
+      daily("error", 150.0, "n_errors")
+        .join(daily("purchase", 200.0, "n_purchases"), Seq("day"), "full_outer")
+        .select($"day",
+          coalesce($"n_errors", lit(0L)).as("n_errors"),
+          coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+          when($"n_errors".isNull, "purchase_only")
+            .when($"n_purchases".isNull, "error_only")
+            .otherwise("both").as("presence"))
+        .orderBy($"day")
+    }),
+
+    // ---- RANGE window frame over event time (q34 is the ROWS form):
+    // exact 7-day trailing aggregate per user on the micros axis ----
+    "q109_range_window_7d" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-604800000000L, 0L) // 7 days of micros, peers included
+      Tables.load(s, dir, "events")
+        .filter($"user_id" < 30)
+        .select($"user_id", $"event_id",
+          count(lit(1)).over(w).as("trailing_n"),
+          sum($"value".cast("decimal(12,2)")).over(w).cast("double").as("trailing_sum"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // ---- Streaming session windows (built-in session_window, the
     // third ST6 window type in the catalog next to tumbling q27 and
     // sliding q86): AvailableNow drain equals gap-based islands SQL ----
@@ -2164,6 +2199,29 @@ object SparkEntry {
          |SELECT l.label, l.n_members,
          |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
          |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
+
+    "q108_full_outer_daily" ->
+      """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
+        |           FROM events WHERE event_type = 'error' AND value > 150 GROUP BY 1),
+        |p AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' AND value > 200 GROUP BY 1)
+        |SELECT COALESCE(c.day, p.day) AS day,
+        |  COALESCE(c.n_errors, 0) AS n_errors,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  CASE WHEN c.day IS NULL THEN 'purchase_only'
+        |       WHEN p.day IS NULL THEN 'error_only'
+        |       ELSE 'both' END AS presence
+        |FROM c FULL JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin,
+
+    "q109_range_window_7d" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS trailing_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_sum
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q107_stream_session_windows" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
