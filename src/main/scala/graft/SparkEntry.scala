@@ -692,6 +692,25 @@ object SparkEntry {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // ---- Streaming exactly-once dedup (ST3, oracle-checked): the
+    // stream unioned with itself (every event delivered twice) then
+    // watermarked dropDuplicates — daily counts must equal the clean
+    // batch answer, proving duplicate delivery is fully absorbed ----
+    "q110_stream_dedup_daily" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = EventStream.source(s, s"$dir/events.parquet")
+      val doubled = src.union(EventStream.source(s, s"$dir/events.parquet"))
+      val agg = doubled
+        .withWatermark("ts", "7 days")
+        .dropDuplicates("event_id")
+        .groupBy(window($"ts", "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      EventStream.runToCompletion(s, agg)
+        .select($"w.start".as("day"), $"n_events")
+        .orderBy($"day")
+    }),
+
     // ---- Streaming session windows (built-in session_window, the
     // third ST6 window type in the catalog next to tumbling q27 and
     // sliding q86): AvailableNow drain equals gap-based islands SQL ----
@@ -2199,6 +2218,10 @@ object SparkEntry {
          |SELECT l.label, l.n_members,
          |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
          |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
+
+    "q110_stream_dedup_daily" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
