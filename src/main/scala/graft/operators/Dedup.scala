@@ -247,8 +247,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val sa = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val agree = (0 until numHashes).map(i =>
       when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1L).otherwise(0L)).reduce(_ + _)
     val est = cand.join(sa, "doc_a").join(sb, "doc_b")
