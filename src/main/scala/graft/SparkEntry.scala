@@ -657,6 +657,14 @@ object SparkEntry {
     "q106_label_centroid_drift" -> ((s, dir) =>
       Similarity.labelCentroidDrift(Tables.load(s, dir, "embeddings"))),
 
+    // ---- Sequence-example construction: previous-k context + label
+    // per event (next-event-prediction training set) ----
+    "q111_next_event_examples" -> ((s, dir) => {
+      import s.implicits._
+      Sessionize.nextEventExamples(
+        Tables.load(s, dir, "events").filter($"user_id" < 20), k = 3)
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2222,6 +2230,17 @@ object SparkEntry {
     "q110_stream_dedup_daily" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q111_next_event_examples" ->
+      """SELECT user_id, event_id,
+        |  concat_ws(',',
+        |    COALESCE(lag(event_type, 3) OVER w, '-'),
+        |    COALESCE(lag(event_type, 2) OVER w, '-'),
+        |    COALESCE(lag(event_type, 1) OVER w, '-')) AS context,
+        |  event_type AS label
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors

@@ -48,4 +48,35 @@ object Sessionize {
         count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("longest_session_events"))
       .orderBy(col("user_id"))
+
+  /** Sequence-example construction — the training-set builder for
+    * next-event prediction (the recsys / behavioral-LM analogue of
+    * TextPrep's chunk+pack): each event becomes one example whose
+    * features are the user's previous `k` event types (oldest first,
+    * "-" where history runs out) and whose label is the current type.
+    * Everything is per-user analytic windows ordered by (ts, event_id)
+    * — deterministic under ties, no self-join, no collect.
+    *
+    * Scale shape: k `lag` columns ride ONE user-partitioned sort (all
+    * window specs share the partitioning and ordering, so Catalyst
+    * evaluates them in a single Window operator over a single
+    * exchange); cost is one shuffle of the events keyed by user.
+    * Output: (user_id, event_id, context, label) ordered by
+    * (user_id, event_id) — context is the "-"-padded
+    * comma-join so the row hashes identically in any engine.
+    */
+  def nextEventExamples(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ctx = concat_ws(",",
+      (k to 1 by -1).map(i =>
+        coalesce(lag(col("event_type"), i).over(byUser), lit("-"))): _*)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("context", ctx)
+      .select(col("user_id"), col("event_id"), col("context"),
+        col("event_type").as("label"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -15,6 +15,33 @@ class SessionSkewSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("nextEventExamples pads missing history and shifts context correctly") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, t(100), "a"),
+      (1L, 11L, t(200), "b"),
+      (1L, 12L, t(300), "c"),
+      (1L, 13L, t(400), "d"),
+      (2L, 20L, t(100), "x")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.nextEventExamples(ev, k = 3)
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, "-,-,-", "a"),
+      (1L, 11L, "-,-,a", "b"),
+      (1L, 12L, "-,a,b", "c"),
+      (1L, 13L, "a,b,c", "d"),
+      (2L, 20L, "-,-,-", "x")))
+  }
+
+  test("nextEventExamples emits one example per event, label preserved") {
+    val ev = Tables.load(spark, sf, "events")
+    val out = Sessionize.nextEventExamples(ev, k = 2)
+    assert(out.count() == ev.count())
+    assert(out.filter($"context".isNull || $"label".isNull).count() == 0)
+  }
+
   test("salted count+sum equals direct groupBy bit-for-bit") {
     val ev = Tables.load(spark, sf, "events")
     val salted = SkewAgg.saltedCountSum(ev, Seq("event_type"), $"event_id", 16, "value")
