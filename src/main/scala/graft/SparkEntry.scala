@@ -644,12 +644,12 @@ object SparkEntry {
       operators.Profile.cdfQuantiles(Tables.load(s, dir, "events"),
         "event_type", "value", percents = Seq(50, 90, 99))),
 
-    // ---- Inverted-index build: sorted postings per term, DF cap
-    // derived from the corpus (4n/5 — stop-list terms present in >80%
-    // of docs) so the cap scales with n ----
+    // ---- Inverted-index build: sorted postings per term, sharded
+    // into 100-id chunks (row width bounded at ANY corpus size); DF
+    // cap 4n/5 stop-lists terms present in >80% of docs ----
     "q105_inverted_index" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      TextAnalysis.invertedIndex(docs, maxDf = docs.count() * 4 / 5)
+      TextAnalysis.invertedIndex(docs, maxDf = docs.count() * 4 / 5, shardSize = 100)
     }),
 
     // ---- Per-label embedding centroid drift vs the global centroid
@@ -2198,12 +2198,17 @@ object SparkEntry {
       """WITH toks AS (SELECT DISTINCT doc_id,
         |                unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         |              FROM documents),
-        |agg AS (SELECT term, count(*) AS df,
+        |r AS (SELECT term, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY term) AS df
+        |      FROM toks),
+        |agg AS (SELECT term, df, CAST((rnk - 1) // 100 AS BIGINT) AS shard,
         |          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |        FROM toks GROUP BY term)
-        |SELECT term, df, postings FROM agg
-        |WHERE df <= (SELECT count(*) * 4 // 5 FROM documents)
-        |ORDER BY term""".stripMargin,
+        |        FROM r
+        |        WHERE df <= (SELECT count(*) * 4 // 5 FROM documents)
+        |        GROUP BY 1, 2, 3)
+        |SELECT term, df, shard, postings FROM agg
+        |ORDER BY term, shard""".stripMargin,
 
     "q106_label_centroid_drift" ->
       s"""WITH $normalizedCte,

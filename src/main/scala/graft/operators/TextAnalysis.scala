@@ -124,31 +124,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Inverted-index build — the search-index materialization pass: one
-    * postings row per term with its document frequency and the sorted
-    * doc-id list (comma-joined so the row is a plain string any engine
-    * hashes identically). Terms with df above `maxDf` are dropped the
-    * same way the DF-capped shingle pipeline drops stop-shingles:
-    * their postings ARE the corpus (every search hits them), they
-    * blow the row width, and real indexes stop-list them anyway.
+  /** Inverted-index build — the search-index materialization pass:
+    * sorted postings per term, SHARDED into fixed-size chunks of
+    * `shardSize` doc ids (comma-joined so each row is a plain string
+    * any engine hashes identically). Sharding is what makes the claim
+    * "no row outgrows the executor" true at any corpus size — a df-
+    * proportional cap alone bounds nothing once the cap itself grows
+    * with n; real indexes chunk postings for exactly this reason.
+    * Terms with df above `maxDf` are stop-listed the same way the
+    * DF-capped shingle pipeline drops stop-shingles: their postings
+    * ARE the corpus and every search hits them.
     *
-    * Scale shape: one distinct-(doc, term) explode into ONE term-keyed
-    * map-side-combinable groupBy; postings width is bounded by maxDf,
-    * so no row can exceed maxDf ids no matter the corpus size. Callers
-    * derive maxDf from the corpus (the catalog uses ⌈n/10⌉) so the cap
-    * scales with n instead of silently emptying the index at 100×.
-    * Output: (term, df, postings) ordered by term.
+    * Scale shape: one distinct-(doc, term) explode; the per-term rank
+    * (row_number) and df (count) ride the SAME term-partitioned
+    * exchange, and the chunk groupBy is map-side combinable with every
+    * group ≤ shardSize rows.
+    * Output: (term, df, shard, postings) ordered by (term, shard).
     */
-  def invertedIndex(docs: DataFrame, maxDf: Long): DataFrame = {
+  def invertedIndex(docs: DataFrame, maxDf: Long, shardSize: Int = 1000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    require(shardSize >= 1, s"shardSize must be >= 1 (got $shardSize)")
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
     docs
       .select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
-          .as("postings"))
+      .withColumn("rnk", row_number().over(byTerm))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .filter(col("df") <= maxDf)
-      .orderBy(col("term"))
+      .withColumn("shard", expr(s"cast((rnk - 1) div $shardSize as bigint)"))
+      .groupBy(col("term"), col("df"), col("shard"))
+      .agg(expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+        .as("postings"))
+      .select(col("term"), col("df"), col("shard"), col("postings"))
+      .orderBy(col("term"), col("shard"))
   }
 
   /** The quality-metric columns (doc_id + `extra` passthrough cols +

@@ -214,17 +214,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       (4L, "stopword apple cherry")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, maxDf = 2)
-      .as[(String, Long, String)].collect().toSeq
+      .as[(String, Long, Long, String)].collect().toSeq
     // apple df=3 exceeds the cap; stopword df=2 stays
-    assert(out == Seq(("banana", 1L, "3"), ("cherry", 2L, "1,4"), ("stopword", 2L, "2,4")))
+    assert(out == Seq(("banana", 1L, 0L, "3"), ("cherry", 2L, 0L, "1,4"),
+      ("stopword", 2L, 0L, "2,4")))
   }
 
-  test("invertedIndex postings cover exactly the docs containing each term") {
-    val idx = TextAnalysis.invertedIndex(docs, maxDf = docs.count())
-      .as[(String, Long, String)].collect()
-    idx.take(5).foreach { case (term, df, postings) =>
-      val ids = postings.split(",").map(_.toLong)
-      assert(ids.length == df && (ids.toSeq == ids.sorted.toSeq))
+  test("invertedIndex shards postings at shardSize and reassembles to the exact doc set") {
+    val idx = TextAnalysis.invertedIndex(docs, maxDf = docs.count(), shardSize = 7)
+      .as[(String, Long, Long, String)].collect()
+    idx.groupBy(_._1).take(5).foreach { case (term, shards) =>
+      val df = shards.head._2
+      shards.foreach { case (_, _, _, p) => assert(p.split(",").length <= 7) }
+      // shards are dense 0..ceil(df/7)-1 and reassemble to the sorted doc list
+      assert(shards.map(_._3).sorted.toSeq == (0L until (df + 6) / 7).toSeq)
+      val ids = shards.sortBy(_._3).flatMap(_._4.split(",").map(_.toLong))
+      assert(ids.length == df && ids.toSeq == ids.sorted.toSeq)
       val expected = docs.filter(array_contains(split(lower(trim($"text")), "\\s+"), term))
         .select($"doc_id").as[Long].collect().sorted.toSeq
       assert(ids.toSeq == expected, s"term $term")
