@@ -26,4 +26,24 @@ class ConfigCsvSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.filter(df("artist_name") === "Alpha Band").count() == 2)
   }
+
+  test("text-log source parses matching lines and quarantines the rest") {
+    import graft.sources.TextLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-log")
+    java.nio.file.Files.writeString(dir.resolve("a.log"),
+      """2026-01-02T03:04:05 ERROR disk full
+        |2026-01-02T03:04:06 INFO started worker 7
+        |this line is garbage
+        |2026-01-02T03:04:07 WARN retrying
+        |""".stripMargin)
+    val parsed = TextLog.read(spark, dir.toString)
+    assert(parsed.count() == 3)
+    assert(parsed.columns.toSeq == Seq("ts", "level", "message"))
+    val byLevel = parsed.groupBy("level").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLevel == Map("ERROR" -> 1L, "INFO" -> 1L, "WARN" -> 1L))
+    assert(parsed.filter(parsed("ts").isNull).count() == 0)
+    val report = TextLog.parseReport(spark, dir.toString).collect().head
+    assert((report.getLong(0), report.getLong(1), report.getLong(2)) == ((4L, 3L, 1L)))
+  }
 }
