@@ -286,6 +286,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       p.contains("windowspecdefinition(shard"), "shard must partition the window")
   }
 
+  test("q105 rank and df windows share one term-partitioned exchange; q111 fuses its lags into one Window") {
+    val p105 = plan("q105_inverted_index")
+    assert("\\bWindow\\b".r.findAllIn(p105).length == 2)
+    assert("Exchange".r.findAllIn(p105).length <= 2,
+      "rank + df must ride the same term exchange (plus only the final sort)")
+    val p111 = plan("q111_next_event_examples")
+    assert("\\bWindow\\b".r.findAllIn(p111).length == 1,
+      "all k lag columns must evaluate in a single Window operator")
+    for (q <- Seq("q104_cdf_quantiles", "q109_range_window_7d"))
+      assert(!plan(q).contains("SortMergeJoin"), s"$q must not join")
+  }
+
   test("q100 is one agg over the explode — no join operator anywhere in the plan") {
     val p = plan("q100_dup_spans")
     for (op <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
