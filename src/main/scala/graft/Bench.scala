@@ -42,10 +42,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOne(name, fn), timeOne(name, fn))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the one-line JSON small enough that the
+    // driver's tail capture retains the whole object; the headline total
+    // appears both first (for head-anchored parsers) and last (tail
+    // capture keeps line ends), and the full JSON is also persisted to
+    // tools/last_bench.json so no artifact depends on log truncation.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total":${fmt(total)}}"""
+    try {
+      val p = java.nio.file.Paths.get("tools/last_bench.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write tools/last_bench.json: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -263,7 +263,7 @@ object SparkEntry {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val agg = EventStream.dailyAgg(EventStream.source(s, s"$dir/events.parquet"))
-      EventStream.runToCompletion(s, agg)
+      EventStream.withStatePartitions(s, 8)(EventStream.runToCompletion(s, agg))
         .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
         .orderBy($"day", $"event_type")
     }),
@@ -401,10 +401,14 @@ object SparkEntry {
     "q68_stream_interval_join" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      EventStream.runAppendToMemory(s, EventStream.intervalJoined(
-        EventStream.source(s, s"$dir/events.parquet"),
-        EventStream.source(s, s"$dir/events.parquet"),
-        windowMinutes = 60))
+      // 4 state partitions, not the session's 32: the interval join
+      // keeps 4 state stores per partition and per-batch commit cost is
+      // store-count-linear — see EventStream.withStatePartitions
+      EventStream.withStatePartitions(s, 4)(
+        EventStream.runAppendToMemory(s, EventStream.intervalJoined(
+          EventStream.source(s, s"$dir/events.parquet"),
+          EventStream.source(s, s"$dir/events.parquet"),
+          windowMinutes = 60)))
         .orderBy($"c_id", $"p_id")
     }),
 
@@ -714,7 +718,7 @@ object SparkEntry {
         .dropDuplicates("event_id")
         .groupBy(window($"ts", "1 day").as("w"))
         .agg(count(lit(1)).as("n_events"))
-      EventStream.runToCompletion(s, agg)
+      EventStream.withStatePartitions(s, 8)(EventStream.runToCompletion(s, agg))
         .select($"w.start".as("day"), $"n_events")
         .orderBy($"day")
     }),
@@ -727,7 +731,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val agg = EventStream.sessionAgg(
         EventStream.source(s, s"$dir/events.parquet"), gapMinutes = 30)
-      EventStream.runToCompletion(s, agg)
+      EventStream.withStatePartitions(s, 8)(EventStream.runToCompletion(s, agg))
         .select($"user_id", $"sw.start".as("session_start"),
           $"sw.end".as("session_end"), $"n_events")
         .orderBy($"user_id", $"session_start")

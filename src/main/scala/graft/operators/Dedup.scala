@@ -35,6 +35,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a frame that feeds multiple plan branches.
+    *
+    * Default: `localCheckpoint()` — eager, truncates lineage, keeps
+    * blocks on executor storage. Measured fastest here, but a lost
+    * executor on a real cluster loses the blocks AND the lineage to
+    * rebuild them, killing the job. Setting the system property
+    * `graft.materialize=persist` selects `persist(DISK_ONLY)` instead:
+    * blocks spill to local disk but full lineage is retained, so a
+    * lost executor's partitions are recomputed from source — the
+    * fault-tolerant mode for long cluster runs. Both preserve the
+    * frame's partitioning (downstream self-joins still skip their
+    * shuffle); results are identical either way (asserted in
+    * DedupSpec). Perf delta at sf0.01: see SCALING.md.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.materialize").contains("persist")) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count() // force eager materialization, matching localCheckpoint
+      p
+    } else df.localCheckpoint()
+
   /** Word n-gram shingle set per document: (doc_id, shingle), distinct. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -139,17 +160,18 @@ object Dedup {
     // the whole cap costs one plan node — measurably cheaper end-to-end
     // than the aggregate+semi-join formulation (fewer codegen units,
     // fewer stages) at identical semantics.
-    val capped = sh
+    // materialize once: this frame feeds BOTH self-join sides plus
+    // the per-doc counts, and no ReusedExchange fires across those
+    // branches — without it the text explode + window runs 3-4x per
+    // query (and again in every downstream consumer: clusters,
+    // keep-best, PageRank). Both materialize modes preserve the
+    // shingle partitioning, so the self-join still skips its shuffle;
+    // -Dgraft.materialize=persist selects the lineage-safe DISK_ONLY
+    // form for fault-tolerant cluster runs (see [[materialize]]).
+    val capped = materialize(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
-      .drop("df")
-      // materialize once: this frame feeds BOTH self-join sides plus
-      // the per-doc counts, and no ReusedExchange fires across those
-      // branches — without truncation the text explode + window runs
-      // 3-4x per query (and again in every downstream consumer:
-      // clusters, keep-best, PageRank). localCheckpoint preserves the
-      // shingle partitioning, so the self-join still skips its shuffle.
-      .localCheckpoint()
+      .drop("df"))
     val cnt = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = capped.as("a")
       .join(capped.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -408,16 +430,20 @@ object Dedup {
     * singleton cluster, so the output is exactly the deduplicated
     * corpus: one surviving doc per cluster, plus the cluster size.
     *
-    * Scale shape: the cluster labels cover only docs that appear in
-    * some pair (a small fraction of the corpus), so the label join
-    * broadcasts; the argmax is ONE map-side-combinable groupBy via a
-    * struct-max (score, -doc_id) — no window, no second pass for the
-    * member count.
+    * Scale shape: the label join is a plain equi-join with NO forced
+    * broadcast — on a dup-heavy crawl (30-50% dup rate is normal at
+    * 100 TB) the label frame is billions of rows and an unconditional
+    * `broadcast()` would OOM the driver. When the label side IS small,
+    * AQE's runtime size check converts the join to a broadcast for
+    * free; when it isn't, it stays a shuffle join and survives. The
+    * argmax is ONE map-side-combinable groupBy via a struct-max
+    * (score, -doc_id) — no window, no second pass for the member
+    * count.
     * Output: (cluster_id, rep_doc_id, best_score, n_members)
     * ordered by cluster_id.
     */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame =
-    docs.join(broadcast(duplicateClusters(pairs)), Seq("doc_id"), "left")
+    docs.join(duplicateClusters(pairs), Seq("doc_id"), "left")
       .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("doc_id"), col(scoreCol).cast("long").as("score"))
       .groupBy(col("cluster_id"))

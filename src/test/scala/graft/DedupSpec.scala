@@ -59,4 +59,36 @@ class DedupSpec extends AnyFunSuite {
     // <= 0.125; mean |error| over true near-dups stays well inside 3 sigma
     assert(est.map(_._5).sum / est.length <= 0.375)
   }
+
+  test("keepBestPerCluster has no forced broadcast and survives the shuffle-join path") {
+    val pairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    val reps = Dedup.keepBestPerCluster(docs, pairs, "n_chars")
+    // no broadcast hint anywhere in the plan: on a dup-heavy 100 TB
+    // crawl the label frame is billions of rows, so the join must be
+    // free to stay a shuffle join when AQE measures it big
+    assert(!reps.queryExecution.analyzed.toString.toLowerCase.contains("hint"))
+    val expected = reps.collect().toSeq
+    // force the non-broadcast path: with both broadcast thresholds off,
+    // the label join runs as a shuffle join — results must be identical
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val shuffled = Dedup.keepBestPerCluster(docs, pairs, "n_chars").collect().toSeq
+      assert(shuffled == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("materialize=persist (lineage-safe DISK_ONLY) yields identical results to localCheckpoint") {
+    val default = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20).collect().toSeq
+    sys.props("graft.materialize") = "persist"
+    try {
+      val persisted = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20).collect().toSeq
+      assert(persisted == default)
+    } finally sys.props.remove("graft.materialize")
+  }
 }
