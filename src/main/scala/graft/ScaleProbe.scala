@@ -64,8 +64,22 @@ object ScaleProbe {
     time("jaccard_capped", Dedup.jaccardPairsCapped(docs, 3, 0.5, 20))
     time("minhash_lsh", Dedup.minhashLsh(docs, 3, 16, 4, 0.5))
     time("simhash_banded", Dedup.simhashPairs(docs, 2))
+    // the simhash scale knob: a tighter Hamming budget (fewer, wider
+    // chunks) cuts cross-document near-collisions while identical
+    // copies (hamming 0) always survive — the documented 100 TB cap
+    time("simhash_tight", Dedup.simhashPairs(docs, 1))
     time("cosine_topk_brute", Similarity.cosineTopK(embs, 10, 5))
     time("cosine_topk_lsh", Similarity.cosineTopKLsh(embs, 10, 5, 8, 64))
+    time("cosine_topk_ivf", Similarity.cosineTopKIvf(embs, 10, 5, nlist = 16, nprobe = 4))
+    // the knob that holds the curve when duplication itself explodes
+    // (staged copies are IDENTICAL, the worst case): collapse exact
+    // copies FIRST (hash groupBy, linear), then near-dup only the
+    // survivors — pair volume returns to the base corpus's
+    time("minhash_after_exact", {
+      val survivors = docs.join(
+        Dedup.exact(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      Dedup.minhashLsh(survivors, 3, 16, 4, 0.5)
+    })
     time("neardups_lsh", Similarity.embeddingNearDupsLsh(embs, 0.45, 4, 64))
     time("toppairs_lsh", Similarity.topPairsLsh(embs, 20, 4, 64))
 

@@ -558,11 +558,19 @@ object Similarity {
     * generator: per-query top-k by cosine (ties to the lower nid),
     * label counts, majority with ties to the smaller label.
     * Input columns: (qid, true_label, label, nid, cosine).
+    *
+    * The top-k stage is the custom partial-heap operator
+    * ([[graft.plans.TopK.perGroup]]), not a row_number window: the
+    * candidate frame is nQueries x corpus rows, and the window form
+    * would shuffle and full-sort ALL of it per query, while the heap
+    * form reduces each map partition to <= k rows per query BEFORE the
+    * exchange — the shuffle carries nQueries x k rows total no matter
+    * how big the train corpus gets. (cosine desc, nid) is a total
+    * order, so the kept row set is identical to the window form's.
     */
   private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
-    val byQ = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    val votes = scored.withColumn("rnk", row_number().over(byQ))
-      .filter(col("rnk") <= k)
+    val votes = graft.plans.TopK.perGroup(scored,
+        Seq(col("qid")), Seq(col("cosine").desc, col("nid")), k)
       .groupBy(col("qid"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val pick = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))

@@ -48,9 +48,11 @@ object Sinks {
       .sortWithinPartitions(col(sortCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** K2 (RDBMS path) — JDBC append, any driver on the classpath.
-    * Untested here (no JDBC driver ships in /opt/spark/jars —
-    * SURVEY.md §7.5.7); the parquet path above is the tested default.
+  /** K2 (RDBMS path) — JDBC append, any driver on the classpath
+    * (reference spotify_etl2.py:220 `to_sql(..., if_exists="append")`).
+    * Exercised end-to-end in JdbcSinkSpec against embedded Apache
+    * Derby (the JDBC engine that ships in /opt/spark/jars); the
+    * partitioned-parquet path above remains the lake-scale default.
     */
   def appendJdbc(df: DataFrame, url: String, table: String): Unit =
     df.write.mode(SaveMode.Append).format("jdbc")
