@@ -18,6 +18,10 @@ object BenchOne {
     require(names.nonEmpty, "usage: BenchOne <reps> <queryName>...")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // e.g. SPARK_GRAFT_SYSPROPS="graft.materialize=persist" to A/B a mode flag
+    sys.env.get("SPARK_GRAFT_SYSPROPS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); sys.props(k) = v
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
