@@ -669,6 +669,14 @@ object SparkEntry {
         Tables.load(s, dir, "events").filter($"user_id" < 20), k = 3)
     }),
 
+    // ---- Distributed classifier TRAINING (the other half of q102's
+    // inference): integer fixed-point batch GD with a hard sigmoid —
+    // per iteration ONE map-side-combinable aggregate, 4 longs to the
+    // driver, engine-exact to the bit (oracle replays all 3 steps) ----
+    "q112_logit_fit_gd" -> ((s, dir) =>
+      TextAnalysis.fitQualityLogitGd(Tables.load(s, dir, "documents"),
+        iters = 3, lrNum = 1L, lrDen = 5L)),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -1136,6 +1144,59 @@ object SparkEntry {
 
   private def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+
+  /** Oracle for q112: replays TextAnalysis.fitQualityLogitGd's integer
+    * GD step by step — one gradient-aggregate CTE + one weight-update
+    * CTE per iteration, weights carried as a 1-row frame. All i64
+    * arithmetic with the same sign-tricked truncating division the
+    * Spark side uses (DuckDB `//` floors, Spark `div` truncates; they
+    * agree only on non-negative operands).
+    */
+  private def logitGdOracleSql(iters: Int, lrNum: Long, lrDen: Long): String = {
+    val feats = Seq("bias", "ttr", "len", "tok")
+    val z = feats.map(f => s"w_$f * x_$f").mkString(" + ")
+    val sig = s"""greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+                 |    500000 + (CASE WHEN ($z) >= 0 THEN ($z) // 4000000
+                 |                   ELSE -((-($z)) // 4000000) END)))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val gAggs = feats.map(f =>
+        s"CAST(SUM((y * 1000000 - $sig) * x_$f) AS BIGINT) AS g_$f").mkString(",\n    ")
+      val wUpds = feats.map(f =>
+        s"""w_$f + (CASE WHEN g_$f >= 0 THEN (g_$f * $lrNum) // (n * $lrDen * 1000000)
+           |         ELSE -(((-g_$f) * $lrNum) // (n * $lrDen * 1000000)) END) AS w_$f""".stripMargin)
+        .mkString(",\n    ")
+      s"""grad$i AS (
+         |  SELECT count(*) AS n,
+         |    $gAggs
+         |  FROM feat CROSS JOIN w${i - 1}),
+         |w$i AS (
+         |  SELECT
+         |    $wUpds
+         |  FROM w${i - 1} CROSS JOIN grad$i)""".stripMargin
+    }.mkString(",\n")
+    val out = feats.map(f =>
+      s"SELECT '$f' AS feature, w_$f AS weight_fp FROM w$iters").mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w,
+       |             CAST(length(text) AS BIGINT) AS nc FROM documents),
+       |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, nc
+       |      FROM t WHERE len(w) >= 1),
+       |g AS (SELECT doc_id, n_uniq * 1000000 // n_tok AS ttr_fp,
+       |             nc * 1000000 // n_tok AS len_fp, n_tok FROM f),
+       |feat AS (SELECT doc_id,
+       |        CAST(1000000 AS BIGINT) AS x_bias,
+       |        ttr_fp AS x_ttr,
+       |        least(len_fp, 10000000) // 10 AS x_len,
+       |        least(n_tok, 1000) * 1000 AS x_tok,
+       |        CAST(CASE WHEN (2 * ttr_fp) // 1000 + (1 * len_fp) // 1000 + 10 * n_tok - 7000 >= 0
+       |             THEN 1 ELSE 0 END AS BIGINT) AS y
+       |      FROM g),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w_bias, CAST(0 AS BIGINT) AS w_ttr,
+       |              CAST(0 AS BIGINT) AS w_len, CAST(0 AS BIGINT) AS w_tok),
+       |$steps
+       |$out
+       |ORDER BY feature""".stripMargin
+  }
 
   /** DuckDB mirror of Similarity's normalize-once kernel.
     * `list_dot_product` folds sequentially, bit-matching Spark's
@@ -2250,6 +2311,8 @@ object SparkEntry {
         |FROM events WHERE user_id < 20
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q112_logit_fit_gd" -> logitGdOracleSql(iters = 3, lrNum = 1L, lrDen = 5L),
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors

@@ -124,6 +124,103 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The feature frame shared by the logistic trainer below and its
+    * oracle: fixed-point fp6 features NORMALIZED to [0, 1e6] so no
+    * feature dominates the gradient and every later product fits i64 —
+    * x_bias = 1e6; x_ttr = type-token ratio fp6 (≤ 1e6);
+    * x_len = chars-per-token/10 fp6, clamped (≤ 1e6);
+    * x_tok = tokens/1000 fp6, clamped (≤ 1e6). All clamps and the /10
+    * rescale are non-negative integer ops, so they stay engine-exact.
+    * Label y ∈ {0,1} is [[qualityLogit]]'s keep flag — heuristic
+    * self-training labels, exactly how production quality classifiers
+    * bootstrap (a cheap rule labels a corpus sample, a model
+    * generalizes it).
+    */
+  private[graft] def fitQualityLogitGdFeatures(docs: DataFrame): DataFrame =
+    qualityLogit(docs).select(
+      col("doc_id"),
+      lit(1000000L).as("x_bias"),
+      col("ttr_fp").as("x_ttr"),
+      expr("least(len_fp, 10000000L) div 10").as("x_len"),
+      (least(col("n_tok"), lit(1000L)) * 1000L).as("x_tok"),
+      col("keep").as("y"))
+
+  /** Distributed logistic-regression TRAINING for the quality
+    * classifier — the other half of [[qualityLogit]]'s inference, so
+    * the pipeline can fit its own filter instead of importing weights.
+    *
+    * Entirely integer fixed-point, so training is deterministic and
+    * engine-exact (the DuckDB oracle replays it to the bit): the
+    * activation is the hard sigmoid σ̂(z) = clamp(1/2 + z/4, 0, 1) in
+    * fp6, the per-iteration gradient g_j = Σ_i (y_i − σ̂(w·x_i)) x_ij
+    * is ONE map-side-combinable aggregate over the corpus (no shuffle
+    * of the data, 4 longs back to the driver), and the update is
+    * w_j += (g_j · lrNum) / (n · lrDen · 1e6) with division truncated
+    * toward zero via sign(g)·(|g| div d) — Spark `div` and DuckDB `//`
+    * agree only on non-negative operands.
+    *
+    * Scale shape: iters × one codegen'd map pass + partial aggregate;
+    * the driver holds only the 4-weight vector (the standard
+    * data-parallel GD layout — MLlib's own LogisticRegression iterates
+    * exactly this way). i64 bound: per-row |err·x| ≤ 1e13, so corpora
+    * to ~9·10^5 docs PER AGGREGATE are exactly safe; beyond that,
+    * accumulate the same products as DECIMAL(38,0) (one cast — the
+    * gradient stays exact, the update rule unchanged).
+    * Output: one row per coefficient, (feature, weight_fp) ordered by
+    * feature — bias/len/tok/ttr.
+    */
+  def fitQualityLogitGd(docs: DataFrame, iters: Int,
+                        lrNum: Long, lrDen: Long): DataFrame =
+    fitLogitGd(fitQualityLogitGdFeatures(docs), iters, lrNum, lrDen)
+
+  /** The optimizer itself, over any prepared feature frame
+    * (x_bias/x_ttr/x_len/x_tok in fp6 ∈ [0, 1e6], y ∈ {0,1}) — split
+    * out so tests can drive it with synthetic fat-margin data, where
+    * convergence is visible in a handful of iterations. On the real
+    * corpus the heuristic labels sit at a tiny margin (the boundary
+    * cuts through the data bulk), so batch GD needs hundreds of
+    * epochs to pull away from the majority-class plateau — a property
+    * of the data, measured in the python replica under tools/, not of
+    * the distributed implementation.
+    */
+  private[graft] def fitLogitGd(feats: DataFrame, iters: Int,
+                                lrNum: Long, lrDen: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
+    val spark = feats.sparkSession
+    val names = Seq("x_bias", "x_ttr", "x_len", "x_tok")
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to iters) {
+      // z (fp12→fp6 via /4e6 with the sign trick — z goes negative as
+      // soon as any weight does, and Spark's div truncates while
+      // DuckDB's // floors, so divide |z| only);
+      // σ̂ = clamp(5e5 + z/4, 0, 1e6); err (fp6) = y·1e6 − σ̂ —
+      // all i64 column math fused into one codegen'd aggregate
+      val zsum = names.zip(w).map { case (n, wj) => s"$n * ${wj}L" }.mkString(" + ")
+      val sig = expr(
+        s"""greatest(0L, least(1000000L,
+           |  500000L + (CASE WHEN ($zsum) >= 0 THEN ($zsum) div 4000000
+           |                  ELSE -((-($zsum)) div 4000000) END)))""".stripMargin)
+      val err = col("y") * 1000000L - sig
+      val agg = feats.agg(
+        count(lit(1)).as("n"),
+        names.map(n => sum(err * col(n)).as(s"g_$n")): _*)
+      val row = agg.head()
+      val n = row.getLong(0)
+      val grads = names.indices.map(i => row.getLong(i + 1))
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val g = grads(j)
+        val den = n * lrDen * 1000000L
+        wj + math.signum(g) * ((math.abs(g) * lrNum) / den)
+      }
+    }
+    import spark.implicits._
+    names.zip(w)
+      .map { case (n, wj) => (n.stripPrefix("x_"), wj) }
+      .toDF("feature", "weight_fp")
+      .orderBy(col("feature"))
+  }
+
   /** Inverted-index build — the search-index materialization pass:
     * sorted postings per term, SHARDED into fixed-size chunks of
     * `shardSize` doc ids (comma-joined so each row is a plain string
