@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
+import graft.operators.{ApproxDistinct, Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
 import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -676,6 +676,13 @@ object SparkEntry {
     "q112_logit_fit_gd" -> ((s, dir) =>
       TextAnalysis.fitQualityLogitGd(Tables.load(s, dir, "documents"),
         iters = 3, lrNum = 1L, lrDen = 5L)),
+
+    // ---- KMV distinct sketch (the engine-portable sketch tier next
+    // to the HLL pair in ApproxDistinct): per-day k-min hashes +
+    // merged-from-sketch 'ALL' row, estimator replayed exactly by the
+    // oracle — the hash-checkable counterpart of approx_count_distinct ----
+    "q113_kmv_distinct" -> ((s, dir) =>
+      ApproxDistinct.kmvDaily(Tables.load(s, dir, "events"), "user_id", k = 64)),
 
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
@@ -2313,6 +2320,33 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q112_logit_fit_gd" -> logitGdOracleSql(iters = 3, lrNum = 1L, lrDen = 5L),
+
+    "q113_kmv_distinct" -> {
+      val k = 64
+      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+         |hs AS (SELECT DISTINCT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e),
+         |kept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
+         |  WHERE rnk <= $k),
+         |daily AS (SELECT day, count(*) AS n_kept, max(h) AS kth_hash FROM kept GROUP BY day),
+         |exact AS (SELECT day, count(DISTINCT user_id) AS exact_distinct FROM e GROUP BY day),
+         |d AS (SELECT CAST(day AS VARCHAR) AS day_label, n_kept, kth_hash,
+         |        CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+         |             ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / kth_hash END AS approx_distinct,
+         |        exact_distinct
+         |      FROM daily JOIN exact USING (day)),
+         |mh AS (SELECT DISTINCT h FROM kept),
+         |mkept AS (SELECT h FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM mh) WHERE rnk <= $k),
+         |m AS (SELECT count(*) AS n_kept, max(h) AS kth_hash FROM mkept),
+         |ma AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM e),
+         |mrow AS (SELECT 'ALL' AS day_label, n_kept, kth_hash,
+         |        CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+         |             ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / kth_hash END AS approx_distinct,
+         |        exact_distinct
+         |      FROM m CROSS JOIN ma)
+         |SELECT * FROM d UNION ALL SELECT * FROM mrow ORDER BY day_label""".stripMargin
+    },
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors

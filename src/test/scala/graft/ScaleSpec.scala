@@ -97,6 +97,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(oneShot - exact) / exact < 0.05)
   }
 
+  test("KMV sketch: per-day and merged estimates inside the 3/sqrt(k-2) bound, exact when n < k") {
+    val k = 64
+    val ev = Tables.load(spark, sf, "events")
+    val rows = ApproxDistinct.kmvDaily(ev, "user_id", k)
+      .select($"day_label", $"n_kept", $"approx_distinct", $"exact_distinct")
+      .as[(String, Long, Double, Long)].collect()
+    val bound = 3.0 / math.sqrt(k - 2.0) // 3 sigma of the KMV estimator
+    rows.foreach { case (day, nKept, approx, exact) =>
+      if (nKept < k) // sketch holds the whole distinct set -> exact
+        assert(approx == exact.toDouble, s"$day: n<k must be exact, got $approx vs $exact")
+      else
+        assert(math.abs(approx - exact) / exact <= bound,
+          s"$day: approx=$approx exact=$exact outside ${bound * 100}%")
+    }
+    // the ALL row exists and was computed from the sketch union
+    assert(rows.count(_._1 == "ALL") == 1)
+  }
+
+  test("KMV merge from retained hashes equals the sketch of the full data (lossless union)") {
+    val k = 64
+    val ev = Tables.load(spark, sf, "events")
+    val all = ApproxDistinct.kmvDaily(ev, "user_id", k)
+      .filter($"day_label" === "ALL")
+      .select($"kth_hash", $"approx_distinct").as[(Long, Double)].head()
+    // ground truth: k smallest hashes over ALL distinct keys directly
+    val direct = ev.select(graft.functions.PortableHash.hash32($"user_id".cast("string")).as("h"))
+      .distinct().orderBy($"h").limit(k)
+      .agg(max($"h")).as[Long].head()
+    // union-of-day-sketches keeps every hash that is globally among the
+    // k smallest (each is in its own day's k smallest), so the merged
+    // kth hash — and hence the estimate — matches the direct sketch
+    assert(all._1 == direct, s"merged kth=${all._1} direct kth=$direct")
+  }
+
   test("partitioned sink: a partition-column predicate prunes at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.load(spark, sf, "events")
