@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -151,22 +151,58 @@ private[spotify] class SpotifyApiTable(props: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new SpotifyApiScan(props ++ options.asScala)
+    new SpotifyApiScanBuilder(props ++ options.asScala)
+}
+
+/** Predicate pushdown into the API fan-out: an equality/IN filter on
+  * `request` prunes whole InputPartitions — i.e., whole API CALLS —
+  * before any fetch happens. At fleet scale this is the difference
+  * between "fetch 10k artists then discard 9,990 rows" and "fetch 10".
+  * The filters are reported back as residual (Spark re-applies them),
+  * so pruning is purely an optimization and can never change results.
+  */
+private[spotify] class SpotifyApiScanBuilder(opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var requestFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val wanted = filters.collect {
+      case EqualTo("request", v: String) => Set(v)
+      case In("request", vs) => vs.collect { case s: String => s }.toSet
     }
+    if (wanted.nonEmpty) {
+      requestFilter = Some(wanted.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("request", _) | In("request", _) => true
+        case _ => false
+      }
+    }
+    filters // all residual: pruning is an optimization, not evaluation
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SpotifyApiScan(opts, requestFilter)
 }
 
 private[spotify] case class SpotifyRequestPartition(endpoint: String, request: String)
     extends InputPartition
 
-private[spotify] class SpotifyApiScan(opts: Map[String, String]) extends Scan with Batch {
+private[spotify] class SpotifyApiScan(opts: Map[String, String],
+                                      requestFilter: Option[Set[String]] = None)
+    extends Scan with Batch {
   private val endpoint = opts.getOrElse("endpoint", sys.error("endpoint option is required"))
   private val requests = opts.getOrElse("requests", sys.error("requests option is required"))
     .split(",").map(_.trim).filter(_.nonEmpty)
+    .filter(r => requestFilter.forall(_.contains(r)))
   // lower-cased keys: CaseInsensitiveStringMap flattens case anyway
   private val lowered = opts.map { case (k, v) => k.toLowerCase -> v }
 
   override def readSchema(): StructType = SpotifyApiSource.schema
+  // surfaces partition pruning in .explain: "PushedRequests: [...]"
+  override def description(): String =
+    s"endpoint=$endpoint, PushedRequests: ${requestFilter.fold("none")(_.toSeq.sorted.mkString("[", ",", "]"))}, " +
+      s"plannedPartitions=${requests.length}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     requests.map(r => SpotifyRequestPartition(endpoint, r): InputPartition)

@@ -76,6 +76,21 @@ class SpotifyApiSourceSpec extends AnyFunSuite {
     assert(tracks.select("track_id").as[String].collect().toSet == Set("t1", "t2"))
   }
 
+  test("request filter pushes down: whole API-call partitions are pruned before any fetch") {
+    val base = read("search", "madonna,cher,nobody")
+    val filtered = base.filter($"request" === "madonna")
+    assert(filtered.rdd.getNumPartitions == 1,
+      s"expected 1 pruned partition, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 1)
+    val inFiltered = base.filter($"request".isin("madonna", "cher"))
+    assert(inFiltered.rdd.getNumPartitions == 2)
+    assert(inFiltered.count() == 2)
+    // the pruning surfaces in the scan description and results stay correct
+    assert(filtered.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("PushedRequests: [madonna]"))
+    assert(filtered.select($"request").as[String].collect().toSeq == Seq("madonna"))
+  }
+
   test("unparseable page yields a NULL struct for the P5 malformed-payload rule, not an exception") {
     Files.write(Paths.get(fixtureDir, "search", "broken.jsonl"),
       "this is not json".getBytes("UTF-8"))
