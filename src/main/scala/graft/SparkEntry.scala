@@ -684,6 +684,37 @@ object SparkEntry {
     "q113_kmv_distinct" -> ((s, dir) =>
       ApproxDistinct.kmvDaily(Tables.load(s, dir, "events"), "user_id", k = 64)),
 
+    // ---- DataSourceV2 connector end-to-end (S1-S3 as a batch
+    // source): constant fixture payloads through format("spotify-api")
+    // (one InputPartition per request, fixture fetcher, pagination,
+    // missing request = 0 pages) -> declared-schema parse -> the real
+    // 10-col flatten with its null-default battery. The oracle is the
+    // literal expected table, so the whole connector path is
+    // hash-checked, not just spec-asserted ----
+    "q114_api_connector_flatten" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_api_fixture")
+      java.nio.file.Files.createDirectories(dir.resolve("top-tracks"))
+      java.nio.file.Files.write(dir.resolve("top-tracks/a1.jsonl"),
+        ("""{"tracks":[{"id":"t1","name":"Song One","popularity":90,"duration_ms":200000,"explicit":false,"preview_url":"https://p/t1","external_urls":{"spotify":"https://open/t1"},"album":{"id":"al1","name":"Album One","release_date":"2001-01-01"},"artists":[{"id":"ar1","name":"Artist One"}]},""" +
+          """{"id":"t2","name":"Song Two","duration_ms":180000,"album":{"id":"al2","name":"Album Two","release_date":"2002-02-02"},"artists":[{"id":"ar1","name":"Artist One"}]}]}""" +
+          "\n" +
+          """{"tracks":[{"id":"t3","name":"Song Three","popularity":5,"duration_ms":1000,"artists":[{}]}]}""")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("top-tracks/a2.jsonl"),
+        """{"tracks":[{"id":"t4","name":"Song Four","popularity":70,"duration_ms":240000,"explicit":true,"preview_url":"https://p/t4","external_urls":{"spotify":"https://open/t4"},"album":{"id":"al4","name":"Album Four","release_date":"2004-04-04"},"artists":[{"id":"ar2","name":"Artist Two"}]}]}"""
+          .getBytes("UTF-8"))
+      val pages = s.read.format("spotify-api")
+        .option("endpoint", "top-tracks")
+        .option("requests", "a1,a2,amissing")
+        .option("fetcher", classOf[graft.sources.spotify.FixturePageFetcher].getName)
+        .option("fixtureDir", dir.toString)
+        .load()
+      SpotifyFlatten.topTracks(
+        SpotifySchemas.parse(pages.select($"payload").as[String], SpotifySchemas.topTracksPayload))
+        .orderBy($"track_id")
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2347,6 +2378,22 @@ object SparkEntry {
          |      FROM m CROSS JOIN ma)
          |SELECT * FROM d UNION ALL SELECT * FROM mrow ORDER BY day_label""".stripMargin
     },
+
+    // the connector feeds CONSTANT payloads, so the oracle is the
+    // literal expected flatten output — null-default battery included
+    "q114_api_connector_flatten" ->
+      """SELECT * FROM (VALUES
+        |  ('Artist One', 'Song One', CAST(90 AS INTEGER), CAST(200000 AS BIGINT), false,
+        |   'https://open/t1', 'https://p/t1', 'Album One', '2001-01-01', 't1'),
+        |  ('Artist One', 'Song Two', CAST(0 AS INTEGER), CAST(180000 AS BIGINT), false,
+        |   '', '', 'Album Two', '2002-02-02', 't2'),
+        |  ('Unknown', 'Song Three', CAST(5 AS INTEGER), CAST(1000 AS BIGINT), false,
+        |   '', '', 'Unknown', '', 't3'),
+        |  ('Artist Two', 'Song Four', CAST(70 AS INTEGER), CAST(240000 AS BIGINT), true,
+        |   'https://open/t4', 'https://p/t4', 'Album Four', '2004-04-04', 't4'))
+        | AS t(artist_name, song_name, popularity, duration_ms, explicit,
+        |      external_url, preview_url, album_name, release_date, track_id)
+        |ORDER BY track_id""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
