@@ -149,5 +149,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
     // users writing the portable HOF dot form get the codegen kernel
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
+    // the per-group top-k physical operator plans without the
+    // TopK.perGroup helper's self-registration fallback
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
