@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order lake layout: per-file min/max spans must be bounded in
+  * BOTH dimensions (each file covers a rectangle), where the 1-D
+  * sorted layout leaves the unsorted dimension at full span in every
+  * file. Span fraction = avg over files of (max-min)/domain — the
+  * share of the domain a point predicate on that column cannot skip.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def events = Tables.load(spark, sf, "events")
+    .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value")
+
+  /** Average per-file span fraction of `c` across the written files. */
+  private def spanFrac(path: String, c: String): Double = {
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+    val Array(gLo, gHi) = spark.read.parquet(path)
+      .agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val fracs = perFile.select((($"hi" - $"lo") / (gHi - gLo)).as("fr"))
+      .as[Double].collect()
+    fracs.sum / fracs.length
+  }
+
+  test("z-order bounds BOTH dimensions; 1-D sort leaves the other at full span") {
+    val zDir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    val sDir = Files.createTempDirectory("graft_sorted").toString + "/t"
+    Sinks.writeZOrdered(events, zDir, "ts_us", "user_id", partitions = 16)
+    Sinks.writeSorted(events, sDir, "ts_us", partitions = 16)
+
+    val zTs = spanFrac(zDir, "ts_us")
+    val zUser = spanFrac(zDir, "user_id")
+    val sTs = spanFrac(sDir, "ts_us")
+    val sUser = spanFrac(sDir, "user_id")
+    info(f"z-order: ts span $zTs%.3f, user span $zUser%.3f; sorted: ts $sTs%.3f, user $sUser%.3f")
+
+    // 16 files on a 2-D Z-curve: each dimension's span shrinks well
+    // below half the domain on average
+    assert(zTs < 0.5, s"z-order ts span $zTs should be < 0.5")
+    assert(zUser < 0.5, s"z-order user span $zUser should be < 0.5")
+    // the 1-D layout cannot skip on the unsorted column: every file
+    // spans (nearly) the whole user domain
+    assert(sUser > 0.8, s"sorted-by-ts user span $sUser expected near 1")
+    // and z-order's sorted-dimension span stays comparable-or-better
+    // than 4x the 1-D layout's (the price of covering two dimensions)
+    assert(zTs <= math.max(4 * sTs, 0.5))
+  }
+
+  test("z-order write preserves every row and column (the layout is only a permutation)") {
+    val dir = Files.createTempDirectory("graft_zorder_rt").toString + "/t"
+    Sinks.writeZOrdered(events, dir, "ts_us", "user_id", partitions = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.toSeq == events.columns.sorted.toSeq)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+}
