@@ -37,4 +37,27 @@ object RunSummaries {
       countDistinct(col("artist_name")).as("unique_artists"),
       bround(avg(col("popularity")), 2).as("average_popularity"),
       sum(when(col("explicit"), 1L).otherwise(0L)).as("explicit_tracks"))
+
+  /** Zero-extra-pass run metrics: the summaries above are separate
+    * aggregate jobs — a SECOND full scan of the batch. At 100 TB the
+    * right mechanism is `Dataset.observe`: the metrics accumulate
+    * INSIDE the main job's tasks (Spark's observable-metrics
+    * machinery, exactly what StreamingQueryProgress uses), so writing
+    * the batch to its sink also produces the XCom record for free.
+    * Returns the instrumented frame plus the [[Observation]] handle —
+    * call `observation.get` after any action on the returned frame.
+    * Metrics: row count, null-PK count, distinct-ish PK check is NOT
+    * possible here (observe requires aggregates that merge without
+    * state explosion), min/max of the event-time column.
+    */
+  def observedSummary(df: DataFrame, pkCol: String, tsCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_run_summary")
+    val instrumented = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(pkCol).isNull, 1L).otherwise(0L)).as("null_pk"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"))
+    (instrumented, obs)
+  }
 }

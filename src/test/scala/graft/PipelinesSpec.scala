@@ -76,4 +76,18 @@ class PipelinesSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").csv(s"$dir/out")
     assert(back.columns.contains("rank") && back.count() == 2)
   }
+
+  test("observedSummary collects run metrics inside the sink job — no second scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val (instrumented, obs) = graft.operators.RunSummaries.observedSummary(ev, "event_id", "ts")
+    // the ONLY action is the sink write; metrics ride its tasks
+    instrumented.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val expected = ev.agg(count(lit(1)), sum(when(col("event_id").isNull, 1L).otherwise(0L)),
+      min($"ts"), max($"ts")).head()
+    assert(m("n_rows") == expected.getLong(0))
+    assert(m("null_pk") == expected.getLong(1))
+    assert(m("min_ts") == expected.getTimestamp(2) && m("max_ts") == expected.getTimestamp(3))
+  }
 }
