@@ -141,6 +141,8 @@ object ScaleProbe {
       Similarity.kmeansAssign(embs, Similarity.deriveK(embs.count()), 2))
     time("kmeans_coarse_derivedk",
       Similarity.kmeansAssignCoarse(embs, Similarity.deriveK(embs.count()), 2, nprobe = 2))
+    time("kmv_distinct", operators.ApproxDistinct.kmvDaily(events, "user_id", 64))
+    time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -80,4 +80,37 @@ class PropertySpec extends AnyFunSuite {
     assert(again.filter($"n_copies" > 1).isEmpty)
     assert(again.count() == once.count())
   }
+
+  test("sign-tricked div law: the Spark-side expression equals BigInt truncation for any sign") {
+    // the portability primitive under q112's trainer: Spark div
+    // truncates toward zero, DuckDB // floors; the CASE/sign form must
+    // equal BigInt's truncating quotient everywhere
+    val gen = for {
+      a <- Gen.chooseNum(-1000000000000L, 1000000000000L)
+      b <- Gen.chooseNum(1L, 10000000L)
+    } yield (a, b)
+    val cases = (0L until 200L).map(s => sample(gen, s))
+    val df = cases.toDF("a", "b").selectExpr(
+      "a", "b",
+      "CASE WHEN a >= 0 THEN a div b ELSE -((-a) div b) END AS got")
+    df.collect().foreach { r =>
+      val (a, b, got) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(got == (BigInt(a) / BigInt(b)).toLong, s"a=$a b=$b")
+    }
+  }
+
+  test("KMV law: when distinct keys < k the sketch is exact, for arbitrary key multisets") {
+    for (seed <- 0L until 5L) {
+      val keys = sample(Gen.listOfN(200, Gen.chooseNum(0L, 40L)), seed) // <= 41 distinct < k=64
+      val ev = keys.zipWithIndex
+        .map { case (u, i) => (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 3} 10:00:00"), u) }
+        .toDF("event_id", "ts", "user_id")
+      val rows = graft.operators.ApproxDistinct.kmvDaily(ev, "user_id", 64)
+        .select($"approx_distinct", $"exact_distinct")
+        .as[(Double, Long)].collect()
+      rows.foreach { case (approx, exact) =>
+        assert(approx == exact.toDouble, s"seed=$seed approx=$approx exact=$exact")
+      }
+    }
+  }
 }
