@@ -162,8 +162,9 @@ object TextAnalysis {
     * Scale shape: iters × one codegen'd map pass + partial aggregate;
     * the driver holds only the 4-weight vector (the standard
     * data-parallel GD layout — MLlib's own LogisticRegression iterates
-    * exactly this way). i64 bound: per-row |err·x| ≤ 1e13, so corpora
-    * to ~9·10^5 docs PER AGGREGATE are exactly safe; beyond that,
+    * exactly this way). i64 bound: with all features normalized to
+    * ≤ 1e6 fp, per-row |err·x| ≤ 1e12, so corpora to ~9·10^6 docs PER
+    * AGGREGATE are exactly safe; beyond that,
     * accumulate the same products as DECIMAL(38,0) (one cast — the
     * gradient stays exact, the update rule unchanged).
     * Output: one row per coefficient, (feature, weight_fp) ordered by
