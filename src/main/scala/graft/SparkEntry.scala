@@ -715,6 +715,34 @@ object SparkEntry {
         .orderBy($"track_id")
     }),
 
+    // ---- Multimodal decode hash-checked: constant solid-color PNGs
+    // (deterministic ImageIO bytes built in-query) through asMedia ->
+    // decodeImages — REAL JDK codec, true dimensions + component count
+    // + Rec.601 mean luma; solid colors make the luma an exact
+    // constant, so the oracle is the literal expected table ----
+    "q115_multimodal_decode" -> ((s, _) => {
+      import s.implicits._
+      def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = graft.operators.Multimodal.asMedia(
+        Seq((1L, png(4, 3, 0xffffff)), // white: luma 1.0
+          (2L, png(5, 2, 0xff0000)),   // red:   luma 0.299
+          (3L, png(2, 2, 0x0000ff)))   // blue:  luma 0.114
+          .toDF("id", "bytes"),
+        "id", "bytes", "image", "image/png")
+      graft.operators.Multimodal.decodeImages(media).toDF()
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"channels".cast("long").as("channels"),
+          bround($"brightness", 6).as("brightness"))
+        .orderBy($"media_id")
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2394,6 +2422,15 @@ object SparkEntry {
         | AS t(artist_name, song_name, popularity, duration_ms, explicit,
         |      external_url, preview_url, album_name, release_date, track_id)
         |ORDER BY track_id""".stripMargin,
+
+    // constant solid-color images -> constant decode output
+    "q115_multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0.299 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0.114 AS DOUBLE)))
+        | AS t(media_id, width, height, channels, brightness)
+        |ORDER BY media_id""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
