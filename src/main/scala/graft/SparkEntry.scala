@@ -743,6 +743,39 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // ---- Audio decode hash-checked (same pattern as q115): constant
+    // 16-bit PCM WAVs whose RMS is an exact dyadic constant (samples
+    // ±2^k / 32768 square exactly in binary), through the REAL
+    // javax.sound decode — sample rate, frames, duration, RMS ----
+    "q116_multimodal_audio" -> ((s, _) => {
+      import s.implicits._
+      def wav(rate: Float, frames: Int, sample: Short): Array[Byte] = {
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+        val fmt = new AudioFormat(rate, 16, 1, true, false)
+        val bb = java.nio.ByteBuffer.allocate(frames * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until frames).foreach { i =>
+          bb.putShort(if (sample == Short.MaxValue) // alternating mode marker
+            (if (i % 2 == 0) 8192 else -8192).toShort else sample)
+        }
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(bb.array()), fmt, frames)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val media = graft.operators.Multimodal.asMedia(
+        Seq((1L, wav(8000f, 80, 16384)),          // constant +0.5 -> RMS 0.5
+          (2L, wav(16000f, 320, 0)),              // silence -> RMS 0.0
+          (3L, wav(8000f, 160, Short.MaxValue)))  // alternating ±0.25 -> RMS 0.25
+          .toDF("id", "bytes"),
+        "id", "bytes", "audio", "audio/wav")
+      graft.operators.Multimodal.decodeAudios(media).toDF()
+        .select($"media_id", $"sample_rate", $"channels".cast("long").as("channels"),
+          $"n_frames", $"duration_ms", bround($"rms", 9).as("rms"))
+        .orderBy($"media_id")
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2430,6 +2463,15 @@ object SparkEntry {
         |  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0.299 AS DOUBLE)),
         |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0.114 AS DOUBLE)))
         | AS t(media_id, width, height, channels, brightness)
+        |ORDER BY media_id""".stripMargin,
+
+    // constant PCM -> exact decode constants (dyadic RMS values)
+    "q116_multimodal_audio" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(8000 AS DOUBLE), CAST(1 AS BIGINT), CAST(80 AS BIGINT), CAST(10.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(16000 AS DOUBLE), CAST(1 AS BIGINT), CAST(320 AS BIGINT), CAST(20.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(8000 AS DOUBLE), CAST(1 AS BIGINT), CAST(160 AS BIGINT), CAST(20.0 AS DOUBLE), CAST(0.25 AS DOUBLE)))
+        | AS t(media_id, sample_rate, channels, n_frames, duration_ms, rms)
         |ORDER BY media_id""".stripMargin,
 
     "q108_full_outer_daily" ->
