@@ -776,6 +776,57 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // ---- Video frame-sampling hash-checked (completing the
+    // multimodal trio with q115/q116): a deterministic two-frame
+    // animated GIF (solid red then solid blue, 100 ms each) through
+    // the REAL GIF frame walk + display-time sampling, each sampled
+    // frame re-decoded to its exact constant luma ----
+    "q117_multimodal_frames" -> ((s, _) => {
+      import s.implicits._
+      import java.awt.image.BufferedImage
+      import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+      import javax.imageio.metadata.IIOMetadataNode
+      def solid(rgb: Int) = {
+        val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+        img
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (img <- Seq(solid(0xff0000), solid(0x0000ff))) {
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      val m = graft.operators.Multimodal.asMedia(
+        Seq((7L, bos.toByteArray)).toDF("id", "bytes"),
+        "id", "bytes", "video", "image/gif")
+      val frames = graft.operators.Multimodal.sampleFrames(m, durationMs = 200, everyMs = 100).toDF()
+      val dec = graft.operators.Multimodal.decodeImages(
+        graft.operators.Multimodal.asMedia(
+          frames.select($"frame_idx".as("id"), $"frame"), "id", "frame", "image", "image/png")).toDF()
+      frames.select($"frame_idx".cast("long").as("frame_idx"), $"ts_ms")
+        .join(dec.select($"media_id".as("frame_idx"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+          bround($"brightness", 6).as("brightness")), Seq("frame_idx"))
+        .orderBy($"frame_idx")
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2473,6 +2524,14 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), CAST(8000 AS DOUBLE), CAST(1 AS BIGINT), CAST(160 AS BIGINT), CAST(20.0 AS DOUBLE), CAST(0.25 AS DOUBLE)))
         | AS t(media_id, sample_rate, channels, n_frames, duration_ms, rms)
         |ORDER BY media_id""".stripMargin,
+
+    // two sampled GIF frames at their display times, constant lumas
+    "q117_multimodal_frames" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0.299 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0.114 AS DOUBLE)))
+        | AS t(frame_idx, ts_ms, width, height, brightness)
+        |ORDER BY frame_idx""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
