@@ -827,6 +827,50 @@ object SparkEntry {
         .orderBy($"frame_idx")
     }),
 
+    // ---- MJPEG-in-AVI frame walk hash-checked (the second video
+    // container next to q117's GIF): a hand-built RIFF/AVI with two
+    // JPEG frames at 40 ms/frame through the real RIFF chunk walk;
+    // JPEG is lossy so the oracle pins the exact METADATA (index,
+    // display time, dimensions), not pixel values ----
+    "q118_multimodal_avi" -> ((s, _) => {
+      import s.implicits._
+      import java.awt.image.BufferedImage
+      import javax.imageio.ImageIO
+      def solid(rgb: Int) = {
+        val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+        img
+      }
+      def jpeg(img: BufferedImage) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]) =
+        id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+          (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      def lst(typ: String, body: Array[Byte]) =
+        chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+      val hdrl = lst("hdrl", chunk("avih", le32(40000L) ++ Array.fill[Byte](52)(0)))
+      val movi = lst("movi",
+        chunk("00dc", jpeg(solid(0xff0000))) ++ chunk("00dc", jpeg(solid(0x0000ff))))
+      val payload = hdrl ++ movi
+      val avi = "RIFF".getBytes("US-ASCII") ++ le32(4L + payload.length) ++
+        "AVI ".getBytes("US-ASCII") ++ payload
+      val m = graft.operators.Multimodal.asMedia(
+        Seq((11L, avi)).toDF("id", "bytes"), "id", "bytes", "video", "video/x-msvideo")
+      val frames = graft.operators.Multimodal.sampleFrames(m, durationMs = 80, everyMs = 40).toDF()
+      val dec = graft.operators.Multimodal.decodeImages(
+        graft.operators.Multimodal.asMedia(
+          frames.select($"frame_idx".as("id"), $"frame"), "id", "frame", "image", "image/png")).toDF()
+      frames.select($"frame_idx".cast("long").as("frame_idx"), $"ts_ms")
+        .join(dec.select($"media_id".as("frame_idx"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height")), Seq("frame_idx"))
+        .orderBy($"frame_idx")
+    }),
+
     // ---- FULL OUTER join (completes the join surface: q6 broadcast,
     // q7 SMJ, q8 anti, q9 semi, q29 SHJ): daily error-vs-purchase
     // reconciliation with coalesced key and zero-fill ----
@@ -2531,6 +2575,15 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0.299 AS DOUBLE)),
         |  (CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0.114 AS DOUBLE)))
         | AS t(frame_idx, ts_ms, width, height, brightness)
+        |ORDER BY frame_idx""".stripMargin,
+
+    // AVI frame-walk metadata: exact index/time/dimensions (JPEG lossy
+    // pixels excluded by construction)
+    "q118_multimodal_avi" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(40 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)))
+        | AS t(frame_idx, ts_ms, width, height)
         |ORDER BY frame_idx""".stripMargin,
 
     "q108_full_outer_daily" ->
