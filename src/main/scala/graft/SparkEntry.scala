@@ -827,6 +827,32 @@ object SparkEntry {
         .orderBy($"frame_idx")
     }),
 
+    // ---- Resize path hash-checked: solid colors survive bilinear
+    // scaling exactly, so downscaled dimensions AND luma are exact
+    // constants; a no-upscale case pins the never-upscale contract ----
+    "q119_multimodal_resize" -> ((s, _) => {
+      import s.implicits._
+      def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = graft.operators.Multimodal.asMedia(
+        Seq((1L, png(4, 4, 0xff0000)),  // 4x4 red   -> 2x2 at maxDim 2
+          (2L, png(8, 4, 0xffffff)),    // 8x4 white -> 2x1 at maxDim 2 (aspect kept)
+          (3L, png(2, 2, 0x0000ff)))    // 2x2 blue  -> untouched (never upscales)
+          .toDF("id", "bytes"),
+        "id", "bytes", "image", "image/png")
+      val resized = graft.operators.Multimodal.resize(media, maxDim = 2)
+      graft.operators.Multimodal.decodeImages(resized).toDF()
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          bround($"brightness", 6).as("brightness"))
+        .orderBy($"media_id")
+    }),
+
     // ---- MJPEG-in-AVI frame walk hash-checked (the second video
     // container next to q117's GIF): a hand-built RIFF/AVI with two
     // JPEG frames at 40 ms/frame through the real RIFF chunk walk;
@@ -2585,6 +2611,15 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(40 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)))
         | AS t(frame_idx, ts_ms, width, height)
         |ORDER BY frame_idx""".stripMargin,
+
+    // solid colors through bilinear downscale: exact dims + luma
+    "q119_multimodal_resize" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0.299 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0.114 AS DOUBLE)))
+        | AS t(media_id, width, height, brightness)
+        |ORDER BY media_id""".stripMargin,
 
     "q108_full_outer_daily" ->
       """WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_errors
