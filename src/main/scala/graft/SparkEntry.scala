@@ -827,6 +827,26 @@ object SparkEntry {
         .orderBy($"frame_idx")
     }),
 
+    // ---- Raw text-log source hash-checked: constant log lines
+    // written in-query through the real file source + regexp lift,
+    // including the malformed-line quarantine contract (P5's analog
+    // for line-oriented input) ----
+    "q120_textlog_parse" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_textlog")
+      java.nio.file.Files.write(dir.resolve("app.log"),
+        ("2026-01-02T03:04:05 ERROR disk full on /data\n" +
+          "2026-01-02T03:04:06 INFO retrying write\n" +
+          "this line is garbage\n" +
+          "2026-01-02T03:05:00 WARN slow response 2.3s\n").getBytes("UTF-8"))
+      val parsed = graft.sources.TextLog.read(s, dir.toString, keepMalformed = false)
+        .select(unix_micros($"ts").as("ts_us"), $"level", $"message")
+      val report = graft.sources.TextLog.parseReport(s, dir.toString)
+      parsed.join(report)
+        .select($"ts_us", $"level", $"message", $"n_lines", $"n_parsed", $"n_malformed")
+        .orderBy($"ts_us")
+    }),
+
     // ---- Resize path hash-checked: solid colors survive bilinear
     // scaling exactly, so downscaled dimensions AND luma are exact
     // constants; a no-upscale case pins the never-upscale contract ----
@@ -2611,6 +2631,15 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(40 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)))
         | AS t(frame_idx, ts_ms, width, height)
         |ORDER BY frame_idx""".stripMargin,
+
+    // constant log lines -> exact parsed rows + quarantine counts
+    "q120_textlog_parse" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1767323045000000 AS BIGINT), 'ERROR', 'disk full on /data', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(1767323046000000 AS BIGINT), 'INFO', 'retrying write', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(1767323100000000 AS BIGINT), 'WARN', 'slow response 2.3s', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)))
+        | AS t(ts_us, level, message, n_lines, n_parsed, n_malformed)
+        |ORDER BY ts_us""".stripMargin,
 
     // solid colors through bilinear downscale: exact dims + luma
     "q119_multimodal_resize" ->
