@@ -58,6 +58,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zTs <= math.max(4 * sTs, 0.5))
   }
 
+  test("reader-level proof: row-group pruning fires on BOTH dimensions of the z-ordered layout") {
+    val zDir = Files.createTempDirectory("graft_zorder_rg").toString + "/t"
+    val sDir = Files.createTempDirectory("graft_sorted_rg").toString + "/t"
+    Sinks.writeZOrdered(events, zDir, "ts_us", "user_id", partitions = 16)
+    Sinks.writeSorted(events, sDir, "ts_us", partitions = 16)
+    val total = events.count()
+
+    // rows the parquet reader actually materializes under a point-ish
+    // predicate = rows of the row groups whose stats overlap it
+    def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect() // execute to populate metrics
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val Array(uLo, uHi) = spark.read.parquet(zDir)
+      .agg(min($"user_id"), max($"user_id")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (uLo + uHi) / 2
+    val narrow = $"user_id".between(mid, mid + (uHi - uLo) / 20)
+
+    val zScanned = scannedRows(zDir, narrow)
+    val sScanned = scannedRows(sDir, narrow)
+    info(s"user-range predicate: z-ordered scans $zScanned rows, 1-D-sorted scans $sScanned of $total")
+    // the 1-D layout cannot prune on the unsorted column: it reads everything
+    assert(sScanned == total)
+    // the z-ordered layout skips whole row groups on the SECOND dimension
+    assert(zScanned < total * 3 / 4,
+      s"expected z-order to prune row groups on user_id: scanned $zScanned of $total")
+  }
+
   test("z-order write preserves every row and column (the layout is only a permutation)") {
     val dir = Files.createTempDirectory("graft_zorder_rt").toString + "/t"
     Sinks.writeZOrdered(events, dir, "ts_us", "user_id", partitions = 8)
