@@ -56,14 +56,18 @@ object ApproxDistinct {
     */
   def kmvDaily(events: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("day")).orderBy(col("h"))
-    val kept = events
-      .select(to_date(col("ts")).as("day"),
-        graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
-      .distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // per-day k smallest via the custom partial-heap operator, NOT a
+    // rank window: the window form sorts EVERY distinct hash of a day
+    // in one task (billions per day at crawl scale); the heap form
+    // reduces each map partition to <= k rows per day before the
+    // exchange, so the shuffle carries k rows per (partition, day)
+    // no matter how many distinct keys a day has
+    val kept = graft.plans.TopK.perGroup(
+      events
+        .select(to_date(col("ts")).as("day"),
+          graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
+        .distinct(),
+      Seq(col("day")), Seq(col("h").asc), k)
     val exact = events
       .select(to_date(col("ts")).as("day"), col(keyCol).as("key"))
       .groupBy(col("day")).agg(countDistinct(col("key")).as("exact_distinct"))
