@@ -143,6 +143,25 @@ object ScaleProbe {
       Similarity.kmeansAssignCoarse(embs, Similarity.deriveK(embs.count()), 2, nprobe = 2))
     time("kmv_distinct", operators.ApproxDistinct.kmvDaily(events, "user_id", 64))
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
+    // connected-components convergence on an adversarial CHAIN (the
+    // shape where diameter-bound propagation dies at scale: rounds =
+    // chain length, while large-star/small-star needs O(log d)). Not
+    // a staged-table op — the fixture IS the worst case, so it runs
+    // at a fixed size and reports ROUNDS, the scale-determining number.
+    if (only.isEmpty || only.contains("cc_chain")) {
+      val chainN = 4096L
+      val chain = spark.range(1L, chainN)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      def ccProbe(name: String, f: => (DataFrame, Int), maxIter: Int): Unit = {
+        val t0 = System.nanoTime()
+        val (labels, rounds) = f
+        val nClusters = labels.select("cluster_id").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","sec":$sec%.2f,"rounds":$rounds,"maxIter":$maxIter,"clusters":$nClusters,"chain_nodes":$chainN}""")
+      }
+      ccProbe("cc_chain_star", Dedup.starWithRounds(chain, 50), 50)
+      ccProbe("cc_chain_propagate", Dedup.propagateWithRounds(chain, 25), 25)
+    }
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))

@@ -2557,7 +2557,9 @@ object SparkEntry {
     "q113_kmv_distinct" -> {
       val k = 64
       s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
-         |hs AS (SELECT DISTINCT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e),
+         |hs AS (SELECT DISTINCT day, h FROM (
+         |    SELECT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e)
+         |  WHERE h IS NOT NULL),
          |kept AS (SELECT day, h FROM (
          |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
          |  WHERE rnk <= $k),

@@ -63,10 +63,16 @@ object ApproxDistinct {
     // admission test is one compare against the heap head — measured
     // ~30% faster at 20x staged scale with the identical <= k rows
     // per (partition, day) exchange contract
+    // NULL keys are excluded BEFORE the top-k: a null hash would sort
+    // first under Spark's NULLS FIRST default but last under the
+    // oracle's row_number ORDER BY, and would burn a sketch slot that
+    // max(h) then ignores — the sketch estimates distinct non-null
+    // keys, matching count(DISTINCT key) semantics on both engines
     val kept = graft.plans.TopK.perGroup(
       events
         .select(to_date(col("ts")).as("day"),
           graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
+        .filter(col("h").isNotNull)
         .distinct(),
       Seq(col("day")), Seq(col("h").asc), k)
     val exact = events

@@ -48,13 +48,37 @@ object Dedup {
     * frame's partitioning (downstream self-joins still skip their
     * shuffle); results are identical either way (asserted in
     * DedupSpec). Perf delta at sf0.01: see SCALING.md.
+    *
+    * Lifecycle: persist-mode blocks are NOT dropped when the query
+    * finishes — Spark has no query-scoped unpersist hook, and the
+    * long-lived cluster session this flag targets would otherwise
+    * accumulate DISK_ONLY blocks across invocations. Every persisted
+    * frame is therefore tracked, and [[releaseMaterialized]] drops
+    * them all; call it between pipeline stages (or run
+    * `spark.catalog.clearCache()` periodically — see the cluster-knobs
+    * section of README.md).
     */
+  private val persistedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   private[graft] def materialize(df: DataFrame): DataFrame =
     if (sys.props.get("graft.materialize").contains("persist")) {
       val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       p.count() // force eager materialization, matching localCheckpoint
+      persistedFrames.synchronized { persistedFrames += p }
       p
     } else df.localCheckpoint()
+
+  /** Unpersist every DISK_ONLY frame pinned by persist-mode
+    * [[materialize]] calls since the last release (no-op in the
+    * default localCheckpoint mode). Safe to call while downstream
+    * results are still referenced: unpersisting only drops the cached
+    * blocks, and the retained lineage recomputes them if a consumer
+    * re-executes.
+    */
+  def releaseMaterialized(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach(_.unpersist(blocking = false))
+    persistedFrames.clear()
+  }
 
   /** Word n-gram shingle set per document: (doc_id, shingle), distinct. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
@@ -381,23 +405,54 @@ object Dedup {
     * keep-one-per-cluster decisions; without it, A~B and B~C keeps
     * both A and C.
     *
-    * Implementation: iterative min-label propagation. Each round is
-    * one equi-join (edge.dst → current label) plus one map-side-
-    * combinable min-groupBy — fully distributed, no driver-side graph.
-    * Rounds needed = cluster diameter, which for near-dup clusters is
-    * small (they are near-cliques: every member shares most shingles
-    * with every other, so most pairs are direct edges). The loop stops
-    * as soon as a round changes nothing (one count per round — a
-    * cheap scalar action on the label frame), and `localCheckpoint`
-    * truncates lineage so plan size stays constant across rounds
-    * instead of growing geometrically. For adversarially long chains
-    * at extreme scale the standard fix is pointer-jumping
-    * (large-star/small-star), which this propagation loop degrades to
-    * gracefully: maxIter bounds the work and the labels are still a
-    * valid (if unconverged) refinement.
+    * Two interchangeable distributed implementations (results
+    * identical, asserted in DedupSpec):
+    *
+    *  - min-label PROPAGATION (default): each round is one equi-join
+    *    (edge.dst → current label) plus one map-side-combinable
+    *    min-groupBy. Rounds needed = cluster DIAMETER — fine for
+    *    near-dup clusters (near-cliques: every member shares most
+    *    shingles with every other, so most pairs are direct edges),
+    *    but a crawl with chain-shaped dup families (boilerplate that
+    *    drifts a little per mirror) pays ~chain-length rounds of
+    *    full-edge joins at 100 TB.
+    *  - large-star/small-star POINTER JUMPING (`-Dgraft.cc=star`, or
+    *    call the variant directly): the Kiveris et al. "Connected
+    *    Components in MapReduce and Beyond" alternation, which
+    *    re-points whole neighborhoods at their minimum each round and
+    *    converges in O(log d) rounds — the 100 TB answer for
+    *    adversarial chains (measured in ScaleProbe: a 4096-node chain
+    *    converges to one component in 13 star rounds ≈ log₂ 4096,
+    *    where propagation at its 25-round cap still has 4071 of the
+    *    4096 labels unconverged).
+    *
+    * Both loops stop as soon as a round changes nothing (a limit-1
+    * anti-join probe per round — a cheap scalar action on
+    * checkpointed blocks), and `localCheckpoint` truncates lineage so
+    * plan size stays constant across rounds instead of growing
+    * geometrically. maxIter bounds the work; propagation labels are
+    * still a valid (if unconverged) refinement when capped.
     * Output: (doc_id, cluster_id) ordered by doc_id.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    if (sys.props.get("graft.cc").contains("star")) duplicateClustersStar(pairs, maxIter)
+    else duplicateClustersPropagate(pairs, maxIter)
+
+  /** Min-label propagation variant of [[duplicateClusters]]. */
+  def duplicateClustersPropagate(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    propagateWithRounds(pairs, maxIter)._1.orderBy(col("doc_id"))
+
+  /** Large-star/small-star pointer-jumping variant of
+    * [[duplicateClusters]] (Kiveris et al., SOCC'14 — public
+    * algorithm, re-expressed as DataFrame joins/groupBys).
+    */
+  def duplicateClustersStar(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    starWithRounds(pairs, maxIter)._1.orderBy(col("doc_id"))
+
+  /** (labels, rounds-executed) — rounds exposed for ScaleProbe's
+    * convergence measurements.
+    */
+  private[graft] def propagateWithRounds(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -420,7 +475,73 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels.orderBy(col("doc_id"))
+    (labels, i)
+  }
+
+  /** (labels, rounds-executed) for the star alternation.
+    *
+    * Each round: LARGE-STAR — over the symmetric neighbor list, every
+    * node re-points its strictly-LARGER neighbors at the neighborhood
+    * minimum (connectivity-preserving, proven in the paper); then
+    * SMALL-STAR — over the larger→smaller directed form, every node
+    * re-points its smaller neighbors AND itself at their minimum. Both
+    * halves are one groupBy-min + one equi-join each, edge-list-sized
+    * shuffles, no driver-side graph; the edge list only shrinks toward
+    * the star form (every node directly attached to its component
+    * minimum), so per-round cost falls as it converges. Convergence =
+    * the round leaves the edge set unchanged (count + limit-1
+    * anti-join probe on checkpointed blocks).
+    */
+  private[graft] def starWithRounds(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    // canonical larger→smaller edges; the invariant src > dst holds
+    // for every edge both halves emit, so no re-canonicalization per round
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      // large-star on the symmetric view: u's min m(u) = least(u, min nbr);
+      // emit (v, m(u)) for every neighbor v > u
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val largeMin = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val afterLarge = sym.join(largeMin, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      // small-star on the directed form: all of u's neighbors are < u,
+      // so m(u) = min nbr; emit (u, m(u)) and (v, m(u)) for v ≠ m(u)
+      val smallMin = afterLarge.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val withM = afterLarge.join(smallMin, Seq("src"))
+      val next = withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      changed = nextCount != edgeCount ||
+        next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() > 0
+      edges = next
+      edgeCount = nextCount
+      i += 1
+    }
+    val labels = nodes
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (labels, i)
   }
 
   /** Dedup with representative selection: collapse each near-dup

@@ -89,6 +89,67 @@ class DedupSpec extends AnyFunSuite {
     try {
       val persisted = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20).collect().toSeq
       assert(persisted == default)
-    } finally sys.props.remove("graft.materialize")
+    } finally {
+      sys.props.remove("graft.materialize")
+      Dedup.releaseMaterialized()
+    }
+  }
+
+  test("releaseMaterialized drops every persist-mode block (no session-lifetime leak)") {
+    val sc = spark.sparkContext
+    sys.props("graft.materialize") = "persist"
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      Dedup.jaccardPairsCapped(docs, 3, 0.5, 20).collect()
+      assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+        "persist mode should pin DISK_ONLY blocks while the query runs")
+      Dedup.releaseMaterialized()
+      assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+        "release must unpin every block materialize registered")
+    } finally {
+      sys.props.remove("graft.materialize")
+      Dedup.releaseMaterialized()
+    }
+  }
+
+  test("pointer-jumping (large-star/small-star) labels equal propagation labels") {
+    // real near-dup pairs (clique-ish) ...
+    val realPairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    val viaProp = Dedup.duplicateClustersPropagate(realPairs).collect().toSeq
+    val viaStar = Dedup.duplicateClustersStar(realPairs).collect().toSeq
+    assert(viaStar == viaProp)
+    // ... AND the adversarial shapes: a long chain (diameter = n), a
+    // star given backwards, and two disjoint chains that must not merge
+    val chains = spark.range(1L, 64L)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+      .union(spark.range(1000L, 1040L).select($"id".as("doc_a"), ($"id" + 1).as("doc_b")))
+      .union(spark.range(1L, 10L).select(lit(5000L).as("doc_a"), ($"id" + 5000L).as("doc_b")))
+    val propChain = Dedup.duplicateClustersPropagate(chains, maxIter = 200).collect().toSeq
+    val starChain = Dedup.duplicateClustersStar(chains).collect().toSeq
+    assert(starChain == propChain)
+    // chain components collapse to their minimum label
+    assert(starChain.filter(_.getLong(0) <= 64L).forall(_.getLong(1) == 1L))
+    assert(starChain.filter(r => r.getLong(0) >= 1000L && r.getLong(0) <= 1040L)
+      .forall(_.getLong(1) == 1000L))
+  }
+
+  test("pointer-jumping converges in O(log d) rounds where propagation needs diameter rounds") {
+    val chain = spark.range(1L, 257L).select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val (starLabels, starRounds) = Dedup.starWithRounds(chain, maxIter = 50)
+    val (_, propRounds) = Dedup.propagateWithRounds(chain, maxIter = 50)
+    assert(starLabels.select($"cluster_id").distinct().count() == 1L,
+      "a 257-node chain is one component")
+    assert(starRounds <= 12, s"star took $starRounds rounds on a 256-edge chain")
+    assert(propRounds == 50, "propagation hits the cap on a chain longer than maxIter")
+  }
+
+  test("-Dgraft.cc=star flag routes duplicateClusters to the star variant") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    sys.props("graft.cc") = "star"
+    try {
+      val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSeq
+      assert(got == expected)
+    } finally sys.props.remove("graft.cc")
   }
 }
