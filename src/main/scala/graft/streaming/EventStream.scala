@@ -51,8 +51,65 @@ object EventStream {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, saved)
+    try withConfiguredStateStore(spark)(body) finally spark.conf.set(key, saved)
   }
+
+  /** Fully-qualified class name of Spark's RocksDB state store provider
+    * (ships in spark-sql; rocksdbjni is on the cluster classpath).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the given state store provider class — the
+    * streaming STATE-PLACEMENT knob, complementing the count knob
+    * above. The default HDFSBackedStateStoreProvider keeps every
+    * version of every store on-heap (a full key→value map per store,
+    * with old versions retained for fault tolerance until maintenance
+    * trims them): fine at test scale, but at 100x keyed state —
+    * stream-stream join state for millions of users, a week of dedup
+    * keys — on-heap maps become the executor-memory scale-killer.
+    * RocksDB keeps state off-heap on local SSD with incremental
+    * changelog checkpointing, so state volume is bounded by disk, not
+    * heap, and GC pressure stays flat as keys grow. The provider is
+    * pinned into the query's checkpoint at first start; switching
+    * providers means a new checkpoint (same rule as re-sizing the
+    * store count).
+    *
+    * Measured at sf0.1 (AvailableNow drains, BenchOne 3 reps — see
+    * SCALING.md round-8): the windowed aggs and the dedup are WITHIN
+    * NOISE of in-memory (q27 1.11 vs 1.25 s, q107 1.67 vs 1.75,
+    * q110 2.06 vs 1.97) — the native store open/commit constant is
+    * small; only the stream-stream interval join, which keeps FOUR
+    * stores per partition, pays visibly (q68 3.13 vs 2.34 s, ~1.33x).
+    * So the off-heap path costs little even where it isn't yet needed,
+    * and is the only option once keyed state outgrows the heap — the
+    * 100 TB regime. Results are provider-independent (StreamingSpec
+    * asserts equality).
+    */
+  def withStateStore[T](spark: SparkSession, providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Apply the session-wide provider choice from `-Dgraft.stateStore`
+    * (`rocksdb` → [[RocksDbProvider]]; a fully-qualified class name is
+    * passed through verbatim; unset → Spark's default in-memory
+    * provider). Every stateful catalog query runs its drain through
+    * [[withStatePartitions]], so one JVM flag flips the whole suite —
+    * how the RocksDB constant was measured.
+    */
+  def withConfiguredStateStore[T](spark: SparkSession)(body: => T): T =
+    sys.props.get("graft.stateStore") match {
+      case Some("rocksdb") => withStateStore(spark, RocksDbProvider)(body)
+      case Some(cls)       => withStateStore(spark, cls)(body)
+      case None            => body
+    }
 
   /** Unbounded source over a parquet directory with event-time `ts`.
     * Recursive lookup: daily drops usually land in nested date

@@ -39,6 +39,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("RocksDB state store: daily agg and dedup match the in-memory provider") {
+    val dir = tmp("graft-rocksdb-src")
+    Tables.load(spark, sf, "events")
+      .withColumn("ts", unix_micros($"ts") * 1000)
+      .write.parquet(s"$dir/data")
+    def daily() = EventStream.runToCompletion(spark,
+      EventStream.dailyAgg(EventStream.source(spark, s"$dir/data")))
+      .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
+    def dedupCount() = EventStream.runAppendToMemory(spark,
+      EventStream.dedupped(EventStream.source(spark, s"$dir/data"))).count()
+
+    val (memAgg, memDedup) = (daily().collect().toSet, dedupCount())
+    val (rocksAgg, rocksDedup) = EventStream.withStateStore(spark, EventStream.RocksDbProvider) {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        === EventStream.RocksDbProvider)
+      (daily().collect().toSet, dedupCount())
+    }
+    assert(rocksAgg === memAgg)
+    assert(rocksDedup === memDedup)
+    // scope restored: the provider choice must not leak into later tests
+    // (getOption surfaces the conf DEFAULT — the HDFS-backed provider —
+    // so assert RocksDB is gone rather than the key being unset)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      !== EventStream.RocksDbProvider)
+  }
+
+  test("graft.stateStore sysprop routes withStatePartitions through RocksDB") {
+    val dir = tmp("graft-rocksdb-prop")
+    Tables.load(spark, sf, "events")
+      .withColumn("ts", unix_micros($"ts") * 1000)
+      .write.parquet(s"$dir/data")
+    sys.props("graft.stateStore") = "rocksdb"
+    try {
+      val n = EventStream.withStatePartitions(spark, 4) {
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          === EventStream.RocksDbProvider)
+        EventStream.runAppendToMemory(spark,
+          EventStream.dedupped(EventStream.source(spark, s"$dir/data"))).count()
+      }
+      assert(n === Tables.load(spark, sf, "events").count())
+    } finally sys.props -= "graft.stateStore"
+  }
+
   test("stream-stream interval join equals the batch interval join on the same files") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"/root/testdata/sf0.001/events.parquet"
