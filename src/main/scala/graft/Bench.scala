@@ -53,13 +53,18 @@ object Bench {
         """"(q\w+)":\s*([0-9.]+)""".r.findAllMatchIn(raw)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // ALL samples are recorded (samples map below), not just the min:
+    // the adaptive third sample is one-sided (only apparent
+    // regressions get it), so a gate that reads only the min is biased
+    // downward — bench_check can instead gate on the median of the
+    // recorded samples, a symmetric statistic.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t2 = math.min(timeOne(name, fn), timeOne(name, fn))
-      val t = baseline.get(name) match {
-        case Some(b) if t2 > 1.5 * b => math.min(t2, timeOne(name, fn))
-        case _ => t2
+      val first = Seq(timeOne(name, fn), timeOne(name, fn))
+      val samples = baseline.get(name) match {
+        case Some(b) if first.min > 1.5 * b => first :+ timeOne(name, fn)
+        case _ => first
       }
-      name -> t
+      (name, samples.min, samples)
     }
     // 3-decimal rounding keeps the one-line JSON small enough that the
     // driver's tail capture retains the whole object; the headline total
@@ -67,15 +72,22 @@ object Bench {
     // capture keeps line ends), and the full JSON is also persisted to
     // tools/last_bench.json so no artifact depends on log truncation.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total":${fmt(total)}}"""
+    // stdout line stays min-per-query (compact, driver-parseable); the
+    // persisted artifact additionally carries every raw sample
+    val samplesJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not write tools/last_bench.json: ${e.getMessage}") }
     println(line)
     spark.stop()

@@ -321,6 +321,16 @@ object SparkEntry {
       Similarity.cosineTopKIvf(Tables.load(s, dir, "embeddings"),
         nQueries = 10, k = 5, nlist = 16, nprobe = 4)),
 
+    // Build-once/query-many: the IVF structure is persisted as a lake
+    // table (assignments partitioned by cell) and the query runs off
+    // the loaded index — same math as q47, different params, proving
+    // the persisted path against the same oracle shape
+    "q121_ivf_persisted" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q121").toString + "/idx"
+      Similarity.buildIvfIndex(Tables.load(s, dir, "embeddings"), nlist = 16, path = idx)
+      Similarity.cosineTopKIvfIndexed(s, idx, nQueries = 12, k = 4, nprobe = 3)
+    }),
+
     // ---- Bucketed scale twins of the pair operators: candidates from
     // a sign-LSH bucket equi-join, never all-pairs (the plans a 100 TB
     // corpus actually runs; q19/q32 remain the exact-recall baselines) ----
@@ -712,6 +722,37 @@ object SparkEntry {
         .load()
       SpotifyFlatten.topTracks(
         SpotifySchemas.parse(pages.select($"payload").as[String], SpotifySchemas.topTracksPayload))
+        .orderBy($"track_id")
+    }),
+
+    // ---- The connector's MICROBATCH tier end-to-end: the same q114
+    // fixture pulled as a stream, one request-cursor per micro-batch
+    // (offset = cursor index, checkpointed), drained with AvailableNow
+    // and flattened — proving the incremental daily-pull semantics
+    // produce byte-identical rows to the batch scan ----
+    "q122_api_connector_stream" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_api_stream_fixture")
+      java.nio.file.Files.createDirectories(dir.resolve("top-tracks"))
+      java.nio.file.Files.write(dir.resolve("top-tracks/a1.jsonl"),
+        ("""{"tracks":[{"id":"t1","name":"Song One","popularity":90,"duration_ms":200000,"explicit":false,"preview_url":"https://p/t1","external_urls":{"spotify":"https://open/t1"},"album":{"id":"al1","name":"Album One","release_date":"2001-01-01"},"artists":[{"id":"ar1","name":"Artist One"}]},""" +
+          """{"id":"t2","name":"Song Two","duration_ms":180000,"album":{"id":"al2","name":"Album Two","release_date":"2002-02-02"},"artists":[{"id":"ar1","name":"Artist One"}]}]}""" +
+          "\n" +
+          """{"tracks":[{"id":"t3","name":"Song Three","popularity":5,"duration_ms":1000,"artists":[{}]}]}""")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("top-tracks/a2.jsonl"),
+        """{"tracks":[{"id":"t4","name":"Song Four","popularity":70,"duration_ms":240000,"explicit":true,"preview_url":"https://p/t4","external_urls":{"spotify":"https://open/t4"},"album":{"id":"al4","name":"Album Four","release_date":"2004-04-04"},"artists":[{"id":"ar2","name":"Artist Two"}]}]}"""
+          .getBytes("UTF-8"))
+      val pages = s.readStream.format("spotify-api")
+        .option("endpoint", "top-tracks")
+        .option("requests", "a1,a2,amissing")
+        .option("maxRequestsPerBatch", "1")
+        .option("fetcher", classOf[graft.sources.spotify.FixturePageFetcher].getName)
+        .option("fixtureDir", dir.toString)
+        .load()
+      val drained = graft.streaming.EventStream.runAppendToMemory(s, pages)
+      SpotifyFlatten.topTracks(
+        SpotifySchemas.parse(drained.select($"payload").as[String], SpotifySchemas.topTracksPayload))
         .orderBy($"track_id")
     }),
 
@@ -1826,6 +1867,26 @@ object SparkEntry {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    "q121_ivf_persisted" ->
+      s"""WITH $normalizedCte,
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.u, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.u, c.cu) DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, u, cid AS cell FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, u AS qu, cid AS cell FROM ranked
+         |           WHERE vec_id < 12 AND crn <= 3),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid, list_dot_product(q.qu, a.u) AS cosine
+         |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.vec_id <> q.qid),
+         |topk AS (SELECT qid, nid, cosine,
+         |                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |         FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
+         |WHERE rnk <= 4 ORDER BY qid, rnk""".stripMargin,
+
     "q57_top_pairs_lsh" ->
       s"""WITH $normalizedCte,
          |b AS (SELECT e0.vec_id, e.u, ${lshBucketSql("e0.v", 4)} AS bucket
@@ -2586,6 +2647,21 @@ object SparkEntry {
     // the connector feeds CONSTANT payloads, so the oracle is the
     // literal expected flatten output — null-default battery included
     "q114_api_connector_flatten" ->
+      """SELECT * FROM (VALUES
+        |  ('Artist One', 'Song One', CAST(90 AS INTEGER), CAST(200000 AS BIGINT), false,
+        |   'https://open/t1', 'https://p/t1', 'Album One', '2001-01-01', 't1'),
+        |  ('Artist One', 'Song Two', CAST(0 AS INTEGER), CAST(180000 AS BIGINT), false,
+        |   '', '', 'Album Two', '2002-02-02', 't2'),
+        |  ('Unknown', 'Song Three', CAST(5 AS INTEGER), CAST(1000 AS BIGINT), false,
+        |   '', '', 'Unknown', '', 't3'),
+        |  ('Artist Two', 'Song Four', CAST(70 AS INTEGER), CAST(240000 AS BIGINT), true,
+        |   'https://open/t4', 'https://p/t4', 'Album Four', '2004-04-04', 't4'))
+        | AS t(artist_name, song_name, popularity, duration_ms, explicit,
+        |      external_url, preview_url, album_name, release_date, track_id)
+        |ORDER BY track_id""".stripMargin,
+
+    // same fixture through the microbatch tier: identical rows
+    "q122_api_connector_stream" ->
       """SELECT * FROM (VALUES
         |  ('Artist One', 'Song One', CAST(90 AS INTEGER), CAST(200000 AS BIGINT), false,
         |   'https://open/t1', 'https://p/t1', 'Album One', '2001-01-01', 't1'),

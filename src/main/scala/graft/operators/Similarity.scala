@@ -191,17 +191,42 @@ object Similarity {
     * Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val (cents, assign) = ivfStructure(embeddings, nlist)
+    ivfQuery(cents, assign, nQueries, k, nprobe)
+  }
+
+  /** The IVF index STRUCTURE — (centroids (cid, cu), assignments
+    * (vec_id, u, cell)) — shared by the inline query above and the
+    * persisted-index path ([[buildIvfIndex]]). Deterministic: first
+    * `nlist` vectors by id are centroids; cell = argmax-cosine
+    * centroid, ties to the lowest cid.
+    */
+  private[operators] def ivfStructure(embeddings: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val e = normalized(embeddings)
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
-    val simToCent = e.join(broadcast(cents))
-      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val ranked = simToCent.withColumn("crn", row_number().over(byVec))
-    val assign = ranked.filter(col("crn") === 1)
+    val assign = e.join(broadcast(cents))
+      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
+      .withColumn("crn", row_number().over(byVec)).filter(col("crn") === 1)
       .select(col("vec_id"), col("u"), col("cid").as("cell"))
-    val qprobe = ranked.filter(col("vec_id") < nQueries && col("crn") <= nprobe)
-      .select(col("vec_id").as("qid"), col("u").as("qu"), col("cid").as("cell"))
+    (cents, assign)
+  }
+
+  /** Query an IVF structure: each query (a corpus vector with
+    * vec_id < nQueries) probes its `nprobe` nearest cells and scores
+    * exactly within them. Works identically on the inline structure
+    * and one loaded from a lake table (ANN IndexSpec asserts it).
+    */
+  private def ivfQuery(cents: DataFrame, assign: DataFrame,
+                       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+    val qprobe = assign.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qu"), col("cid"), expr(dotExpr("qu", "cu")).as("qsim"))
+      .withColumn("crn", row_number().over(byQ)).filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qu"), col("cid").as("cell"))
     val scored = assign.join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), expr(dotExpr("qu", "u")).as("cosine"))
@@ -210,6 +235,44 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("cosine"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Build the IVF index ONCE and persist it as a lake table — at
+    * 100 TB the centroid argmax over the full corpus is the expensive
+    * half of every IVF query, and rebuilding it per query run (what
+    * the inline [[cosineTopKIvf]] does) is pure waste. Layout:
+    * `path/centroids` (tiny, broadcasts on load) and
+    * `path/assignments` PARTITIONED BY cell — the on-disk realization
+    * of "the cell column becomes the table's partition key": a probe
+    * of nprobe cells reads exactly nprobe/nlist of the corpus via
+    * partition pruning, no scan of the rest.
+    */
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int, path: String): Unit = {
+    val (cents, assign) = ivfStructure(embeddings, nlist)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /** Load a persisted IVF index: (centroids, assignments). The cell
+    * partition column comes back integer-typed from directory
+    * inference — recast to long so join keys match the inline path.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assign = spark.read.parquet(s"$path/assignments")
+      .withColumn("cell", col("cell").cast("long"))
+    (cents, assign)
+  }
+
+  /** Query-many half of the build-once contract: identical results to
+    * [[cosineTopKIvf]] on the same corpus/parameters (IvfIndexSpec),
+    * but the corpus scan + centroid argmax are already on disk — a
+    * query run touches only the probed cell partitions.
+    */
+  def cosineTopKIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                           nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val (cents, assign) = loadIvfIndex(spark, path)
+    ivfQuery(cents, assign, nQueries, k, nprobe)
   }
 
   /** Spherical k-means assignment after `iters` Lloyd rounds over the

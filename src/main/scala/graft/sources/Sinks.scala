@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** The reference's four sinks (SURVEY.md §2.2), Spark-native.
@@ -66,8 +66,8 @@ object Sinks {
     * ZOrderSpec (each dimension's per-file span shrinks to well under
     * half the domain, where the 1-D layout leaves the unsorted
     * dimension at full span in every file). Skew note: linear
-    * quantization assumes roughly uniform domains; for heavy skew,
-    * quantize a rank (extra global sort) — documented trade.
+    * quantization assumes roughly uniform domains; for heavy skew use
+    * [[writeZOrderedRank]], which quantizes by rank instead.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     partitions: Int, bits: Int = 16): Unit = {
@@ -81,10 +81,53 @@ object Sinks {
       if (hi <= lo) lit(0L)
       else least(lit(steps), greatest(lit(0L),
         ((col(c).cast("double") - lit(lo)) * steps / (hi - lo)).cast("long")))
-    val withQ = df
-      .withColumn("__qa", quant(colA, minA, maxA))
-      .withColumn("__qb", quant(colB, minB, maxB))
-    // Morton interleave: bit i of qa -> bit 2i, bit i of qb -> bit 2i+1
+    writeMorton(df, path,
+      quant(colA, minA, maxA), quant(colB, minB, maxB), partitions, bits)
+  }
+
+  /** Skew-mode Z-order: quantize each dimension by RANK (equi-depth
+    * buckets) instead of linearly between min/max. Under a zipfian
+    * key, linear quantization degenerates: the dense mass of the
+    * domain collapses into one quantized cell, the z-value loses all
+    * discrimination on that dimension, and a predicate inside the
+    * dense region scans every file (measured in ZOrderSpec). Rank
+    * quantization puts ~1/2^bits of the ROWS in each bucket by
+    * construction, so file rectangles stay balanced however the
+    * values are distributed.
+    *
+    * Scale shape: boundaries come from one `approxQuantile` pass (a
+    * mergeable Greenwald-Khanna sketch — single scan, no sort, no
+    * shuffle; the same primitive Delta's OPTIMIZE ZORDER rides for
+    * its range-partition ids); the per-row bucket lookup is a fold
+    * over the ≤2^bits broadcast boundary array at WRITE time only.
+    * `bits` is capped lower than the linear variant because buckets
+    * cost boundary-array entries, and 2^10 buckets per dimension
+    * already far exceeds any realistic file count.
+    */
+  def writeZOrderedRank(df: DataFrame, path: String, colA: String, colB: String,
+                        partitions: Int, bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 10, s"bits must be in [1,10] (got $bits)")
+    val b = 1 << bits
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    def quant(c: String): Column = {
+      val bs = df.select(col(c).cast("double").as(c)).stat
+        .approxQuantile(c, probs, 1.0 / (4 * b))
+      // bucket index = #boundaries <= value (duplicate boundaries from
+      // heavy hitters just collapse those buckets; index stays < 2^bits)
+      aggregate(typedLit(bs), lit(0L),
+        (acc, bound) => acc + when(bound <= col(c).cast("double"), 1L).otherwise(0L))
+    }
+    writeMorton(df, path, quant(colA), quant(colB), partitions, bits)
+  }
+
+  /** Shared Z-order tail: Morton-interleave the two quantized
+    * dimensions (bit i of qa -> bit 2i, bit i of qb -> bit 2i+1 —
+    * pure codegen'd column bit-math, no UDF), then one range shuffle
+    * on z + in-partition sort — identical write cost to [[writeSorted]].
+    */
+  private def writeMorton(df: DataFrame, path: String, qa: Column, qb: Column,
+                          partitions: Int, bits: Int): Unit = {
+    val withQ = df.withColumn("__qa", qa).withColumn("__qb", qb)
     val z = (0 until bits).map { i =>
       (shiftleft(shiftright(col("__qa"), i).bitwiseAND(1), 2 * i))
         .bitwiseOR(shiftleft(shiftright(col("__qb"), i).bitwiseAND(1), 2 * i + 1))

@@ -44,6 +44,30 @@ class JdbcSinkSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("JDBC read path: filters push into the remote WHERE clause and partitioned reads fan out") {
+    val rows = (1L to 200L).map(i => (i, s"track_$i", (i % 7).toDouble)).toDF("id", "name", "score")
+    Sinks.appendJdbc(rows, url, "pushdown_plays")
+
+    // pushdown: the predicate must reach the database, not Spark's filter
+    val filtered = graft.sources.JdbcSource.read(spark, url, "pushdown_plays")
+      .filter($"id" > 150L && $"score" === 3.0)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head
+    val pushed = scan.toString
+    assert(pushed.contains("PushedFilters: [") && pushed.contains("GreaterThan(")
+      && !pushed.contains("PushedFilters: []"),
+      s"expected pushed JDBC filters in scan:\n$pushed")
+    assert(filtered.count() ==
+      rows.filter($"id" > 150L && $"score" === 3.0).count())
+
+    // partitioned read: 4 range slices, one connection each; union of
+    // slices = whole table even with deliberately loose bounds
+    val par = graft.sources.JdbcSource.readPartitioned(
+      spark, url, "pushdown_plays", "id", lower = 50L, upper = 120L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == 200L)
+    assert(par.exceptAll(rows).isEmpty && rows.exceptAll(par).isEmpty)
+  }
+
   test("appendJdbc preserves nulls and timestamps through the JDBC type mapping") {
     val df = Seq((10L, Some("x"), Some(java.sql.Timestamp.valueOf("2026-08-13 01:02:03"))),
         (11L, None, None))

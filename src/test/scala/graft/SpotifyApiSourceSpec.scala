@@ -91,6 +91,54 @@ class SpotifyApiSourceSpec extends AnyFunSuite {
     assert(filtered.select($"request").as[String].collect().toSeq == Seq("madonna"))
   }
 
+  test("microbatch stream: cursors drain in per-batch slices and equal the batch read") {
+    val ckpt = Files.createTempDirectory("spotify_stream_ckpt").toString
+    val streamed = spark.readStream.format("spotify-api")
+      .option("endpoint", "search")
+      .option("requests", "madonna,cher,nobody")
+      .option("maxRequestsPerBatch", "1")
+      .option("fetcher", classOf[FixturePageFetcher].getName)
+      .option("fixtureDir", fixtureDir)
+      .load()
+    val q = streamed.writeStream.format("memory").queryName("spotify_mb")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spotify_mb")
+    // one cursor per micro-batch: 3 cursors -> 3 batches committed
+    assert(q.recentProgress.count(_.numInputRows >= 0) >= 3,
+      s"expected >=3 micro-batches, saw ${q.recentProgress.length}")
+    assert(got.exceptAll(read("search", "madonna,cher,nobody")).isEmpty &&
+      read("search", "madonna,cher,nobody").exceptAll(got).isEmpty)
+  }
+
+  test("microbatch stream: restart from the checkpoint re-pulls nothing (exactly-once cursor)") {
+    val ckpt = Files.createTempDirectory("spotify_stream_ckpt2").toString
+    val out = Files.createTempDirectory("spotify_stream_out").toString + "/t"
+    def run(): Long = {
+      val q = spark.readStream.format("spotify-api")
+        .option("endpoint", "search")
+        .option("requests", "madonna,cher")
+        .option("fetcher", classOf[FixturePageFetcher].getName)
+        .option("fixtureDir", fixtureDir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(run() == 2L) // first run ingests both cursors
+    // second run resumes at the committed offset: nothing re-pulled,
+    // the sink still holds exactly the first run's rows
+    assert(run() == 2L)
+  }
+
   test("unparseable page yields a NULL struct for the P5 malformed-payload rule, not an exception") {
     Files.write(Paths.get(fixtureDir, "search", "broken.jsonl"),
       "this is not json".getBytes("UTF-8"))

@@ -88,6 +88,47 @@ class ZOrderSpec extends AnyFunSuite {
       s"expected z-order to prune row groups on user_id: scanned $zScanned of $total")
   }
 
+  test("skew mode: rank quantization prunes in the dense region where linear degenerates") {
+    // zipfian skew key: ~94% of rows land in [1, 100] while the max is
+    // ~1e9 — linear quantization maps the entire dense mass to
+    // quantized cell 0, so z carries NO information about the skew
+    // column there and a dense-region predicate must scan every file
+    val n = 60000
+    val skewed = spark.range(n).select(
+      $"id".as("event_id"),
+      (lit(1e9) / pow($"id" % 1000 + 1, 2.0)).cast("long").as("skew_key"),
+      ($"id" * 37 % 100000).as("ts_us"))
+    val linDir = Files.createTempDirectory("graft_zorder_lin").toString + "/t"
+    val rnkDir = Files.createTempDirectory("graft_zorder_rnk").toString + "/t"
+    Sinks.writeZOrdered(skewed, linDir, "ts_us", "skew_key", partitions = 16)
+    Sinks.writeZOrderedRank(skewed, rnkDir, "ts_us", "skew_key", partitions = 16)
+
+    def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    // a narrow predicate INSIDE the dense mass: [1000, 1100] covers
+    // ~5% of the rows but sits ENTIRELY inside linear-quantization
+    // bucket 0 (1100 << domain/2^16), so the linear layout has zero
+    // information about it while equi-depth buckets resolve it
+    val densePred = $"skew_key".between(1000L, 1100L)
+    val linScanned = scannedRows(linDir, densePred)
+    val rnkScanned = scannedRows(rnkDir, densePred)
+    info(s"dense-region predicate: linear z-order scans $linScanned, rank z-order scans $rnkScanned of $n")
+    // linear: the dense mass shares one z-cell -> no pruning power
+    assert(linScanned > n * 3 / 4,
+      s"expected linear quantization to degenerate under skew (scanned $linScanned of $n)")
+    // rank: equi-depth buckets keep resolution inside the dense mass
+    assert(rnkScanned < n / 2,
+      s"expected rank quantization to prune in the dense region (scanned $rnkScanned of $n)")
+    // and the rank layout is still a pure permutation of the input
+    val back = spark.read.parquet(rnkDir)
+    assert(back.count() == n)
+    assert(back.exceptAll(skewed).isEmpty && skewed.exceptAll(back).isEmpty)
+  }
+
   test("z-order write preserves every row and column (the layout is only a permutation)") {
     val dir = Files.createTempDirectory("graft_zorder_rt").toString + "/t"
     Sinks.writeZOrdered(events, dir, "ts_us", "user_id", partitions = 8)

@@ -29,8 +29,19 @@ def main(path):
         return 2
     cur = json.loads(m.group(0))
     base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
+    # When raw samples are present (tools/last_bench.json carries them;
+    # the stdout line does not), gate on the MEDIAN: the adaptive third
+    # sample only fires for apparent regressions, so the min is a
+    # one-sided statistic biased toward passing.
+    samples = cur.get("samples", {})
+    def stat(name, sec):
+        ss = sorted(samples.get(name, []))
+        if not ss:
+            return sec
+        mid = len(ss) // 2
+        return ss[mid] if len(ss) % 2 else (ss[mid - 1] + ss[mid]) / 2
     regressed = []
-    for name, sec in sorted(cur["queries"].items()):
+    for name, sec in sorted((n, stat(n, s)) for n, s in cur["queries"].items()):
         b = base["queries"].get(name)
         if b is None:
             print(f"new  {name}: {sec:.2f}s (no baseline)")
