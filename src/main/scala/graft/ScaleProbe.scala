@@ -63,6 +63,10 @@ object ScaleProbe {
     time("dedup_exact", Dedup.exact(docs))
     time("jaccard_capped", Dedup.jaccardPairsCapped(docs, 3, 0.5, 20))
     time("minhash_lsh", Dedup.minhashLsh(docs, 3, 16, 4, 0.5))
+    // estimator-verified: per-pair O(numHashes), no candidate x shingle
+    // explode — the verification knob for when exact verification's
+    // intermediate (pairs x shared shingles) goes super-linear
+    time("minhash_lsh_estver", Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5))
     time("simhash_banded", Dedup.simhashPairs(docs, 2))
     // the simhash scale knob: a tighter Hamming budget (fewer, wider
     // chunks) cuts cross-document near-collisions while identical

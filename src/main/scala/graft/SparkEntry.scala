@@ -154,6 +154,10 @@ object SparkEntry {
       Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20)),
     "q12_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
+    // estimator-verified variant: the verification stage that stays
+    // linear in candidates at 100x (no candidate x shingle explode)
+    "q123_dedup_minhash_estver" -> ((s, dir) =>
+      Dedup.minhashLshEstimated(Tables.load(s, dir, "documents"), n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
     "q13_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 2)),
 
@@ -2482,6 +2486,28 @@ object SparkEntry {
          |FROM j JOIN agree ON j.doc_a = agree.doc_a AND j.doc_b = agree.doc_b
          |WHERE j.jaccard >= 0.5
          |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    "q123_dedup_minhash_estver" ->
+      s"""WITH ${shinglesCte(3)},
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+         |           FROM (SELECT unnest(range(0, 16)) AS i)),
+         |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+         |         FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         |buckets AS (SELECT doc_id, i // 4 AS band,
+         |                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bucket
+         |            FROM sigs GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM buckets x JOIN buckets y
+         |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |agree AS (SELECT c.doc_a, c.doc_b,
+         |                 count(CASE WHEN pa.sig = pb.sig THEN 1 END) AS m
+         |          FROM cand c JOIN sigs pa ON pa.doc_id = c.doc_a
+         |                      JOIN sigs pb ON pb.doc_id = c.doc_b AND pb.i = pa.i
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard
+         |FROM agree WHERE CAST(m AS DOUBLE) / 16 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q95_ngram_novelty" ->
       s"""WITH ${shinglesCte(3)},

@@ -215,34 +215,7 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard) ordered by (doc_a, doc_b).
     */
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, bands: Int, minJ: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
-    val sh = shingles(docs, n)
-    val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
-
-    // All numHashes signature mins in ONE map-side-combinable groupBy —
-    // no param cross-join (a numHashes× row blowup) and a single
-    // shuffle keyed on doc_id alone.
-    val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
-      min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
-    // band bucket = comma-joined sigs of the band; one (band, bucket)
-    // row per band via posexplode of per-band concat columns
-    val bandCols = (0 until bands).map { band =>
-      concat_ws(",", (0 until rowsPerBand).map(p =>
-        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
-    }
-    val buckets = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
+    val (sh, _, cand) = minhashCandidates(docs, n, numHashes, bands)
     // exact verification restricted to candidate pairs
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val interm = cand
@@ -252,6 +225,66 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     withJaccard(interm, cnt)
       .filter(col("jaccard") >= minJ)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared LSH front half: (shingles, signatures, candidate pairs).
+    * All numHashes signature mins in ONE map-side-combinable groupBy —
+    * no param cross-join (a numHashes× row blowup) and a single
+    * shuffle keyed on doc_id alone; band bucket = comma-joined sigs
+    * of the band, one (band, bucket) row per band via posexplode.
+    */
+  private def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
+                                bands: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, n)
+    val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
+    val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { band =>
+      concat_ws(",", (0 until rowsPerBand).map(p =>
+        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
+    }
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    (sh, sigs, cand)
+  }
+
+  /** [[minhashLsh]] with ESTIMATOR verification — the measured 100 TB
+    * knob for the verification stage. Exact verification joins every
+    * candidate pair back to its shingle rows: pairs × shared-shingles
+    * intermediate rows (~2B at the 100× probe — the superlinear wall
+    * SCALING.md's round-8 section measures). Signature-agreement
+    * verification (matching minhash components / numHashes, the
+    * unbiased MinHash Jaccard estimator whose error [[minhashEstimateAccuracy]]
+    * measures per-candidate, q94) replaces that with two equi-joins
+    * against the numHashes-column signature frame and a codegen'd
+    * sum-of-whens per pair — per-pair cost O(numHashes), NO shingle
+    * explode, so verification stays linear in candidate count all the
+    * way up. The trade is the estimator's variance (±1/numHashes
+    * resolution) around the threshold; exact verification remains the
+    * default at moderate scale.
+    * Output: (doc_a, doc_b, est_jaccard) ordered.
+    */
+  def minhashLshEstimated(docs: DataFrame, n: Int, numHashes: Int,
+                          bands: Int, minJ: Double): DataFrame = {
+    val (_, sigs, cand) = minhashCandidates(docs, n, numHashes, bands)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJ)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

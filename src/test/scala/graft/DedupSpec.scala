@@ -60,6 +60,23 @@ class DedupSpec extends AnyFunSuite {
     assert(est.map(_._5).sum / est.length <= 0.375)
   }
 
+  test("estimator-verified LSH equals estimate-accuracy pairs at the same threshold") {
+    // minhashLshEstimated keeps candidates whose SIGNATURE estimate
+    // clears the threshold — exactly the q94 harness's est_jaccard
+    // column thresholded, so the two must agree pair-for-pair
+    val estVer = Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val fromHarness = Dedup.minhashEstimateAccuracy(docs, 3, 16, 4, 0.0)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(estVer.sorted == fromHarness.sorted)
+    // and every estimator-passed pair is a real LSH candidate
+    val cand = Dedup.minhashLsh(docs, 3, 16, 4, 0.0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(estVer.map(r => (r._1, r._2)).forall(cand.contains))
+  }
+
   test("keepBestPerCluster has no forced broadcast and survives the shuffle-join path") {
     val pairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
     val reps = Dedup.keepBestPerCluster(docs, pairs, "n_chars")
