@@ -139,6 +139,26 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Bucketed lake table — the co-located-join layout. `bucketBy`
+    * hash-partitions rows into a fixed number of files per partition
+    * AND records that layout in the catalog, so every later join or
+    * aggregation keyed on `key` reads the table ALREADY partitioned:
+    * Spark plans no Exchange on the bucketed side (asserted in
+    * BucketedJoinSpec). At 100 TB this is the difference between
+    * shuffling the fact table on every query and shuffling it once at
+    * write time — the join-heavy analytics answer to
+    * [[writeZOrdered]]'s predicate-pruning layout. `sortCols` adds
+    * within-bucket sort order (sort-merge joins skip their sort too).
+    * Bucket count rule of thumb: total table size / bucket count ≈
+    * a few hundred MB per bucket file at the target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, sortCols: String*): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** K2 (RDBMS path) — JDBC append, any driver on the classpath
     * (reference spotify_etl2.py:220 `to_sql(..., if_exists="append")`).
     * Exercised end-to-end in JdbcSinkSpec against embedded Apache
