@@ -264,6 +264,30 @@ object Similarity {
     (cents, assign)
   }
 
+  /** Incremental half of the build-once contract: assign ONLY the new
+    * vectors against the persisted centroids and append them to the
+    * cell-partitioned assignments table — the corpus already in the
+    * index is never rescanned. At 100 TB this is the daily-ingest
+    * path: index build is a one-time cost, each day pays only for its
+    * own batch. Because centroid selection is deterministic (first
+    * nlist vec_ids), appending a batch yields a BIT-IDENTICAL index
+    * to rebuilding from the union, as long as the original build
+    * contained the centroid vectors (IvfIndexSpec asserts it).
+    * Re-centering (periodic full rebuild when drift accumulates) is
+    * the documented maintenance trade, same as any IVF deployment.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val e = normalized(newVectors)
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = e.join(broadcast(cents))
+      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
+      .withColumn("crn", row_number().over(byVec)).filter(col("crn") === 1)
+      .select(col("vec_id"), col("u"), col("cid").as("cell"))
+    assign.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
   /** Query-many half of the build-once contract: identical results to
     * [[cosineTopKIvf]] on the same corpus/parameters (IvfIndexSpec),
     * but the corpus scan + centroid argmax are already on disk — a

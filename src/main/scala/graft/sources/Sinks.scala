@@ -169,6 +169,33 @@ object Sinks {
     df.write.mode(SaveMode.Append).format("jdbc")
       .option("url", url).option("dbtable", table).save()
 
+  /** Lake maintenance: compact a parquet directory's small files into
+    * ~`targetFileMb`-sized ones. Daily appends ([[appendPartitioned]],
+    * streaming sinks, [[graft.operators.Similarity.appendToIvfIndex]])
+    * accumulate one-file-per-batch layouts; at 100 TB the resulting
+    * millions of small files dominate scan time with open/footer
+    * overhead and planner memory. Rewrite = one job: coalesce-free
+    * `repartition(n)` sized from the directory's actual byte count
+    * (round-robin — preserves nothing, so do NOT compact layouts that
+    * encode order, [[writeSorted]]/[[writeZOrdered]]; re-run those
+    * writers instead, same cost). Writes to a temp sibling then
+    * atomically swaps, so a crashed compaction never loses data.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileMb: Int = 256): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(hadoopPath, bak)
+    fs.rename(tmp, hadoopPath)
+    fs.delete(bak, true)
+  }
+
   /** K3 — console display incl. m:ss duration formatting (new.py:170). */
   def display(df: DataFrame, n: Int = 20): Unit =
     df.withColumn("duration", graft.Ops.msToMinSec(col("duration_ms")))

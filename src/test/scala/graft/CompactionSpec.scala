@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lake compaction: many small append files collapse into few
+  * right-sized ones with identical content, and the swap is safe
+  * (no intermediate state where the data is missing).
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("compact collapses per-batch small files into few, content identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate 20 daily appends -> at least 20 small files
+    (0 until 20).foreach { day =>
+      spark.range(day * 100L, day * 100L + 100L)
+        .select($"id", ($"id" % 7).as("v"))
+        .write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().toSet
+    def fileCount = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val filesBefore = fileCount
+    assert(filesBefore >= 20, s"expected >=20 pre-compaction files, got $filesBefore")
+
+    Sinks.compact(spark, dir, targetFileMb = 256)
+
+    val after = spark.read.parquet(dir)
+    assert(after.collect().toSet === beforeRows)
+    val filesAfter = fileCount
+    assert(filesAfter < filesBefore / 4,
+      s"expected compaction to collapse files: $filesBefore -> $filesAfter")
+    // no leftover temp/backup directories
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_compacting")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_precompact")))
+  }
+}

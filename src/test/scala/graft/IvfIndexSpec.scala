@@ -32,6 +32,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(indexed2.collect().toSeq === inline2.collect().toSeq)
   }
 
+  test("incremental append equals a full rebuild when the build held the centroid vectors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_inc").toString + "/idx"
+    val full = Files.createTempDirectory("graft_ivf_full").toString + "/idx"
+    // day 0: first 60% of the corpus (contains all 16 centroid ids)
+    val ids = embs.select($"vec_id").as[Long].collect().sorted
+    val cut = ids(ids.length * 3 / 5)
+    Similarity.buildIvfIndex(embs.filter($"vec_id" <= cut), nlist = 16, path = dir)
+    // day 1: append the rest — only the new batch is assigned
+    Similarity.appendToIvfIndex(embs.filter($"vec_id" > cut), spark, dir)
+    // reference: one-shot build over everything
+    Similarity.buildIvfIndex(embs, nlist = 16, path = full)
+
+    val incremental = Similarity.cosineTopKIvfIndexed(spark, dir, nQueries = 10, k = 5, nprobe = 4)
+    val rebuilt = Similarity.cosineTopKIvfIndexed(spark, full, nQueries = 10, k = 5, nprobe = 4)
+    assert(incremental.collect().toSeq === rebuilt.collect().toSeq)
+    // and the appended index matches the inline path too
+    val inline = Similarity.cosineTopKIvf(embs, nQueries = 10, k = 5, nlist = 16, nprobe = 4)
+    assert(incremental.collect().toSeq === inline.collect().toSeq)
+  }
+
   test("assignments are partitioned by cell and a cell probe prunes the rest") {
     val dir = Files.createTempDirectory("graft_ivf_prune").toString + "/idx"
     Similarity.buildIvfIndex(embs, nlist = 16, path = dir)
