@@ -53,6 +53,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(incremental.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("indexed query dynamically prunes assignment partitions to the probed cells") {
+    val dir = Files.createTempDirectory("graft_ivf_dpp").toString + "/idx"
+    Similarity.buildIvfIndex(embs, nlist = 16, path = dir)
+    val q = Similarity.cosineTopKIvfIndexed(spark, dir, nQueries = 12, k = 4, nprobe = 3)
+    q.collect()
+    // the probed cells are data-dependent (computed from the broadcast
+    // qprobe side), so static pruning can't apply — the nprobe/nlist
+    // read contract rests on DYNAMIC partition pruning firing against
+    // the cell-partitioned table
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the assignments scan:\n${plan.take(2000)}")
+  }
+
   test("assignments are partitioned by cell and a cell probe prunes the rest") {
     val dir = Files.createTempDirectory("graft_ivf_prune").toString + "/idx"
     Similarity.buildIvfIndex(embs, nlist = 16, path = dir)
