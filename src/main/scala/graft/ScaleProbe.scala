@@ -166,6 +166,32 @@ object ScaleProbe {
       ccProbe("cc_chain_star", Dedup.starWithRounds(chain, 50), 50)
       ccProbe("cc_chain_propagate", Dedup.propagateWithRounds(chain, 25), 25)
     }
+    // bucketed layout: pay the shuffle once at write time, then the
+    // user_id self-join + agg reads pre-partitioned buckets (zero
+    // exchanges, plan-asserted in BucketedJoinSpec) — here the WALL
+    // CLOCK delta is measured at scale
+    if (only.isEmpty || only.exists(_.contains("bucketed"))) {
+      val ev = events.select($"event_id", $"user_id", $"value")
+      def joinAgg(l: DataFrame, r: DataFrame): DataFrame =
+        l.as("a").join(r.as("b"), Seq("user_id"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"a.value" + $"b.value").as("sv"))
+      // BOTH variants read from disk parquet (the staged frame is
+      // memory-cached — joining it directly would hand the unbucketed
+      // side a free in-memory scan and poison the comparison)
+      val plainDir = java.nio.file.Files.createTempDirectory("probe_plain_ev").toString + "/t"
+      ev.write.mode("overwrite").parquet(plainDir)
+      val pt = spark.read.parquet(plainDir)
+      time("join_unbucketed", joinAgg(pt, pt))
+      val t0 = System.nanoTime()
+      spark.sql("DROP TABLE IF EXISTS probe_bucketed_events")
+      graft.sources.Sinks.writeBucketed(ev, "probe_bucketed_events",
+        buckets = 32, key = "user_id")
+      println(f"""{"op":"bucketed_write","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      val bt = spark.table("probe_bucketed_events")
+      time("join_bucketed", joinAgg(bt, bt))
+      spark.sql("DROP TABLE IF EXISTS probe_bucketed_events")
+    }
     time("salted_join", {
       val dim = events.groupBy($"event_type")
         .agg((Ops.decSum($"value") / count($"value")).as("ta"))
