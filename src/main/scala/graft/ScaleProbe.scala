@@ -19,6 +19,11 @@ object ScaleProbe {
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // e.g. SPARK_GRAFT_SYSPROPS="graft.cc=star" to A/B a mode flag
+    // (same contract as BenchOne)
+    sys.env.get("SPARK_GRAFT_SYSPROPS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); sys.props(k) = v
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

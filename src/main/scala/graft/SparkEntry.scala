@@ -381,6 +381,11 @@ object SparkEntry {
     "q64_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
+    // pointer-jumping variant oracle-checked against the SAME
+    // connected-components semantics (component-min labels)
+    "q124_dup_clusters_star" -> ((s, dir) =>
+      Dedup.duplicateClustersStar(
+        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
 
     // ---- Benchmark decontamination: corpus docs sharing any 5-gram
     // with the (hash-split) held-out benchmark slice ----
@@ -1966,6 +1971,26 @@ object SparkEntry {
         |ORDER BY l.event_id""".stripMargin,
 
     "q64_dup_clusters" ->
+      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+         |SELECT src AS doc_id, min(node) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q124_dup_clusters_star" ->
       s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
