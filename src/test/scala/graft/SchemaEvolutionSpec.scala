@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lake schema evolution: daily appends gain columns over time (the
+  * reference's flatten grew columns across spotify_etl.py versions —
+  * 10-col vs 13-col). The partitioned-parquet sink must accept the
+  * widened batch, old files must stay readable, and readers opt into
+  * the union schema with mergeSchema (nulls for the missing column in
+  * old batches) — the standard lake contract, pinned here so a
+  * writer-side change can't silently break it.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("appendPartitioned accepts a widened batch; mergeSchema unions; old readers still work") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val day1 = Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"))
+      .toDF("id", "name", "timestamp")
+    val day2 = Seq((3L, "c", 0.75, "2026-01-02"))
+      .toDF("id", "name", "score", "timestamp") // new column: score
+    Sinks.appendPartitioned(day1, dir)
+    Sinks.appendPartitioned(day2, dir)
+
+    // merged read: union schema, nulls where day1 lacked the column
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "timestamp"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"score".isNull).count() == 2)
+    assert(merged.filter($"score" === 0.75).select($"id").as[Long].head() == 3L)
+
+    // partition pruning still applies across heterogenous batches
+    val pruned = spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter($"timestamp" === "2026-01-02")
+    assert(pruned.count() == 1)
+
+    // a narrow reader projecting only the original columns never
+    // notices the evolution (column pruning reads just what it asks)
+    val narrow = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select($"id", $"name")
+    assert(narrow.count() == 3 && narrow.columns.toSeq == Seq("id", "name"))
+  }
+}
