@@ -702,6 +702,10 @@ object SparkEntry {
     // oracle — the hash-checkable counterpart of approx_count_distinct ----
     "q113_kmv_distinct" -> ((s, dir) =>
       ApproxDistinct.kmvDaily(Tables.load(s, dir, "events"), "user_id", k = 64)),
+    // running distinct-to-date from per-day sketch states only — the
+    // mergeability payoff extended to every prefix
+    "q125_kmv_cumulative" -> ((s, dir) =>
+      ApproxDistinct.kmvCumulative(Tables.load(s, dir, "events"), "user_id", k = 64)),
 
     // ---- DataSourceV2 connector end-to-end (S1-S3 as a batch
     // source): constant fixture payloads through format("spotify-api")
@@ -2693,6 +2697,35 @@ object SparkEntry {
          |        exact_distinct
          |      FROM m CROSS JOIN ma)
          |SELECT * FROM d UNION ALL SELECT * FROM mrow ORDER BY day_label""".stripMargin
+    },
+
+    "q125_kmv_cumulative" -> {
+      val k = 64
+      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+         |hs AS (SELECT DISTINCT day, h FROM (
+         |    SELECT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e)
+         |  WHERE h IS NOT NULL),
+         |kept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
+         |  WHERE rnk <= $k),
+         |days AS (SELECT DISTINCT day FROM kept),
+         |cum AS (SELECT DISTINCT d.day, kp.h
+         |        FROM kept kp JOIN days d ON kp.day <= d.day),
+         |ckept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM cum)
+         |  WHERE rnk <= $k),
+         |est AS (SELECT day, count(*) AS n_kept, max(h) AS kth_hash FROM ckept GROUP BY day),
+         |firstd AS (SELECT user_id, min(day) AS fd FROM e
+         |           WHERE user_id IS NOT NULL GROUP BY user_id),
+         |fdc AS (SELECT fd, count(*) AS n_new FROM firstd GROUP BY fd),
+         |exactc AS (SELECT d.day, CAST(sum(n_new) AS BIGINT) AS exact_distinct
+         |           FROM days d JOIN fdc ON fd <= d.day GROUP BY d.day)
+         |SELECT CAST(day AS VARCHAR) AS day, n_kept, kth_hash,
+         |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+         |       ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / kth_hash END AS approx_distinct,
+         |  exact_distinct
+         |FROM est JOIN exactc USING (day)
+         |ORDER BY day""".stripMargin
     },
 
     // the connector feeds CONSTANT payloads, so the oracle is the
