@@ -158,6 +158,16 @@ object SparkEntry {
     // linear in candidates at 100x (no candidate x shingle explode)
     "q123_dedup_minhash_estver" -> ((s, dir) =>
       Dedup.minhashLshEstimated(Tables.load(s, dir, "documents"), n = 3, numHashes = 16, bands = 4, minJ = 0.5)),
+    // daily-ingest near-dup loop: 80% of the corpus is "history" whose
+    // SIGNATURES are persisted; the 20% "new" batch dedups against
+    // history + itself without re-shingling any historical text
+    "q126_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
+      val state = java.nio.file.Files.createTempDirectory("graft_mh_state").toString + "/mh"
+      Dedup.persistMinhashSignatures(docs.filter(bucket < 80), 3, 16, 4, state)
+      Dedup.incrementalMinhashEstimated(docs.filter(bucket >= 80), 3, 16, 4, 0.5, state)
+    }),
     "q13_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 2)),
 
@@ -2529,6 +2539,31 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM buckets x JOIN buckets y
          |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |agree AS (SELECT c.doc_a, c.doc_b,
+         |                 count(CASE WHEN pa.sig = pb.sig THEN 1 END) AS m
+         |          FROM cand c JOIN sigs pa ON pa.doc_id = c.doc_a
+         |                      JOIN sigs pb ON pb.doc_id = c.doc_b AND pb.i = pa.i
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard
+         |FROM agree WHERE CAST(m AS DOUBLE) / 16 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q126_incremental_minhash" ->
+      s"""WITH ${shinglesCte(3)},
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+         |           FROM (SELECT unnest(range(0, 16)) AS i)),
+         |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+         |         FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         |buckets AS (SELECT doc_id, i // 4 AS band,
+         |                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bucket
+         |            FROM sigs GROUP BY doc_id, i // 4),
+         |newb AS (SELECT * FROM buckets
+         |         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 >= 80),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |                greatest(x.doc_id, y.doc_id) AS doc_b
+         |         FROM buckets x JOIN newb y
+         |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id),
          |agree AS (SELECT c.doc_a, c.doc_b,
          |                 count(CASE WHEN pa.sig = pb.sig THEN 1 END) AS m
          |          FROM cand c JOIN sigs pa ON pa.doc_id = c.doc_a

@@ -257,6 +257,71 @@ object Dedup {
     (sh, sigs, cand)
   }
 
+  /** Persist MinHash signature state as a lake table — the near-dup
+    * analog of [[graft.operators.Similarity.buildIvfIndex]]'s
+    * build-once contract. Layout: `path/sigs` (doc_id, sig_0..n-1)
+    * and `path/buckets` (doc_id, band, bucket); at 100 TB these are
+    * the only structures a daily dedup batch needs — history's TEXT
+    * is never re-shingled.
+    */
+  def persistMinhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+                               bands: Int, path: String): Unit = {
+    val (_, sigs, _) = minhashCandidates(docs, n, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val bandCols = (0 until bands).map { band =>
+      concat_ws(",", (0 until rowsPerBand).map(p =>
+        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Incremental near-dup detection of a NEW batch against persisted
+    * signature state (plus itself): candidates come from the bucket
+    * equi-join of the new batch's bands against history ∪ new — so
+    * old×old pairs (already adjudicated in previous runs) are never
+    * re-emitted and history is touched only through its ≤bands rows
+    * of longs per doc — and verification is the estimator form
+    * ([[minhashLshEstimated]]), reading historical SIGNATURES, not
+    * text. Appends the new batch's state to `path`, so tomorrow's
+    * run sees today's docs as history — the daily-ingest loop.
+    * Output: (doc_a, doc_b, est_jaccard) ordered, ≥1 endpoint new.
+    */
+  def incrementalMinhashEstimated(newDocs: DataFrame, n: Int, numHashes: Int,
+                                  bands: Int, minJ: Double, path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (_, newSigs, _) = minhashCandidates(newDocs, n, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { band =>
+      concat_ws(",", (0 until rowsPerBand).map(p =>
+        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
+    }
+    val newBuckets = newSigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val allBuckets = spark.read.parquet(s"$path/buckets").unionByName(newBuckets)
+    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(newSigs)
+    val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val result = cand
+      .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJ)
+      .orderBy(col("doc_a"), col("doc_b"))
+    // ingest: today's batch becomes tomorrow's history
+    newSigs.write.mode("append").parquet(s"$path/sigs")
+    newBuckets.write.mode("append").parquet(s"$path/buckets")
+    result
+  }
+
   /** [[minhashLsh]] with ESTIMATOR verification — the measured 100 TB
     * knob for the verification stage. Exact verification joins every
     * candidate pair back to its shingle rows: pairs × shared-shingles

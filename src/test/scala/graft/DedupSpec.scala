@@ -77,6 +77,32 @@ class DedupSpec extends AnyFunSuite {
     assert(estVer.map(r => (r._1, r._2)).forall(cand.contains))
   }
 
+  test("incremental minhash: new batch vs persisted signatures, old pairs never re-emitted") {
+    val state = java.nio.file.Files.createTempDirectory("graft_mh_inc").toString + "/mh"
+    val bucket = graft.operators.Sampling.hashBucket($"doc_id".cast("string"))
+    val old = docs.filter(bucket < 80)
+    val fresh = docs.filter(bucket >= 80)
+    Dedup.persistMinhashSignatures(old, 3, 16, 4, state)
+    val inc = Dedup.incrementalMinhashEstimated(fresh, 3, 16, 4, 0.5, state)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val freshIds = fresh.select($"doc_id").as[Long].collect().toSet
+    // every emitted pair involves the new batch
+    assert(inc.forall(p => freshIds.contains(p._1) || freshIds.contains(p._2)))
+    // and equals the full-corpus estimator pairs restricted to >=1 new endpoint
+    val full = Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(p => freshIds.contains(p._1) || freshIds.contains(p._2)))
+
+    // the run appended the new state: a SECOND batch of the same docs
+    // now sees them as history (self-pairs via est=1.0 against the
+    // stored signatures), proving the daily loop advances
+    val again = Dedup.incrementalMinhashEstimated(
+      fresh.withColumn("doc_id", $"doc_id" + 1000000L), 3, 16, 4, 1.0, state)
+      .filter($"doc_b" === $"doc_a" + 1000000L)
+    assert(again.count() == fresh.count())
+  }
+
   test("keepBestPerCluster has no forced broadcast and survives the shuffle-join path") {
     val pairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
     val reps = Dedup.keepBestPerCluster(docs, pairs, "n_chars")
