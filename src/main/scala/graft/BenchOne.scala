@@ -20,7 +20,10 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // e.g. SPARK_GRAFT_SYSPROPS="graft.materialize=persist" to A/B a mode flag
     sys.env.get("SPARK_GRAFT_SYSPROPS").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); sys.props(k) = v
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => sys.props(k) = v
+        case _ => System.err.println(s"ignoring malformed SPARK_GRAFT_SYSPROPS entry: '$kv'")
+      }
     })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -22,7 +22,10 @@ object ScaleProbe {
     // e.g. SPARK_GRAFT_SYSPROPS="graft.cc=star" to A/B a mode flag
     // (same contract as BenchOne)
     sys.env.get("SPARK_GRAFT_SYSPROPS").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); sys.props(k) = v
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => sys.props(k) = v
+        case _ => System.err.println(s"ignoring malformed SPARK_GRAFT_SYSPROPS entry: '$kv'")
+      }
     })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

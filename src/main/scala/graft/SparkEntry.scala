@@ -164,7 +164,7 @@ object SparkEntry {
     "q126_incremental_minhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
-      val state = java.nio.file.Files.createTempDirectory("graft_mh_state").toString + "/mh"
+      val state = Scratch.dir("graft_mh_state") + "/mh"
       Dedup.persistMinhashSignatures(docs.filter(bucket < 80), 3, 16, 4, state)
       Dedup.incrementalMinhashEstimated(docs.filter(bucket >= 80), 3, 16, 4, 0.5, state)
     }),
@@ -340,7 +340,7 @@ object SparkEntry {
     // the loaded index — same math as q47, different params, proving
     // the persisted path against the same oracle shape
     "q121_ivf_persisted" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q121").toString + "/idx"
+      val idx = Scratch.dir("graft_ivf_q121") + "/idx"
       Similarity.buildIvfIndex(Tables.load(s, dir, "embeddings"), nlist = 16, path = idx)
       Similarity.cosineTopKIvfIndexed(s, idx, nQueries = 12, k = 4, nprobe = 3)
     }),
@@ -755,7 +755,7 @@ object SparkEntry {
     // produce byte-identical rows to the batch scan ----
     "q122_api_connector_stream" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_api_stream_fixture")
+      val dir = java.nio.file.Paths.get(Scratch.dir("graft_api_stream_fixture"))
       java.nio.file.Files.createDirectories(dir.resolve("top-tracks"))
       java.nio.file.Files.write(dir.resolve("top-tracks/a1.jsonl"),
         ("""{"tracks":[{"id":"t1","name":"Song One","popularity":90,"duration_ms":200000,"explicit":false,"preview_url":"https://p/t1","external_urls":{"spotify":"https://open/t1"},"album":{"id":"al1","name":"Album One","release_date":"2001-01-01"},"artists":[{"id":"ar1","name":"Artist One"}]},""" +

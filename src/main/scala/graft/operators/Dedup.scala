@@ -237,19 +237,13 @@ object Dedup {
   private def minhashCandidates(docs: DataFrame, n: Int, numHashes: Int,
                                 bands: Int): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val sh = shingles(docs, n)
     val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
     val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
     }
     val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until bands).map { band =>
-      concat_ws(",", (0 until rowsPerBand).map(p =>
-        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
-    }
-    val buckets = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val buckets = bandBuckets(sigs, numHashes, bands)
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -266,15 +260,24 @@ object Dedup {
     */
   def persistMinhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
                                bands: Int, path: String): Unit = {
-    val (_, sigs, _) = minhashCandidates(docs, n, numHashes, bands)
-    val rowsPerBand = numHashes / bands
+    val (_, rawSigs, _) = minhashCandidates(docs, n, numHashes, bands)
+    // materialize once: the sigs plan (shingle + hash + 16-min groupBy)
+    // would otherwise execute for the sigs write AND the buckets write
+    val sigs = materialize(rawSigs)
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    bandBuckets(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
+    * shared by the inline LSH front half and the persisted-state paths.
+    */
+  private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { band =>
       concat_ws(",", (0 until rowsPerBand).map(p =>
         col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
     }
     sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-      .write.mode("overwrite").parquet(s"$path/buckets")
   }
 
   /** Incremental near-dup detection of a NEW batch against persisted
@@ -291,14 +294,13 @@ object Dedup {
   def incrementalMinhashEstimated(newDocs: DataFrame, n: Int, numHashes: Int,
                                   bands: Int, minJ: Double, path: String): DataFrame = {
     val spark = newDocs.sparkSession
-    val (_, newSigs, _) = minhashCandidates(newDocs, n, numHashes, bands)
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { band =>
-      concat_ws(",", (0 until rowsPerBand).map(p =>
-        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
-    }
-    val newBuckets = newSigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val (_, rawNewSigs, _) = minhashCandidates(newDocs, n, numHashes, bands)
+    // one materialization: the new batch's shingle+signature plan
+    // feeds the buckets derivation, the state appends below, AND the
+    // returned result — without this it would re-shingle the batch
+    // three times, in the operator whose point is never re-shingling
+    val newSigs = materialize(rawNewSigs)
+    val newBuckets = bandBuckets(newSigs, numHashes, bands)
     val allBuckets = spark.read.parquet(s"$path/buckets").unionByName(newBuckets)
     val allSigs = spark.read.parquet(s"$path/sigs").unionByName(newSigs)
     val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
@@ -639,10 +641,16 @@ object Dedup {
       edgeCount = nextCount
       i += 1
     }
+    // min per doc, not a bare join: at convergence each src has exactly
+    // one dst (its component min), but a maxIter-capped exit can leave
+    // several dsts per src — the output contract is ONE row per doc_id
+    // regardless (labels then a valid, if unconverged, refinement —
+    // same degradation contract as the propagation variant)
     val labels = nodes
-      .join(edges.select(col("src").as("doc_id"), col("dst").as("cluster_id")),
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("lbl")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("doc_id")).agg(min(col("lbl")).as("ml"))
+      .select(col("doc_id"), coalesce(col("ml"), col("doc_id")).as("cluster_id"))
     (labels, i)
   }
 

@@ -205,12 +205,21 @@ object Similarity {
     val e = normalized(embeddings)
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
+    (cents, assignToCells(e, cents))
+  }
+
+  /** Argmax-cosine cell assignment (ties to the lowest cid) of unit
+    * vectors against a centroid frame — the SINGLE definition both
+    * the inline build and the incremental append ride, because the
+    * append's bit-identical-to-rebuild guarantee is exactly "both
+    * sites assign identically".
+    */
+  private def assignToCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assign = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
       .withColumn("crn", row_number().over(byVec)).filter(col("crn") === 1)
       .select(col("vec_id"), col("u"), col("cid").as("cell"))
-    (cents, assign)
   }
 
   /** Query an IVF structure: each query (a corpus vector with
@@ -279,13 +288,8 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val e = normalized(newVectors)
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assign = e.join(broadcast(cents))
-      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
-      .withColumn("crn", row_number().over(byVec)).filter(col("crn") === 1)
-      .select(col("vec_id"), col("u"), col("cid").as("cell"))
-    assign.write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    assignToCells(normalized(newVectors), cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
   /** Query-many half of the build-once contract: identical results to

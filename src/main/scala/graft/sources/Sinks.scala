@@ -109,15 +109,18 @@ object Sinks {
     require(bits >= 1 && bits <= 10, s"bits must be in [1,10] (got $bits)")
     val b = 1 << bits
     val probs = (1 until b).map(_.toDouble / b).toArray
-    def quant(c: String): Column = {
-      val bs = df.select(col(c).cast("double").as(c)).stat
-        .approxQuantile(c, probs, 1.0 / (4 * b))
+    // ONE pass for both dimensions: the multi-column approxQuantile
+    // overload sketches every column in the same scan — a second
+    // full-table read is the dominant pre-write cost at scale
+    val Array(bsA, bsB) = df
+      .select(col(colA).cast("double").as("__qa_src"), col(colB).cast("double").as("__qb_src"))
+      .stat.approxQuantile(Array("__qa_src", "__qb_src"), probs, 1.0 / (4 * b))
+    def quant(c: String, bs: Array[Double]): Column =
       // bucket index = #boundaries <= value (duplicate boundaries from
       // heavy hitters just collapse those buckets; index stays < 2^bits)
       aggregate(typedLit(bs), lit(0L),
         (acc, bound) => acc + when(bound <= col(c).cast("double"), 1L).otherwise(0L))
-    }
-    writeMorton(df, path, quant(colA), quant(colB), partitions, bits)
+    writeMorton(df, path, quant(colA, bsA), quant(colB, bsB), partitions, bits)
   }
 
   /** Shared Z-order tail: Morton-interleave the two quantized
@@ -185,14 +188,28 @@ object Sinks {
               targetFileMb: Int = 256): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(hadoopPath).getLength
-    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    // refuse to run over a previous compaction's debris: a leftover
+    // backup means the last swap died mid-way and an operator must
+    // decide which copy wins — proceeding would let the renames below
+    // fail-by-returning-false and cascade into data loss
+    require(!fs.exists(bak),
+      s"$bak exists — a previous compact was interrupted; recover it (rename back or delete) first")
+    require(!fs.exists(tmp) || fs.delete(tmp, true), s"could not clear stale $tmp")
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.rename(hadoopPath, bak)
-    fs.rename(tmp, hadoopPath)
+    // Hadoop rename reports failure as `false`, not an exception —
+    // check both. The two-rename window is NOT atomic: a crash in
+    // between leaves the data at `_precompact` (recoverable, never
+    // lost); appends racing the swap are the caller's lock to take.
+    require(fs.rename(hadoopPath, bak), s"rename $hadoopPath -> $bak failed")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(bak, hadoopPath) // roll back so readers keep working
+      sys.error(s"rename $tmp -> $hadoopPath failed; original restored from $bak")
+    }
     fs.delete(bak, true)
   }
 

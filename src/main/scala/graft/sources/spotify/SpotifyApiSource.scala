@@ -138,7 +138,14 @@ final class HttpPageFetcher extends PageFetcher {
 
   private def appToken(options: Map[String, String]): String = {
     val id = options.getOrElse("client_id", sys.env.getOrElse("SPOTIFY_CLIENT_ID", ""))
-    HttpPageFetcher.tokenCache.computeIfAbsent(id, { _ =>
+    // TTL-bounded cache: client-credentials tokens expire after 3600 s,
+    // so a long-lived executor (the microbatch tier's normal shape)
+    // must re-fetch — caching forever turns hour-old executors into
+    // permanent 401 loops. 50 min leaves comfortable slack.
+    val now = System.currentTimeMillis()
+    val cached = HttpPageFetcher.tokenCache.get(id)
+    if (cached != null && now - cached._2 < HttpPageFetcher.TokenTtlMs) cached._1
+    else {
       val secret = options.getOrElse("client_secret", sys.env.getOrElse("SPOTIFY_CLIENT_SECRET", ""))
       val basic = java.util.Base64.getEncoder
         .encodeToString(s"$id:$secret".getBytes("UTF-8"))
@@ -146,10 +153,12 @@ final class HttpPageFetcher extends PageFetcher {
         "grant_type=client_credentials",
         Map("Authorization" -> s"Basic $basic",
           "Content-Type" -> "application/x-www-form-urlencoded"))
-      """"access_token"\s*:\s*"([^"]+)"""".r
+      val token = """"access_token"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(tokenJson).map(_.group(1))
         .getOrElse(sys.error("no access_token in token response"))
-    })
+      HttpPageFetcher.tokenCache.put(id, (token, now))
+      token
+    }
   }
 
   override def pages(endpoint: String, request: String,
@@ -175,8 +184,12 @@ final class HttpPageFetcher extends PageFetcher {
 }
 
 private[spotify] object HttpPageFetcher {
-  /** Per-JVM (= per-executor) app-token cache keyed by client id. */
-  val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-JVM (= per-executor) app-token cache keyed by client id:
+    * (token, fetchedAtMillis). Entries older than [[TokenTtlMs]] are
+    * re-fetched (Spotify tokens live 3600 s).
+    */
+  val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  val TokenTtlMs: Long = 50L * 60 * 1000
 }
 
 private[spotify] class SpotifyApiTable(props: Map[String, String])

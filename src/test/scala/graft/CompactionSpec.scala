@@ -40,4 +40,15 @@ class CompactionSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_compacting")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_precompact")))
   }
+
+  test("compact refuses to run over an interrupted predecessor's backup") {
+    val dir = Files.createTempDirectory("graft_compact_refuse").toString + "/t"
+    spark.range(10).write.parquet(dir)
+    // simulate a crash between the two swap renames
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir + "_precompact"))
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("_precompact"))
+    // live data untouched by the refusal
+    assert(spark.read.parquet(dir).count() == 10)
+  }
 }

@@ -77,6 +77,17 @@ class DedupSpec extends AnyFunSuite {
     assert(estVer.map(r => (r._1, r._2)).forall(cand.contains))
   }
 
+  test("star variant capped mid-convergence still emits exactly one row per doc") {
+    val chain = spark.range(1L, 64L)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val capped = Dedup.duplicateClustersStar(chain, maxIter = 1)
+    // output contract holds even unconverged: one label per node
+    assert(capped.count() == 64)
+    assert(capped.select($"doc_id").distinct().count() == 64)
+    // and labels are still a valid refinement (never exceed the node id)
+    assert(capped.filter($"cluster_id" > $"doc_id").count() == 0)
+  }
+
   test("incremental minhash: new batch vs persisted signatures, old pairs never re-emitted") {
     val state = java.nio.file.Files.createTempDirectory("graft_mh_inc").toString + "/mh"
     val bucket = graft.operators.Sampling.hashBucket($"doc_id".cast("string"))

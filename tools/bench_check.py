@@ -29,19 +29,19 @@ def main(path):
         return 2
     cur = json.loads(m.group(0))
     base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
-    # When raw samples are present (tools/last_bench.json carries them;
-    # the stdout line does not), gate on the MEDIAN: the adaptive third
-    # sample only fires for apparent regressions, so the min is a
-    # one-sided statistic biased toward passing.
+    # The GATE stays min-vs-min: baselines were recorded as minimums,
+    # so gating the current MEDIAN against a min baseline would flag
+    # ordinary run-to-run noise as drift (mismatched statistics).
+    # Raw samples, when present (tools/last_bench.json carries them;
+    # the stdout line does not), are surfaced per query so a human
+    # adjudicating a flag sees the symmetric spread, not just the
+    # one-sided min the adaptive third sample biases.
     samples = cur.get("samples", {})
-    def stat(name, sec):
+    def spread(name):
         ss = sorted(samples.get(name, []))
-        if not ss:
-            return sec
-        mid = len(ss) // 2
-        return ss[mid] if len(ss) % 2 else (ss[mid - 1] + ss[mid]) / 2
+        return " samples=[" + ",".join(f"{s:.2f}" for s in ss) + "]" if ss else ""
     regressed = []
-    for name, sec in sorted((n, stat(n, s)) for n, s in cur["queries"].items()):
+    for name, sec in sorted(cur["queries"].items()):
         b = base["queries"].get(name)
         if b is None:
             print(f"new  {name}: {sec:.2f}s (no baseline)")
@@ -49,7 +49,8 @@ def main(path):
         ratio = sec / b if b > 0 else float("inf")
         flag = ratio > REGRESSION_X and max(sec, b) > ABS_FLOOR_SEC
         mark = "REGRESSED" if flag else ("faster" if ratio < 0.8 else "ok")
-        print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x)")
+        extra = spread(name) if flag else ""
+        print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){extra}")
         if flag:
             regressed.append(name)
     base_total = base.get("total", base.get("value", 0.0))
