@@ -396,6 +396,14 @@ object SparkEntry {
     "q124_dup_clusters_star" -> ((s, dir) =>
       Dedup.duplicateClustersStar(
         Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
+    // split AFTER clustering: every near-dup family lands whole in one
+    // split, so no test doc's near-copy leaks into train (q52 is the
+    // per-doc form; this is the leakage-free production form)
+    "q127_leakfree_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Sampling.leakFreeSplit(docs,
+        Dedup.jaccardPairsCapped(docs, n = 3, minJ = 0.5, maxDf = 20), trainPct = 80)
+    }),
 
     // ---- Benchmark decontamination: corpus docs sharing any 5-gram
     // with the (hash-split) held-out benchmark slice ----
@@ -2023,6 +2031,31 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
          |SELECT src AS doc_id, min(node) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q127_leakfree_split" ->
+      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+         |labels AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN ${hash32Sql("CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)")} % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q65_contamination" ->
       s"""WITH corp AS (SELECT doc_id, text FROM documents

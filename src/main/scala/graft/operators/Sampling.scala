@@ -27,6 +27,30 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(keyCol)) < trainPct, lit("train")).otherwise(lit("test")))
 
+  /** LEAKAGE-FREE split: hash the near-dup CLUSTER id, not the doc id,
+    * so every member of a duplicate family lands in the same split.
+    * Per-doc splitting silently leaks eval data — a test document's
+    * near-copy (mirror, paraphrase, boilerplate variant) trains the
+    * model on the answer; at crawl scale this is the norm, not the
+    * edge case, which is why real pretraining stacks split AFTER
+    * clustering. `pairs` is any near-dup pair frame (jaccard, minhash,
+    * simhash tiers all qualify); docs outside every pair are their own
+    * singleton cluster. Same one-column hash determinism as
+    * [[trainTestSplit]]: re-runs reproduce the split exactly.
+    * Output: (doc_id, cluster_id, split) ordered by doc_id.
+    */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame, trainPct: Int): DataFrame = {
+    val labels = graft.operators.Dedup.duplicateClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(hashBucket(col("cluster_id")) < trainPct, lit("train"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled mixture subsample: group g keeps a
     * deterministic hash slice of its rows sized so group shares follow
     * `n_g^alpha` (alpha < 1 flattens the mixture toward uniform — the

@@ -43,6 +43,28 @@ class MixtureKmeansSpec extends AnyFunSuite {
 
   // ---- keep-best representative -----------------------------------------
 
+  test("leakFreeSplit: every near-dup pair lands whole in one split; doc-level split leaks") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    val split = graft.operators.Sampling.leakFreeSplit(docs, pairs, 80)
+    // complete partition of the corpus
+    assert(split.count() == docs.count())
+    // THE invariant: no near-dup pair straddles the split boundary
+    val straddling = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(straddling.count() == 0)
+    // contrast: the per-doc split DOES leak on this corpus (the very
+    // failure mode the cluster-keyed split exists to prevent)
+    val perDoc = graft.operators.Sampling.trainTestSplit(docs, "doc_id", 80)
+    val perDocStraddling = pairs
+      .join(perDoc.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(perDoc.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(perDocStraddling.count() > 0)
+  }
+
   test("keepBestPerCluster keeps the longest member per cluster, singletons survive") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 30L), (4L, 7L))
       .toDF("doc_id", "n_chars")
