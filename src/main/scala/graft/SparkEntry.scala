@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApproxDistinct, Dedup, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
+import graft.operators.{ApproxDistinct, Dedup, FreqSketch, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
 import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,6 +196,13 @@ object SparkEntry {
       Similarity.topPairsLshAuto(Tables.load(s, dir, "embeddings"), n = 20, dim = 64)),
     "q20_cosine_topk_lsh" -> ((s, dir) =>
       Similarity.cosineTopKLsh(Tables.load(s, dir, "embeddings"), nQueries = 10, k = 5, planes = 4, dim = 64)),
+    // ---- Product-quantization ADC top-k: the 64x-memory-compression
+    // ANN tier (8 subspaces x 16 codewords = 4-bit codes over the
+    // int8 vectors; ADC shortlist of 40, exact int8 rerank; all i64
+    // arithmetic, so train->encode->scan->rerank replays exactly) ----
+    "q129_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.load(s, dir, "embeddings"), m = 8, ks = 16,
+        nQueries = 5, k = 10, rerank = 40)),
 
     // ---- Set operations (SURVEY §2.8): retained/churned user cohorts ----
     "q21_user_cohorts" -> ((s, dir) => {
@@ -714,6 +721,12 @@ object SparkEntry {
       TextAnalysis.fitQualityLogitGd(Tables.load(s, dir, "documents"),
         iters = 3, lrNum = 1L, lrDen = 5L)),
 
+    // ---- BPE merge training (tokenizer-vocab learning on the
+    // dedup'd word-frequency vocab — corpus touched once; 4 greedy
+    // merge rounds replayed exactly by the oracle's list_reduce) ----
+    "q130_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(Tables.load(s, dir, "documents"), merges = 4)),
+
     // ---- KMV distinct sketch (the engine-portable sketch tier next
     // to the HLL pair in ApproxDistinct): per-day k-min hashes +
     // merged-from-sketch 'ALL' row, estimator replayed exactly by the
@@ -724,6 +737,14 @@ object SparkEntry {
     // mergeability payoff extended to every prefix
     "q125_kmv_cumulative" -> ((s, dir) =>
       ApproxDistinct.kmvCumulative(Tables.load(s, dir, "events"), "user_id", k = 64)),
+    // ---- Count-Min frequency sketch (the mergeable heavy-hitters
+    // tier next to KMV/HLL): per-day cell partials summed into one
+    // sketch, top-20 exact keys verified against the min-over-rows
+    // estimate — counters are pure sums, so the oracle replays the
+    // sketch bit-for-bit ----
+    "q128_cms_heavy_hitters" -> ((s, dir) =>
+      FreqSketch.cmsHeavyHitters(Tables.load(s, dir, "events"), "user_id",
+        depth = 4, width = 512, topN = 20)),
 
     // ---- DataSourceV2 connector end-to-end (S1-S3 as a batch
     // source): constant fixture payloads through format("spotify-api")
@@ -2248,6 +2269,56 @@ object SparkEntry {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
          |FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // PQ-ADC replay: int8-quantize -> melt into 4 subvector rows ->
+    // assign to the first-8-vectors init codebooks (argmax
+    // 2*dot - |c|^2, ties to lowest cid) -> one half-up-rounded
+    // integer Lloyd update -> encode -> per-query lookup table ->
+    // sum of table entries -> 40-deep ADC shortlist -> exact int8
+    // rerank -> top-10 per query. All-integer end to end, so every
+    // stage is exact in both engines.
+    "q129_pq_topk" -> {
+      val (sub, ks, nq, k, rr) = (8, 16, 5, 10, 40)
+      s"""WITH $normalizedCte,
+         |i8 AS (SELECT vec_id, list_transform(u, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
+         |ss(s) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+         |sv AS (SELECT vec_id, s, qv[s*$sub+1 : s*$sub+$sub] AS x FROM i8 CROSS JOIN ss),
+         |c0 AS (SELECT s, vec_id AS cid, x AS cv FROM sv WHERE vec_id < $ks),
+         |a0 AS (SELECT vec_id, s, x, cid FROM (
+         |    SELECT sv.vec_id, sv.s, sv.x, c.cid,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+         |        ORDER BY 2*list_dot_product(sv.x, c.cv) - list_dot_product(c.cv, c.cv) DESC, c.cid) AS rn
+         |    FROM sv JOIN c0 c USING (s)) WHERE rn = 1),
+         |lanes AS (SELECT s, cid, unnest(x) AS lane, unnest(range(1, $sub + 1)) AS pos FROM a0),
+         |cm AS (SELECT s, cid, pos, SUM(lane) AS sx, COUNT(*) AS cnt FROM lanes GROUP BY 1, 2, 3),
+         |c1 AS (SELECT s, cid, list(CAST(floor((2.0*sx + cnt) / (2.0*cnt)) AS BIGINT) ORDER BY pos) AS cv
+         |       FROM cm GROUP BY 1, 2),
+         |enc AS (SELECT vec_id, s, cid FROM (
+         |    SELECT sv.vec_id, sv.s, c.cid,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+         |        ORDER BY 2*list_dot_product(sv.x, c.cv) - list_dot_product(c.cv, c.cv) DESC, c.cid) AS rn
+         |    FROM sv JOIN c1 c USING (s)) WHERE rn = 1),
+         |tab AS (SELECT q.vec_id AS qid, q.s, c.cid,
+         |          CAST(list_dot_product(q.x, c.cv) AS BIGINT) AS d
+         |        FROM sv q JOIN c1 c USING (s) WHERE q.vec_id < $nq),
+         |adc AS (SELECT t.qid, e2.vec_id AS nid, CAST(SUM(t.d) AS BIGINT) AS adc_dot
+         |        FROM enc e2 JOIN tab t ON t.s = e2.s AND t.cid = e2.cid AND e2.vec_id <> t.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc_dot DESC, nid) AS arn
+         |    FROM adc) WHERE arn <= $rr),
+         |ex AS (SELECT sh.qid, sh.nid,
+         |         CAST(list_dot_product(qi.qv, ni.qv) AS BIGINT) AS qdot
+         |       FROM short sh
+         |       JOIN i8 qi ON qi.vec_id = sh.qid
+         |       JOIN i8 ni ON ni.vec_id = sh.nid)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, qdot FROM (
+         |    SELECT qid, nid, qdot,
+         |      row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk
+         |    FROM ex)
+         |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+    },
+
     "q76_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf
@@ -2738,6 +2809,48 @@ object SparkEntry {
 
     "q112_logit_fit_gd" -> logitGdOracleSql(iters = 3, lrNum = 1L, lrDen = 5L),
 
+    // BPE replay: 4 unrolled merge rounds over the word-frequency
+    // vocab. Pair counts are freq-weighted integer sums; the merge is
+    // the same greedy left-to-right scan, expressed as a string fold
+    // (list_reduce with a space-joined accumulator — symbols never
+    // contain whitespace, so the last-symbol test is exact).
+    "q130_bpe_merges" -> {
+      val merges = 4
+      val ws = """\s+"""
+      def stage(i: Int): String = {
+        val src = if (i == 1) "s0" else s"s${i - 1}"
+        val pairs =
+          s"""p$i AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
+             |    FROM $src WHERE len(seq) >= 2)
+             |  GROUP BY 1, 2),
+             |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+        val merged =
+          if (i == merges) pairs
+          else pairs + ",\n" +
+            s"""s$i AS (SELECT s.freq,
+               |    CASE WHEN len(s.seq) < 2 THEN s.seq
+               |         ELSE string_split(list_reduce(s.seq,
+               |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
+               |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+               |                       ELSE acc || ' ' || x END), ' ')
+               |    END AS seq
+               |  FROM $src s CROSS JOIN b$i b)""".stripMargin
+        merged
+      }
+      val selects = (1 to merges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, a AS sym_a, b AS sym_b, " +
+          s"a || b AS merged, cnt AS weighted_count FROM b$i")
+        .mkString("\n", "\nUNION ALL ", "\n")
+      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+         |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
+         |${(1 to merges).map(stage).mkString(",\n")}
+         |$selects ORDER BY iter""".stripMargin
+    },
+
     "q113_kmv_distinct" -> {
       val k = 64
       s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
@@ -2765,6 +2878,33 @@ object SparkEntry {
          |        exact_distinct
          |      FROM m CROSS JOIN ma)
          |SELECT * FROM d UNION ALL SELECT * FROM mrow ORDER BY day_label""".stripMargin
+    },
+
+    // CMS replay: the cell table is a pure sum per (row-hash, bucket)
+    // — order-independent, so DuckDB rebuilds the identical sketch
+    // and the min-over-rows estimate matches to the bit.
+    "q128_cms_heavy_hitters" -> {
+      val (depth, width, topN) = (4, 512, 20)
+      val params = graft.functions.PortableHash.minhashParams(depth)
+        .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH params(j, a, b) AS (VALUES $params),
+         |eh AS (SELECT h FROM (
+         |    SELECT ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM events)
+         |  WHERE h IS NOT NULL),
+         |cells AS (SELECT p.j, ((p.a * eh.h + p.b) % 2147483647) % $width AS bucket,
+         |            count(*) AS c
+         |          FROM eh CROSS JOIN params p GROUP BY 1, 2),
+         |exact AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_cnt
+         |          FROM events WHERE user_id IS NOT NULL
+         |          GROUP BY 1 ORDER BY exact_cnt DESC, key LIMIT $topN),
+         |probes AS (SELECT x.key, x.exact_cnt, p.j,
+         |             ((p.a * ${hash32Sql("x.key")} + p.b) % 2147483647) % $width AS bucket
+         |           FROM exact x CROSS JOIN params p),
+         |est AS (SELECT pr.key, pr.exact_cnt, min(c.c) AS cms_est
+         |        FROM probes pr JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
+         |        GROUP BY 1, 2)
+         |SELECT key, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+         |FROM est ORDER BY exact_cnt DESC, key""".stripMargin
     },
 
     "q125_kmv_cumulative" -> {

@@ -361,6 +361,123 @@ object Similarity {
         expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
   }
 
+  /** Product-quantization ADC top-k — the memory-compression tier of
+    * the ANN family (brute [[cosineTopK]] / int8 [[cosineTopKInt8]] /
+    * LSH [[cosineTopKLsh]] / IVF cover latency; PQ covers FOOTPRINT):
+    * each int8 unit vector is split into `m` subvectors, each
+    * subvector replaced by the id of its nearest codeword from a
+    * per-subspace codebook of `ks` entries — the stored corpus
+    * shrinks from dim·4 B of f32 (256 B at dim 64) to m codes
+    * (m ≤ 1 B each at ks ≤ 256), a 64× compression at the defaults,
+    * which is what lets a 100 TB embedding corpus fit a cluster's
+    * aggregate RAM for scanning.
+    *
+    * Query-time ADC (asymmetric distance computation): the query
+    * keeps full precision; a per-query table of m·ks partial dots
+    * (query subvector · codeword) is built once, and each candidate's
+    * approximate dot is m table lookups summed — never a dim-wide
+    * multiply per candidate.
+    *
+    * Determinism/oracle story: everything after normalization is
+    * EXACT i64 — vectors are int8-quantized (`floor(u·127+0.5)`),
+    * codeword assignment maximizes 2·dot(x,c) − dot(c,c) (= argmin
+    * L2, all-integer, ties to the lowest cid), the single Lloyd
+    * update rounds each lane mean half-up via
+    * `floor((2·Σ+n)/(2n))` (exact in doubles at these magnitudes),
+    * and ADC scores are i64 sums of i64 table entries — so the oracle
+    * replays the whole train→encode→scan pipeline to the bit.
+    *
+    * Scale shape: codebooks train on a subvector melt (n·m narrow
+    * rows, one combinable groupBy per Lloyd stage); encoding is a
+    * broadcast join against m·ks codewords; the ADC scan joins the
+    * code table (n·m rows) to a broadcast m·ks·nQueries lookup
+    * table, partial-aggregates the per-(query, candidate) sums
+    * map-side, and takes top-k per query on the partial-heap
+    * operator. One corpus scan, one combinable shuffle, no window
+    * sort.
+    *
+    * ADC ranks are lossy (that is the compression trade), so the
+    * final answer is produced the way production PQ systems do it:
+    * the ADC scan emits a `rerank`-deep shortlist per query, and the
+    * shortlist alone is re-scored with the EXACT int8 dot (a
+    * broadcast semi-join back into the corpus scan — nQueries·rerank
+    * row fetches, not a second full scan). Recall@k vs the exact
+    * scan is asserted in tests (the q87 harness pattern); widen
+    * `rerank` to buy recall with shortlist size, never with a wider
+    * scan.
+    *
+    * Output: (qid, rnk, nid, qdot) ordered by (qid, rnk) — qdot is
+    * the exact int8 dot of the reranked candidate.
+    */
+  def pqTopK(embeddings: DataFrame, m: Int, ks: Int,
+             nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1 (got $m)")
+    require(ks >= 1, s"ks must be >= 1 (got $ks)")
+    require(rerank >= k, s"rerank must be >= k (got $rerank < $k)")
+    val dotl = graft.functions.VectorExprs.DotLongName
+    val e = normalized(embeddings)
+      .select(col("vec_id"),
+        expr("transform(u, x -> cast(floor(x * 127.0D + 0.5D) as bigint))").as("qv"))
+    // melt to (vec_id, s, x): one row per subspace, x = the s-th
+    // dim/m-wide slice of the int8 vector
+    val sv = e
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
+      .select(col("vec_id"), col("sx.s").as("s"), col("sx.x").as("x"))
+    // nearest codeword per (vector, subspace): argmax 2·x·c − c·c,
+    // ties to the lowest cid — pure i64, partitioning-invariant
+    def assign(cents: DataFrame): DataFrame = sv
+      .join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("x"), col("cid"),
+        (lit(2L) * expr(s"$dotl(x, cv)") - expr(s"$dotl(cv, cv)")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("x"), col("cid"))
+    // deterministic init: the first ks vectors' subvectors seed each
+    // subspace; one Lloyd round with half-up-rounded integer means
+    val c0 = sv.filter(col("vec_id") < ks)
+      .select(col("s"), col("vec_id").as("cid"), col("x").as("cv"))
+    val c1 = assign(c0)
+      .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("pos", "lane")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(sum(col("lane")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("s"), col("cid"), col("pos"),
+        expr("cast(floor((2.0D * sx + cnt) / (2.0D * cnt)) as bigint)").as("r"))
+      .groupBy(col("s"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("pm"))
+      .select(col("s"), col("cid"), expr("transform(pm, p -> p.r)").as("cv"))
+    val codes = assign(c1).select(col("vec_id"), col("s"), col("cid"))
+    // per-query ADC lookup table: nQueries·m·ks partial dots
+    val tab = sv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("s"), col("x").as("qx"))
+      .join(c1, Seq("s"))
+      .select(col("qid"), col("s"), col("cid"), expr(s"$dotl(qx, cv)").as("d"))
+    val adc = codes
+      .join(broadcast(tab), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dot"))
+      .select(col("qid"), col("vec_id").as("nid"), col("adc_dot"))
+    val shortlist = graft.plans.TopK.perGroup(adc, Seq(col("qid")),
+      Seq(col("adc_dot").desc, col("nid").asc), rerank)
+      .select(col("qid"), col("nid"))
+    val qvecs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val reranked = e.select(col("vec_id").as("nid"), col("qv").as("nv"))
+      .join(broadcast(shortlist), Seq("nid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid"), col("nid"), expr(s"$dotl(qq, nv)").as("qdot"))
+    graft.plans.TopK.perGroup(reranked, Seq(col("qid")),
+      Seq(col("qdot").desc, col("nid").asc), k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))).cast("long"))
+      .select(col("qid"), col("rnk"), col("nid"), col("qdot"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Coarse (two-level) k-means assignment — the implemented scale
     * path for the Θ(n·k) flat argmax that [[kmeansAssign]] pays when
     * k is corpus-derived ([[deriveK]]: k ∝ n, so flat assignment is

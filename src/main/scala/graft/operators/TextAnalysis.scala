@@ -537,6 +537,77 @@ object TextAnalysis {
     * incremental-update-friendly variant a chunking pipeline extends
     * to sliding windows. Output: (doc_id, fp, fp32, fp_roll) ordered.
     */
+  /** BPE (byte-pair-encoding) merge training — the distributed form
+    * of tokenizer-vocabulary learning: `merges` rounds of "count all
+    * adjacent symbol pairs across the corpus, merge the most frequent
+    * one everywhere". Returns the learned merge table
+    * (iter, sym_a, sym_b, merged, weighted_count) ordered by iter —
+    * the artifact a tokenizer ships.
+    *
+    * The classical BPE trick that makes this 100 TB-viable: training
+    * never touches the corpus after the first pass. Words are
+    * deduplicated into a (word, freq) VOCAB (one combinable groupBy
+    * over the corpus), and every merge round runs over the
+    * vocab-sized frame only — pair counting is a groupBy over ≤
+    * Σ|word| rows weighted by freq, and applying a merge is a narrow
+    * per-row fold, no shuffle. Corpus size affects round cost not at
+    * all, only the initial word count does.
+    *
+    * Merge application is the greedy LEFT-TO-RIGHT NON-OVERLAPPING
+    * scan of reference BPE (Sennrich et al. 2016): a fold over the
+    * symbol sequence that joins the current symbol to the
+    * accumulator's last element iff they spell (sym_a, sym_b) — so
+    * "a a a" under merge (a,a) becomes "aa a", and the freshly
+    * merged "aa" does not immediately re-merge. Ties in pair counts
+    * break lexicographically (sym_a, then sym_b) — fully
+    * deterministic, and the DuckDB oracle replays every round
+    * (string-fold `list_reduce` mirror of the same scan).
+    *
+    * The per-round best-pair fetch is a single-row driver probe —
+    * same discipline as the CC convergence probe ([[Dedup]]) and the
+    * GD coefficient loop: O(rounds) scalars cross the driver, never
+    * data.
+    */
+  def bpeTrainMerges(docs: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    val spark = docs.sparkSession
+    val base = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
+      .persist() // vocab-sized; every round re-reads it through its fold lineage
+    var seqs = base
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      for (i <- 1 to merges) {
+        val pairs = seqs.filter(size(col("seq")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            expr("slice(seq, 1, size(seq) - 1)"),
+            expr("slice(seq, 2, size(seq) - 1)"),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((i.toLong, a, b, a + b, cnt))
+        if (i < merges) {
+          val folded = aggregate(
+            expr("slice(seq, 2, size(seq) - 1)"),
+            array(element_at(col("seq"), 1)),
+            (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
+              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+          seqs = seqs.select(col("freq"),
+            when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
+        }
+      }
+    } finally base.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .orderBy(col("iter"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(

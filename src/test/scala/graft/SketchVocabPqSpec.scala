@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{FreqSketch, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 extension tier: Count-Min frequency sketch (q128), PQ-ADC
+  * top-k (q129), and BPE merge training (q130).
+  */
+class SketchVocabPqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def events = Tables.load(spark, sf, "events")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  // ---- Count-Min sketch ----
+
+  test("cmsHeavyHitters: estimates are one-sided (est >= exact) and top-1 is the true mode") {
+    val rows = FreqSketch.cmsHeavyHitters(events, "user_id", depth = 4, width = 512, topN = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (_, exact, est, over) =>
+      assert(est >= exact, s"CMS must never undercount (exact=$exact est=$est)")
+      assert(over == est - exact)
+    }
+    // ordering contract: exact desc, key asc
+    assert(rows.map(r => (-r._2, r._1)).toSeq == rows.map(r => (-r._2, r._1)).sorted.toSeq)
+  }
+
+  test("cmsMerge of daily partials equals the sketch built in one shot") {
+    val daily = FreqSketch.cmsDailyCells(events, "user_id", depth = 4, width = 512)
+    val merged = FreqSketch.cmsMerge(daily)
+      .as[(Int, Long, Long)].collect().toMap2
+    // one-shot = same pipeline with a single constant day
+    val oneShot = FreqSketch.cmsMerge(
+      FreqSketch.cmsDailyCells(events.withColumn("ts", lit("2024-01-01").cast("timestamp")),
+        "user_id", depth = 4, width = 512))
+      .as[(Int, Long, Long)].collect().toMap2
+    assert(merged == oneShot, "element-wise sum of daily cells must equal the one-shot sketch")
+  }
+
+  test("cmsHeavyHitters overcount is bounded by 2N/width on the fixture") {
+    val n = events.count()
+    val rows = FreqSketch.cmsHeavyHitters(events, "user_id", depth = 4, width = 512, topN = 20)
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (k, _, _, over) =>
+      assert(over <= 2 * n / 512, s"key $k overcount $over exceeds 2N/width=${2 * n / 512}")
+    }
+  }
+
+  private implicit class CellsOps(rows: Array[(Int, Long, Long)]) {
+    def toMap2: Map[(Int, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  // ---- PQ-ADC top-k ----
+
+  test("pqTopK returns k ranked neighbours per query, self excluded, ranks contiguous") {
+    val out = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 3, k = 5, rerank = 20)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.toSeq == Seq(0L, 1L, 2L))
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).toSeq == (1L to 5L), s"qid=$qid ranks not contiguous")
+      assert(!rows.map(_._3).contains(qid), s"qid=$qid matched itself")
+      // adc scores non-increasing in rank
+      val scores = rows.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pqTopK with a full-corpus shortlist equals the exact int8 scan (rerank is lossless)") {
+    // shortlist = everything -> the rerank stage IS cosineTopKInt8;
+    // the PQ/ADC stages may only reorder the shortlist, never the answer
+    val full = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = 1000)
+      .collect().toSeq
+    val exact = Similarity.cosineTopKInt8(embs, nQueries = 5, k = 10).collect().toSeq
+    assert(full == exact)
+  }
+
+  test("pqTopK recall@10 vs the exact int8 scan rises with rerank depth") {
+    val exact = Similarity.cosineTopKInt8(embs, nQueries = 5, k = 10)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(rerank: Int): Double = {
+      val pq = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = rerank)
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.sorted.map(q =>
+        pq(q).intersect(exact(q)).size.toDouble / exact(q).size)
+      rs.sum / rs.size
+    }
+    val (shallow, deep) = (meanRecall(10), meanRecall(40))
+    assert(deep >= shallow, s"recall must not fall as the shortlist deepens ($shallow -> $deep)")
+    assert(deep >= 0.75, s"mean PQ recall@10 with rerank=4k too low: $deep")
+  }
+
+  test("pqTopK is invariant to input partitioning") {
+    val a = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 2, k = 5, rerank = 20).collect().toSeq
+    val b = Similarity.pqTopK(embs.repartition(13), m = 8, ks = 16, nQueries = 2, k = 5, rerank = 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- BPE merge training ----
+
+  test("bpeTrainMerges learns the expected merges on a hand-checked corpus") {
+    // "low low low lowest" — chars: l,o,w dominate; freq-weighted pair
+    // counts: (l,o)=4, (o,w)=4, (w,e)=1, (e,s)=1, (s,t)=1.
+    // Tie (l,o) vs (o,w) breaks lexicographically -> (l,o) first.
+    // After merge 1: lo w (x3), lo w e s t -> best (lo,w)=4.
+    // After merge 2: low (x3), low e s t -> best (low,e)=1? No:
+    // remaining pairs (low,e)=1,(e,s)=1,(s,t)=1 -> lex smallest (e,s).
+    val docs = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, merges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "e", "s", "es", 1L)))
+  }
+
+  test("bpeTrainMerges merge application is greedy left-to-right (aaa -> [aa, a])") {
+    // 'aaaa' and 'aaa': pair (a,a) counts 3+2=5; after merging,
+    // 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]. Round 2's top pair is then
+    // (aa, aa)=1 from 'aaaa' vs (aa, a)=1 from 'aaa' -> lex: (aa, a).
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, merges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "aa", "a", "aaa", 1L)))
+  }
+
+  test("bpeTrainMerges round counts are freq-weighted over the dedup'd vocab") {
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, merges = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "b", "ab", 3L)))
+  }
+}
