@@ -426,16 +426,20 @@ object Similarity {
           s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
       .select(col("vec_id"), col("sx.s").as("s"), col("sx.x").as("x"))
     // nearest codeword per (vector, subspace): argmax 2·x·c − c·c,
-    // ties to the lowest cid — pure i64, partitioning-invariant
+    // ties to the lowest cid — pure i64, partitioning-invariant.
+    // The argmax is a combinable max(struct(score, −cid, …)) — struct
+    // ordering is lexicographic and (score, cid) is unique per group,
+    // so this equals the window-sort formulation row for row while
+    // aggregating map-side (no n·m·ks-row sort shuffle; the groupBy
+    // reduces ks candidates per key to one before anything moves)
     def assign(cents: DataFrame): DataFrame = sv
       .join(broadcast(cents), Seq("s"))
-      .select(col("vec_id"), col("s"), col("x"), col("cid"),
-        (lit(2L) * expr(s"$dotl(x, cv)") - expr(s"$dotl(cv, cv)")).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("score").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("x"), col("cid"))
+      .select(col("vec_id"), col("s"),
+        struct((lit(2L) * expr(s"$dotl(x, cv)") - expr(s"$dotl(cv, cv)")).as("score"),
+          (lit(0L) - col("cid")).as("ncid"), col("cid"), col("x")).as("cand"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("s"), col("best.x").as("x"), col("best.cid").as("cid"))
     // deterministic init: the first ks vectors' subvectors seed each
     // subspace; one Lloyd round with half-up-rounded integer means
     val c0 = sv.filter(col("vec_id") < ks)
@@ -449,6 +453,11 @@ object Similarity {
       .groupBy(col("s"), col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("pm"))
       .select(col("s"), col("cid"), expr("transform(pm, p -> p.r)").as("cv"))
+      // m·ks rows (~128) but an expensive lineage (the whole Lloyd
+      // round over n·m rows) consumed by BOTH the encode and the
+      // query-table branches — materialize once instead of trusting
+      // exchange reuse across them
+      .localCheckpoint()
     val codes = assign(c1).select(col("vec_id"), col("s"), col("cid"))
     // per-query ADC lookup table: nQueries·m·ks partial dots
     val tab = sv.filter(col("vec_id") < nQueries)
