@@ -351,6 +351,16 @@ object SparkEntry {
       Similarity.buildIvfIndex(Tables.load(s, dir, "embeddings"), nlist = 16, path = idx)
       Similarity.cosineTopKIvfIndexed(s, idx, nQueries = 12, k = 4, nprobe = 3)
     }),
+    // Build-once/query-many for the PQ tier: codebooks + smallint code
+    // table persisted as a lake index, query runs off the loaded index
+    // — same math as q129 with different params, proving the persisted
+    // path against the same oracle shape
+    "q132_pq_persisted" -> ((s, dir) => {
+      val idx = Scratch.dir("graft_pq_q132") + "/idx"
+      Similarity.buildPqIndex(Tables.load(s, dir, "embeddings"), m = 8, ks = 16, path = idx)
+      Similarity.pqTopKIndexed(Tables.load(s, dir, "embeddings"), s, idx,
+        m = 8, nQueries = 3, k = 8, rerank = 32)
+    }),
 
     // ---- Bucketed scale twins of the pair operators: candidates from
     // a sign-LSH bucket equi-join, never all-pairs (the plans a 100 TB
@@ -726,6 +736,12 @@ object SparkEntry {
     // merge rounds replayed exactly by the oracle's list_reduce) ----
     "q130_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeTrainMerges(Tables.load(s, dir, "documents"), merges = 4)),
+    // ---- BPE encoding (the trained merges APPLIED): corpus-wide
+    // token histogram after 4 merges — train + encode still touch the
+    // corpus once (everything after the word count runs on the
+    // dedup'd vocab) ----
+    "q131_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeCounts(Tables.load(s, dir, "documents"), merges = 4)),
 
     // ---- KMV distinct sketch (the engine-portable sketch tier next
     // to the HLL pair in ApproxDistinct): per-day k-min hashes +
@@ -2276,9 +2292,21 @@ object SparkEntry {
     // sum of table entries -> 40-deep ADC shortlist -> exact int8
     // rerank -> top-10 per query. All-integer end to end, so every
     // stage is exact in both engines.
-    "q129_pq_topk" -> {
-      val (sub, ks, nq, k, rr) = (8, 16, 5, 10, 40)
-      s"""WITH $normalizedCte,
+    "q129_pq_topk" -> pqOracleSql(nq = 5, k = 10, rr = 40),
+
+    // The persisted-index PQ path must equal the inline replay on the
+    // same corpus/parameters — same oracle generator, q132's params.
+    "q132_pq_persisted" -> pqOracleSql(nq = 3, k = 8, rr = 32),
+  ) ++ extraOracleSql
+
+  /** DuckDB replay of the PQ train→encode→ADC→rerank pipeline
+    * (shared by q129 inline and q132 persisted — the persisted path's
+    * contract is bit-equality with the inline math). `sub` is both
+    * the subspace count and the subvector width (m = 8 over dim 64).
+    */
+  private def pqOracleSql(nq: Int, k: Int, rr: Int): String = {
+    val (sub, ks) = (8, 16)
+    s"""WITH $normalizedCte,
          |i8 AS (SELECT vec_id, list_transform(u, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
          |ss(s) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
          |sv AS (SELECT vec_id, s, qv[s*$sub+1 : s*$sub+$sub] AS x FROM i8 CROSS JOIN ss),
@@ -2317,7 +2345,11 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk
          |    FROM ex)
          |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
-    },
+  }
+
+  /** Tail of the oracle catalog — split out of the main literal so
+    * [[pqOracleSql]] can sit between the two maps. */
+  private def extraOracleSql: Map[String, String] = Map(
 
     "q76_tfidf_top_terms" ->
       """WITH tf AS (
@@ -2849,6 +2881,39 @@ object SparkEntry {
          |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
          |${(1 to merges).map(stage).mkString(",\n")}
          |$selects ORDER BY iter""".stripMargin
+    },
+
+    // BPE-encode replay: q130's unrolled rounds, but every round
+    // applies its merge (including the last), then the token
+    // histogram is a freq-weighted unnest of the final vocab.
+    "q131_bpe_encode" -> {
+      val merges = 4
+      val ws = """\s+"""
+      def stage(i: Int): String = {
+        val src = if (i == 1) "s0" else s"s${i - 1}"
+        s"""p$i AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
+           |    FROM $src WHERE len(seq) >= 2)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$i AS (SELECT s.freq,
+           |    CASE WHEN len(s.seq) < 2 THEN s.seq
+           |         ELSE string_split(list_reduce(s.seq,
+           |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
+           |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+           |                       ELSE acc || ' ' || x END), ' ')
+           |    END AS seq
+           |  FROM $src s CROSS JOIN b$i b)""".stripMargin
+      }
+      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+         |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
+         |${(1 to merges).map(stage).mkString(",\n")}
+         |SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM (
+         |    SELECT freq, unnest(seq) AS t FROM s$merges)
+         |GROUP BY t ORDER BY n_tokens DESC, token""".stripMargin
     },
 
     "q113_kmv_distinct" -> {

@@ -411,40 +411,66 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, m: Int, ks: Int,
              nQueries: Int, k: Int, rerank: Int): DataFrame = {
-    require(m >= 1, s"m must be >= 1 (got $m)")
     require(ks >= 1, s"ks must be >= 1 (got $ks)")
-    require(rerank >= k, s"rerank must be >= k (got $rerank < $k)")
-    val dotl = graft.functions.VectorExprs.DotLongName
-    val e = normalized(embeddings)
+    val e = pqInt8(embeddings)
+    val sv = pqMelt(e, m)
+    val c1 = pqCodebooks(sv, ks)
+    val codes = pqAssign(sv, c1).select(col("vec_id"), col("s"), col("cid"))
+    pqQuery(e, c1, codes, m, nQueries, k, rerank)
+  }
+
+  /** int8-quantized unit vectors: (vec_id, qv) — the exact-arithmetic
+    * base frame every PQ stage (train, encode, rerank) derives from.
+    */
+  private def pqInt8(embeddings: DataFrame): DataFrame =
+    normalized(embeddings)
       .select(col("vec_id"),
         expr("transform(u, x -> cast(floor(x * 127.0D + 0.5D) as bigint))").as("qv"))
-    // melt to (vec_id, s, x): one row per subspace, x = the s-th
-    // dim/m-wide slice of the int8 vector
-    val sv = e
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), " +
-          s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
+
+  /** Melt to (vec_id, s, x): one row per subspace, x = the s-th
+    * dim/m-wide slice of the int8 vector.
+    */
+  private def pqMelt(e: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1 (got $m)")
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
       .select(col("vec_id"), col("sx.s").as("s"), col("sx.x").as("x"))
-    // nearest codeword per (vector, subspace): argmax 2·x·c − c·c,
-    // ties to the lowest cid — pure i64, partitioning-invariant.
-    // The argmax is a combinable max(struct(score, −cid, …)) — struct
-    // ordering is lexicographic and (score, cid) is unique per group,
-    // so this equals the window-sort formulation row for row while
-    // aggregating map-side (no n·m·ks-row sort shuffle; the groupBy
-    // reduces ks candidates per key to one before anything moves)
-    def assign(cents: DataFrame): DataFrame = sv
-      .join(broadcast(cents), Seq("s"))
+  }
+
+  /** Nearest codeword per (vector, subspace): argmax 2·x·c − c·c,
+    * ties to the lowest cid — pure i64, partitioning-invariant.
+    * The argmax is a combinable max(struct(score, −cid, …)) — struct
+    * ordering is lexicographic and (score, cid) is unique per group,
+    * so this equals the window-sort formulation row for row while
+    * aggregating map-side (no n·m·ks-row sort shuffle; the groupBy
+    * reduces ks candidates per key to one before anything moves).
+    * Single definition shared by training, the inline encode, and the
+    * incremental index append — the append's bit-identical-to-rebuild
+    * guarantee is exactly "every site assigns identically".
+    */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val dotl = graft.functions.VectorExprs.DotLongName
+    sv.join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"),
         struct((lit(2L) * expr(s"$dotl(x, cv)") - expr(s"$dotl(cv, cv)")).as("score"),
           (lit(0L) - col("cid")).as("ncid"), col("cid"), col("x")).as("cand"))
       .groupBy(col("vec_id"), col("s"))
       .agg(max(col("cand")).as("best"))
       .select(col("vec_id"), col("s"), col("best.x").as("x"), col("best.cid").as("cid"))
-    // deterministic init: the first ks vectors' subvectors seed each
-    // subspace; one Lloyd round with half-up-rounded integer means
+  }
+
+  /** Per-subspace codebooks: deterministic init (the first ks vectors'
+    * subvectors seed each subspace) + one Lloyd round with
+    * half-up-rounded integer means. m·ks rows (~128) but an expensive
+    * lineage (a full assignment over n·m rows) consumed by multiple
+    * downstream branches — materialized once instead of trusting
+    * exchange reuse across them.
+    */
+  private def pqCodebooks(sv: DataFrame, ks: Int): DataFrame = {
     val c0 = sv.filter(col("vec_id") < ks)
       .select(col("s"), col("vec_id").as("cid"), col("x").as("cv"))
-    val c1 = assign(c0)
+    pqAssign(sv, c0)
       .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("pos", "lane")))
       .groupBy(col("s"), col("cid"), col("pos"))
       .agg(sum(col("lane")).as("sx"), count(lit(1)).as("cnt"))
@@ -453,14 +479,21 @@ object Similarity {
       .groupBy(col("s"), col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("pm"))
       .select(col("s"), col("cid"), expr("transform(pm, p -> p.r)").as("cv"))
-      // m·ks rows (~128) but an expensive lineage (the whole Lloyd
-      // round over n·m rows) consumed by BOTH the encode and the
-      // query-table branches — materialize once instead of trusting
-      // exchange reuse across them
       .localCheckpoint()
-    val codes = assign(c1).select(col("vec_id"), col("s"), col("cid"))
-    // per-query ADC lookup table: nQueries·m·ks partial dots
-    val tab = sv.filter(col("vec_id") < nQueries)
+  }
+
+  /** ADC scan + exact rerank against an already-encoded corpus: build
+    * the per-query lookup table (nQueries·m·ks partial dots), sum m
+    * table entries per candidate, shortlist `rerank` deep on the
+    * partial-heap operator, re-score the shortlist with the exact int8
+    * dot. Works identically on inline codes and codes loaded from a
+    * lake table (PqIndexSpec asserts it).
+    */
+  private def pqQuery(e: DataFrame, c1: DataFrame, codes: DataFrame, m: Int,
+                      nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank must be >= k (got $rerank < $k)")
+    val dotl = graft.functions.VectorExprs.DotLongName
+    val tab = pqMelt(e.filter(col("vec_id") < nQueries), m)
       .select(col("vec_id").as("qid"), col("s"), col("x").as("qx"))
       .join(c1, Seq("s"))
       .select(col("qid"), col("s"), col("cid"), expr(s"$dotl(qx, cv)").as("d"))
@@ -485,6 +518,79 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))).cast("long"))
       .select(col("qid"), col("rnk"), col("nid"), col("qdot"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Build the PQ index ONCE and persist it as a lake table — the
+    * FOOTPRINT analog of [[buildIvfIndex]]'s latency contract: at
+    * 100 TB the expensive halves of every PQ query are codebook
+    * training and corpus encoding, and the encoded corpus is the
+    * artifact worth keeping (n rows × m smallint codes ≈ 16 B/vector
+    * at the defaults vs 256 B of f32 — the compression that lets the
+    * scan live in aggregate RAM). Layout: `path/codebooks` (m·ks
+    * rows, broadcasts on load) and `path/codes` one row per vector
+    * with its m-code array, smallint-typed (parquet
+    * dictionary+RLE-encodes these to ~nothing).
+    */
+  def buildPqIndex(embeddings: DataFrame, m: Int, ks: Int, path: String): Unit = {
+    require(ks >= 1 && ks <= 32767, s"ks must fit a smallint codebook id (got $ks)")
+    val sv = pqMelt(pqInt8(embeddings), m)
+    val c1 = pqCodebooks(sv, ks)
+    c1.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqAssign(sv, c1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"),
+        col("cid").cast("smallint").as("c")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.c)").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted PQ index: (codebooks, codes melted back to
+    * (vec_id, s, cid) — the join shape [[pqQuery]] consumes, with cid
+    * re-widened to long so keys match the inline path).
+    */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) = {
+    val c1 = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .select(col("vec_id"), col("s").cast("int").as("s"), col("c").cast("long").as("cid"))
+    (c1, codes)
+  }
+
+  /** Incremental half of the build-once contract: encode ONLY the new
+    * vectors against the persisted codebooks and append their code
+    * rows — the already-encoded corpus is never rescanned. Because
+    * encoding depends only on the persisted codebooks (never on what
+    * else is already in the index), appending batches in any split
+    * order produces exactly the code table of encoding the union
+    * against those codebooks in one shot (PqIndexSpec asserts it).
+    * NOTE the contract is weaker than [[appendToIvfIndex]]'s
+    * append-equals-rebuild: PQ codebooks are Lloyd-TRAINED on the
+    * build corpus, so a full rebuild over the union would retrain
+    * them and generally differ. Codebooks are a versioned artifact;
+    * retraining is the periodic maintenance event, as in any
+    * deployed PQ system.
+    */
+  def appendToPqIndex(newVectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                      m: Int, path: String): Unit = {
+    val c1 = spark.read.parquet(s"$path/codebooks")
+    pqAssign(pqMelt(pqInt8(newVectors), m), c1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"),
+        col("cid").cast("smallint").as("c")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> p.c)").as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Query-many half of the build-once contract: identical results to
+    * [[pqTopK]] on the same corpus/parameters (PqIndexSpec), but
+    * codebook training and corpus encoding are already on disk — a
+    * query run scans only the m-smallint code table plus the
+    * shortlist's exact-rerank row fetches.
+    */
+  def pqTopKIndexed(embeddings: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                    path: String, m: Int, nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    val (c1, codes) = loadPqIndex(spark, path)
+    pqQuery(pqInt8(embeddings), broadcast(c1), codes, m, nQueries, k, rerank)
   }
 
   /** Coarse (two-level) k-means assignment — the implemented scale

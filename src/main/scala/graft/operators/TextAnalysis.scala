@@ -569,8 +569,22 @@ object TextAnalysis {
     * data.
     */
   def bpeTrainMerges(docs: DataFrame, merges: Int): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1 (got $merges)")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, merges, foldLast = false)._1
+      .toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .orderBy(col("iter"))
+  }
+
+  /** Shared BPE training loop: returns (learned merge rows, the
+    * (freq, seq) vocab with merges applied). `foldLast` controls
+    * whether the final round's merge is applied to the vocab — the
+    * merge-table path skips it (the table is already known), the
+    * encode path needs it.
+    */
+  private def bpeTrain(docs: DataFrame, merges: Int, foldLast: Boolean)
+  : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
     val base = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -591,21 +605,46 @@ object TextAnalysis {
         val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
         val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
         learned += ((i.toLong, a, b, a + b, cnt))
-        if (i < merges) {
+        if (i < merges || foldLast) {
           val folded = aggregate(
             expr("slice(seq, 2, size(seq) - 1)"),
             array(element_at(col("seq"), 1)),
             (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
               concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
               .otherwise(concat(acc, array(x))))
+          // localCheckpoint per round: without it, project-collapse
+          // inlines round i-1's fold at EVERY `seq` reference in
+          // round i's fold (~5 references), so the evaluated
+          // expression grows ~5^rounds — measured 135 s for the
+          // 4-merge encode at sf0.1 vs ~1 s materialized. The frame
+          // is vocab-sized, so each round's materialization is tiny.
           seqs = seqs.select(col("freq"),
             when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
+            .localCheckpoint()
         }
       }
     } finally base.unpersist()
-    import spark.implicits._
-    learned.toSeq.toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
-      .orderBy(col("iter"))
+    (learned.toSeq, seqs)
+  }
+
+  /** Apply BPE end-to-end: train `merges` merges on the corpus, encode
+    * every word with them, and return the corpus-wide token histogram
+    * (token, n_tokens) ordered by (n_tokens desc, token) — the "what
+    * does the tokenizer actually emit over this corpus" question that
+    * sizes a training run (token counts, OOV tails, merge coverage).
+    *
+    * Costs exactly the training pass plus one explode + combinable
+    * groupBy over the dedup'd (word, freq) vocab — the corpus is still
+    * touched only once (the initial word count), so corpus scale
+    * changes nothing after that first shuffle. The result is tiny by
+    * construction: the token vocabulary is (distinct characters +
+    * `merges` learned symbols) at most.
+    */
+  def bpeEncodeCounts(docs: DataFrame, merges: Int): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, merges, foldLast = true)
+    seqs.select(col("freq"), explode(col("seq")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_tokens"))
+      .orderBy(col("n_tokens").desc, col("token"))
   }
 
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -138,4 +138,32 @@ class SketchVocabPqSpec extends AnyFunSuite {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(out == Seq((1L, "a", "b", "ab", 3L)))
   }
+
+  test("bpeEncodeCounts applies ALL merges (incl. the last) on the hand-checked corpus") {
+    // merges: (l,o)->lo, (lo,w)->low, (e,s)->es; encoded:
+    // "low"x3 -> [low], "lowest" -> [low, es, t]
+    val docs = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeCounts(docs, merges = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("low", 4L), ("es", 1L), ("t", 1L)))
+  }
+
+  test("bpeEncodeCounts conserves characters and token totals shrink as merges grow") {
+    val docs = Tables.load(spark, sf, "documents")
+    val chars = docs.select(
+      sum(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))))
+      .as[Long].head()
+    def stats(m: Int): (Long, Long) = {
+      val enc = TextAnalysis.bpeEncodeCounts(docs, merges = m)
+      val r = enc.select(
+        sum(col("n_tokens") * length(col("token"))),
+        sum(col("n_tokens"))).as[(Long, Long)].head()
+      r
+    }
+    val (chars1, toks1) = stats(1)
+    val (chars4, toks4) = stats(4)
+    assert(chars1 == chars && chars4 == chars,
+      s"encoding must conserve characters ($chars vs $chars1/$chars4)")
+    assert(toks4 < toks1, "each merge strictly reduces total tokens on this corpus")
+  }
 }
