@@ -155,6 +155,14 @@ object ScaleProbe {
       Similarity.kmeansAssignCoarse(embs, Similarity.deriveK(embs.count()), 2, nprobe = 2))
     time("kmv_distinct", operators.ApproxDistinct.kmvDaily(events, "user_id", 64))
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
+    // sketch/vocab/compression tier: CMS output is ≤ depth·width cells
+    // whatever the corpus (the whole point — assert cost stays
+    // shuffle-bound, never output-bound); PQ is one encode scan + the
+    // ADC join; BPE rounds run on the dedup'd vocab, so mult× more
+    // DUPLICATED corpus must NOT grow round cost (same distinct words)
+    time("cms_heavy_hitters", operators.FreqSketch.cmsHeavyHitters(events, "user_id", 4, 512, 20))
+    time("pq_topk", Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = 40))
+    time("bpe_encode", TextAnalysis.bpeEncodeCounts(docs, merges = 4))
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =
     // chain length, while large-star/small-star needs O(log d)). Not
