@@ -428,7 +428,9 @@ object Similarity {
         expr("transform(u, x -> cast(floor(x * 127.0D + 0.5D) as bigint))").as("qv"))
 
   /** Melt to (vec_id, s, x): one row per subspace, x = the s-th
-    * dim/m-wide slice of the int8 vector.
+    * dim/m-wide slice of the int8 vector. dim must be divisible by m
+    * (slice width is size(qv) div m, so a remainder's tail lanes
+    * would silently drop out of every dot product).
     */
   private def pqMelt(e: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")

@@ -594,7 +594,9 @@ object TextAnalysis {
     var seqs = base
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
-      for (i <- 1 to merges) {
+      var i = 1
+      var exhausted = false
+      while (i <= merges && !exhausted) {
         val pairs = seqs.filter(size(col("seq")) >= 2)
           .select(col("freq"), explode(zip_with(
             expr("slice(seq, 1, size(seq) - 1)"),
@@ -602,26 +604,36 @@ object TextAnalysis {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
-        val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
-        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        learned += ((i.toLong, a, b, a + b, cnt))
-        if (i < merges || foldLast) {
-          val folded = aggregate(
-            expr("slice(seq, 2, size(seq) - 1)"),
-            array(element_at(col("seq"), 1)),
-            (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
-              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))
-          // localCheckpoint per round: without it, project-collapse
-          // inlines round i-1's fold at EVERY `seq` reference in
-          // round i's fold (~5 references), so the evaluated
-          // expression grows ~5^rounds — measured 135 s for the
-          // 4-merge encode at sf0.1 vs ~1 s materialized. The frame
-          // is vocab-sized, so each round's materialization is tiny.
-          seqs = seqs.select(col("freq"),
-            when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
-            .localCheckpoint()
+        val bestRows = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+        if (bestRows.isEmpty) {
+          // every word is a single symbol — nothing left to merge.
+          // Stop with the merges learned so far rather than crash
+          // (a caller asking for more merges than the corpus supports
+          // is ordinary, not an error: reference BPE does the same).
+          exhausted = true
+        } else {
+          val best = bestRows(0)
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          learned += ((i.toLong, a, b, a + b, cnt))
+          if (i < merges || foldLast) {
+            val folded = aggregate(
+              expr("slice(seq, 2, size(seq) - 1)"),
+              array(element_at(col("seq"), 1)),
+              (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
+                concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+                .otherwise(concat(acc, array(x))))
+            // localCheckpoint per round: without it, project-collapse
+            // inlines round i-1's fold at EVERY `seq` reference in
+            // round i's fold (~5 references), so the evaluated
+            // expression grows ~5^rounds — measured 135 s for the
+            // 4-merge encode at sf0.1 vs ~1 s materialized. The frame
+            // is vocab-sized, so each round's materialization is tiny.
+            seqs = seqs.select(col("freq"),
+              when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
+              .localCheckpoint()
+          }
         }
+        i += 1
       }
     } finally base.unpersist()
     (learned.toSeq, seqs)

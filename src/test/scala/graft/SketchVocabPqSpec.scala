@@ -139,6 +139,20 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a", "b", "ab", 3L)))
   }
 
+  test("bpeTrainMerges stops early (no crash) when the corpus runs out of pairs") {
+    // single-char words: nothing to merge at all
+    val bare = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainMerges(bare, merges = 3).collect().isEmpty)
+    // one learnable merge, then exhausted; encode still works
+    val one = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrainMerges(one, merges = 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(learned == Seq((1L, "a", "b", "ab", 2L)))
+    val enc = TextAnalysis.bpeEncodeCounts(one, merges = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(enc == Seq(("ab", 2L)))
+  }
+
   test("bpeEncodeCounts applies ALL merges (incl. the last) on the hand-checked corpus") {
     // merges: (l,o)->lo, (lo,w)->low, (e,s)->es; encoded:
     // "low"x3 -> [low], "lowest" -> [low, es, t]
