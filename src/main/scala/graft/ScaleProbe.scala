@@ -163,6 +163,27 @@ object ScaleProbe {
     time("cms_heavy_hitters", operators.FreqSketch.cmsHeavyHitters(events, "user_id", 4, 512, 20))
     time("pq_topk", Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = 40))
     time("bpe_encode", TextAnalysis.bpeEncodeCounts(docs, merges = 4))
+    // build-once/query-many amortization: the persisted-index query
+    // should hold near-flat as the corpus grows because training +
+    // encoding (the corpus-linear halves) happened at build time —
+    // staged embs must hit parquet first (memory-cached staged frames
+    // would flatter the inline side, not the indexed one, but keep
+    // the comparison honest per the bucketed-join probe lesson)
+    if (only.isEmpty || only.contains("pq_indexed")) {
+      val pqDir = Scratch.dir("graft_pq_probe")
+      val onDisk = Scratch.dir("graft_pq_embs")
+      embs.write.mode("overwrite").parquet(onDisk)
+      val embsDisk = spark.read.parquet(onDisk)
+      val tb = System.nanoTime()
+      Similarity.buildPqIndex(embsDisk, m = 8, ks = 16, path = pqDir)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val tq = System.nanoTime()
+      val r = Similarity.pqTopKIndexed(embsDisk, spark, pqDir,
+        m = 8, nQueries = 5, k = 10, rerank = 40)
+      r.write.format("noop").mode("overwrite").save()
+      val qSec = (System.nanoTime() - tq) / 1e9
+      println(f"""{"op":"pq_indexed","build_sec":$buildSec%.2f,"query_sec":$qSec%.2f,"rows":${r.count()}}""")
+    }
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =
     // chain length, while large-star/small-star needs O(log d)). Not
