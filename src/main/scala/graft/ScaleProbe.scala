@@ -179,10 +179,12 @@ object ScaleProbe {
       val buildSec = (System.nanoTime() - tb) / 1e9
       val tq = System.nanoTime()
       val r = Similarity.pqTopKIndexed(embsDisk, spark, pqDir,
-        m = 8, nQueries = 5, k = 10, rerank = 40)
+        nQueries = 5, k = 10, rerank = 40).persist()
       r.write.format("noop").mode("overwrite").save()
       val qSec = (System.nanoTime() - tq) / 1e9
+      // rows read from the persisted result — not a second full run
       println(f"""{"op":"pq_indexed","build_sec":$buildSec%.2f,"query_sec":$qSec%.2f,"rows":${r.count()}}""")
+      r.unpersist()
     }
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =

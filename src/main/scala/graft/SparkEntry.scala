@@ -359,7 +359,7 @@ object SparkEntry {
       val idx = Scratch.dir("graft_pq_q132") + "/idx"
       Similarity.buildPqIndex(Tables.load(s, dir, "embeddings"), m = 8, ks = 16, path = idx)
       Similarity.pqTopKIndexed(Tables.load(s, dir, "embeddings"), s, idx,
-        m = 8, nQueries = 3, k = 8, rerank = 32)
+        nQueries = 3, k = 8, rerank = 32)
     }),
 
     // ---- Bucketed scale twins of the pair operators: candidates from
@@ -2347,6 +2347,58 @@ object SparkEntry {
          |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** DuckDB replay of BPE training (q130) / encoding (q131) — ONE
+    * generator for both, mirroring the Scala bpeTrain(foldLast) flag
+    * so the two oracles can never drift apart. `merges` unrolled
+    * rounds over the word-frequency vocab; pair counts are
+    * freq-weighted integer sums; the merge is the same greedy
+    * left-to-right scan, expressed as a string fold (list_reduce with
+    * a space-joined accumulator — symbols never contain whitespace,
+    * so the last-symbol test is exact). Exhaustion mirrors the Scala
+    * early stop: b$$i is LEFT-joined, so when no pair remains the
+    * vocab passes through unchanged (and the merge-table select for
+    * that round naturally emits no row).
+    */
+  private def bpeOracleSql(merges: Int, encode: Boolean): String = {
+    val ws = """\s+"""
+    def stage(i: Int): String = {
+      val src = if (i == 1) "s0" else s"s${i - 1}"
+      val pairs =
+        s"""p$i AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
+           |    FROM $src WHERE len(seq) >= 2)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (i == merges && !encode) pairs
+      else pairs + ",\n" +
+        s"""s$i AS (SELECT s.freq,
+           |    CASE WHEN b.a IS NULL OR len(s.seq) < 2 THEN s.seq
+           |         ELSE string_split(list_reduce(s.seq,
+           |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
+           |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+           |                       ELSE acc || ' ' || x END), ' ')
+           |    END AS seq
+           |  FROM $src s LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    val finalSelect =
+      if (encode)
+        s"""SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM (
+           |    SELECT freq, unnest(seq) AS t FROM s$merges)
+           |GROUP BY t ORDER BY n_tokens DESC, token""".stripMargin
+      else
+        (1 to merges).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS iter, a AS sym_a, b AS sym_b, " +
+            s"a || b AS merged, cnt AS weighted_count FROM b$i")
+          .mkString("", "\nUNION ALL ", "\nORDER BY iter")
+    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+       |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
+       |${(1 to merges).map(stage).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
+
   /** Tail of the oracle catalog — split out of the main literal so
     * [[pqOracleSql]] can sit between the two maps. */
   private def extraOracleSql: Map[String, String] = Map(
@@ -2841,80 +2893,10 @@ object SparkEntry {
 
     "q112_logit_fit_gd" -> logitGdOracleSql(iters = 3, lrNum = 1L, lrDen = 5L),
 
-    // BPE replay: 4 unrolled merge rounds over the word-frequency
-    // vocab. Pair counts are freq-weighted integer sums; the merge is
-    // the same greedy left-to-right scan, expressed as a string fold
-    // (list_reduce with a space-joined accumulator — symbols never
-    // contain whitespace, so the last-symbol test is exact).
-    "q130_bpe_merges" -> {
-      val merges = 4
-      val ws = """\s+"""
-      def stage(i: Int): String = {
-        val src = if (i == 1) "s0" else s"s${i - 1}"
-        val pairs =
-          s"""p$i AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
-             |    FROM $src WHERE len(seq) >= 2)
-             |  GROUP BY 1, 2),
-             |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-        val merged =
-          if (i == merges) pairs
-          else pairs + ",\n" +
-            s"""s$i AS (SELECT s.freq,
-               |    CASE WHEN len(s.seq) < 2 THEN s.seq
-               |         ELSE string_split(list_reduce(s.seq,
-               |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
-               |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
-               |                       ELSE acc || ' ' || x END), ' ')
-               |    END AS seq
-               |  FROM $src s CROSS JOIN b$i b)""".stripMargin
-        merged
-      }
-      val selects = (1 to merges).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS iter, a AS sym_a, b AS sym_b, " +
-          s"a || b AS merged, cnt AS weighted_count FROM b$i")
-        .mkString("\n", "\nUNION ALL ", "\n")
-      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
-         |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
-         |${(1 to merges).map(stage).mkString(",\n")}
-         |$selects ORDER BY iter""".stripMargin
-    },
-
-    // BPE-encode replay: q130's unrolled rounds, but every round
-    // applies its merge (including the last), then the token
-    // histogram is a freq-weighted unnest of the final vocab.
-    "q131_bpe_encode" -> {
-      val merges = 4
-      val ws = """\s+"""
-      def stage(i: Int): String = {
-        val src = if (i == 1) "s0" else s"s${i - 1}"
-        s"""p$i AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
-           |    FROM $src WHERE len(seq) >= 2)
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$i AS (SELECT s.freq,
-           |    CASE WHEN len(s.seq) < 2 THEN s.seq
-           |         ELSE string_split(list_reduce(s.seq,
-           |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
-           |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
-           |                       ELSE acc || ' ' || x END), ' ')
-           |    END AS seq
-           |  FROM $src s CROSS JOIN b$i b)""".stripMargin
-      }
-      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
-         |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
-         |${(1 to merges).map(stage).mkString(",\n")}
-         |SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM (
-         |    SELECT freq, unnest(seq) AS t FROM s$merges)
-         |GROUP BY t ORDER BY n_tokens DESC, token""".stripMargin
-    },
+    // BPE replays (shared generator): q130 emits the merge table,
+    // q131 applies every merge and emits the token histogram.
+    "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
+    "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
 
     "q113_kmv_distinct" -> {
       val k = 64

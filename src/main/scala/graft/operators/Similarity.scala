@@ -430,13 +430,19 @@ object Similarity {
   /** Melt to (vec_id, s, x): one row per subspace, x = the s-th
     * dim/m-wide slice of the int8 vector. dim must be divisible by m
     * (slice width is size(qv) div m, so a remainder's tail lanes
-    * would silently drop out of every dot product).
+    * would otherwise silently drop out of every dot product) — the
+    * divisibility is only knowable at runtime, so it's enforced with
+    * a per-row assert_true rather than failing silently-wrong.
     */
   private def pqMelt(e: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")
-    e.select(col("vec_id"), explode(expr(
-      s"transform(sequence(0, ${m - 1}), " +
-        s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
+    e.select(col("vec_id"), col("qv"),
+      assert_true(size(col("qv")) % lit(m) === 0,
+        lit(s"PQ requires the vector dim to be divisible by m=$m")).as("chk"))
+      .filter(col("chk").isNull) // assert_true yields NULL on pass — keeps every row
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
       .select(col("vec_id"), col("sx.s").as("s"), col("sx.x").as("x"))
   }
 
@@ -548,14 +554,21 @@ object Similarity {
 
   /** Load a persisted PQ index: (codebooks, codes melted back to
     * (vec_id, s, cid) — the join shape [[pqQuery]] consumes, with cid
-    * re-widened to long so keys match the inline path).
+    * re-widened to long so keys match the inline path, plus m read
+    * back from the codebooks so queries and appends can never
+    * disagree with the index about its own subspace count).
     */
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) = {
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+  : (DataFrame, DataFrame, Int) = {
     val c1 = spark.read.parquet(s"$path/codebooks")
+    // m is a property of the index, not a caller opinion: passing a
+    // mismatched m would silently sum a subset of each vector's codes
+    // (and truncate dot products) — derive it from the artifact
+    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("int").as("s"), col("c").cast("long").as("cid"))
-    (c1, codes)
+    (c1, codes, m)
   }
 
   /** Incremental half of the build-once contract: encode ONLY the new
@@ -573,8 +586,9 @@ object Similarity {
     * deployed PQ system.
     */
   def appendToPqIndex(newVectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                      m: Int, path: String): Unit = {
+                      path: String): Unit = {
     val c1 = spark.read.parquet(s"$path/codebooks")
+    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
     pqAssign(pqMelt(pqInt8(newVectors), m), c1)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("s"),
@@ -590,8 +604,8 @@ object Similarity {
     * shortlist's exact-rerank row fetches.
     */
   def pqTopKIndexed(embeddings: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                    path: String, m: Int, nQueries: Int, k: Int, rerank: Int): DataFrame = {
-    val (c1, codes) = loadPqIndex(spark, path)
+                    path: String, nQueries: Int, k: Int, rerank: Int): DataFrame = {
+    val (c1, codes, m) = loadPqIndex(spark, path)
     pqQuery(pqInt8(embeddings), broadcast(c1), codes, m, nQueries, k, rerank)
   }
 

@@ -586,7 +586,7 @@ object TextAnalysis {
   : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1 (got $merges)")
     val base = docs
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))

@@ -23,12 +23,12 @@ class PqIndexSpec extends AnyFunSuite {
     Similarity.buildPqIndex(embs, m = 8, ks = 16, path = dir)
 
     val inline = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = 40)
-    val indexed = Similarity.pqTopKIndexed(embs, spark, dir, m = 8, nQueries = 5, k = 10, rerank = 40)
+    val indexed = Similarity.pqTopKIndexed(embs, spark, dir, nQueries = 5, k = 10, rerank = 40)
     assert(indexed.collect().toSeq === inline.collect().toSeq)
 
     // query-many: different query params against the SAME build
     val inline2 = Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 3, k = 4, rerank = 16)
-    val indexed2 = Similarity.pqTopKIndexed(embs, spark, dir, m = 8, nQueries = 3, k = 4, rerank = 16)
+    val indexed2 = Similarity.pqTopKIndexed(embs, spark, dir, nQueries = 3, k = 4, rerank = 16)
     assert(indexed2.collect().toSeq === inline2.collect().toSeq)
   }
 
@@ -41,13 +41,14 @@ class PqIndexSpec extends AnyFunSuite {
     // day 0: build on the first 60% (contains the ks codebook seeds)
     Similarity.buildPqIndex(embs.filter($"vec_id" <= cut), m = 8, ks = 16, path = dir)
     val cbBefore = spark.read.parquet(s"$dir/codebooks").collect().toSet
-    // day 1: append the rest — only the new batch is encoded
-    Similarity.appendToPqIndex(embs.filter($"vec_id" > cut), spark, m = 8, path = dir)
+    // day 1: append the rest — only the new batch is encoded (m is
+    // read from the index itself, so it cannot disagree with it)
+    Similarity.appendToPqIndex(embs.filter($"vec_id" > cut), spark, path = dir)
     assert(spark.read.parquet(s"$dir/codebooks").collect().toSet === cbBefore,
       "append must not touch the codebooks")
     // reference: the SAME frozen codebooks, the whole corpus encoded in one shot
     spark.read.parquet(s"$dir/codebooks").write.parquet(s"$oneShot/codebooks")
-    Similarity.appendToPqIndex(embs, spark, m = 8, path = oneShot)
+    Similarity.appendToPqIndex(embs, spark, path = oneShot)
     val incremental = spark.read.parquet(s"$dir/codes").orderBy("vec_id").collect().toSeq
     val reference = spark.read.parquet(s"$oneShot/codes").orderBy("vec_id").collect().toSeq
     assert(incremental === reference)

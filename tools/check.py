@@ -3,17 +3,21 @@
 
 NOT part of the engine (the library is pure Scala/Spark). Usage:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout"
-  python3 tools/check.py /root/testdata/sf0.01 /tmp/vout
+  python3 tools/check.py /root/testdata/sf0.01 /tmp/vout [query ...]
+(optional trailing query names restrict the compare — pairs with
+Verify's own optional query-name args for fast dev iteration)
 """
 import sys, json, glob, os
 import duckdb
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # dev filter, pairs with Verify's optional query-name args
+        oracle = {n: q for n, q in oracle.items() if n in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{name}"
@@ -53,4 +57,4 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
