@@ -413,6 +413,7 @@ object Similarity {
              nQueries: Int, k: Int, rerank: Int): DataFrame = {
     require(ks >= 1, s"ks must be >= 1 (got $ks)")
     val e = pqInt8(embeddings)
+    pqDimCheck(e, m)
     val sv = pqMelt(e, m)
     val c1 = pqCodebooks(sv, ks)
     val codes = pqAssign(sv, c1).select(col("vec_id"), col("s"), col("cid"))
@@ -430,21 +431,29 @@ object Similarity {
   /** Melt to (vec_id, s, x): one row per subspace, x = the s-th
     * dim/m-wide slice of the int8 vector. dim must be divisible by m
     * (slice width is size(qv) div m, so a remainder's tail lanes
-    * would otherwise silently drop out of every dot product) — the
-    * divisibility is only knowable at runtime, so it's enforced with
-    * a per-row assert_true rather than failing silently-wrong.
+    * would otherwise silently drop out of every dot product) —
+    * enforced by [[pqDimCheck]] at every public entry point rather
+    * than per row here: a per-row assert in the corpus melt measured
+    * ~1.4-1.9x on the PQ bench queries, while a one-row probe per
+    * operator call is ~free.
     */
   private def pqMelt(e: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")
-    e.select(col("vec_id"), col("qv"),
-      assert_true(size(col("qv")) % lit(m) === 0,
-        lit(s"PQ requires the vector dim to be divisible by m=$m")).as("chk"))
-      .filter(col("chk").isNull) // assert_true yields NULL on pass — keeps every row
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), " +
-          s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s, slice(qv, s * (size(qv) div $m) + 1, size(qv) div $m) as x))")).as("sx"))
       .select(col("vec_id"), col("sx.s").as("s"), col("sx.x").as("x"))
   }
+
+  /** One-row probe guarding the silent-truncation case: the vector
+    * dim must be divisible by m or tail lanes would vanish from every
+    * codebook/ADC dot. Runs once per operator call (limit-1 job). */
+  private def pqDimCheck(e: DataFrame, m: Int): Unit =
+    e.select(size(col("qv")).as("d")).limit(1).collect().headOption.foreach { r =>
+      val dim = r.getInt(0)
+      require(dim % m == 0,
+        s"PQ requires the vector dim to be divisible by m (dim=$dim, m=$m)")
+    }
 
   /** Nearest codeword per (vector, subspace): argmax 2·x·c − c·c,
     * ties to the lowest cid — pure i64, partitioning-invariant.
@@ -541,7 +550,9 @@ object Similarity {
     */
   def buildPqIndex(embeddings: DataFrame, m: Int, ks: Int, path: String): Unit = {
     require(ks >= 1 && ks <= 32767, s"ks must fit a smallint codebook id (got $ks)")
-    val sv = pqMelt(pqInt8(embeddings), m)
+    val e = pqInt8(embeddings)
+    pqDimCheck(e, m)
+    val sv = pqMelt(e, m)
     val c1 = pqCodebooks(sv, ks)
     c1.write.mode("overwrite").parquet(s"$path/codebooks")
     pqAssign(sv, c1)
@@ -589,7 +600,9 @@ object Similarity {
                       path: String): Unit = {
     val c1 = spark.read.parquet(s"$path/codebooks")
     val m = c1.agg(max(col("s"))).head().getInt(0) + 1
-    pqAssign(pqMelt(pqInt8(newVectors), m), c1)
+    val e = pqInt8(newVectors)
+    pqDimCheck(e, m)
+    pqAssign(pqMelt(e, m), c1)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("s"),
         col("cid").cast("smallint").as("c")))).as("sc"))
@@ -606,7 +619,9 @@ object Similarity {
   def pqTopKIndexed(embeddings: DataFrame, spark: org.apache.spark.sql.SparkSession,
                     path: String, nQueries: Int, k: Int, rerank: Int): DataFrame = {
     val (c1, codes, m) = loadPqIndex(spark, path)
-    pqQuery(pqInt8(embeddings), broadcast(c1), codes, m, nQueries, k, rerank)
+    val e = pqInt8(embeddings)
+    pqDimCheck(e, m)
+    pqQuery(e, broadcast(c1), codes, m, nQueries, k, rerank)
   }
 
   /** Coarse (two-level) k-means assignment — the implemented scale
