@@ -31,11 +31,20 @@ object Bench {
     // show ~2× run-to-run noise (GC + localCheckpoint placement), and a
     // single sample false-flags a regression roughly every round. The
     // min of two is stable to well under the 1.5× gate.
+    // Errors are RECORDED, not swallowed: a failed query's sample is
+    // near-zero wall time, so silently timing it would let a broken
+    // query pass any total-seconds gate while looking "fast". The
+    // per-query error lands in the output JSON (`errors` field +
+    // `errored` count) so a consumer can exclude erred queries from
+    // both sides of a baseline comparison.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -75,15 +84,17 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"total":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,"total":${fmt(total)}}"""
     // stdout line stays min-per-query (compact, driver-parseable); the
     // persisted artifact additionally carries every raw sample
     val samplesJson = results.map { case (k, _, ss) =>
       "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -17,20 +17,12 @@ import org.apache.spark.sql.types._
   * new batches — exactly the daily-drop layout of a 100 TB lake);
   * event time is `ts`, mirroring `played_at`.
   *
-  * `events.ts` is TIMESTAMP(NANOS) in the fixtures, unreadable as a
-  * Spark timestamp (see graft.Tables), so the declared stream schema
-  * takes nanos as long and converts to micros in the plan.
+  * `events.ts` storage varies by producer — TIMESTAMP(NANOS) surfaced
+  * as raw long, naive micros (TIMESTAMP_NTZ), or UTC micros — so the
+  * stream schema is sniffed from a footer at source-build time and the
+  * plan normalizes to TimestampType (see [[graft.Tables.normalizeTs]]).
   */
 object EventStream {
-
-  /** Declared source schema — ts as raw nanos (see above). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 
   private val runId = new AtomicInteger(0)
 
@@ -113,14 +105,23 @@ object EventStream {
 
   /** Unbounded source over a parquet directory with event-time `ts`.
     * Recursive lookup: daily drops usually land in nested date
-    * directories; schema is declared so no partition discovery is lost.
+    * directories. A streaming source needs a declared schema, and the
+    * declaration must match what the files actually store — so it is
+    * sniffed from the footers already present (one driver-side listing,
+    * no data read), then `ts` is normalized in the plan. Files arriving
+    * later must match the sniffed layout, the usual file-stream
+    * fixed-schema contract.
     */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("recursiveFileLookup", "true")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read
+      .option("recursiveFileLookup", "true").parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(dir))
+  }
 
   /** Watermarked cross-batch dedup (fixes the reference's intra-batch-
     * only PK check, spotify_etl2.py:61-62): state is bounded by the

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Producer-agnostic `events.ts` loading (the round-8 lesson: the
+  * driver's fixtures switched TIMESTAMP(NANOS) → naive micros and every
+  * events query broke because the unit was assumed, not read). A lake
+  * ingesting 100 TB from heterogeneous producers sees nanos-as-long,
+  * naive-micros (TIMESTAMP_NTZ) and UTC-micros files side by side; the
+  * loaders must yield identical frames for all three.
+  */
+class TsLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Stage the sf0.001 events in each of the three producer layouts. */
+  private def staged(): (String, String, String) = {
+    val base = Tables.load(spark, sf, "events")
+    val nanosDir = tmp("graft-ts-nanos")
+    base.withColumn("ts", unix_micros($"ts") * 1000) // raw nanos-as-long
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val ntzDir = tmp("graft-ts-ntz")
+    base.withColumn("ts", $"ts".cast(TimestampNTZType)) // naive micros
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val utcDir = tmp("graft-ts-utc")
+    base.write.mode("overwrite").parquet(s"$utcDir/events.parquet") // UTC micros
+    (nanosDir, ntzDir, utcDir)
+  }
+
+  private def canon(df: DataFrame): DataFrame =
+    df.select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+
+  test("batch loader normalizes nanos-long, NTZ-micros and UTC-micros identically") {
+    val (nanosDir, ntzDir, utcDir) = staged()
+    val frames = Seq(nanosDir, ntzDir, utcDir).map(d => canon(Tables.load(spark, d, "events")))
+    frames.foreach(f => assert(f.schema("ts").dataType === TimestampType))
+    val ref = frames.head
+    frames.tail.foreach { f =>
+      assert(f.exceptAll(ref).isEmpty && ref.exceptAll(f).isEmpty)
+    }
+    // and all three agree with the live fixture layout
+    val fixture = canon(Tables.load(spark, sf, "events"))
+    assert(fixture.exceptAll(ref).isEmpty && ref.exceptAll(fixture).isEmpty)
+  }
+
+  test("streaming source sniffs the footer layout and agrees with the batch loader") {
+    val (nanosDir, ntzDir, utcDir) = staged()
+    val batch = canon(Tables.load(spark, sf, "events")).collect().toSet
+    for (dir <- Seq(nanosDir, ntzDir, utcDir)) {
+      val streamed = EventStream.runAppendToMemory(
+        spark, EventStream.source(spark, s"$dir/events.parquet"))
+      assert(streamed.schema("ts").dataType === TimestampType)
+      assert(canon(streamed).collect().toSet === batch, s"layout at $dir diverged")
+    }
+  }
+
+  test("normalizeTs rejects an unsupported ts storage type") {
+    val bad = Seq((1L, "x")).toDF("event_id", "ts")
+    assertThrows[IllegalArgumentException](Tables.normalizeTs(bad))
+  }
+}
