@@ -154,6 +154,12 @@ object ScaleProbe {
     time("kmeans_coarse_derivedk",
       Similarity.kmeansAssignCoarse(embs, Similarity.deriveK(embs.count()), 2, nprobe = 2))
     time("kmv_distinct", operators.ApproxDistinct.kmvDaily(events, "user_id", 64))
+    // rolling distinct: exact path explodes the reduced (day,user)
+    // pair set ×7 (pairs grow ×mult here — user_id is remapped per
+    // copy); the KMV path's merge state is days×k longs at ANY mult,
+    // so its curve should flatten once pair-shuffle dominates
+    time("rolling_dau_wau", operators.Retention.rollingActiveUsers(events, 7))
+    time("rolling_wau_kmv", operators.Retention.rollingActiveUsersKmv(events, 7, 64))
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
     // sketch/vocab/compression tier: CMS output is ≤ depth·width cells
     // whatever the corpus (the whole point — assert cost stays

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApproxDistinct, Dedup, FreqSketch, RangeJoin, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
+import graft.operators.{ApproxDistinct, Dedup, FreqSketch, RangeJoin, Retention, Sampling, Sessionize, Similarity, SkewAgg, SkewJoin, SpotifyFlatten, TextAnalysis}
 import graft.sources.SpotifySchemas
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1467,6 +1467,27 @@ object SparkEntry {
           percent_rank().over(w).as("prank"))
         .orderBy($"p_brand", $"p_partkey")
     }),
+
+    // ---- Rolling DAU/WAU (operators.Retention): trailing-7-day
+    // DISTINCT per day — no window engine supports a moving
+    // COUNT(DISTINCT), so the exact path explodes the ALREADY-REDUCED
+    // (day,user) pair set into its 7 target days ----
+    "q133_rolling_dau_wau" -> ((s, dir) =>
+      Retention.rollingActiveUsers(Tables.load(s, dir, "events"), windowDays = 7)),
+
+    // ---- Sketch path for the same rolling distinct: per-day KMV
+    // partials rolling-merged (k longs per day of state, corpus never
+    // rescanned) — the 100 TB route when even the pair set is hot ----
+    "q134_rolling_wau_kmv" -> ((s, dir) =>
+      Retention.rollingActiveUsersKmv(Tables.load(s, dir, "events"),
+        windowDays = 7, k = 64)),
+
+    // ---- Ordered-step session funnel over q31's gap-sessions:
+    // first-occurrence times per step, in-order flags, one global
+    // aggregate; conversion in exact integer basis points ----
+    "q135_session_funnel" -> ((s, dir) =>
+      Sessionize.sessionFunnel(Tables.load(s, dir, "events"), gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3483,5 +3504,86 @@ object SparkEntry {
         |FROM part
         |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
         |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "q133_rolling_dau_wau" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |contrib AS (
+        |  SELECT DISTINCT p.day + k.k AS day, p.user_id
+        |  FROM pairs p CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS k) k),
+        |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+        |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+        |SELECT d.day, d.dau, w.wau, d.dau * 10000 // w.wau AS stickiness_bp
+        |FROM dau d JOIN wau w USING (day)
+        |ORDER BY d.day""".stripMargin,
+
+    "q134_rolling_wau_kmv" -> {
+      val k = 64
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hs AS (SELECT DISTINCT day, h FROM (
+         |    SELECT day, ${graft.functions.PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |    FROM pairs)
+         |  WHERE h IS NOT NULL),
+         |kept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
+         |  WHERE rnk <= $k),
+         |days AS (SELECT DISTINCT day FROM pairs),
+         |wh AS (SELECT DISTINCT d.day, s.h
+         |       FROM kept s JOIN days d
+         |         ON s.day <= d.day AND s.day >= d.day - 6),
+         |wkept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM wh)
+         |  WHERE rnk <= $k),
+         |est AS (SELECT day, count(*) AS n_kept, max(h) AS kth_hash FROM wkept GROUP BY day),
+         |contrib AS (
+         |  SELECT DISTINCT p.day + k.k AS day, p.user_id
+         |  FROM pairs p CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS k) k),
+         |wau AS (SELECT c.day, count(*) AS exact_wau FROM contrib c
+         |        JOIN days USING (day) GROUP BY c.day)
+         |SELECT e.day, e.n_kept, e.kth_hash,
+         |  CASE WHEN e.n_kept < $k THEN CAST(e.n_kept AS DOUBLE)
+         |       ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / e.kth_hash END AS approx_wau,
+         |  w.exact_wau
+         |FROM est e JOIN wau w USING (day)
+         |ORDER BY e.day""".stripMargin
+    },
+
+    "q135_session_funnel" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN t END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN t END) AS t2
+        |  FROM sessions GROUP BY user_id, session_id),
+        |c AS (
+        |  SELECT count(*) AS c_total,
+        |    count(*) FILTER (WHERE t0 IS NOT NULL) AS c0,
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0) AS c1,
+        |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |                     AND t2 IS NOT NULL AND t2 >= t1) AS c2
+        |  FROM g)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, c0 AS n_sessions,
+        |    c0 * 10000 // NULLIF(c_total, 0) AS conv_bp FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', c1, c1 * 10000 // NULLIF(c0, 0) FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', c2, c2 * 10000 // NULLIF(c1, 0) FROM c)
+        |ORDER BY step_idx""".stripMargin,
   )
 }

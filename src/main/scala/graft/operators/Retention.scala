@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rolling user-activity analytics (DAU / WAU / stickiness) — the
+  * engagement dashboard tier a play-history product sits under (the
+  * reference's `played_at` feed aggregated per listener per day;
+  * SURVEY.md §2.10's event-feed extension).
+  *
+  * Rolling DISTINCT is the interesting operator at scale: a trailing
+  * 7-day distinct-user count per day cannot ride a window frame
+  * (COUNT(DISTINCT) over a moving frame isn't supported by any SQL
+  * window engine, and would re-scan the frame per row if it were).
+  * Two scale paths:
+  *
+  *  - [[rollingActiveUsers]] (exact): collapse events to distinct
+  *    (day, user) pairs FIRST — the big cardinality cliff, one
+  *    map-side-combinable shuffle from trillions of events to
+  *    (days x users-active-that-day) — then explode each pair into
+  *    the `windowDays` target days it contributes to and count the
+  *    deduped contributions. The x7 fan-out happens on the REDUCED
+  *    pair set, never on raw events.
+  *  - [[rollingActiveUsersKmv]] (sketch): per-day KMV partials
+  *    (k smallest portable hashes, as [[ApproxDistinct.kmvDaily]]),
+  *    rolling-merged per target day. State per day is k longs, so a
+  *    year of dailies merges from ~365*k rows regardless of corpus
+  *    size — the mergeability payoff when the exact pair set itself
+  *    is too hot (billions of users x days). KMV is engine-portable,
+  *    so unlike HLL this sketch is hash-oracle-checkable.
+  */
+object Retention {
+
+  /** Exact rolling active users. For every day present in `events`:
+    * DAU (distinct users that day), WAU-style trailing distinct over
+    * `windowDays` days ending that day, and stickiness = DAU/WAU in
+    * basis points (integer, exact in any engine).
+    * Output: (day DATE, dau, wau, stickiness_bp) ordered by day.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    val pairs = events
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // a pair (p, u) makes u "active" for target days p .. p+windowDays-1;
+    // dedup again because one user often has several active days per window
+    val contrib = pairs
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .distinct()
+    val wau = contrib.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // inner join drops the phantom target days past the last observed day
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 10000L div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  /** Sketch-path rolling distinct: per-day KMV partials rolling-merged
+    * over `windowDays`. The merge unions the retained hashes of the
+    * window's days (<= windowDays*k longs), re-takes the k smallest,
+    * and estimates (k-1)*2^32/h_k — bit-reproducible in any engine
+    * (portable md5-prefix hash, integer state, one double division).
+    * `exact_wau` rides along for error inspection.
+    * Output: (day DATE, n_kept, kth_hash, approx_wau, exact_wau)
+    * ordered by day.
+    */
+  def rollingActiveUsersKmv(events: DataFrame, windowDays: Int, k: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val pairs = events
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    // per-day sketch state: k smallest portable hashes (the persistable
+    // partial — k longs per day, whatever the day's cardinality)
+    val kept = graft.plans.TopK.perGroup(
+      pairs
+        .select(col("day"),
+          graft.functions.PortableHash.hash32(col("user_id").cast("string")).as("h"))
+        .filter(col("h").isNotNull)
+        .distinct(),
+      Seq(col("day")), Seq(col("h").asc), k)
+    val days = pairs.select(col("day")).distinct()
+    // rolling merge: sketch-day s feeds target days s .. s+windowDays-1;
+    // the join input is the REDUCED state (<= k rows per day), so the
+    // fan-out is days*windowDays*k longs — trivial at any corpus size
+    val windowKept = graft.plans.TopK.perGroup(
+      kept.select(col("day").as("sday"), col("h"))
+        .join(days,
+          col("sday") <= col("day") &&
+            col("sday") >= date_sub(col("day"), windowDays - 1))
+        .select(col("day"), col("h")).distinct(),
+      Seq(col("day")), Seq(col("h").asc), k)
+    val est = windowKept.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .withColumn("approx_wau",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
+    val exact = rollingActiveUsers(events, windowDays)
+      .select(col("day"), col("wau").as("exact_wau"))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("n_kept"), col("kth_hash"), col("approx_wau"), col("exact_wau"))
+      .orderBy(col("day"))
+  }
+}

@@ -79,4 +79,51 @@ object Sessionize {
         col("event_type").as("label"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Ordered-step funnel over gap-sessions: how many sessions reach
+    * step i = contain every one of `steps(0..i)` with nondecreasing
+    * first-occurrence times (a session that clicks before it ever
+    * views does NOT count as view→click). Equal timestamps count as
+    * in-order, and first occurrences (`min` per step) make the check
+    * deterministic without any per-row sequencing.
+    *
+    * Scale shape: session assignment is the per-user analytic window
+    * (one user-keyed shuffle); per-session step times are one groupBy
+    * with map-side-combinable `min`s; the funnel itself is a single
+    * global aggregate of boolean flags — a handful of longs, no
+    * second pass. Conversion is reported in exact integer basis
+    * points (step i vs step i-1; step 0 vs all sessions), so the row
+    * hashes identically in any engine.
+    * Output: (step_idx, step, n_sessions, conv_bp) ordered by step_idx.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val stepTimes = steps.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, col("ts"))).as(s"t$i")
+    }
+    val perSession = assignSessions(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(stepTimes.head, stepTimes.tail: _*)
+    // reached(i): every step so far present, first occurrences in order
+    val reached = steps.indices.map { i =>
+      (0 to i).map(j => col(s"t$j").isNotNull)
+        .reduce(_ && _) && (1 to i).map(j => col(s"t${j - 1}") <= col(s"t$j"))
+        .foldLeft(lit(true))(_ && _)
+    }
+    val counts = perSession.agg(
+      count(lit(1)).as("c_total"),
+      steps.indices.map(i =>
+        sum(when(reached(i), 1L).otherwise(0L)).as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val prev = if (i == 0) "c_total" else s"c${i - 1}"
+      struct(
+        lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+        col(s"c$i").as("n_sessions"),
+        expr(s"c$i * 10000L div $prev").as("conv_bp"))
+    }
+    counts
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_sessions"), col("r.conv_bp"))
+      .orderBy(col("step_idx"))
+  }
 }

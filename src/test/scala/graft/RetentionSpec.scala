@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Retention, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rolling DAU/WAU (exact + KMV sketch path) and the ordered-step
+  * session funnel — hand-computed fixtures plus estimator-accuracy and
+  * internal-consistency checks on the real testdata.
+  */
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ev(rows: (Long, String, Long, String)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+
+  test("rollingActiveUsers: hand-computed DAU/WAU/stickiness") {
+    // u1 active d1+d2, u2 active d1, u3 active d9 (outside 7d of d1/d2)
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-01 11:00:00", 1, "view"), // same (day,user): no double count
+      (3, "2024-01-01 12:00:00", 2, "view"),
+      (4, "2024-01-02 09:00:00", 1, "click"),
+      (5, "2024-01-09 09:00:00", 3, "view"))
+    val got = Retention.rollingActiveUsers(e, windowDays = 7)
+      .select($"day".cast("string"), $"dau", $"wau", $"stickiness_bp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 2L, 2L, 10000L),
+      ("2024-01-02", 1L, 2L, 5000L),   // window 12-27..01-02 sees u1,u2
+      ("2024-01-09", 1L, 1L, 10000L))) // u1's 01-02 is 7 days gone by 01-09
+  }
+
+  test("rollingActiveUsers at sf0.001: wau >= dau, wau <= cumulative users, day-grid complete") {
+    val events = Tables.load(spark, sf, "events")
+    val got = Retention.rollingActiveUsers(events, windowDays = 7)
+    val days = events.select(to_date($"ts").as("day")).distinct().count()
+    assert(got.count() === days)
+    assert(got.filter($"wau" < $"dau").isEmpty)
+    val maxUsers = events.select($"user_id").distinct().count()
+    assert(got.filter($"wau" > maxUsers).isEmpty)
+    // trailing-7d distinct must dominate any single window day's dau
+    val brute = got.select($"day", $"dau").collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    got.select($"day", $"wau").collect().foreach { r =>
+      val w = brute.filter { case (d, _) =>
+        !d.after(r.getDate(0)) && d.toLocalDate.plusDays(6).compareTo(r.getDate(0).toLocalDate) >= 0
+      }.values
+      assert(r.getLong(1) >= w.max, s"wau below max window dau on ${r.getDate(0)}")
+    }
+  }
+
+  test("rollingActiveUsersKmv: estimator within 3-sigma of exact at sf0.001") {
+    val k = 64
+    val got = Retention.rollingActiveUsersKmv(
+      Tables.load(spark, sf, "events"), windowDays = 7, k = k).collect()
+    assert(got.nonEmpty)
+    val sigma = 1.0 / math.sqrt(k - 2.0)
+    got.foreach { r =>
+      val (nKept, approx, exact) =
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("approx_wau"), r.getAs[Long]("exact_wau"))
+      assert(nKept <= k)
+      if (nKept < k) assert(approx === exact.toDouble) // sketch IS the set
+      else assert(math.abs(approx - exact) <= 3 * sigma * exact,
+        s"estimate $approx vs exact $exact out of bound on ${r.get(0)}")
+    }
+  }
+
+  test("sessionFunnel: hand-computed in-order vs out-of-order sessions") {
+    // u1 s1: view->click->purchase (all in order)
+    // u2 s1: click before view (click step must NOT count), purchase present
+    // u3 s1: view only
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-01 10:05:00", 1, "click"),
+      (3, "2024-01-01 10:10:00", 1, "purchase"),
+      (4, "2024-01-01 10:00:00", 2, "click"),
+      (5, "2024-01-01 10:05:00", 2, "view"),
+      (6, "2024-01-01 10:10:00", 2, "purchase"),
+      (7, "2024-01-01 10:00:00", 3, "view"))
+    val got = Sessionize.sessionFunnel(e, gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "view", 3L, 10000L),     // all 3 sessions view
+      (2L, "click", 1L, 3333L),     // only u1 clicks after viewing
+      (3L, "purchase", 1L, 10000L)))
+  }
+
+  test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
+    val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq("view", "click", "purchase"))
+    assert(got.map(_._3) === got.map(_._3).sorted.reverse)
+    assert(got.forall(_._4 <= 10000L))
+  }
+}
