@@ -159,7 +159,10 @@ object ScaleProbe {
     // copy); the KMV path's merge state is days×k longs at ANY mult,
     // so its curve should flatten once pair-shuffle dominates
     time("rolling_dau_wau", operators.Retention.rollingActiveUsers(events, 7))
-    time("rolling_wau_kmv", operators.Retention.rollingActiveUsersKmv(events, 7, 64))
+    // estimate-only: the catalog q134 also joins the exact column for
+    // auditability, which costs the full exact path — the scale
+    // comparison is sketch-vs-exact, not sketch+exact-vs-exact
+    time("rolling_wau_kmv", operators.Retention.rollingWauKmvEstimate(events, 7, 64))
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
     // sketch/vocab/compression tier: CMS output is ≤ depth·width cells
     // whatever the corpus (the whole point — assert cost stays

@@ -69,6 +69,23 @@ object Retention {
     * ordered by day.
     */
   def rollingActiveUsersKmv(events: DataFrame, windowDays: Int, k: Int): DataFrame = {
+    val exact = rollingActiveUsers(events, windowDays)
+      .select(col("day"), col("wau").as("exact_wau"))
+    rollingWauKmvEstimate(events, windowDays, k)
+      .join(exact, Seq("day"))
+      .select(col("day"), col("n_kept"), col("kth_hash"), col("approx_wau"), col("exact_wau"))
+      .orderBy(col("day"))
+  }
+
+  /** The sketch path alone — what actually runs at 100 TB (the
+    * `exact_wau` column above exists to make the estimator auditable;
+    * computing it costs the full exact path). One pass builds the
+    * per-day partials; the rolling merge then never touches the
+    * corpus again, so e.g. backfilling a year of WAU after the fact
+    * reads 365*k longs, not a year of events.
+    * Output: (day, n_kept, kth_hash, approx_wau), unordered.
+    */
+  def rollingWauKmvEstimate(events: DataFrame, windowDays: Int, k: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
     require(k >= 2, s"k must be >= 2 (got $k)")
     val pairs = events
@@ -95,15 +112,10 @@ object Retention {
             col("sday") >= date_sub(col("day"), windowDays - 1))
         .select(col("day"), col("h")).distinct(),
       Seq(col("day")), Seq(col("h").asc), k)
-    val est = windowKept.groupBy(col("day"))
+    windowKept.groupBy(col("day"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
       .withColumn("approx_wau",
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
-    val exact = rollingActiveUsers(events, windowDays)
-      .select(col("day"), col("wau").as("exact_wau"))
-    est.join(exact, Seq("day"))
-      .select(col("day"), col("n_kept"), col("kth_hash"), col("approx_wau"), col("exact_wau"))
-      .orderBy(col("day"))
   }
 }
