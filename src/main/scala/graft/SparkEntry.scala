@@ -1488,6 +1488,12 @@ object SparkEntry {
     "q135_session_funnel" -> ((s, dir) =>
       Sessionize.sessionFunnel(Tables.load(s, dir, "events"), gapMinutes = 60,
         steps = Seq("view", "click", "purchase"))),
+
+    // ---- Cohort retention matrix (operators.Retention): first-day
+    // cohorts x weekly offsets, all on the reduced (day,user) pair
+    // set; the user-keyed dim join is the bucketing candidate ----
+    "q136_cohort_retention" -> ((s, dir) =>
+      Retention.cohortRetention(Tables.load(s, dir, "events"), bucketDays = 7)),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3585,5 +3591,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase', c2, c2 * 10000 // NULLIF(c1, 0) FROM c)
         |ORDER BY step_idx""".stripMargin,
+
+    "q136_cohort_retention" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM pairs GROUP BY user_id),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY cohort_day),
+        |active AS (
+        |  SELECT DISTINCT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, p.day) // 7 AS BIGINT) AS week_offset,
+        |    p.user_id
+        |  FROM pairs p JOIN first f USING (user_id)),
+        |m AS (SELECT cohort_day, week_offset, count(*) AS n_active
+        |      FROM active GROUP BY cohort_day, week_offset)
+        |SELECT m.cohort_day, m.week_offset, s.cohort_size, m.n_active,
+        |  m.n_active * 10000 // s.cohort_size AS retention_bp
+        |FROM m JOIN sizes s USING (cohort_day)
+        |ORDER BY m.cohort_day, m.week_offset""".stripMargin,
   )
 }

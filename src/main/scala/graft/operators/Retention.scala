@@ -77,6 +77,45 @@ object Retention {
       .orderBy(col("day"))
   }
 
+  /** Cohort retention matrix: users grouped by their first-ever
+    * active day (the cohort), each cohort tracked across
+    * `bucketDays`-wide offsets — the "do week-0 signups come back in
+    * week 2" triangle behind every retention dashboard.
+    *
+    * Scale shape: everything runs on the reduced (day,user) pair set.
+    * The per-user first day is one map-side-combinable `min`; the
+    * pair→cohort attachment is an equi-join on user_id (both sides
+    * hash-partitioned by user, and the first-day side is exactly one
+    * row per user — at 100 TB this is the classic big-dim join that
+    * bucketing user-keyed tables makes exchange-free); the matrix
+    * itself is two more combinable aggregates over (cohort, offset)
+    * — output is cohorts x offsets rows, tiny at any corpus size.
+    * Retention in exact integer basis points (offset 0 is 10000 by
+    * construction — every user is active on their first day).
+    * Output: (cohort_day, week_offset, cohort_size, n_active,
+    * retention_bp) ordered by (cohort_day, week_offset).
+    */
+  def cohortRetention(events: DataFrame, bucketDays: Int): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be >= 1 (got $bucketDays)")
+    val pairs = events
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val first = pairs.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    val active = pairs.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        expr(s"datediff(day, cohort_day) div $bucketDays").as("week_offset"),
+        col("user_id"))
+      .distinct()
+    active.groupBy(col("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("week_offset"), col("cohort_size"),
+        col("n_active"), expr("n_active * 10000L div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
   /** The sketch path alone — what actually runs at 100 TB (the
     * `exact_wau` column above exists to make the estimator auditable;
     * computing it costs the full exact path). One pass builds the

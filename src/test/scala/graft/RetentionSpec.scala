@@ -69,6 +69,38 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("cohortRetention: hand-computed cohort matrix") {
+    // cohort 01-01: u1 (active wk0 + wk1), u2 (wk0 only)
+    // cohort 01-02: u3 (active wk0 + wk2)
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-08 10:00:00", 1, "view"),  // day 7 -> week_offset 1
+      (3, "2024-01-01 11:00:00", 2, "view"),
+      (4, "2024-01-02 10:00:00", 3, "view"),
+      (5, "2024-01-16 10:00:00", 3, "view"))  // day 14 -> week_offset 2
+    val got = Retention.cohortRetention(e, bucketDays = 7)
+      .select($"cohort_day".cast("string"), $"week_offset", $"cohort_size",
+        $"n_active", $"retention_bp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 10000L),
+      ("2024-01-01", 1L, 2L, 1L, 5000L),
+      ("2024-01-02", 0L, 1L, 1L, 10000L),
+      ("2024-01-02", 2L, 1L, 1L, 10000L)))
+  }
+
+  test("cohortRetention at sf0.001: offset-0 full, bounded, cohorts partition users") {
+    val events = Tables.load(spark, sf, "events")
+    val got = Retention.cohortRetention(events, bucketDays = 7).persist()
+    assert(got.filter($"week_offset" === 0 && $"retention_bp" =!= 10000).isEmpty)
+    assert(got.filter($"retention_bp" > 10000 || $"n_active" > $"cohort_size").isEmpty)
+    val users = events.select($"user_id").distinct().count()
+    val sizeSum = got.filter($"week_offset" === 0)
+      .agg(sum($"cohort_size")).as[Long].head()
+    assert(sizeSum === users)
+    got.unpersist()
+  }
+
   test("sessionFunnel: hand-computed in-order vs out-of-order sessions") {
     // u1 s1: view->click->purchase (all in order)
     // u2 s1: click before view (click step must NOT count), purchase present
