@@ -1494,6 +1494,18 @@ object SparkEntry {
     // set; the user-keyed dim join is the bucketing candidate ----
     "q136_cohort_retention" -> ((s, dir) =>
       Retention.cohortRetention(Tables.load(s, dir, "events"), bucketDays = 7)),
+
+    // ---- Time-to-convert percentiles over q135's converting
+    // sessions (exact percentile baseline; q104's quantized CDF is
+    // the no-global-collection form of the same question) ----
+    "q137_funnel_latency" -> ((s, dir) =>
+      Sessionize.funnelLatency(Tables.load(s, dir, "events"), gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))),
+
+    // ---- Power-user curve: users by count of distinct active days
+    // (two combinable aggregates on the reduced pair set) ----
+    "q138_activity_histogram" -> ((s, dir) =>
+      Retention.activityHistogram(Tables.load(s, dir, "events"))),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3609,5 +3621,43 @@ object SparkEntry {
         |  m.n_active * 10000 // s.cohort_size AS retention_bp
         |FROM m JOIN sizes s USING (cohort_day)
         |ORDER BY m.cohort_day, m.week_offset""".stripMargin,
+
+    "q137_funnel_latency" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN t END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN t END) AS t2
+        |  FROM sessions GROUP BY user_id, session_id),
+        |conv AS (
+        |  SELECT (epoch_us(t2) - epoch_us(t0)) // 1000000 AS lat_sec
+        |  FROM g
+        |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+        |    AND t2 IS NOT NULL AND t2 >= t1)
+        |SELECT count(*) AS n_converting,
+        |  quantile_cont(lat_sec, 0.5) AS p50_sec,
+        |  quantile_cont(lat_sec, 0.9) AS p90_sec,
+        |  max(lat_sec) AS max_sec
+        |FROM conv""".stripMargin,
+
+    "q138_activity_histogram" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |per_user AS (SELECT user_id, count(*) AS n_days FROM pairs GROUP BY user_id)
+        |SELECT n_days, count(*) AS n_users
+        |FROM per_user GROUP BY n_days ORDER BY n_days""".stripMargin,
   )
 }

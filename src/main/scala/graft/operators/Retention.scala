@@ -77,6 +77,21 @@ object Retention {
       .orderBy(col("day"))
   }
 
+  /** Engagement distribution: how many users were active on exactly
+    * n distinct days — the "power-user curve" histogram. Two
+    * map-side-combinable aggregates over the reduced pair set; output
+    * is at most |days| rows.
+    * Output: (n_days, n_users) ordered by n_days.
+    */
+  def activityHistogram(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+      .groupBy(col("n_days")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_days"))
+
   /** Cohort retention matrix: users grouped by their first-ever
     * active day (the cohort), each cohort tracked across
     * `bucketDays`-wide offsets — the "do week-0 signups come back in

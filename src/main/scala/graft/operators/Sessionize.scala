@@ -96,20 +96,33 @@ object Sessionize {
     * hashes identically in any engine.
     * Output: (step_idx, step, n_sessions, conv_bp) ordered by step_idx.
     */
-  def sessionFunnel(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "steps must be non-empty")
-    val stepTimes = steps.zipWithIndex.map { case (st, i) =>
+  /** Per-session first-occurrence time of each step: one analytic
+    * window (session assignment) + one combinable-min groupBy.
+    * Output: (user_id, session_id, t0..tN).
+    */
+  private def stepTimes(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
+    val aggs = steps.zipWithIndex.map { case (st, i) =>
       min(when(col("event_type") === st, col("ts"))).as(s"t$i")
     }
-    val perSession = assignSessions(events, gapMinutes)
+    assignSessions(events, gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
-      .agg(stepTimes.head, stepTimes.tail: _*)
-    // reached(i): every step so far present, first occurrences in order
-    val reached = steps.indices.map { i =>
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** reached(i): every step up to i present, first occurrences in
+    * nondecreasing order (equal timestamps count as in-order).
+    */
+  private def reachedFlags(steps: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    steps.indices.map { i =>
       (0 to i).map(j => col(s"t$j").isNotNull)
         .reduce(_ && _) && (1 to i).map(j => col(s"t${j - 1}") <= col(s"t$j"))
         .foldLeft(lit(true))(_ && _)
     }
+
+  def sessionFunnel(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val perSession = stepTimes(events, gapMinutes, steps)
+    val reached = reachedFlags(steps)
     val counts = perSession.agg(
       count(lit(1)).as("c_total"),
       steps.indices.map(i =>
@@ -125,5 +138,29 @@ object Sessionize {
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.step_idx"), col("r.step"), col("r.n_sessions"), col("r.conv_bp"))
       .orderBy(col("step_idx"))
+  }
+
+  /** Time-to-convert for sessions completing the whole funnel: whole
+    * seconds from the first occurrence of the first step to the first
+    * occurrence of the last, exact percentiles over that (the SLA /
+    * "how long does view→purchase take" number). Rides the same two
+    * stages as [[sessionFunnel]] plus one global aggregate; exact
+    * `percentile` is the small-output baseline, and at 100 TB the
+    * same latency column feeds Profile.cdfQuantiles' quantized
+    * no-global-collection path (q104) instead.
+    * Output: one row (n_converting, p50_sec, p90_sec, max_sec).
+    */
+  def funnelLatency(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps (got ${steps.size})")
+    val perSession = stepTimes(events, gapMinutes, steps)
+    val last = steps.size - 1
+    perSession
+      .filter(reachedFlags(steps).last)
+      .select(expr(s"(unix_micros(t$last) - unix_micros(t0)) div 1000000").as("lat_sec"))
+      .agg(
+        count(lit(1)).as("n_converting"),
+        expr("percentile(lat_sec, 0.5)").as("p50_sec"),
+        expr("percentile(lat_sec, 0.9)").as("p90_sec"),
+        max(col("lat_sec")).as("max_sec"))
   }
 }

@@ -122,6 +122,41 @@ class RetentionSpec extends AnyFunSuite {
       (3L, "purchase", 1L, 10000L)))
   }
 
+  test("funnelLatency: hand-computed latency percentiles over converting sessions only") {
+    // u1 converts in 600s; u2 is out of order (excluded); u3 converts in 60s
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-01 10:05:00", 1, "click"),
+      (3, "2024-01-01 10:10:00", 1, "purchase"),
+      (4, "2024-01-01 10:00:00", 2, "click"),
+      (5, "2024-01-01 10:05:00", 2, "view"),
+      (6, "2024-01-01 10:10:00", 2, "purchase"),
+      (7, "2024-01-01 10:00:00", 3, "view"),
+      (8, "2024-01-01 10:00:30", 3, "click"),
+      (9, "2024-01-01 10:01:00", 3, "purchase"))
+    val got = Sessionize.funnelLatency(e, gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))
+      .as[(Long, Double, Double, Long)].head()
+    assert(got === ((2L, 330.0, 546.0, 600L))) // interpolated p50/p90 of {60, 600}
+  }
+
+  test("activityHistogram: hand-computed power-user curve; user counts total") {
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-02 10:00:00", 1, "view"),
+      (3, "2024-01-03 10:00:00", 1, "view"),
+      (4, "2024-01-01 11:00:00", 2, "view"),
+      (5, "2024-01-01 12:00:00", 3, "view"), // same day twice: still 1 day
+      (6, "2024-01-01 13:00:00", 3, "view"))
+    val got = Retention.activityHistogram(e)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (3L, 1L)))
+    val users = Tables.load(spark, sf, "events").select($"user_id").distinct().count()
+    val total = Retention.activityHistogram(Tables.load(spark, sf, "events"))
+      .agg(sum($"n_users")).as[Long].head()
+    assert(total === users)
+  }
+
   test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
     val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
