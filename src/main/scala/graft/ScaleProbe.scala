@@ -159,6 +159,12 @@ object ScaleProbe {
     // copy); the KMV path's merge state is days×k longs at ANY mult,
     // so its curve should flatten once pair-shuffle dominates
     time("rolling_dau_wau", operators.Retention.rollingActiveUsers(events, 7))
+    time("cohort_retention", operators.Retention.cohortRetention(events, 7))
+    time("activity_histogram", operators.Retention.activityHistogram(events))
+    time("session_funnel", operators.Sessionize.sessionFunnel(
+      events, 60, Seq("view", "click", "purchase")))
+    time("funnel_latency", operators.Sessionize.funnelLatency(
+      events, 60, Seq("view", "click", "purchase")))
     // estimate-only: the catalog q134 also joins the exact column for
     // auditability, which costs the full exact path — the scale
     // comparison is sketch-vs-exact, not sketch+exact-vs-exact
