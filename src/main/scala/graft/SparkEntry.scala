@@ -1506,6 +1506,17 @@ object SparkEntry {
     // (two combinable aggregates on the reduced pair set) ----
     "q138_activity_histogram" -> ((s, dir) =>
       Retention.activityHistogram(Tables.load(s, dir, "events"))),
+
+    // ---- Rolling WAU from PERSISTED sketch state (the q121/q132
+    // build-once pattern applied to the sketch tier): per-day KMV
+    // partials land in a lake table; the WAU backfill reads k longs
+    // per day from it and never rescans events ----
+    "q139_rolling_wau_persisted" -> ((s, dir) => {
+      val state = Scratch.dir("graft_kmv_q139") + "/state"
+      Retention.persistDailyKmv(Tables.load(s, dir, "events"), k = 64, path = state)
+      Retention.rollingWauFromState(s, state, windowDays = 7, k = 64)
+        .orderBy(col("day"))
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3659,5 +3670,34 @@ object SparkEntry {
         |per_user AS (SELECT user_id, count(*) AS n_days FROM pairs GROUP BY user_id)
         |SELECT n_days, count(*) AS n_users
         |FROM per_user GROUP BY n_days ORDER BY n_days""".stripMargin,
+
+    // identical math to q134 minus the exact audit column: the state
+    // table is a deterministic function of events, so the oracle
+    // rebuilds it from events directly
+    "q139_rolling_wau_persisted" -> {
+      val k = 64
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hs AS (SELECT DISTINCT day, h FROM (
+         |    SELECT day, ${graft.functions.PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |    FROM pairs)
+         |  WHERE h IS NOT NULL),
+         |kept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
+         |  WHERE rnk <= $k),
+         |days AS (SELECT DISTINCT day FROM pairs),
+         |wh AS (SELECT DISTINCT d.day, s.h
+         |       FROM kept s JOIN days d
+         |         ON s.day <= d.day AND s.day >= d.day - 6),
+         |wkept AS (SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM wh)
+         |  WHERE rnk <= $k)
+         |SELECT day, count(*) AS n_kept, max(h) AS kth_hash,
+         |  CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |       ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / max(h) END AS approx_wau
+         |FROM wkept GROUP BY day
+         |ORDER BY day""".stripMargin
+    },
   )
 }

@@ -139,28 +139,41 @@ object Retention {
     * reads 365*k longs, not a year of events.
     * Output: (day, n_kept, kth_hash, approx_wau), unordered.
     */
-  def rollingWauKmvEstimate(events: DataFrame, windowDays: Int, k: Int): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+  def rollingWauKmvEstimate(events: DataFrame, windowDays: Int, k: Int): DataFrame =
+    mergeRollingKmv(dailyKmvPartials(events, k), windowDays, k)
+
+  /** The per-day sketch state: k smallest portable hashes of the day's
+    * distinct users — the persistable partial, k longs per day
+    * whatever the day's cardinality. Output: (day, h).
+    */
+  def dailyKmvPartials(events: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
-    val pairs = events
-      .filter(col("user_id").isNotNull)
-      .select(to_date(col("ts")).as("day"), col("user_id"))
-      .distinct()
-    // per-day sketch state: k smallest portable hashes (the persistable
-    // partial — k longs per day, whatever the day's cardinality)
-    val kept = graft.plans.TopK.perGroup(
-      pairs
+    graft.plans.TopK.perGroup(
+      events
+        .filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
         .select(col("day"),
           graft.functions.PortableHash.hash32(col("user_id").cast("string")).as("h"))
         .filter(col("h").isNotNull)
         .distinct(),
       Seq(col("day")), Seq(col("h").asc), k)
-    val days = pairs.select(col("day")).distinct()
-    // rolling merge: sketch-day s feeds target days s .. s+windowDays-1;
-    // the join input is the REDUCED state (<= k rows per day), so the
-    // fan-out is days*windowDays*k longs — trivial at any corpus size
+  }
+
+  /** Rolling merge over sketch state alone — input is <= k rows per
+    * day, so the fan-out is days*windowDays*k longs at ANY corpus
+    * size. Accepts freshly-computed or persisted partials; partials
+    * for the same day from different ingest batches are legal (the
+    * union re-sketches: distinct + k smallest is associative).
+    * Output: (day, n_kept, kth_hash, approx_wau), unordered.
+    */
+  def mergeRollingKmv(partials: DataFrame, windowDays: Int, k: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val days = partials.select(col("day")).distinct()
+    // rolling merge: sketch-day s feeds target days s .. s+windowDays-1
     val windowKept = graft.plans.TopK.perGroup(
-      kept.select(col("day").as("sday"), col("h"))
+      partials.select(col("day").as("sday"), col("h"))
         .join(days,
           col("sday") <= col("day") &&
             col("sday") >= date_sub(col("day"), windowDays - 1))
@@ -172,4 +185,19 @@ object Retention {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
   }
+
+  /** Persist a batch's per-day partials into the state table
+    * (`append = true` for incremental daily ingest — new days, or
+    * top-ups of existing days from late data; the merge re-sketches
+    * either way). At 100 TB this table is what WAU backfills read:
+    * 365*k longs per year, never the events.
+    */
+  def persistDailyKmv(events: DataFrame, k: Int, path: String, append: Boolean = false): Unit =
+    dailyKmvPartials(events, k).write
+      .mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Rolling WAU from the persisted state ONLY — no events scan. */
+  def rollingWauFromState(spark: org.apache.spark.sql.SparkSession, path: String,
+      windowDays: Int, k: Int): DataFrame =
+    mergeRollingKmv(spark.read.parquet(path), windowDays, k)
 }

@@ -69,6 +69,23 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted KMV state: incremental appends equal the one-shot estimate") {
+    val events = Tables.load(spark, sf, "events")
+    val cutoff = "2024-01-21"
+    val state = java.nio.file.Files.createTempDirectory("graft-kmv-state").toString + "/state"
+    // day 1-20 ingested first; later days appended batch-by-batch,
+    // plus a deliberate same-day top-up (late data) — the merge must
+    // re-sketch the union associatively
+    Retention.persistDailyKmv(events.filter(to_date($"ts") < lit(cutoff)), 64, state)
+    Retention.persistDailyKmv(events.filter(to_date($"ts") >= lit(cutoff)), 64, state, append = true)
+    Retention.persistDailyKmv(events.filter(to_date($"ts") === lit(cutoff)), 64, state, append = true)
+    val fromState = Retention.rollingWauFromState(spark, state, 7, 64)
+      .orderBy($"day").collect().toSeq
+    val oneShot = Retention.rollingWauKmvEstimate(events, 7, 64)
+      .orderBy($"day").collect().toSeq
+    assert(fromState === oneShot)
+  }
+
   test("cohortRetention: hand-computed cohort matrix") {
     // cohort 01-01: u1 (active wk0 + wk1), u2 (wk0 only)
     // cohort 01-02: u3 (active wk0 + wk2)
