@@ -1517,6 +1517,16 @@ object SparkEntry {
       Retention.rollingWauFromState(s, state, windowDays = 7, k = 64)
         .orderBy(col("day"))
     }),
+
+    // ---- q137's scale form: per-conversion-day latency quantiles via
+    // the quantized-count CDF (q104's path) — no global exact-
+    // percentile buffer, and it reports the daily latency trend.
+    // Two-step funnel: the synthetic feed has zero full three-step
+    // conversions (q137 reports that honestly), while view→click
+    // converts at every SF ----
+    "q140_funnel_latency_cdf" -> ((s, dir) =>
+      Sessionize.funnelLatencyCdf(Tables.load(s, dir, "events"), gapMinutes = 60,
+        steps = Seq("view", "click"), percents = Seq(50, 90, 99))),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3699,5 +3709,39 @@ object SparkEntry {
          |FROM wkept GROUP BY day
          |ORDER BY day""".stripMargin
     },
+
+    "q140_funnel_latency_cdf" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN t END) AS t1
+        |  FROM sessions GROUP BY user_id, session_id),
+        |lat AS (
+        |  SELECT CAST(t0 AS DATE) AS day,
+        |    (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lat_sec
+        |  FROM g
+        |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+        |c AS (SELECT day, CAST(floor(lat_sec * 100.0 + 0.5) AS BIGINT) AS cent FROM lat),
+        |gc AS (SELECT day, cent, count(*) AS n FROM c GROUP BY 1, 2),
+        |cum AS (SELECT day, cent,
+        |          SUM(n) OVER (PARTITION BY day ORDER BY cent) AS cum,
+        |          SUM(n) OVER (PARTITION BY day) AS total
+        |        FROM gc),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT cum.day, p.p, min(cum.cent) AS q_cents
+        |FROM cum JOIN p ON cum.cum * 100 >= p.p * cum.total
+        |GROUP BY 1, 2 ORDER BY day, p""".stripMargin,
   )
 }

@@ -150,6 +150,27 @@ object Sessionize {
     * no-global-collection path (q104) instead.
     * Output: one row (n_converting, p50_sec, p90_sec, max_sec).
     */
+  /** The 100 TB form of [[funnelLatency]]: per-conversion-day latency
+    * quantiles through [[Profile.cdfQuantiles]]' quantized-count CDF —
+    * one map-side-combinable shuffle over the (day, centisecond)
+    * domain instead of buffering every latency in one exact-percentile
+    * state. All integer arithmetic (type-1 quantile), so bit-identical
+    * in any engine; per-day groups also make it the latency TREND
+    * (p50/p90/p99 by day), which the single-group exact form can't
+    * report without the same groupBy anyway.
+    * Output: (day, p, q_cents) — centiseconds — ordered by (day, p).
+    */
+  def funnelLatencyCdf(events: DataFrame, gapMinutes: Int, steps: Seq[String],
+      percents: Seq[Int]): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps (got ${steps.size})")
+    val last = steps.size - 1
+    val lat = stepTimes(events, gapMinutes, steps)
+      .filter(reachedFlags(steps).last)
+      .select(to_date(col("t0")).as("day"),
+        expr(s"(unix_micros(t$last) - unix_micros(t0)) div 1000000").as("lat_sec"))
+    Profile.cdfQuantiles(lat, "day", "lat_sec", percents)
+  }
+
   def funnelLatency(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"need at least 2 steps (got ${steps.size})")
     val perSession = stepTimes(events, gapMinutes, steps)

@@ -174,6 +174,23 @@ class RetentionSpec extends AnyFunSuite {
     assert(total === users)
   }
 
+  test("funnelLatencyCdf: per-day type-1 quantiles agree with a brute-force check") {
+    // one day, latencies {60, 300, 600} sec for u1-u3 (view->click)
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-01 10:01:00", 1, "click"),
+      (3, "2024-01-01 10:00:00", 2, "view"),
+      (4, "2024-01-01 10:05:00", 2, "click"),
+      (5, "2024-01-01 10:00:00", 3, "view"),
+      (6, "2024-01-01 10:10:00", 3, "click"))
+    val got = Sessionize.funnelLatencyCdf(e, gapMinutes = 60,
+        steps = Seq("view", "click"), percents = Seq(50, 100))
+      .select($"day".cast("string"), $"p", $"q_cents")
+      .as[(String, Long, Long)].collect().toSeq
+    // type-1 lower quantile over {6000, 30000, 60000} centisec
+    assert(got === Seq(("2024-01-01", 50L, 30000L), ("2024-01-01", 100L, 60000L)))
+  }
+
   test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
     val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
