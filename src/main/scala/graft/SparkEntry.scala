@@ -1527,6 +1527,18 @@ object SparkEntry {
     "q140_funnel_latency_cdf" -> ((s, dir) =>
       Sessionize.funnelLatencyCdf(Tables.load(s, dir, "events"), gapMinutes = 60,
         steps = Seq("view", "click"), percents = Seq(50, 90, 99))),
+
+    // ---- First-order within-session transition matrix ("END" on
+    // session close): lead rides the session window's own sort; output
+    // |types|^2 rows at any corpus size ----
+    "q141_transition_matrix" -> ((s, dir) =>
+      Sessionize.transitionMatrix(Tables.load(s, dir, "events"), gapMinutes = 60)),
+
+    // ---- Revenue concentration by user decile (exact bp shares; the
+    // decile sort runs on per-user rows, not events) ----
+    "q142_ltv_deciles" -> ((s, dir) =>
+      Retention.ltvDeciles(Tables.load(s, dir, "events"),
+        eventType = "purchase", valueCol = "value")),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3743,5 +3755,48 @@ object SparkEntry {
         |SELECT cum.day, p.p, min(cum.cent) AS q_cents
         |FROM cum JOIN p ON cum.cum * 100 >= p.p * cum.total
         |GROUP BY 1, 2 ORDER BY day, p""".stripMargin,
+
+    "q141_transition_matrix" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |nx AS (
+        |  SELECT event_type AS from_type,
+        |    CASE WHEN lead(session_id) OVER w = session_id
+        |         THEN lead(event_type) OVER w ELSE 'END' END AS to_type
+        |  FROM sessions
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM nx GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n * 10000 // t.row_total AS BIGINT) AS p_bp
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    "q142_ltv_deciles" ->
+      """WITH per_user AS (
+        |  SELECT user_id, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |cut AS (
+        |  SELECT user_id, cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS decile
+        |  FROM per_user),
+        |d AS (SELECT decile, count(*) AS n_users,
+        |        CAST(sum(cents) AS BIGINT) AS total_value_cents
+        |      FROM cut GROUP BY decile),
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) AS grand FROM per_user)
+        |SELECT decile, n_users, total_value_cents,
+        |  CAST(total_value_cents * 10000 // grand AS BIGINT) AS share_bp
+        |FROM d CROSS JOIN g ORDER BY decile""".stripMargin,
   )
 }

@@ -77,6 +77,35 @@ object Retention {
       .orderBy(col("day"))
   }
 
+  /** Revenue concentration by user decile: users ranked by lifetime
+    * `valueCol` over `eventType` events, cut into 10 equal-count
+    * buckets (deterministic ties: user_id), per-decile totals and
+    * share of revenue in exact basis points — the "top decile drives
+    * X% of revenue" table. The per-user reduce is combinable; the
+    * decile cut is ONE global sort of the already-reduced per-user
+    * rows (users, not events — at 100 TB still the operator's honest
+    * cost; a fixed-width value histogram is the sort-free fallback).
+    * Output: (decile, n_users, total_value_cents, share_bp) ordered
+    * by decile.
+    */
+  def ltvDeciles(events: DataFrame, eventType: String, valueCol: String): DataFrame = {
+    val perUser = events
+      .filter(col("event_type") === eventType && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
+    val cut = perUser.withColumn("decile",
+      ntile(10).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("user_id"))).cast("long"))
+    val deciles = cut.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_value_cents"))
+    val grand = perUser.agg(sum(col("cents")).as("grand")).select(col("grand"))
+    deciles.crossJoin(grand)
+      .select(col("decile"), col("n_users"), col("total_value_cents"),
+        expr("total_value_cents * 10000L div grand").as("share_bp"))
+      .orderBy(col("decile"))
+  }
+
   /** Engagement distribution: how many users were active on exactly
     * n distinct days — the "power-user curve" histogram. Two
     * map-side-combinable aggregates over the reduced pair set; output

@@ -140,6 +140,35 @@ object Sessionize {
       .orderBy(col("step_idx"))
   }
 
+  /** First-order transition matrix over within-session event
+    * sequences (the Markov-chain view of user behavior; "END" marks
+    * session termination): counts and exact basis-point row
+    * probabilities for every (from, to) pair. One per-user analytic
+    * window (`lead` rides the SAME partitioned sort session
+    * assignment uses, so Catalyst folds both into one Window
+    * operator over one exchange) + one combinable groupBy; output is
+    * |types|² rows at any corpus size.
+    * Output: (from_type, to_type, n, p_bp) ordered by (from_type,
+    * to_type).
+    */
+  def transitionMatrix(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val next = assignSessions(events, gapMinutes)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_session", lead(col("session_id"), 1).over(byUser))
+      .select(col("event_type").as("from_type"),
+        when(col("next_session") === col("session_id"), col("next_type"))
+          .otherwise(lit("END")).as("to_type"))
+    val counts = next.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000L div row_total").as("p_bp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Time-to-convert for sessions completing the whole funnel: whole
     * seconds from the first occurrence of the first step to the first
     * occurrence of the last, exact percentiles over that (the SLA /

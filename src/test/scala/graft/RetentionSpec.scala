@@ -191,6 +191,54 @@ class RetentionSpec extends AnyFunSuite {
     assert(got === Seq(("2024-01-01", 50L, 30000L), ("2024-01-01", 100L, 60000L)))
   }
 
+  test("transitionMatrix: hand-computed transitions with session-boundary END") {
+    // u1 one session: view->click->view; u2 two sessions (2h gap):
+    // view | purchase — the cross-session edge must become END
+    val e = ev(
+      (1, "2024-01-01 10:00:00", 1, "view"),
+      (2, "2024-01-01 10:05:00", 1, "click"),
+      (3, "2024-01-01 10:10:00", 1, "view"),
+      (4, "2024-01-01 10:00:00", 2, "view"),
+      (5, "2024-01-01 12:30:00", 2, "purchase"))
+    val got = Sessionize.transitionMatrix(e, gapMinutes = 60)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("click", "view", 1L, 10000L),
+      ("purchase", "END", 1L, 10000L),
+      ("view", "END", 2L, 6666L),
+      ("view", "click", 1L, 3333L)))
+  }
+
+  test("transitionMatrix at sf0.001: outgoing edges per row sum to the row total") {
+    val got = Sessionize.transitionMatrix(Tables.load(spark, sf, "events"), 60)
+    // every event has exactly one outgoing edge (END included)
+    val total = got.agg(sum($"n")).as[Long].head()
+    assert(total === Tables.load(spark, sf, "events").count())
+    assert(got.filter($"p_bp" > 10000).isEmpty)
+  }
+
+  test("ltvDeciles: hand-computed concentration; deciles partition users at sf0.001") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 30.0),
+      (2L, "2024-01-01 11:00:00", 2L, "purchase", 10.0),
+      (3L, "2024-01-01 12:00:00", 2L, "purchase", 10.0),
+      (4L, "2024-01-01 13:00:00", 3L, "view", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = Retention.ltvDeciles(e, "purchase", "value")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // two users: u1 3000c (decile 1), u2 2000c (decile 2); view ignored
+    assert(got === Seq((1L, 1L, 3000L, 6000L), (2L, 1L, 2000L, 4000L)))
+
+    val real = Retention.ltvDeciles(Tables.load(spark, sf, "events"), "purchase", "value")
+    val buyers = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase").select($"user_id").distinct().count()
+    assert(real.agg(sum($"n_users")).as[Long].head() === buyers)
+    // top decile concentrates at least its proportional share
+    val top = real.filter($"decile" === 1).select($"share_bp").as[Long].head()
+    assert(top >= 1000L)
+  }
+
   test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
     val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
