@@ -165,6 +165,10 @@ object ScaleProbe {
       events, 60, Seq("view", "click", "purchase")))
     time("funnel_latency", operators.Sessionize.funnelLatency(
       events, 60, Seq("view", "click", "purchase")))
+    time("funnel_latency_cdf", operators.Sessionize.funnelLatencyCdf(
+      events, 60, Seq("view", "click"), Seq(50, 90, 99)))
+    time("transition_matrix", operators.Sessionize.transitionMatrix(events, 60))
+    time("ltv_deciles", operators.Retention.ltvDeciles(events, "purchase", "value"))
     // estimate-only: the catalog q134 also joins the exact column for
     // auditability, which costs the full exact path — the scale
     // comparison is sketch-vs-exact, not sketch+exact-vs-exact
