@@ -80,22 +80,6 @@ object Sessionize {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** Ordered-step funnel over gap-sessions: how many sessions reach
-    * step i = contain every one of `steps(0..i)` with nondecreasing
-    * first-occurrence times (a session that clicks before it ever
-    * views does NOT count as view→click). Equal timestamps count as
-    * in-order, and first occurrences (`min` per step) make the check
-    * deterministic without any per-row sequencing.
-    *
-    * Scale shape: session assignment is the per-user analytic window
-    * (one user-keyed shuffle); per-session step times are one groupBy
-    * with map-side-combinable `min`s; the funnel itself is a single
-    * global aggregate of boolean flags — a handful of longs, no
-    * second pass. Conversion is reported in exact integer basis
-    * points (step i vs step i-1; step 0 vs all sessions), so the row
-    * hashes identically in any engine.
-    * Output: (step_idx, step, n_sessions, conv_bp) ordered by step_idx.
-    */
   /** Per-session first-occurrence time of each step: one analytic
     * window (session assignment) + one combinable-min groupBy.
     * Output: (user_id, session_id, t0..tN).
@@ -119,6 +103,22 @@ object Sessionize {
         .foldLeft(lit(true))(_ && _)
     }
 
+  /** Ordered-step funnel over gap-sessions: how many sessions reach
+    * step i = contain every one of `steps(0..i)` with nondecreasing
+    * first-occurrence times (a session that clicks before it ever
+    * views does NOT count as view→click). Equal timestamps count as
+    * in-order, and first occurrences (`min` per step) make the check
+    * deterministic without any per-row sequencing.
+    *
+    * Scale shape: session assignment is the per-user analytic window
+    * (one user-keyed shuffle); per-session step times are one groupBy
+    * with map-side-combinable `min`s; the funnel itself is a single
+    * global aggregate of boolean flags — a handful of longs, no
+    * second pass. Conversion is reported in exact integer basis
+    * points (step i vs step i-1; step 0 vs all sessions), so the row
+    * hashes identically in any engine.
+    * Output: (step_idx, step, n_sessions, conv_bp) ordered by step_idx.
+    */
   def sessionFunnel(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     val perSession = stepTimes(events, gapMinutes, steps)
@@ -143,11 +143,11 @@ object Sessionize {
   /** First-order transition matrix over within-session event
     * sequences (the Markov-chain view of user behavior; "END" marks
     * session termination): counts and exact basis-point row
-    * probabilities for every (from, to) pair. One per-user analytic
-    * window (`lead` rides the SAME partitioned sort session
-    * assignment uses, so Catalyst folds both into one Window
-    * operator over one exchange) + one combinable groupBy; output is
-    * |types|² rows at any corpus size.
+    * probabilities for every (from, to) pair. lag, running-sum and
+    * lead have distinct frames (three Window nodes), but all ride the
+    * SAME user-partitioned (ts, event_id) sort — one exchange + one
+    * sort total, plan-asserted in RetentionSpec — then one combinable
+    * groupBy; output is |types|² rows at any corpus size.
     * Output: (from_type, to_type, n, p_bp) ordered by (from_type,
     * to_type).
     */

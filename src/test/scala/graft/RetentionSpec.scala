@@ -239,6 +239,32 @@ class RetentionSpec extends AnyFunSuite {
     assert(top >= 1000L)
   }
 
+  test("plan shapes: transitionMatrix folds lag+sum+lead into one Window; q133 has none") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // settle AQE so the explain shows the final plan
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    // lag (session mark), running sum (session id) and lead (next
+    // event) have distinct frames, so they plan as three Window nodes
+    // — but all three share the user-partitioned (ts, event_id) sort:
+    // exactly ONE Sort feeds the Window chain, and the only other
+    // Sort in the plan is the final tiny orderBy
+    val events = Tables.load(spark, sf, "events")
+    val tmPlan = fmt(Sessionize.transitionMatrix(events, 60))
+      .split("== Initial Plan ==").head
+    val windows = "\\bWindow \\(".r.findAllIn(tmPlan).size
+    val sorts = "\\bSort \\(".r.findAllIn(tmPlan).size
+    assert(windows === 3, s"expected 3 Window nodes, got $windows:\n$tmPlan")
+    assert(sorts === 2, s"expected 2 Sorts (window + final orderBy), got $sorts:\n$tmPlan")
+    // the rolling-distinct path is windowless by design (explode, not
+    // a moving frame) and must not funnel through a single partition
+    val raPlan = fmt(Retention.rollingActiveUsers(events, 7))
+      .split("== Initial Plan ==").head
+    assert("\\bWindow \\(".r.findAllIn(raPlan).isEmpty, raPlan)
+    assert(!raPlan.contains("SinglePartition"), raPlan)
+  }
+
   test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
     val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
