@@ -1539,6 +1539,20 @@ object SparkEntry {
     "q142_ltv_deciles" -> ((s, dir) =>
       Retention.ltvDeciles(Tables.load(s, dir, "events"),
         eventType = "purchase", valueCol = "value")),
+
+    // ---- Streaming-maintained KMV state (transformWithState +
+    // RocksDB): the live-ingest form of q139 — per-day k-min arrays
+    // as typed state, emissions re-sketched on read; exact under any
+    // batching, so it shares q139's oracle ----
+    "q143_stream_rolling_wau" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val src = EventStream.source(s, s"$dir/events.parquet")
+      EventStream.withStatePartitions(s, 8) {
+        Retention.mergeRollingKmv(
+          streaming.KmvStream.drainedPartials(s, src, k = 64),
+          windowDays = 7, k = 64)
+      }.orderBy(col("day"))
+    }),
   )
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
@@ -3695,32 +3709,11 @@ object SparkEntry {
 
     // identical math to q134 minus the exact audit column: the state
     // table is a deterministic function of events, so the oracle
-    // rebuilds it from events directly
-    "q139_rolling_wau_persisted" -> {
-      val k = 64
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
-         |  FROM events WHERE user_id IS NOT NULL),
-         |hs AS (SELECT DISTINCT day, h FROM (
-         |    SELECT day, ${graft.functions.PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
-         |    FROM pairs)
-         |  WHERE h IS NOT NULL),
-         |kept AS (SELECT day, h FROM (
-         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
-         |  WHERE rnk <= $k),
-         |days AS (SELECT DISTINCT day FROM pairs),
-         |wh AS (SELECT DISTINCT d.day, s.h
-         |       FROM kept s JOIN days d
-         |         ON s.day <= d.day AND s.day >= d.day - 6),
-         |wkept AS (SELECT day, h FROM (
-         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM wh)
-         |  WHERE rnk <= $k)
-         |SELECT day, count(*) AS n_kept, max(h) AS kth_hash,
-         |  CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
-         |       ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / max(h) END AS approx_wau
-         |FROM wkept GROUP BY day
-         |ORDER BY day""".stripMargin
-    },
+    // rebuilds it from events directly. q143 maintains the same state
+    // FROM A STREAM and is exact under any batching, so it shares the
+    // SQL verbatim.
+    "q139_rolling_wau_persisted" -> kmvRollingStateSql(k = 64),
+    "q143_stream_rolling_wau" -> kmvRollingStateSql(k = 64),
 
     "q140_funnel_latency_cdf" ->
       """WITH marked AS (
@@ -3799,4 +3792,29 @@ object SparkEntry {
         |  CAST(total_value_cents * 10000 // grand AS BIGINT) AS share_bp
         |FROM d CROSS JOIN g ORDER BY decile""".stripMargin,
   )
+
+  private def kmvRollingStateSql(k: Int): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hs AS (SELECT DISTINCT day, h FROM (
+       |    SELECT day, ${graft.functions.PortableHash.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+       |    FROM pairs)
+       |  WHERE h IS NOT NULL),
+       |kept AS (SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM hs)
+       |  WHERE rnk <= $k),
+       |days AS (SELECT DISTINCT day FROM pairs),
+       |wh AS (SELECT DISTINCT d.day, s.h
+       |       FROM kept s JOIN days d
+       |         ON s.day <= d.day AND s.day >= d.day - 6),
+       |wkept AS (SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM wh)
+       |  WHERE rnk <= $k)
+       |SELECT day, count(*) AS n_kept, max(h) AS kth_hash,
+       |  CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |       ELSE CAST(${k - 1} * 4294967296 AS DOUBLE) / max(h) END AS approx_wau
+       |FROM wkept GROUP BY day
+       |ORDER BY day""".stripMargin
+
 }

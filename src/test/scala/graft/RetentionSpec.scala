@@ -86,6 +86,21 @@ class RetentionSpec extends AnyFunSuite {
     assert(fromState === oneShot)
   }
 
+  test("streaming KMV state equals the batch estimate, even with every event delivered twice") {
+    import graft.streaming.{EventStream, KmvStream}
+    val src = EventStream.source(spark, s"$sf/events.parquet")
+    val doubled = src.union(EventStream.source(spark, s"$sf/events.parquet"))
+    val streamed = EventStream.withStatePartitions(spark, 4) {
+      operators.Retention.mergeRollingKmv(
+        KmvStream.drainedPartials(spark, doubled, 64), 7, 64)
+    }.orderBy($"day").collect().toSeq
+    val batch = operators.Retention.rollingWauKmvEstimate(
+      Tables.load(spark, sf, "events"), 7, 64).orderBy($"day").collect().toSeq
+    // k-min of a multiset ignores repeats: duplicate delivery cannot
+    // move the sketch, so no dedup/watermark machinery is needed
+    assert(streamed === batch)
+  }
+
   test("cohortRetention: hand-computed cohort matrix") {
     // cohort 01-01: u1 (active wk0 + wk1), u2 (wk0 only)
     // cohort 01-02: u3 (active wk0 + wk2)
