@@ -18,26 +18,104 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** True iff the `ts` column of the parquet at `path` (a file or a
+    * directory; the FIRST footer found decides — parquet directories
+    * are schema-homogeneous by contract) is annotated
+    * `TIMESTAMP(NANOS)`. Driver-side metadata read only, no data
+    * pages. `false` when no footer exists yet (empty stream-source
+    * directory) or the column is absent / un-annotated — callers then
+    * treat a long-surfaced `ts` as unidentifiable and raise, rather
+    * than guessing an epoch unit.
+    *
+    * This is the footer-vs-Spark-type distinction that matters: under
+    * `nanosAsLong=true` both TIMESTAMP(NANOS) and a producer's raw
+    * BIGINT epoch-millis surface as `LongType`, and a `div 1000`
+    * applied to the latter silently mis-scales by 10^6. Only the
+    * logical-type annotation tells them apart.
+    */
+  def tsIsNanosAnnotated(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    tsAnnotation(spark, path).exists {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+      case _ => false
+    }
+  }
+
+  /** The `ts` column's logical-type annotation from the first footer
+    * under `path` (None: no footer, no `ts` field, or un-annotated).
+    */
+  def tsAnnotation(spark: SparkSession, path: String)
+      : Option[org.apache.parquet.schema.LogicalTypeAnnotation] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val file: Option[Path] =
+      if (fs.getFileStatus(root).isFile) Some(root)
+      else {
+        // recursive: stream drops land in nested date directories
+        val it = fs.listFiles(root, true)
+        var found: Option[Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            found = Some(st.getPath)
+        }
+        found
+      }
+    file.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) None
+        else {
+          val field = schema.getType(Seq("ts"): _*)
+          if (!field.isPrimitive) None
+          else Option(field.asPrimitiveType().getLogicalTypeAnnotation)
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Normalize an `events`-shaped frame so `ts` is a session-zone
     * TimestampType at micros precision, whatever the producer wrote:
     *
-    *  - `LongType` — parquet TIMESTAMP(NANOS) surfaced as raw nanos by
-    *    `spark.sql.legacy.parquet.nanosAsLong` (Spark 4 has no nanos
+    *  - `LongType` — ONLY legal when the footer's logical-type
+    *    annotation says TIMESTAMP(NANOS) (surfaced as raw nanos by
+    *    `spark.sql.legacy.parquet.nanosAsLong`; Spark 4 has no nanos
     *    timestamp). Truncate to micros — the same truncation DuckDB
     *    applies on CAST(ts AS TIMESTAMP), so oracle comparisons agree.
+    *    A long `ts` WITHOUT that annotation (e.g. a producer writing
+    *    raw BIGINT epoch-millis) is rejected loudly: the epoch unit is
+    *    not inferable from the type, and a wrong guess mis-scales every
+    *    timestamp by 10^6 silently. Callers pass the footer verdict
+    *    (`longIsNanos`, lazily evaluated — the footer is only consulted
+    *    when the surfaced type actually is long).
     *  - `TimestampNTZType` — naive micros/millis (isAdjustedToUTC=false
     *    footers). Cast to TimestampType; value-preserving because every
     *    entrypoint pins `spark.sql.session.timeZone=UTC`.
     *  - `TimestampType` — UTC-adjusted micros; already canonical.
     *
     * A lake ingesting from heterogeneous producers sees all three, so
-    * the unit is read from the footer schema, never assumed.
+    * the unit is read from the footer metadata, never assumed.
     */
-  def normalizeTs(df: DataFrame): DataFrame = {
+  def normalizeTs(df: DataFrame, longIsNanos: => Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType if longIsNanos =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType => throw new IllegalArgumentException(
+        "events.ts: stored as INT64 without a TIMESTAMP(NANOS) logical-type " +
+          "annotation — the epoch unit (millis? micros? nanos?) cannot be " +
+          "identified, and guessing mis-scales silently. Annotate the column " +
+          "in the producer (parquet TIMESTAMP logical type) or normalize it " +
+          "explicitly upstream of this loader.")
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(
@@ -49,7 +127,8 @@ object Tables {
     // Lets TIMESTAMP(NANOS) footers load at all (as long); harmless for
     // micros/millis footers, which still read as timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    val path = s"$dir/events.parquet"
+    normalizeTs(spark.read.parquet(path), tsIsNanosAnnotated(spark, path))
   }
 
   /** Register every table as a temp view (for spark.sql paths / tests). */

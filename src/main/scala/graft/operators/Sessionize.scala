@@ -132,7 +132,9 @@ object Sessionize {
       struct(
         lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
         col(s"c$i").as("n_sessions"),
-        expr(s"c$i * 10000L div $prev").as("conv_bp"))
+        // nullif guard: a feed missing a step makes the divisor 0 and
+        // ANSI mode would throw; NULL matches the oracle's NULLIF.
+        expr(s"c$i * 10000L div nullif($prev, 0L)").as("conv_bp"))
     }
     counts
       .select(explode(array(rows: _*)).as("r"))
@@ -169,16 +171,6 @@ object Sessionize {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  /** Time-to-convert for sessions completing the whole funnel: whole
-    * seconds from the first occurrence of the first step to the first
-    * occurrence of the last, exact percentiles over that (the SLA /
-    * "how long does view→purchase take" number). Rides the same two
-    * stages as [[sessionFunnel]] plus one global aggregate; exact
-    * `percentile` is the small-output baseline, and at 100 TB the
-    * same latency column feeds Profile.cdfQuantiles' quantized
-    * no-global-collection path (q104) instead.
-    * Output: one row (n_converting, p50_sec, p90_sec, max_sec).
-    */
   /** The 100 TB form of [[funnelLatency]]: per-conversion-day latency
     * quantiles through [[Profile.cdfQuantiles]]' quantized-count CDF —
     * one map-side-combinable shuffle over the (day, centisecond)
@@ -200,6 +192,16 @@ object Sessionize {
     Profile.cdfQuantiles(lat, "day", "lat_sec", percents)
   }
 
+  /** Time-to-convert for sessions completing the whole funnel: whole
+    * seconds from the first occurrence of the first step to the first
+    * occurrence of the last, exact percentiles over that (the SLA /
+    * "how long does view→purchase take" number). Rides the same two
+    * stages as [[sessionFunnel]] plus one global aggregate; exact
+    * `percentile` is the small-output baseline, and at 100 TB the
+    * same latency column feeds Profile.cdfQuantiles' quantized
+    * no-global-collection path (q104) instead.
+    * Output: one row (n_converting, p50_sec, p90_sec, max_sec).
+    */
   def funnelLatency(events: DataFrame, gapMinutes: Int, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"need at least 2 steps (got ${steps.size})")
     val perSession = stepTimes(events, gapMinutes, steps)

@@ -103,6 +103,20 @@ object EventStream {
       case None            => body
     }
 
+  /** The canonical `events` layout (TESTDATA.md; ts at micros). Used
+    * as the declared stream schema when the directory has no footers
+    * to sniff yet — the daily-drop layout starts streams BEFORE the
+    * first file lands, so schema inference can't be a startup
+    * requirement.
+    */
+  val CanonicalEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Unbounded source over a parquet directory with event-time `ts`.
     * Recursive lookup: daily drops usually land in nested date
     * directories. A streaming source needs a declared schema, and the
@@ -111,16 +125,29 @@ object EventStream {
     * no data read), then `ts` is normalized in the plan. Files arriving
     * later must match the sniffed layout, the usual file-stream
     * fixed-schema contract.
+    *
+    * When the directory is empty (or doesn't exist yet) there are no
+    * footers to sniff; the stream starts against `schemaIfEmpty`
+    * (default [[CanonicalEventsSchema]]) so a not-yet-populated drop
+    * directory doesn't fail source construction — the pre-sniff
+    * behavior this source had when its schema was declared. Callers
+    * with a non-canonical producer pass their own.
     */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  def source(spark: SparkSession, dir: String,
+      schemaIfEmpty: StructType = CanonicalEventsSchema): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read
-      .option("recursiveFileLookup", "true").parquet(dir).schema
+    val fileSchema =
+      try spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+      catch {
+        // UNABLE_TO_INFER_SCHEMA / missing path: no footers yet.
+        case _: org.apache.spark.sql.AnalysisException => schemaIfEmpty
+      }
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(fileSchema)
         .option("recursiveFileLookup", "true")
-        .parquet(dir))
+        .parquet(dir),
+      longIsNanos = graft.Tables.tsIsNanosAnnotated(spark, dir))
   }
 
   /** Watermarked cross-batch dedup (fixes the reference's intra-batch-

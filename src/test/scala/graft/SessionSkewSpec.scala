@@ -73,7 +73,6 @@ class SessionSkewSpec extends AnyFunSuite {
   test("streaming session_window agrees with batch sessionization stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Tables.load(spark, sf, "events")
-      .withColumn("ts", unix_micros($"ts") * 1000)
       .write.parquet(s"$dir/data")
     val streamed = EventStream.runToCompletion(spark,
       EventStream.sessionAgg(EventStream.source(spark, s"$dir/data"), gapMinutes = 60))

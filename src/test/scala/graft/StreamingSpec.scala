@@ -21,11 +21,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streamed daily agg equals batch daily agg over the same files") {
     val dir = tmp("graft-stream-src")
-    // stage the events parquet as a stream-source directory
+    // stage the events parquet as a stream-source directory (canonical
+    // micros layout; producer-layout variance is TsLayoutSpec's job)
     Tables.load(spark, sf, "events")
-      .withColumn("ts", unix_micros($"ts") * 1000) // back to raw nanos-as-long
       .write.parquet(s"$dir/data")
-    // the staged copy holds micros*1000 (ns); stream source divs by 1000
     val streamed = EventStream.runToCompletion(spark,
       EventStream.dailyAgg(EventStream.source(spark, s"$dir/data")))
       .select($"w.start".as("day"), $"event_type", $"n_events", $"total_value")
@@ -42,7 +41,6 @@ class StreamingSpec extends AnyFunSuite {
   test("RocksDB state store: daily agg and dedup match the in-memory provider") {
     val dir = tmp("graft-rocksdb-src")
     Tables.load(spark, sf, "events")
-      .withColumn("ts", unix_micros($"ts") * 1000)
       .write.parquet(s"$dir/data")
     def daily() = EventStream.runToCompletion(spark,
       EventStream.dailyAgg(EventStream.source(spark, s"$dir/data")))
@@ -68,7 +66,6 @@ class StreamingSpec extends AnyFunSuite {
   test("graft.stateStore sysprop routes withStatePartitions through RocksDB") {
     val dir = tmp("graft-rocksdb-prop")
     Tables.load(spark, sf, "events")
-      .withColumn("ts", unix_micros($"ts") * 1000)
       .write.parquet(s"$dir/data")
     sys.props("graft.stateStore") = "rocksdb"
     try {
@@ -105,7 +102,6 @@ class StreamingSpec extends AnyFunSuite {
     val out = tmp("graft-dedup-out")
     val ck = tmp("graft-dedup-ck")
     val ev = Tables.load(spark, sf, "events").limit(100)
-      .withColumn("ts", unix_micros($"ts") * 1000)
     // batch 1: rows; batch 2: the SAME rows again (a retried daily pull)
     ev.write.parquet(s"$src/b1")
     val stream = EventStream.dedupped(EventStream.source(spark, src))
@@ -117,12 +113,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == result.select("event_id").distinct().count())
   }
 
+  test("stream starts against an empty drop directory, then reads the first drop") {
+    // daily-drop layout: the query is started BEFORE the first file
+    // lands. No footers to sniff -> the canonical declared schema
+    // takes over; the first drain emits nothing, the drop then lands
+    // and the SAME checkpointed plan drains it.
+    val src = tmp("graft-predrop-src")
+    val out = tmp("graft-predrop-out")
+    val ck = tmp("graft-predrop-ck")
+    val stream = EventStream.dedupped(EventStream.source(spark, src))
+    assert(stream.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    EventStream.runAppendToDir(stream, out, ck) // drains zero batches
+    Tables.load(spark, sf, "events").limit(40).write.parquet(s"$src/day1")
+    EventStream.runAppendToDir(stream, out, ck)
+    assert(spark.read.parquet(out).count() == 40)
+  }
+
   test("foreachBatch drains deduped stream into a batch sink exactly once") {
     val src = tmp("graft-feb-src")
     val out = tmp("graft-feb-out") + "/tbl"
     val ck = tmp("graft-feb-ck")
     val ev = Tables.load(spark, sf, "events").limit(50)
-      .withColumn("ts", unix_micros($"ts") * 1000)
     ev.write.parquet(s"$src/b1")
     val stream = EventStream.dedupped(EventStream.source(spark, src))
     EventStream.runForeachBatch(stream, ck) { (batch, _) =>

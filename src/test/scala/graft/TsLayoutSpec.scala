@@ -27,8 +27,9 @@ class TsLayoutSpec extends AnyFunSuite {
   private def staged(): (String, String, String) = {
     val base = Tables.load(spark, sf, "events")
     val nanosDir = tmp("graft-ts-nanos")
-    base.withColumn("ts", unix_micros($"ts") * 1000) // raw nanos-as-long
-      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    // a REAL nanos footer: INT64 + TIMESTAMP(NANOS) annotation (Spark
+    // can't write one; the hardened loader demands the annotation)
+    TsTestFixtures.writeEventsNanos(base, s"$nanosDir/events.parquet")
     val ntzDir = tmp("graft-ts-ntz")
     base.withColumn("ts", $"ts".cast(TimestampNTZType)) // naive micros
       .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
@@ -67,5 +68,30 @@ class TsLayoutSpec extends AnyFunSuite {
   test("normalizeTs rejects an unsupported ts storage type") {
     val bad = Seq((1L, "x")).toDF("event_id", "ts")
     assertThrows[IllegalArgumentException](Tables.normalizeTs(bad))
+  }
+
+  test("un-annotated BIGINT epoch-millis ts is rejected loudly, not mis-scaled") {
+    // a producer writing raw epoch-millis longs: Spark stores plain
+    // INT64, no TIMESTAMP annotation. Before the footer-driven branch
+    // this loaded through the nanos path and silently mis-scaled every
+    // timestamp by 10^6; now the loader refuses with a named error.
+    val dir = tmp("graft-ts-millis")
+    Tables.load(spark, sf, "events")
+      .withColumn("ts", unix_millis($"ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](
+      Tables.load(spark, dir, "events").collect())
+    assert(e.getMessage.contains("TIMESTAMP(NANOS)"),
+      s"expected the annotation-named error, got: ${e.getMessage}")
+    // footer probe agrees: no nanos annotation present
+    assert(!Tables.tsIsNanosAnnotated(spark, s"$dir/events.parquet"))
+  }
+
+  test("footer probe identifies the real nanos annotation and tolerates empty dirs") {
+    val (nanosDir, _, utcDir) = staged()
+    assert(Tables.tsIsNanosAnnotated(spark, s"$nanosDir/events.parquet"))
+    assert(!Tables.tsIsNanosAnnotated(spark, s"$utcDir/events.parquet"))
+    assert(!Tables.tsIsNanosAnnotated(spark, tmp("graft-ts-empty")))
+    assert(!Tables.tsIsNanosAnnotated(spark, "/nonexistent/graft-ts-path"))
   }
 }

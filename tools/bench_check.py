@@ -37,11 +37,19 @@ def main(path):
     # adjudicating a flag sees the symmetric spread, not just the
     # one-sided min the adaptive third sample biases.
     samples = cur.get("samples", {})
+    # Errored queries carry a near-zero fail-fast sample; comparing that
+    # against a baseline would print "faster" and pass the gate. Report
+    # them loudly, skip them in the ratio loop, and fail the run.
+    errors = cur.get("errors", {})
+    for name, msg in sorted(errors.items()):
+        print(f"ERRORED  {name}: {msg}")
     def spread(name):
         ss = sorted(samples.get(name, []))
         return " samples=[" + ",".join(f"{s:.2f}" for s in ss) + "]" if ss else ""
     regressed = []
     for name, sec in sorted(cur["queries"].items()):
+        if name in errors:
+            continue
         b = base["queries"].get(name)
         if b is None:
             print(f"new  {name}: {sec:.2f}s (no baseline)")
@@ -55,11 +63,16 @@ def main(path):
             regressed.append(name)
     base_total = base.get("total", base.get("value", 0.0))
     print(f"\ntotal: {cur['value']:.1f}s vs baseline {base_total:.1f}s")
+    rc = 0
+    if errored := sorted(errors):
+        print("ERRORED QUERIES (excluded from comparison):", ", ".join(errored))
+        rc = 1
     if regressed:
         print("REGRESSIONS:", ", ".join(regressed))
-        return 1
-    print("no regressions >", REGRESSION_X, "x")
-    return 0
+        rc = 1
+    if rc == 0:
+        print("no regressions >", REGRESSION_X, "x")
+    return rc
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"))
