@@ -81,26 +81,63 @@ object Retention {
     * `valueCol` over `eventType` events, cut into 10 equal-count
     * buckets (deterministic ties: user_id), per-decile totals and
     * share of revenue in exact basis points — the "top decile drives
-    * X% of revenue" table. The per-user reduce is combinable; the
-    * decile cut is ONE global sort of the already-reduced per-user
-    * rows (users, not events — at 100 TB still the operator's honest
-    * cost; a fixed-width value histogram is the sort-free fallback).
+    * X% of revenue" table. Bucket assignment is EXACTLY `ntile(10)`
+    * over (cents DESC, user_id) — but computed without ever sorting
+    * the per-user rows in one partition (the scale-killer a literal
+    * ntile plans as). Each user's global rank decomposes into
+    *
+    *   rank = (#users with strictly higher cents) + (user's position
+    *           among the ties at its own cents value)
+    *
+    * where the first term is a running sum over the CENTS HISTOGRAM
+    * (distinct-value counts — the same reduced-domain trick as the
+    * q104/q140 quantized CDF: the only unpartitioned window in the
+    * plan runs over histogram rows, never user rows) and the second
+    * is a cents-partitioned `row_number` (distributed; a pathological
+    * tie group — millions of users at one exact lifetime value — is
+    * the residual hot key, and would need a two-level count to split).
+    * Rank→decile is then ntile's closed-form rule applied map-side:
+    * with N users the first N%10 buckets take ceil(N/10), the rest
+    * floor(N/10).
     * Output: (decile, n_users, total_value_cents, share_bp) ordered
     * by decile.
     */
   def ltvDeciles(events: DataFrame, eventType: String, valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val perUser = events
       .filter(col("event_type") === eventType && col("user_id").isNotNull)
       .select(col("user_id"),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
-    val cut = perUser.withColumn("decile",
-      ntile(10).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cents").desc, col("user_id"))).cast("long"))
-    val deciles = cut.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_value_cents"))
-    val grand = perUser.agg(sum(col("cents")).as("grand")).select(col("grand"))
-    deciles.crossJoin(grand)
+    // reduced domain: one row per distinct lifetime value
+    val hist = perUser.groupBy(col("cents")).agg(count(lit(1)).as("n_at"))
+    val nHigher = hist.withColumn("n_higher",
+      coalesce(
+        sum(col("n_at")).over(W.orderBy(col("cents").desc)
+          .rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("cents"), col("n_higher"))
+    val ranked = perUser
+      .withColumn("tie_rk", row_number()
+        .over(W.partitionBy(col("cents")).orderBy(col("user_id"))).cast("long"))
+      .join(nHigher, Seq("cents"))
+      .withColumn("rk", col("n_higher") + col("tie_rk"))
+    val totals = perUser.agg(
+      count(lit(1)).as("n_total"), sum(col("cents")).as("grand"))
+    // ntile's split: rem = N%10 buckets of base+1, then buckets of base.
+    // When N < 10 every rank lands in the first branch (rem = N), so
+    // the base-sized ELSE (and its div) is never evaluated.
+    val cut = ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", expr(
+        """CASE WHEN rk <= (n_total % 10) * (n_total div 10 + 1)
+          |     THEN (rk - 1) div (n_total div 10 + 1) + 1
+          |     ELSE (n_total % 10)
+          |          + (rk - 1 - (n_total % 10) * (n_total div 10 + 1))
+          |            div (n_total div 10) + 1
+          |END""".stripMargin))
+    cut.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_value_cents"),
+        max(col("grand")).as("grand"))
       .select(col("decile"), col("n_users"), col("total_value_cents"),
         expr("total_value_cents * 10000L div grand").as("share_bp"))
       .orderBy(col("decile"))

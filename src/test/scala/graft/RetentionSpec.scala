@@ -254,6 +254,45 @@ class RetentionSpec extends AnyFunSuite {
     assert(top >= 1000L)
   }
 
+  test("ltvDeciles equals the literal ntile(10) definition at sf0.001") {
+    // the sort-free rank decomposition must reproduce ntile bit-for-bit
+    // (same bucket sizes, same tie handling) — checked against a
+    // literal ntile plan on the real fixture
+    val e = Tables.load(spark, sf, "events")
+    val perUser = e
+      .filter($"event_type" === "purchase" && $"user_id".isNotNull)
+      .select($"user_id", expr("cast(floor(value * 100.0D + 0.5D) as bigint)").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ref = perUser
+      .withColumn("decile",
+        ntile(10).over(W.orderBy($"cents".desc, $"user_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_value_cents"))
+      .orderBy($"decile")
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = Retention.ltvDeciles(e, "purchase", "value")
+      .select($"decile", $"n_users", $"total_value_cents")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === ref)
+  }
+
+  test("ltvDeciles plans ntile-free: no unpartitioned window over user rows") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = Retention.ltvDeciles(Tables.load(spark, sf, "events"), "purchase", "value")
+    df.collect() // settle AQE so the explain shows the final plan
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("ntile"), plan)
+    // the only legal unpartitioned Window is the running sum over the
+    // reduced cents histogram — one whose input carries user_id would
+    // be the old single-partition sort of every user
+    val unpartitionedOverUsers = plan.split("\\(\\d+\\) ")
+      .filter(s => s.startsWith("Window") && s.contains(", [], [") && s.contains("user_id"))
+    assert(unpartitionedOverUsers.isEmpty,
+      unpartitionedOverUsers.mkString("\n---\n"))
+  }
+
   test("plan shapes: transitionMatrix folds lag+sum+lead into one Window; q133 has none") {
     import org.apache.spark.sql.execution.ExplainMode
     def fmt(df: org.apache.spark.sql.DataFrame): String = {
