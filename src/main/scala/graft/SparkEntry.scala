@@ -1553,7 +1553,61 @@ object SparkEntry {
           windowDays = 7, k = 64)
       }.orderBy(col("day"))
     }),
+
+    // ---- q135/q137 with SEEDED conversion chains: the synthetic feed
+    // produces zero full view→click→purchase sessions, so the ordered-
+    // chain logic (reachedFlags' t_i <= t_{i+1} conjunction) matched
+    // only an empty aggregate. These union four deterministic users —
+    // two in-order converters, one out-of-order, one whose purchase
+    // falls past the session gap — so step-3 counts and latency
+    // percentiles are oracle-checked with rows > 0 ----
+    "q144_session_funnel_seeded" -> ((s, dir) =>
+      Sessionize.sessionFunnel(seededFunnelFeed(s, dir), gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))),
+
+    "q145_funnel_latency_seeded" -> ((s, dir) =>
+      Sessionize.funnelLatency(seededFunnelFeed(s, dir), gapMinutes = 60,
+        steps = Seq("view", "click", "purchase"))),
   )
+
+  /** Guaranteed funnel chains appended to the real feed for q144/q145
+    * (user ids far outside the fixture range, 2030 dates):
+    * 9000001 converts in-order within one session (latency 1200 s);
+    * 9000002 has all three steps but out of order (reaches view only);
+    * 9000003's purchase lands past the 60-min gap (new session — the
+    * view→click prefix converts, the chain does not);
+    * 9000004 converts in-order (latency 1800 s).
+    */
+  private val funnelSeedRows: Seq[(Long, Long, String, String)] = Seq(
+    (9000001L, 9100001L, "view", "2030-01-01 10:00:00"),
+    (9000001L, 9100002L, "click", "2030-01-01 10:05:00"),
+    (9000001L, 9100003L, "purchase", "2030-01-01 10:20:00"),
+    (9000002L, 9100004L, "purchase", "2030-01-01 10:00:00"),
+    (9000002L, 9100005L, "click", "2030-01-01 10:05:00"),
+    (9000002L, 9100006L, "view", "2030-01-01 10:10:00"),
+    (9000003L, 9100007L, "view", "2030-01-01 10:00:00"),
+    (9000003L, 9100008L, "click", "2030-01-01 10:30:00"),
+    (9000003L, 9100009L, "purchase", "2030-01-01 12:00:00"),
+    (9000004L, 9100010L, "view", "2030-01-01 10:00:00"),
+    (9000004L, 9100011L, "click", "2030-01-01 10:10:00"),
+    (9000004L, 9100012L, "purchase", "2030-01-01 10:30:00"))
+
+  private def seededFunnelFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = funnelSeedRows.toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .unionByName(seeds)
+  }
+
+  /** The same rows as a DuckDB VALUES list (user_id, event_id,
+    * event_type, t) — keeps the q144/q145 oracles in sync with the
+    * Spark-side seeds by construction.
+    */
+  private def funnelSeedValuesSql: String = funnelSeedRows
+    .map { case (u, e, t, ts) => s"($u, $e, '$t', TIMESTAMP '$ts')" }
+    .mkString(", ")
 
   /** DuckDB CTEs mirroring Dedup.shingles / the portable hash — kept as
     * helpers so q11/q12 stay in sync. `n`-gram shingles over
@@ -3791,7 +3845,67 @@ object SparkEntry {
         |SELECT decile, n_users, total_value_cents,
         |  CAST(total_value_cents * 10000 // grand AS BIGINT) AS share_bp
         |FROM d CROSS JOIN g ORDER BY decile""".stripMargin,
+
+    "q144_session_funnel_seeded" ->
+      s"""$seededFunnelCte
+         |c AS (
+         |  SELECT count(*) AS c_total,
+         |    count(*) FILTER (WHERE t0 IS NOT NULL) AS c0,
+         |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0) AS c1,
+         |    count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+         |                     AND t2 IS NOT NULL AND t2 >= t1) AS c2
+         |  FROM g)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, c0 AS n_sessions,
+         |    c0 * 10000 // NULLIF(c_total, 0) AS conv_bp FROM c
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'click', c1, c1 * 10000 // NULLIF(c0, 0) FROM c
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'purchase', c2, c2 * 10000 // NULLIF(c1, 0) FROM c)
+         |ORDER BY step_idx""".stripMargin,
+
+    "q145_funnel_latency_seeded" ->
+      s"""$seededFunnelCte
+         |conv AS (
+         |  SELECT (epoch_us(t2) - epoch_us(t0)) // 1000000 AS lat_sec
+         |  FROM g
+         |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+         |    AND t2 IS NOT NULL AND t2 >= t1)
+         |SELECT count(*) AS n_converting,
+         |  quantile_cont(lat_sec, 0.5) AS p50_sec,
+         |  quantile_cont(lat_sec, 0.9) AS p90_sec,
+         |  max(lat_sec) AS max_sec
+         |FROM conv""".stripMargin,
   )
+
+  /** Shared q144/q145 prefix: the seeded feed, gap-sessionized, with
+    * per-session first-occurrence step times (mirrors q135/q137's CTEs
+    * over `feed` instead of raw `events`).
+    */
+  private def seededFunnelCte: String =
+    s"""WITH feed AS (
+       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $funnelSeedValuesSql)
+       |    AS v(user_id, event_id, event_type, t)),
+       |marked AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(t) - epoch_us(lag(t) OVER w) > 3600000000 THEN 1 ELSE 0
+       |    END AS new_s
+       |  FROM feed
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_type, t,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked),
+       |g AS (
+       |  SELECT user_id, session_id,
+       |    min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+       |    min(CASE WHEN event_type = 'click' THEN t END) AS t1,
+       |    min(CASE WHEN event_type = 'purchase' THEN t END) AS t2
+       |  FROM sessions GROUP BY user_id, session_id),""".stripMargin
 
   private def kmvRollingStateSql(k: Int): String =
     s"""WITH pairs AS (

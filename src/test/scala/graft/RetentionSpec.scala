@@ -319,6 +319,19 @@ class RetentionSpec extends AnyFunSuite {
     assert(!raPlan.contains("SinglePartition"), raPlan)
   }
 
+  test("seeded funnel (q144/q145): the full three-step chain is exercised with rows > 0") {
+    val funnel = SparkEntry.queries("q144_session_funnel_seeded")(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // at least the two seeded in-order converters reach step 3; the
+    // out-of-order and gap-split seeds must NOT count
+    val step3 = funnel.find(_._1 == 3L).get._3
+    assert(step3 >= 2L, s"expected the seeded converters at step 3, got $step3")
+    assert(funnel.map(_._3) === funnel.map(_._3).sorted.reverse)
+    val lat = SparkEntry.queries("q145_funnel_latency_seeded")(spark, sf).collect().head
+    assert(lat.getLong(0) >= 2L)
+    assert(lat.getLong(3) >= 1800L) // the 30-min seeded chain
+  }
+
   test("sessionFunnel at sf0.001: counts monotonically non-increasing, conv_bp <= 10000") {
     val got = SparkEntry.queries("q135_session_funnel")(spark, sf)
       .as[(Long, String, Long, Long)].collect().toSeq
