@@ -94,102 +94,204 @@ final class FixturePageFetcher extends PageFetcher {
   }
 }
 
-/** Live HTTP fetcher: client-credentials OAuth (reference
-  * spotify_etl.py:46-60) then paged GETs. UNTESTABLE in this zero-
-  * egress sandbox — compile-checked only; the fixture fetcher is the
-  * tested default. Swap-in point for a real deployment:
-  * `option("fetcher", classOf[HttpPageFetcher].getName)` plus
-  * client_id/client_secret options (or env, per Config's S6 override
-  * -> env -> default rule).
+/** One HTTP exchange as the fetcher sees it — the mockable transport
+  * unit ([[HttpPageFetcher.exchange]] is the only method that touches
+  * the network, so rate-limit and token-expiry behavior is unit-
+  * testable offline with a scripted subclass).
+  */
+private[spotify] case class SpotifyHttpResponse(
+    status: Int, body: String, retryAfterSec: Option[Long] = None)
+
+/** Live HTTP fetcher: OAuth token management (reference
+  * spotify_etl.py:46-60 client-credentials; new.py:51-81 the spotipy
+  * `.spotify_cache` user-token refresh) then paged GETs. The network
+  * exchange itself is UNTESTABLE in this zero-egress sandbox, but all
+  * protocol behavior around it (retry, refresh, caching) is scripted
+  * through [[exchange]] in HttpFetcherProtocolSpec. Swap-in point for
+  * a real deployment: `option("fetcher", classOf[HttpPageFetcher]
+  * .getName)` plus client_id/client_secret options (or env, per
+  * Config's S6 override -> env -> default rule).
   *
   * Auth model per endpoint: search and top-tracks run on an app
   * (client-credentials) token; `/v1/me/player/recently-played` is a
   * USER-scoped endpoint (user-read-recently-played — the reference's
   * spotify_etl2.py/new.py pass a user-authorized bearer) and a
   * client-credentials token always gets 401 there, so that endpoint
-  * REQUIRES a `user_token` option (or SPOTIFY_USER_TOKEN env) and
-  * fails fast with that explanation if absent.
+  * requires either a static `user_token` (SPOTIFY_USER_TOKEN) or —
+  * the production shape, since static tokens die after an hour — a
+  * `refresh_token` (SPOTIFY_REFRESH_TOKEN), exchanged for fresh
+  * user tokens via the refresh-token grant exactly as the reference's
+  * spotipy cache does, and re-exchanged on expiry mid-run.
   *
-  * Robustness: every response is status-checked — non-2xx raises with
-  * the status and body head instead of emitting the error JSON as a
-  * payload row (where it would decay into null structs downstream,
-  * indistinguishable from malformed data). The app token is cached
-  * per (client_id, executor JVM): a 10k-request fan-out issues one
-  * token POST per executor, not 10k.
+  * Robustness:
+  *  - Every response is status-checked — non-2xx (after the retries
+  *    below) raises with the status and body head instead of emitting
+  *    the error JSON as a payload row (where it would decay into null
+  *    structs downstream, indistinguishable from malformed data).
+  *  - **429**: Spotify's rate limiter names its backoff in
+  *    `Retry-After` seconds; the fetcher honors it (capped at
+  *    [[HttpPageFetcher.MaxRetryAfterSec]], at most
+  *    [[HttpPageFetcher.Max429Retries]] attempts) instead of failing
+  *    the task — at fleet fan-out scale a task failure would just
+  *    re-issue the same call sooner, making the limiter angrier.
+  *  - **401 with a refreshable token**: the cached token is dropped,
+  *    refreshed once via the grant, and the GET retried — the >1 h
+  *    run surviving token expiry. A static user token gets the clear
+  *    actionable error instead of a 401 loop.
+  *  - Tokens are cached per (credential, executor JVM) with a 50-min
+  *    TTL: a 10k-request fan-out issues one token POST per executor,
+  *    not 10k, and hour-old executors re-fetch instead of 401-looping.
   */
-final class HttpPageFetcher extends PageFetcher {
-  private def send(b: java.net.http.HttpRequest.Builder,
-                   headers: Map[String, String], what: String): String = {
-    headers.foreach { case (k, v) => b.header(k, v) }
+class HttpPageFetcher extends PageFetcher {
+
+  /** The raw network boundary — overridden with a script in tests. */
+  protected def exchange(method: String, url: String, body: Option[String],
+                         headers: Map[String, String]): SpotifyHttpResponse = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val withMethod = body match {
+      case Some(payload) =>
+        b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+      case None => b.GET()
+    }
+    headers.foreach { case (k, v) => withMethod.header(k, v) }
     val resp = java.net.http.HttpClient.newHttpClient()
-      .send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      sys.error(s"$what failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
-    resp.body()
+      .send(withMethod.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    val retryAfter = resp.headers().firstValue("Retry-After")
+      .map[Option[Long]](v => v.toLongOption).orElse(None)
+    SpotifyHttpResponse(resp.statusCode(), resp.body(), retryAfter)
+  }
+
+  /** Overridden in tests so scripted 429 sequences don't sleep. */
+  protected def backoff(seconds: Long): Unit = Thread.sleep(seconds * 1000)
+
+  /** Send with 429 Retry-After handling; `onUnauthorized` (when set)
+    * is invoked on the FIRST 401 to produce a replacement Authorization
+    * header (token refresh), after which the request is retried once.
+    */
+  private def send(method: String, url: String, body: Option[String],
+                   headers: Map[String, String], what: String,
+                   onUnauthorized: Option[() => String] = None): String = {
+    var tries429 = 0
+    var hdrs = headers
+    var refresh = onUnauthorized
+    while (true) {
+      val r = exchange(method, url, body, hdrs)
+      if (r.status / 100 == 2) return r.body
+      else if (r.status == 429 && tries429 < HttpPageFetcher.Max429Retries) {
+        backoff(math.min(r.retryAfterSec.getOrElse(1L) max 1L,
+          HttpPageFetcher.MaxRetryAfterSec))
+        tries429 += 1
+      } else if (r.status == 401 && refresh.isDefined) {
+        hdrs = hdrs + ("Authorization" -> s"Bearer ${refresh.get.apply()}")
+        refresh = None // one refresh per request: a second 401 is real
+      } else sys.error(s"$what failed: HTTP ${r.status} ${r.body.take(200)}")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def post(url: String, body: String, headers: Map[String, String]): String =
-    send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)), headers, s"POST $url")
+    send("POST", url, Some(body), headers, s"POST $url")
 
-  private def get(url: String, headers: Map[String, String]): String =
-    send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET(),
-      headers, s"GET $url")
-
-  private def appToken(options: Map[String, String]): String = {
+  private def basicAuth(options: Map[String, String]): String = {
     val id = options.getOrElse("client_id", sys.env.getOrElse("SPOTIFY_CLIENT_ID", ""))
-    // TTL-bounded cache: client-credentials tokens expire after 3600 s,
-    // so a long-lived executor (the microbatch tier's normal shape)
-    // must re-fetch — caching forever turns hour-old executors into
-    // permanent 401 loops. 50 min leaves comfortable slack.
+    val secret = options.getOrElse("client_secret", sys.env.getOrElse("SPOTIFY_CLIENT_SECRET", ""))
+    java.util.Base64.getEncoder.encodeToString(s"$id:$secret".getBytes("UTF-8"))
+  }
+
+  /** One token-endpoint POST; `form` picks the grant. */
+  private def tokenGrant(options: Map[String, String], form: String): String = {
+    val tokenJson = post("https://accounts.spotify.com/api/token", form,
+      Map("Authorization" -> s"Basic ${basicAuth(options)}",
+        "Content-Type" -> "application/x-www-form-urlencoded"))
+    """"access_token"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(tokenJson).map(_.group(1))
+      .getOrElse(sys.error("no access_token in token response"))
+  }
+
+  /** TTL-cached token fetch: client-credentials tokens expire after
+    * 3600 s, so a long-lived executor (the microbatch tier's normal
+    * shape) must re-fetch — caching forever turns hour-old executors
+    * into permanent 401 loops. 50 min leaves comfortable slack;
+    * `force` drops the cached entry first (the 401-refresh path).
+    */
+  private def cachedToken(cacheKey: String, force: Boolean)(fetch: => String): String = {
     val now = System.currentTimeMillis()
-    val cached = HttpPageFetcher.tokenCache.get(id)
+    if (force) HttpPageFetcher.tokenCache.remove(cacheKey)
+    val cached = HttpPageFetcher.tokenCache.get(cacheKey)
     if (cached != null && now - cached._2 < HttpPageFetcher.TokenTtlMs) cached._1
     else {
-      val secret = options.getOrElse("client_secret", sys.env.getOrElse("SPOTIFY_CLIENT_SECRET", ""))
-      val basic = java.util.Base64.getEncoder
-        .encodeToString(s"$id:$secret".getBytes("UTF-8"))
-      val tokenJson = post("https://accounts.spotify.com/api/token",
-        "grant_type=client_credentials",
-        Map("Authorization" -> s"Basic $basic",
-          "Content-Type" -> "application/x-www-form-urlencoded"))
-      val token = """"access_token"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(tokenJson).map(_.group(1))
-        .getOrElse(sys.error("no access_token in token response"))
-      HttpPageFetcher.tokenCache.put(id, (token, now))
+      val token = fetch
+      HttpPageFetcher.tokenCache.put(cacheKey, (token, now))
       token
     }
   }
 
+  private def appToken(options: Map[String, String], force: Boolean = false): String = {
+    val id = options.getOrElse("client_id", sys.env.getOrElse("SPOTIFY_CLIENT_ID", ""))
+    cachedToken(s"app:$id", force)(tokenGrant(options, "grant_type=client_credentials"))
+  }
+
+  /** User token via the refresh-token grant (the spotipy-cache flow,
+    * reference new.py:51-81): the long-lived refresh token is the
+    * credential; access tokens are derived, cached, and re-derived on
+    * expiry.
+    */
+  private def refreshedUserToken(options: Map[String, String], refreshToken: String,
+                                 force: Boolean = false): String =
+    cachedToken(s"user:$refreshToken", force)(tokenGrant(options,
+      s"grant_type=refresh_token&refresh_token=${java.net.URLEncoder.encode(refreshToken, "UTF-8")}"))
+
   override def pages(endpoint: String, request: String,
                      options: Map[String, String]): Iterator[String] = {
     val market = options.getOrElse("market", "US")
-    val (url, token) = endpoint match {
+    // (url, current token, refresh-on-401 if the credential allows it)
+    val (url, token, onUnauthorized) = endpoint match {
       case "search" =>
         (s"https://api.spotify.com/v1/search?q=${java.net.URLEncoder.encode(request, "UTF-8")}&type=artist&limit=1",
-          appToken(options))
+          appToken(options), Some(() => appToken(options, force = true)))
       case "top-tracks" =>
         (s"https://api.spotify.com/v1/artists/$request/top-tracks?market=$market",
-          appToken(options))
+          appToken(options), Some(() => appToken(options, force = true)))
       case "recently-played" =>
-        (s"https://api.spotify.com/v1/me/player/recently-played?limit=50&after=$request",
-          options.getOrElse("user_token", sys.env.getOrElse("SPOTIFY_USER_TOKEN",
-            sys.error("recently-played requires a user-authorized token " +
-              "(user-read-recently-played scope): pass option(\"user_token\", ...) " +
-              "or set SPOTIFY_USER_TOKEN — a client-credentials token gets 401 here"))))
+        val url = s"https://api.spotify.com/v1/me/player/recently-played?limit=50&after=$request"
+        val refreshTok = options.get("refresh_token").orElse(sys.env.get("SPOTIFY_REFRESH_TOKEN"))
+        refreshTok match {
+          case Some(rt) =>
+            (url, refreshedUserToken(options, rt),
+              Some(() => refreshedUserToken(options, rt, force = true)))
+          case None =>
+            (url, options.getOrElse("user_token", sys.env.getOrElse("SPOTIFY_USER_TOKEN",
+              sys.error("recently-played requires a user-authorized token " +
+                "(user-read-recently-played scope): pass option(\"refresh_token\", ...) " +
+                "(or SPOTIFY_REFRESH_TOKEN) for runs longer than a token lifetime, " +
+                "or a static option(\"user_token\", ...) / SPOTIFY_USER_TOKEN — " +
+                "a client-credentials token gets 401 here"))),
+              None) // static token: a 401 means expired/invalid — surface it
+        }
       case other => sys.error(s"unknown endpoint: $other")
     }
-    Iterator.single(get(url, Map("Authorization" -> s"Bearer $token")))
+    Iterator.single(send("GET", url, None,
+      Map("Authorization" -> s"Bearer $token"), s"GET $url", onUnauthorized))
   }
 }
 
 private[spotify] object HttpPageFetcher {
-  /** Per-JVM (= per-executor) app-token cache keyed by client id:
+  /** Per-JVM (= per-executor) token cache keyed by credential
+    * (`app:<client_id>` / `user:<refresh_token>`):
     * (token, fetchedAtMillis). Entries older than [[TokenTtlMs]] are
     * re-fetched (Spotify tokens live 3600 s).
     */
   val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   val TokenTtlMs: Long = 50L * 60 * 1000
+  /** At most this many 429 retries per request, each waiting the
+    * server-named Retry-After (missing/garbled header → 1 s).
+    */
+  val Max429Retries: Int = 5
+  /** Cap on a single honored Retry-After wait — a limiter asking for
+    * minutes should fail the task (and its retry budget) instead of
+    * silently parking an executor slot.
+    */
+  val MaxRetryAfterSec: Long = 30L
 }
 
 private[spotify] class SpotifyApiTable(props: Map[String, String])

@@ -1,0 +1,119 @@
+package graft.sources.spotify
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol behavior of the live fetcher with the network boundary
+  * scripted: 429 Retry-After backoff, the refresh-token grant on
+  * expiry (the reference's spotipy `.spotify_cache` flow, new.py:
+  * 51-81), per-JVM token caching, and the fail-fast paths. The
+  * `exchange`/`backoff` overrides are the ONLY seams — everything
+  * else runs the production code.
+  */
+class HttpFetcherProtocolSpec extends AnyFunSuite {
+
+  private def ok(body: String) = SpotifyHttpResponse(200, body)
+  private def tokenJson(tok: String) = ok(s"""{"access_token":"$tok","expires_in":3600}""")
+  private def rateLimited(after: Option[Long]) =
+    SpotifyHttpResponse(429, """{"error":"rate limited"}""", after)
+  private val expired = SpotifyHttpResponse(401, """{"error":"token expired"}""")
+
+  /** Replays `script` in order; records every exchange and backoff. */
+  private class Scripted(script: SpotifyHttpResponse*) extends HttpPageFetcher {
+    private val it = script.iterator
+    val calls = mutable.Buffer.empty[(String, String, Option[String], Map[String, String])]
+    val waits = mutable.Buffer.empty[Long]
+    override protected def exchange(method: String, url: String, body: Option[String],
+                                    headers: Map[String, String]): SpotifyHttpResponse = {
+      calls += ((method, url, body, headers))
+      assert(it.hasNext, s"script exhausted at $method $url")
+      it.next()
+    }
+    override protected def backoff(seconds: Long): Unit = waits += seconds
+  }
+
+  private val creds = Map("client_id" -> "cid", "client_secret" -> "sec")
+
+  private def freshCache(): Unit = HttpPageFetcher.tokenCache.clear()
+
+  test("429 then success: the server-named Retry-After is honored, capped, once per 429") {
+    freshCache()
+    val f = new Scripted(tokenJson("tokA"), rateLimited(Some(3L)), ok("payload"))
+    val out = f.pages("search", "madonna", creds).toSeq
+    assert(out === Seq("payload"))
+    assert(f.waits.toSeq === Seq(3L))
+    assert(f.calls.count(_._1 == "POST") === 1) // one token grant
+    assert(f.calls.count(_._1 == "GET") === 2)  // limited attempt + retry
+  }
+
+  test("missing or garbled Retry-After waits 1 s; huge Retry-After is capped") {
+    freshCache()
+    val f = new Scripted(tokenJson("tokA"),
+      rateLimited(None), rateLimited(Some(86400L)), ok("payload"))
+    assert(f.pages("search", "cher", creds).toSeq === Seq("payload"))
+    assert(f.waits.toSeq === Seq(1L, HttpPageFetcher.MaxRetryAfterSec))
+  }
+
+  test("429 retries are bounded: persistent rate-limiting fails the task with the status") {
+    freshCache()
+    val f = new Scripted(
+      tokenJson("tokA") +: Seq.fill(HttpPageFetcher.Max429Retries + 1)(rateLimited(Some(1L))): _*)
+    val e = intercept[RuntimeException](f.pages("search", "adele", creds).toSeq)
+    assert(e.getMessage.contains("429"), e.getMessage)
+    assert(f.waits.size === HttpPageFetcher.Max429Retries)
+  }
+
+  test("expired user token is refreshed via the refresh-token grant and the GET retried once") {
+    freshCache()
+    val opts = creds + ("refresh_token" -> "rt-1")
+    val f = new Scripted(tokenJson("user-tokA"), expired, tokenJson("user-tokB"), ok("played"))
+    assert(f.pages("recently-played", "0", opts).toSeq === Seq("played"))
+    val posts = f.calls.filter(_._1 == "POST")
+    assert(posts.size === 2)
+    assert(posts.forall(_._3.get.contains("grant_type=refresh_token")))
+    assert(posts.forall(_._3.get.contains("refresh_token=rt-1")))
+    val gets = f.calls.filter(_._1 == "GET").map(_._4("Authorization"))
+    assert(gets === Seq("Bearer user-tokA", "Bearer user-tokB"))
+  }
+
+  test("a second 401 after a refresh is surfaced, not retried forever") {
+    freshCache()
+    val opts = creds + ("refresh_token" -> "rt-2")
+    val f = new Scripted(tokenJson("tokA"), expired, tokenJson("tokB"), expired)
+    val e = intercept[RuntimeException](f.pages("recently-played", "0", opts).toSeq)
+    assert(e.getMessage.contains("401"), e.getMessage)
+  }
+
+  test("a STATIC user token that 401s fails with the status — no refresh loop to hide in") {
+    freshCache()
+    val opts = creds + ("user_token" -> "static-tok")
+    val f = new Scripted(expired)
+    val e = intercept[RuntimeException](f.pages("recently-played", "0", opts).toSeq)
+    assert(e.getMessage.contains("401"), e.getMessage)
+    assert(f.calls.count(_._1 == "POST") === 0) // nothing to refresh with
+  }
+
+  test("recently-played without any user credential fails fast with the actionable message") {
+    freshCache()
+    val f = new Scripted()
+    val e = intercept[RuntimeException](f.pages("recently-played", "0", creds).toSeq)
+    assert(e.getMessage.contains("refresh_token"), e.getMessage)
+  }
+
+  test("app token is cached per JVM: a second request issues no second grant") {
+    freshCache()
+    val f = new Scripted(tokenJson("tokA"), ok("p1"), ok("p2"))
+    assert(f.pages("search", "a", creds).toSeq === Seq("p1"))
+    assert(f.pages("top-tracks", "artist1", creds).toSeq === Seq("p2"))
+    assert(f.calls.count(_._1 == "POST") === 1)
+  }
+
+  test("an expired APP token mid-run re-grants once and retries (the >1 h executor)") {
+    freshCache()
+    val f = new Scripted(tokenJson("tokA"), expired, tokenJson("tokB"), ok("tracks"))
+    assert(f.pages("top-tracks", "artist9", creds).toSeq === Seq("tracks"))
+    val gets = f.calls.filter(_._1 == "GET").map(_._4("Authorization"))
+    assert(gets === Seq("Bearer tokA", "Bearer tokB"))
+  }
+}
