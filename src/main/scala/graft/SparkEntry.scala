@@ -1568,6 +1568,32 @@ object SparkEntry {
     "q145_funnel_latency_seeded" -> ((s, dir) =>
       Sessionize.funnelLatency(seededFunnelFeed(s, dir), gapMinutes = 60,
         steps = Seq("view", "click", "purchase"))),
+
+    // ---- Timer-based session close (transformWithState + event-time
+    // timers + RocksDB): q107's live-ingest twin — sessions close by
+    // DATA when a successor proves the gap, by TIMER when the
+    // watermark passes a quiet user's close time. State is one
+    // (start,last,n) triple per ACTIVE user, evicted on close. A
+    // sentinel event past max(ts)+gap (filtered back out) lets the
+    // closing no-data batch fire every remaining timer, so the result
+    // shares q107's batch oracle verbatim. max(ts) is a bounded
+    // driver probe (one row) for staging the sentinel ----
+    "q146_stream_session_close" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts")).filter(col("user_id").isNotNull)
+      val staging = Scratch.dir("graft_sess_q146")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 31L * 60 * 1000))).toDF("user_id", "ts")
+      ev.unionByName(sentinel).write.parquet(s"$staging/feed")
+      EventStream.withStatePartitions(s, 8) {
+        streaming.SessionStream.drainClosed(
+          s, EventStream.source(s, s"$staging/feed"), gapMinutes = 30)
+      }.filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3230,21 +3256,10 @@ object SparkEntry {
         |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
-    "q107_stream_session_windows" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |d AS (SELECT user_id, ts,
-        |        CASE WHEN lag(ts) OVER w IS NULL
-        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |g AS (SELECT user_id, ts,
-        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                       ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM d)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    // shared with q146: the timer-based transformWithState processor
+    // implements the SAME gap rule, so both check against one batch
+    // sessionization (the q139/q143 oracle-sharing pattern)
+    "q107_stream_session_windows" -> gapSessionOracleSql,
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,
@@ -3768,6 +3783,7 @@ object SparkEntry {
     // SQL verbatim.
     "q139_rolling_wau_persisted" -> kmvRollingStateSql(k = 64),
     "q143_stream_rolling_wau" -> kmvRollingStateSql(k = 64),
+    "q146_stream_session_close" -> gapSessionOracleSql,
 
     "q140_funnel_latency_cdf" ->
       """WITH marked AS (
@@ -3906,6 +3922,27 @@ object SparkEntry {
        |    min(CASE WHEN event_type = 'click' THEN t END) AS t1,
        |    min(CASE WHEN event_type = 'purchase' THEN t END) AS t2
        |  FROM sessions GROUP BY user_id, session_id),""".stripMargin
+
+  /** Batch gap-sessionization at 30-min `session_window` semantics
+    * (a gap of EXACTLY 30 min breaks): the one definition both the
+    * built-in session_window aggregate (q107) and the timer-based
+    * processor (q146) must reproduce.
+    */
+  private def gapSessionOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |d AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT user_id, ts,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   private def kmvRollingStateSql(k: Int): String =
     s"""WITH pairs AS (
