@@ -159,7 +159,41 @@ object ScaleProbe {
     // copy); the KMV path's merge state is days×k longs at ANY mult,
     // so its curve should flatten once pair-shuffle dominates
     time("rolling_dau_wau", operators.Retention.rollingActiveUsers(events, 7))
+    // REDUCE-FIRST contrast (same result): materialize the distinct
+    // (day,user) pair set with its own shuffle, THEN explode ×7 and
+    // distinct again. Intuitive at 100 TB, but the production
+    // explode-first form's map-side partial aggregation performs the
+    // same reduction in-task without the extra stage — measured
+    // slower at x100 on BOTH staging axes (user-scaled and dense);
+    // this op keeps that comparison re-runnable.
+    time("rolling_dau_wau_reduce_first", {
+      val pairs = events.filter($"user_id".isNotNull)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = pairs
+        .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("k"))
+        .select(date_add($"day", $"k").as("day"), $"user_id").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select($"day", $"dau", $"wau", expr("dau * 10000L div wau").as("stickiness_bp"))
+    })
     time("cohort_retention", operators.Retention.cohortRetention(events, 7))
+    // REDUCE-FIRST contrast: pre-distinct the pair set before the
+    // first-day aggregate and the cohort join (the shape
+    // cohortRetention had before the x100 measurement).
+    time("cohort_retention_reduce_first", {
+      val pairs = events.filter($"user_id".isNotNull)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val first = pairs.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      val sizes = first.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
+      pairs.join(first, Seq("user_id"))
+        .select($"cohort_day", expr("datediff(day, cohort_day) div 7").as("week_offset"), $"user_id")
+        .distinct()
+        .groupBy($"cohort_day", $"week_offset").agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_day"))
+        .select($"cohort_day", $"week_offset", $"cohort_size", $"n_active",
+          expr("n_active * 10000L div cohort_size").as("retention_bp"))
+    })
     time("activity_histogram", operators.Retention.activityHistogram(events))
     time("session_funnel", operators.Sessionize.sessionFunnel(
       events, 60, Seq("view", "click", "purchase")))
@@ -173,6 +207,54 @@ object ScaleProbe {
     // auditability, which costs the full exact path — the scale
     // comparison is sketch-vs-exact, not sketch+exact-vs-exact
     time("rolling_wau_kmv", operators.Retention.rollingWauKmvEstimate(events, 7, 64))
+    // DENSITY axis for the retention tier: the default staging remaps
+    // user_id per copy (users ×mult, events-per-user-day constant).
+    // The regime the reduce-first intuition targets is the opposite —
+    // users fixed, events-per-user-day ×mult (events >> pairs) — so
+    // stage THAT (same users, only event_id remapped) and run the
+    // same explode-first vs reduce-first comparison. Measured x100:
+    // explode-first wins on BOTH axes (map-side partial aggregation
+    // does the pair reduction in-task; the separate pair shuffle is
+    // pure cost), which is why it is the production shape.
+    if (only.isEmpty || only.exists(_.endsWith("_dense"))) {
+      val eventsDense = {
+        val base = Tables.load(spark, sfDir, "events")
+        (0 until mult).map(i =>
+          base.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+          .reduce(_ unionAll _)
+      }.cache()
+      val pairs = eventsDense.filter($"user_id".isNotNull)
+        .select(to_date($"ts").as("day"), $"user_id").distinct().count()
+      println(s"""{"events_dense":${eventsDense.count()},"distinct_day_user_pairs":$pairs}""")
+      time("rolling_dau_wau_dense", operators.Retention.rollingActiveUsers(eventsDense, 7))
+      time("rolling_dau_wau_reduce_first_dense", {
+        val pairs = eventsDense.filter($"user_id".isNotNull)
+          .select(to_date($"ts").as("day"), $"user_id").distinct()
+        val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+        val wau = pairs
+          .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("k"))
+          .select(date_add($"day", $"k").as("day"), $"user_id").distinct()
+          .groupBy($"day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select($"day", $"dau", $"wau", expr("dau * 10000L div wau").as("stickiness_bp"))
+      })
+      time("cohort_retention_dense", operators.Retention.cohortRetention(eventsDense, 7))
+      time("cohort_retention_reduce_first_dense", {
+        val pairs = eventsDense.filter($"user_id".isNotNull)
+          .select(to_date($"ts").as("day"), $"user_id").distinct()
+        val first = pairs.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        val sizes = first.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
+        pairs.join(first, Seq("user_id"))
+          .select($"cohort_day",
+            expr("datediff(day, cohort_day) div 7").as("week_offset"), $"user_id")
+          .distinct()
+          .groupBy($"cohort_day", $"week_offset").agg(count(lit(1)).as("n_active"))
+          .join(sizes, Seq("cohort_day"))
+          .select($"cohort_day", $"week_offset", $"cohort_size", $"n_active",
+            expr("n_active * 10000L div cohort_size").as("retention_bp"))
+      })
+      eventsDense.unpersist()
+    }
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
     // sketch/vocab/compression tier: CMS output is ≤ depth·width cells
     // whatever the corpus (the whole point — assert cost stays
@@ -204,6 +286,30 @@ object ScaleProbe {
       // rows read from the persisted result — not a second full run
       println(f"""{"op":"pq_indexed","build_sec":$buildSec%.2f,"query_sec":$qSec%.2f,"rows":${r.count()}}""")
       r.unpersist()
+    }
+    // shared near-dup pair table (Pipelines.nearDupFamily): the
+    // q64/q74/q124/q127 family standalone re-derives the same capped
+    // pairs per consumer (shingle+cap+bucket-join+verify each time);
+    // the pipeline pays that once, persists, and the four consumers
+    // read the parquet artifact. Reported: both totals + the ratio —
+    // amortization should recover roughly 3 of the 4 pair passes as
+    // pair derivation dominates.
+    if (only.isEmpty || only.contains("neardup_family")) {
+      def consumers(pairs: => DataFrame): Seq[DataFrame] = Seq(
+        Dedup.duplicateClusters(pairs),
+        Dedup.duplicateClustersStar(pairs),
+        Dedup.keepBestPerCluster(docs, pairs, "n_chars"),
+        Sampling.leakFreeSplit(docs, pairs, 80))
+      val t0 = System.nanoTime()
+      consumers(Dedup.jaccardPairsCapped(docs, 3, 0.5, 20))
+        .foreach(_.write.format("noop").mode("overwrite").save())
+      val standaloneSec = (System.nanoTime() - t0) / 1e9
+      val pairsDir = Scratch.dir("graft_neardup_pairs")
+      val t1 = System.nanoTime()
+      Pipelines.nearDupFamily(spark, docs, pairsDir)
+        .values.foreach(_.write.format("noop").mode("overwrite").save())
+      val sharedSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"neardup_family","standalone_sec":$standaloneSec%.2f,"shared_sec":$sharedSec%.2f,"ratio":${sharedSec / standaloneSec}%.2f}""")
     }
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =

@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * window engine, and would re-scan the frame per row if it were).
   * Two scale paths:
   *
-  *  - [[rollingActiveUsers]] (exact): collapse events to distinct
-  *    (day, user) pairs FIRST — the big cardinality cliff, one
-  *    map-side-combinable shuffle from trillions of events to
-  *    (days x users-active-that-day) — then explode each pair into
-  *    the `windowDays` target days it contributes to and count the
-  *    deduped contributions. The x7 fan-out happens on the REDUCED
-  *    pair set, never on raw events.
+  *  - [[rollingActiveUsers]] (exact): explode each EVENT into the
+  *    `windowDays` target days it contributes to, then ONE distinct of
+  *    (target day, user). The cardinality cliff from trillions of
+  *    events to (days x users-active-that-day) still happens before
+  *    the wire — as the distinct's MAP-SIDE partial aggregation —
+  *    without paying a separate pair-materializing shuffle first
+  *    (the reduce-then-explode alternative measured slower at x100 on
+  *    both staging axes; see the method scaladoc).
   *  - [[rollingActiveUsersKmv]] (sketch): per-day KMV partials
   *    (k smallest portable hashes, as [[ApproxDistinct.kmvDaily]]),
   *    rolling-merged per target day. State per day is k longs, so a
@@ -36,22 +37,38 @@ object Retention {
     * `windowDays` days ending that day, and stickiness = DAU/WAU in
     * basis points (integer, exact in any engine).
     * Output: (day DATE, dau, wau, stickiness_bp) ordered by day.
+    *
+    * Plan shape — explode FIRST, one distinct, and let partial
+    * aggregation do the reduction. The tempting "reduce to distinct
+    * (day,user) pairs, then explode the reduced set" costs an extra
+    * full shuffle to materialize the pair set before the fan-out —
+    * and buys nothing on Spark, because the explode's distinct already
+    * collapses the per-event duplication MAP-SIDE (hash partial
+    * aggregation inside each task) before anything hits the wire: the
+    * shuffled volume is bounded by tasks × the reduced domain either
+    * way. Measured at x100 on both staging axes (ScaleProbe
+    * `rolling_dau_wau` vs `rolling_dau_wau_reduce_first`,
+    * tools/scaleprobe_r10_x100.jsonl, explode-first timed FIRST so
+    * JVM warm-up biases against it): explode-first ~1.1x ahead on
+    * both axes, never behind beyond noise — and it is one whole
+    * shuffle stage shorter, the part that compounds on a real
+    * network-bound cluster.
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
-    val pairs = events
+    val raw = events
       .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
-      .distinct()
-    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    // a pair (p, u) makes u "active" for target days p .. p+windowDays-1;
-    // dedup again because one user often has several active days per window
-    val contrib = pairs
+    val dau = raw.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // an event on day p makes its user "active" for target days
+    // p .. p+windowDays-1; ONE distinct dedups both the per-event
+    // duplication and the several-active-days-per-window overlap
+    val wau = raw
       .select(col("day"), col("user_id"),
         explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
       .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
       .distinct()
-    val wau = contrib.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     // inner join drops the phantom target days past the last observed day
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
@@ -163,14 +180,20 @@ object Retention {
     * `bucketDays`-wide offsets — the "do week-0 signups come back in
     * week 2" triangle behind every retention dashboard.
     *
-    * Scale shape: everything runs on the reduced (day,user) pair set.
-    * The per-user first day is one map-side-combinable `min`; the
-    * pair→cohort attachment is an equi-join on user_id (both sides
-    * hash-partitioned by user, and the first-day side is exactly one
-    * row per user — at 100 TB this is the classic big-dim join that
-    * bucketing user-keyed tables makes exchange-free); the matrix
-    * itself is two more combinable aggregates over (cohort, offset)
-    * — output is cohorts x offsets rows, tiny at any corpus size.
+    * Scale shape: the per-user first day is one map-side-combinable
+    * `min` straight off the events (no pre-distinct — partial
+    * aggregation collapses per-event duplication in-task, so a full
+    * pair-materializing shuffle ahead of it is pure cost; measured
+    * within noise to ~1.1x ahead at x100 on both staging axes,
+    * ScaleProbe `cohort_retention` vs
+    * `cohort_retention_reduce_first`). The event→cohort attachment is
+    * an equi-join on user_id (both sides hash-partitioned by user,
+    * and the first-day side is exactly one row per user — at 100 TB
+    * this is the classic big-dim join that bucketing user-keyed
+    * tables makes exchange-free); one distinct after the offset
+    * projection dedups per-event duplication, and the matrix itself
+    * is two more combinable aggregates over (cohort, offset) —
+    * output is cohorts x offsets rows, tiny at any corpus size.
     * Retention in exact integer basis points (offset 0 is 10000 by
     * construction — every user is active on their first day).
     * Output: (cohort_day, week_offset, cohort_size, n_active,
@@ -178,13 +201,12 @@ object Retention {
     */
   def cohortRetention(events: DataFrame, bucketDays: Int): DataFrame = {
     require(bucketDays >= 1, s"bucketDays must be >= 1 (got $bucketDays)")
-    val pairs = events
+    val raw = events
       .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
-      .distinct()
-    val first = pairs.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val first = raw.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
-    val active = pairs.join(first, Seq("user_id"))
+    val active = raw.join(first, Seq("user_id"))
       .select(col("cohort_day"),
         expr(s"datediff(day, cohort_day) div $bucketDays").as("week_offset"),
         col("user_id"))
@@ -214,12 +236,13 @@ object Retention {
     */
   def dailyKmvPartials(events: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
+    // one distinct on (day, h): hashing BEFORE the dedup makes a
+    // pre-distinct of (day, user) redundant — the (day, h) set comes
+    // out identical, one full shuffle cheaper
     graft.plans.TopK.perGroup(
       events
         .filter(col("user_id").isNotNull)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
-        .distinct()
-        .select(col("day"),
+        .select(to_date(col("ts")).as("day"),
           graft.functions.PortableHash.hash32(col("user_id").cast("string")).as("h"))
         .filter(col("h").isNotNull)
         .distinct(),

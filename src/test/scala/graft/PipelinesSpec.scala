@@ -90,4 +90,17 @@ class PipelinesSpec extends AnyFunSuite {
     assert(m("null_pk") == expected.getLong(1))
     assert(m("min_ts") == expected.getTimestamp(2) && m("max_ts") == expected.getTimestamp(3))
   }
+
+  test("EP4 shared pair table: every family consumer equals its standalone catalog form") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val family = Pipelines.nearDupFamily(spark, docs, tmp + "/pairs")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    def standalonePairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
+    assert(same(family("clusters"), Dedup.duplicateClusters(standalonePairs)))
+    assert(same(family("clusters_star"), Dedup.duplicateClustersStar(standalonePairs)))
+    assert(same(family("keep_best"), Dedup.keepBestPerCluster(docs, standalonePairs, "n_chars")))
+    assert(same(family("leakfree_split"), Sampling.leakFreeSplit(docs, standalonePairs, 80)))
+  }
 }
