@@ -38,6 +38,24 @@ class FixtureContractSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming fallback schema matches the live events layout post-normalization") {
+    // EventStream.source declares CanonicalEventsSchema when a drop
+    // directory has no footers yet; if a fixture regen changes the
+    // events layout, the fallback must follow or pre-drop streams
+    // will declare a schema the first real file contradicts
+    for (sf <- sfDirs) {
+      val live = Tables.load(spark, sf, "events").schema
+      val fallback = graft.streaming.EventStream.CanonicalEventsSchema
+      assert(fallback.fieldNames.toSeq === live.fieldNames.toSeq,
+        s"$sf/events.parquet: column set drifted from EventStream.CanonicalEventsSchema")
+      fallback.fields.zip(live.fields).foreach { case (f, l) =>
+        assert(f.dataType === l.dataType,
+          s"$sf events.${f.name}: fallback ${f.dataType} vs live ${l.dataType} — " +
+            "update EventStream.CanonicalEventsSchema")
+      }
+    }
+  }
+
   test("documents/embeddings: the text & vector tiers' assumed shapes") {
     for (sf <- sfDirs) {
       assert(fieldType(sf, "documents", "doc_id") === LongType, s"$sf documents.doc_id")
