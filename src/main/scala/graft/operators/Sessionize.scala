@@ -145,22 +145,31 @@ object Sessionize {
   /** First-order transition matrix over within-session event
     * sequences (the Markov-chain view of user behavior; "END" marks
     * session termination): counts and exact basis-point row
-    * probabilities for every (from, to) pair. lag, running-sum and
-    * lead have distinct frames (three Window nodes), but all ride the
-    * SAME user-partitioned (ts, event_id) sort — one exchange + one
-    * sort total, plan-asserted in RetentionSpec — then one combinable
-    * groupBy; output is |types|² rows at any corpus size.
+    * probabilities for every (from, to) pair. The session boundary is
+    * decided DIRECTLY from `lead(ts)` — the successor starts a new
+    * session iff its gap exceeds the threshold — so no session ids
+    * are materialized at all: where the assignSessions route needs
+    * lag + running-sum + lead (three Window nodes), this is ONE
+    * Window node (both leads share the frame) on one user-partitioned
+    * (ts, event_id) sort, plan-asserted in RetentionSpec — then one
+    * combinable groupBy; output is |types|² rows at any corpus size.
     * Output: (from_type, to_type, n, p_bp) ordered by (from_type,
     * to_type).
     */
   def transitionMatrix(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val next = assignSessions(events, gapMinutes)
+    // same-session rule as assignSessions: gap STRICTLY greater than
+    // the threshold starts a new session, so the successor is a
+    // within-session transition iff gap <= threshold
+    val next = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
-      .withColumn("next_session", lead(col("session_id"), 1).over(byUser))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
       .select(col("event_type").as("from_type"),
-        when(col("next_session") === col("session_id"), col("next_type"))
+        when(col("next_ts").isNotNull &&
+            unix_micros(col("next_ts")) - unix_micros(col("ts"))
+              <= gapMinutes * 60L * 1000000L, col("next_type"))
           .otherwise(lit("END")).as("to_type"))
     val counts = next.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))

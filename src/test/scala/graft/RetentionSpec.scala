@@ -299,17 +299,16 @@ class RetentionSpec extends AnyFunSuite {
       df.collect() // settle AQE so the explain shows the final plan
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     }
-    // lag (session mark), running sum (session id) and lead (next
-    // event) have distinct frames, so they plan as three Window nodes
-    // — but all three share the user-partitioned (ts, event_id) sort:
-    // exactly ONE Sort feeds the Window chain, and the only other
-    // Sort in the plan is the final tiny orderBy
+    // the two leads (type, ts) share partitioning, ordering AND frame,
+    // so the whole boundary decision folds into ONE Window node on one
+    // user-partitioned (ts, event_id) sort; the only other Sort in
+    // the plan is the final tiny orderBy
     val events = Tables.load(spark, sf, "events")
     val tmPlan = fmt(Sessionize.transitionMatrix(events, 60))
       .split("== Initial Plan ==").head
     val windows = "\\bWindow \\(".r.findAllIn(tmPlan).size
     val sorts = "\\bSort \\(".r.findAllIn(tmPlan).size
-    assert(windows === 3, s"expected 3 Window nodes, got $windows:\n$tmPlan")
+    assert(windows === 1, s"expected 1 Window node, got $windows:\n$tmPlan")
     assert(sorts === 2, s"expected 2 Sorts (window + final orderBy), got $sorts:\n$tmPlan")
     // the rolling-distinct path is windowless by design (explode, not
     // a moving frame) and must not funnel through a single partition
