@@ -311,6 +311,39 @@ object ScaleProbe {
       val sharedSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"neardup_family","standalone_sec":$standaloneSec%.2f,"shared_sec":$sharedSec%.2f,"ratio":${sharedSec / standaloneSec}%.2f}""")
     }
+    // timer-based session close (SessionStream) vs the built-in
+    // session_window aggregate over the same staged feed — both drain
+    // AvailableNow with RocksDB state; the custom processor carries
+    // one (start,last,n) triple + one timer per ACTIVE user, the
+    // built-in carries per-(user, window) agg state merged on overlap.
+    if (only.isEmpty || only.contains("stream_session_close")) {
+      val dir = Scratch.dir("graft_sess_probe")
+      val ev = events.select($"user_id", $"ts").filter($"user_id".isNotNull)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 31L * 60 * 1000))).toDF("user_id", "ts")
+      ev.unionByName(sentinel).write.parquet(s"$dir/feed")
+      def drainTimed(name: String)(drain: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = drain.count()
+        println(f"""{"op":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      }
+      drainTimed("stream_session_close") {
+        streaming.EventStream.withStatePartitions(spark, 8) {
+          streaming.SessionStream.drainClosed(
+            spark, streaming.EventStream.source(spark, s"$dir/feed"), 30)
+        }.filter($"user_id" =!= -1L)
+      }
+      drainTimed("stream_session_window_agg") {
+        streaming.EventStream.withStatePartitions(spark, 8) {
+          streaming.EventStream.withStateStore(spark, streaming.EventStream.RocksDbProvider) {
+            streaming.EventStream.runToCompletion(spark,
+              streaming.EventStream.sessionAgg(
+                streaming.EventStream.source(spark, s"$dir/feed"), gapMinutes = 30))
+          }
+        }.filter($"user_id" =!= -1L)
+      }
+    }
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =
     // chain length, while large-star/small-star needs O(log d)). Not
