@@ -314,7 +314,7 @@ object ScaleProbe {
     // timer-based session close (SessionStream) vs the built-in
     // session_window aggregate over the same staged feed — both drain
     // AvailableNow with RocksDB state; the custom processor carries
-    // one (start,last,n) triple + one timer per ACTIVE user, the
+    // its open-session list + one timer per ACTIVE user, the
     // built-in carries per-(user, window) agg state merged on overlap.
     if (only.isEmpty || only.contains("stream_session_close")) {
       val dir = Scratch.dir("graft_sess_probe")

@@ -1570,10 +1570,11 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"))),
 
     // ---- Timer-based session close (transformWithState + event-time
-    // timers + RocksDB): q107's live-ingest twin — sessions close by
-    // DATA when a successor proves the gap, by TIMER when the
-    // watermark passes a quiet user's close time. State is one
-    // (start,last,n) triple per ACTIVE user, evicted on close. A
+    // timers + RocksDB): q107's live-ingest twin — a session emits
+    // exactly when the WATERMARK proves it closed (a successor drags
+    // the watermark past the close; a quiet user's timer fires as it
+    // passes — the only sound rule under out-of-order arrival). State
+    // is the open-session list per ACTIVE user, evicted on close. A
     // sentinel event past max(ts)+gap (filtered back out) lets the
     // closing no-data batch fire every remaining timer, so the result
     // shares q107's batch oracle verbatim. max(ts) is a bounded

@@ -2,35 +2,49 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
-import org.apache.spark.sql.streaming.ValueState
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Timer-based gap-session close over `transformWithState` — the
   * live-ingest twin of the built-in `session_window` aggregate (q107)
   * and the third face of the same gap rule as the batch analytic
   * windows ([[graft.operators.Sessionize]]). Where [[KmvStream]]
-  * exercised typed VALUE state, this exercises the TIMER API: a
-  * session has no natural "close" row, so silence is detected by an
-  * event-time timer armed at `last event + gap` and re-armed as the
-  * session extends.
+  * exercised typed VALUE state, this exercises LIST state plus the
+  * TIMER API: a session has no natural "close" row, so silence is
+  * detected by an event-time timer armed at the earliest open
+  * session's `last event + gap`.
+  *
+  * Closure proof — the WATERMARK, nothing else. A successor event at
+  * `>= last + gap` does NOT prove the earlier session closed when the
+  * feed is out-of-order: a straggler (any event the watermark still
+  * admits) can land BETWEEN them and bridge both into one session.
+  * The only sound rule is that a session is final once the watermark
+  * passes its close time — no admissible future event can extend it,
+  * because extension needs an event before `last + gap` and the
+  * watermark bounds arrivals from below. (With a 0-second watermark
+  * delay this degrades gracefully to "a successor closes the session
+  * at the next batch boundary", since the successor itself drags the
+  * watermark past the close time.)
   *
   * Mechanics per user key:
-  *  - `handleInputRows` folds the batch's events (sorted in-batch; a
-  *    cross-batch straggler within the watermark merges by min/max)
-  *    into the open session. An event at `>= last + gap` proves the
-  *    previous session closed — it is emitted immediately (data
-  *    supersedes timers) and the new session opens.
-  *  - the single armed timer fires when the WATERMARK passes the open
-  *    session's close time — the no-successor case (user went quiet /
-  *    feed ended). Stale timers (superseded by a longer session or a
-  *    data-driven close) no-op by checking the expiry against the
-  *    current close time, so no `deleteTimer` bookkeeping is needed.
+  *  - `handleInputRows` merges the batch's events into the key's OPEN
+  *    session list (classic interval merge under the gap rule — a
+  *    straggler may extend a session, start one of its own, or bridge
+  *    two existing ones, and each event lands in the session the
+  *    batch oracle would give it), emits any session the current
+  *    watermark already proves closed, and arms one timer at the
+  *    earliest remaining close time.
+  *  - `handleExpiredTimer` fires as the watermark passes that close
+  *    time: emit-and-evict every session now provably closed, re-arm
+  *    for the earliest survivor. Both paths keep exactly one timer
+  *    per key (superseded expiries are deleted via `listTimers`), and
+  *    a defensive no-op guard covers a timer racing an eviction.
   *
-  * State per user is ONE (start, last, n) triple plus one timer —
-  * bounded by active users, not events, and evicted on close: the
-  * 100 TB shape. Emission is append-only and FINAL (a session is only
-  * emitted once its close is proven by data or watermark), so the
-  * drain needs no dedup-on-read, unlike the KMV re-emission contract.
+  * State per user is the OPEN session list — in an in-order feed
+  * exactly one entry; out-of-order feeds briefly hold the few
+  * sessions the watermark window can still touch — plus one armed
+  * timer. Bounded by active users, not events, and evicted on close:
+  * the 100 TB shape. Emission is append-only and FINAL, so the drain
+  * needs no dedup-on-read, unlike the KMV re-emission contract.
   *
   * Exactness vs the batch oracle: with a static feed plus one
   * max-timestamp sentinel row to push the final watermark past every
@@ -45,7 +59,7 @@ object SessionStream {
     * session bounds off the batch oracle).
     */
   final case class UserEvent(user_id: Long, ts: java.time.Instant)
-  /** State: the user's open session (epoch-MICROS bounds + count). */
+  /** State: one OPEN session (epoch-MICROS bounds + count). */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   /** Emission: a CLOSED session; end = last event + gap, matching
     * `session_window`'s half-open [start, last+gap) convention.
@@ -67,10 +81,10 @@ object SessionStream {
 
   final class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, UserEvent, ClosedSession] {
-    @transient private var open: ValueState[OpenSession] = _
+    @transient private var open: ListState[OpenSession] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[OpenSession](
+      open = getHandle.getListState[OpenSession](
         "open", Encoders.product[OpenSession], TTLConfig.NONE)
 
     private def closed(key: Long, s: OpenSession): ClosedSession =
@@ -82,43 +96,66 @@ object SessionStream {
     private def closeTimeMs(s: OpenSession): Long =
       Math.floorDiv(s.lastUs + gapUs + 999L, 1000L)
 
+    /** Interval-merge `sessions` (sorted by startUs) under the gap
+      * rule: a successor merges iff it starts strictly inside
+      * [start, last + gap) — `session_window`'s >=-gap-breaks rule.
+      */
+    private def mergeAll(sessions: Seq[OpenSession]): Seq[OpenSession] =
+      sessions.foldLeft(List.empty[OpenSession]) {
+        case (Nil, s) => s :: Nil
+        case (cur :: done, s) if s.startUs < cur.lastUs + gapUs =>
+          OpenSession(cur.startUs, math.max(cur.lastUs, s.lastUs), cur.n + s.n) :: done
+        case (acc, s) => s :: acc
+      }.reverse
+
+    /** Emit every session the watermark proves closed, keep the rest
+      * in state, and leave EXACTLY ONE timer armed — at the earliest
+      * surviving close time (none when the key fully evicts).
+      */
+    private def emitProvable(key: Long, sessions: Seq[OpenSession],
+                             watermarkMs: Long,
+                             firedMs: Long = Long.MinValue): Iterator[ClosedSession] = {
+      val (done, still) = sessions.partition(s => closeTimeMs(s) <= watermarkMs)
+      open.clear()
+      // the just-fired timer (firedMs) is removed by the framework;
+      // listTimers still reports it during the callback, so skip it
+      val armed = getHandle.listTimers().toSet - firedMs
+      if (still.nonEmpty) {
+        open.put(still.toArray)
+        val next = still.map(closeTimeMs).min
+        armed.filterNot(_ == next).foreach(getHandle.deleteTimer)
+        if (!armed.contains(next)) getHandle.registerTimer(next)
+      } else armed.foreach(getHandle.deleteTimer)
+      done.iterator.map(closed(key, _))
+    }
+
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[ClosedSession] = {
-      val sorted = rows.map(e => toUs(e.ts)).toArray.sorted
-      if (sorted.isEmpty) return Iterator.empty
-      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      var cur = if (open.exists()) open.get() else null
-      sorted.foreach { t =>
-        if (cur == null) cur = OpenSession(t, t, 1L)
-        else if (t < cur.lastUs + gapUs)
-          // extends (or, for a within-watermark straggler, back-fills)
-          cur = OpenSession(math.min(cur.startUs, t), math.max(cur.lastUs, t), cur.n + 1L)
-        else {
-          out += closed(key, cur) // data proves the gap passed
-          cur = OpenSession(t, t, 1L)
-        }
-      }
-      open.update(cur)
-      // one armed timer per key: the open session's close time. Earlier
-      // registrations are left to fire as stale no-ops (expiry check
-      // below) rather than tracked and deleted.
-      getHandle.registerTimer(closeTimeMs(cur))
-      out.iterator
+      val evs = rows.map(e => toUs(e.ts)).toArray.sorted
+      if (evs.isEmpty) return Iterator.empty
+      val existing = if (open.exists()) open.get().toSeq else Seq.empty
+      val merged = mergeAll(
+        (existing ++ evs.map(t => OpenSession(t, t, 1L)))
+          .sortBy(s => (s.startUs, s.lastUs)))
+      emitProvable(key, merged, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
-      if (open.exists() && expiredTimerInfo.getExpiryTimeInMs >= closeTimeMs(open.get())) {
-        val s = open.get()
-        open.clear()
-        Iterator.single(closed(key, s))
-      } else Iterator.empty // stale timer: session extended or already closed
+      if (!open.exists()) Iterator.empty // stale timer: key already evicted
+      else emitProvable(key, open.get().toSeq,
+        math.max(timerValues.getCurrentWatermarkInMs(), expiredTimerInfo.getExpiryTimeInMs),
+        firedMs = expiredTimerInfo.getExpiryTimeInMs)
   }
 
   /** The closed-session stream over a watermarked source carrying
     * (user_id, ts). Event-time mode: timers fire as the watermark
-    * passes close times. Requires the RocksDB state store provider
-    * (the transformWithState contract).
+    * passes close times; `watermarkDelay` is the out-of-orderness the
+    * feed tolerates (stragglers older than that are dropped by Spark
+    * before the processor, the standard watermark contract — and
+    * emissions lag the feed by the same delay, the price of admitting
+    * them). Requires the RocksDB state store provider (the
+    * transformWithState contract).
     */
   def closedSessions(src: DataFrame, gapMinutes: Int,
                      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
@@ -138,10 +175,13 @@ object SessionStream {
     * batch fires the remaining timers once the final watermark passes
     * their close times — a feed whose tail sessions must ALL close
     * (e.g. to match a batch oracle) appends one sentinel event past
-    * `max(ts) + gap` and filters it back out (see q146).
+    * `max(ts) + gap` (+ the watermark delay, if any) and filters it
+    * back out (see q146).
     */
-  def drainClosed(spark: SparkSession, src: DataFrame, gapMinutes: Int): DataFrame =
+  def drainClosed(spark: SparkSession, src: DataFrame, gapMinutes: Int,
+                  watermarkDelay: String = "0 seconds"): DataFrame =
     EventStream.withStateStore(spark, EventStream.RocksDbProvider) {
-      EventStream.runAppendToMemory(spark, closedSessions(src, gapMinutes).toDF())
+      EventStream.runAppendToMemory(spark,
+        closedSessions(src, gapMinutes, watermarkDelay).toDF())
     }
 }
