@@ -3260,7 +3260,7 @@ object SparkEntry {
     // shared with q146: the timer-based transformWithState processor
     // implements the SAME gap rule, so both check against one batch
     // sessionization (the q139/q143 oracle-sharing pattern)
-    "q107_stream_session_windows" -> gapSessionOracleSql,
+    "q107_stream_session_windows" -> gapSessionOracleSql(),
 
     "q97_embedding_outliers" ->
       s"""WITH $normalizedCte,
@@ -3784,7 +3784,8 @@ object SparkEntry {
     // SQL verbatim.
     "q139_rolling_wau_persisted" -> kmvRollingStateSql(k = 64),
     "q143_stream_rolling_wau" -> kmvRollingStateSql(k = 64),
-    "q146_stream_session_close" -> gapSessionOracleSql,
+    "q146_stream_session_close" ->
+      gapSessionOracleSql(" WHERE user_id IS NOT NULL"),
 
     "q140_funnel_latency_cdf" ->
       """WITH marked AS (
@@ -3927,10 +3928,15 @@ object SparkEntry {
   /** Batch gap-sessionization at 30-min `session_window` semantics
     * (a gap of EXACTLY 30 min breaks): the one definition both the
     * built-in session_window aggregate (q107) and the timer-based
-    * processor (q146) must reproduce.
+    * processor (q146) must reproduce. `where` lets a consumer state
+    * its own input contract — q146's typed processor keys on a
+    * non-null Long user_id and filters nulls on the Spark side, so
+    * its oracle must too (q107 sessionizes the null-user group like
+    * any other; the fixtures carry no null user_ids today, but the
+    * two contracts must not silently diverge if that changes).
     */
-  private def gapSessionOracleSql: String =
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+  private def gapSessionOracleSql(where: String = ""): String =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events$where),
       |d AS (SELECT user_id, ts,
       |        CASE WHEN lag(ts) OVER w IS NULL
       |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000

@@ -42,33 +42,44 @@ object Tables {
     }
   }
 
+  /** The first data file under `path` (a parquet file itself, or the
+    * first `*.parquet` found by recursive listing — stream drops land
+    * in nested date directories). None: path missing or no data files
+    * yet. Driver-side listing only. Callers use this both to read
+    * footer metadata and to distinguish "no footers yet" (declare a
+    * schema) from "files present" (sniff them; real read errors must
+    * propagate, not be mistaken for emptiness).
+    */
+  def firstParquetFile(spark: SparkSession, path: String)
+      : Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    if (fs.getFileStatus(root).isFile) Some(root)
+    else {
+      val it = fs.listFiles(root, true)
+      var found: Option[Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          found = Some(st.getPath)
+      }
+      found
+    }
+  }
+
   /** The `ts` column's logical-type annotation from the first footer
     * under `path` (None: no footer, no `ts` field, or un-annotated).
     */
   def tsAnnotation(spark: SparkSession, path: String)
       : Option[org.apache.parquet.schema.LogicalTypeAnnotation] = {
-    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return None
-    val file: Option[Path] =
-      if (fs.getFileStatus(root).isFile) Some(root)
-      else {
-        // recursive: stream drops land in nested date directories
-        val it = fs.listFiles(root, true)
-        var found: Option[Path] = None
-        while (found.isEmpty && it.hasNext) {
-          val st = it.next()
-          val n = st.getPath.getName
-          if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-            found = Some(st.getPath)
-        }
-        found
-      }
-    file.flatMap { f =>
+    firstParquetFile(spark, path).flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema

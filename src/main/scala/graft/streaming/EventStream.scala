@@ -131,17 +131,19 @@ object EventStream {
     * (default [[CanonicalEventsSchema]]) so a not-yet-populated drop
     * directory doesn't fail source construction — the pre-sniff
     * behavior this source had when its schema was declared. Callers
-    * with a non-canonical producer pass their own.
+    * with a non-canonical producer pass their own. Emptiness is
+    * decided by an explicit listing ([[graft.Tables.firstParquetFile]])
+    * rather than catching the sniff's AnalysisException — a directory
+    * that HAS files but can't be read (corrupt footers, a path
+    * pointing at non-parquet junk) must fail loudly at construction,
+    * not silently start an empty canonical-schema stream.
     */
   def source(spark: SparkSession, dir: String,
       schemaIfEmpty: StructType = CanonicalEventsSchema): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema =
-      try spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
-      catch {
-        // UNABLE_TO_INFER_SCHEMA / missing path: no footers yet.
-        case _: org.apache.spark.sql.AnalysisException => schemaIfEmpty
-      }
+      if (graft.Tables.firstParquetFile(spark, dir).isEmpty) schemaIfEmpty
+      else spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(fileSchema)

@@ -129,6 +129,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 40)
   }
 
+  test("a drop directory with unreadable parquet fails source construction loudly") {
+    // the empty-dir fallback must not swallow real errors: a present
+    // but corrupt/junk .parquet file means the path is POPULATED and
+    // the schema sniff's failure has to surface at construction, not
+    // silently start an empty canonical-schema stream
+    val src = tmp("graft-junk-src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "day1.parquet"),
+      "this is not parquet".getBytes)
+    val e = intercept[Exception] { EventStream.source(spark, src) }
+    assert(e.getMessage != null)
+  }
+
   test("foreachBatch drains deduped stream into a batch sink exactly once") {
     val src = tmp("graft-feb-src")
     val out = tmp("graft-feb-out") + "/tbl"
