@@ -101,39 +101,62 @@ object Retention {
     * X% of revenue" table. Bucket assignment is EXACTLY `ntile(10)`
     * over (cents DESC, user_id) — but computed without ever sorting
     * the per-user rows in one partition (the scale-killer a literal
-    * ntile plans as). Each user's global rank decomposes into
+    * ntile plans as). Each user's global rank decomposes THREE ways:
     *
-    *   rank = (#users with strictly higher cents) + (user's position
-    *           among the ties at its own cents value)
+    *   rank = (#users in strictly higher coarse buckets)
+    *        + (#users at strictly higher cents in MY bucket)
+    *        + (my position among the ties at my exact cents)
     *
-    * where the first term is a running sum over the CENTS HISTOGRAM
-    * (distinct-value counts — the same reduced-domain trick as the
-    * q104/q140 quantized CDF: the only unpartitioned window in the
-    * plan runs over histogram rows, never user rows) and the second
-    * is a cents-partitioned `row_number` (distributed; a pathological
-    * tie group — millions of users at one exact lifetime value — is
-    * the residual hot key, and would need a two-level count to split).
-    * Rank→decile is then ntile's closed-form rule applied map-side:
-    * with N users the first N%10 buckets take ceil(N/10), the rest
-    * floor(N/10).
+    * with coarse bucket = `cents div bucketWidth` (integer `div`
+    * intervals are ordered and disjoint, negatives included, so the
+    * decomposition is exact). Term 1 is the ONLY unpartitioned window
+    * and runs over the BUCKET histogram — its domain is
+    * value-range / bucketWidth, independent of user count (a plain
+    * cents histogram would not be: near-unique lifetime values — the
+    * realistic case for money sums — make it ~one row per user
+    * again). Term 2 is a bucket-partitioned running sum whose
+    * partitions hold < bucketWidth distinct values by construction;
+    * term 3 is a cents-partitioned `row_number` (distributed; a
+    * pathological tie group — millions of users at one exact lifetime
+    * value — is the residual hot key, and would need one more level
+    * to split). Rank→decile is then ntile's closed-form rule applied
+    * map-side: with N users the first N%10 buckets take ceil(N/10),
+    * the rest floor(N/10).
     * Output: (decile, n_users, total_value_cents, share_bp) ordered
     * by decile.
     */
-  def ltvDeciles(events: DataFrame, eventType: String, valueCol: String): DataFrame = {
+  def ltvDeciles(events: DataFrame, eventType: String, valueCol: String,
+                 bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 2, s"bucketWidth must be >= 2 (got $bucketWidth)")
     val W = org.apache.spark.sql.expressions.Window
     val perUser = events
       .filter(col("event_type") === eventType && col("user_id").isNotNull)
       .select(col("user_id"),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
-    // reduced domain: one row per distinct lifetime value
+    // reduced domain: one row per distinct lifetime value, coarse-bucketed
     val hist = perUser.groupBy(col("cents")).agg(count(lit(1)).as("n_at"))
-    val nHigher = hist.withColumn("n_higher",
+      .withColumn("b", expr(s"cents div ${bucketWidth}L"))
+    // term 2: strictly-higher values inside my bucket (distributed;
+    // each partition holds < bucketWidth distinct-value rows)
+    val inBucket = hist.withColumn("nh_in_b",
       coalesce(
-        sum(col("n_at")).over(W.orderBy(col("cents").desc)
+        sum(col("n_at")).over(W.partitionBy(col("b")).orderBy(col("cents").desc)
           .rowsBetween(W.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("cents"), col("n_higher"))
+    // term 1: whole higher buckets — the one unpartitioned window,
+    // over value-range/bucketWidth bucket rows, never user rows
+    val higherBuckets = hist.groupBy(col("b")).agg(sum(col("n_at")).as("n_b"))
+      .withColumn("nh_b",
+        coalesce(
+          sum(col("n_b")).over(W.orderBy(col("b").desc)
+            .rowsBetween(W.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("b"), col("nh_b"))
+    // bucket rows are value-range/bucketWidth at most — broadcast, so
+    // attaching term 1 re-shuffles nothing
+    val nHigher = inBucket.join(broadcast(higherBuckets), Seq("b"))
+      .select(col("cents"), (col("nh_in_b") + col("nh_b")).as("n_higher"))
     val ranked = perUser
       .withColumn("tie_rk", row_number()
         .over(W.partitionBy(col("cents")).orderBy(col("user_id"))).cast("long"))

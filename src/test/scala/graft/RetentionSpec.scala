@@ -285,12 +285,45 @@ class RetentionSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head
     assert(!plan.contains("ntile"), plan)
     // the only legal unpartitioned Window is the running sum over the
-    // reduced cents histogram — one whose input carries user_id would
-    // be the old single-partition sort of every user
+    // COARSE BUCKET histogram (domain = value-range / bucketWidth).
+    // One whose input carries user_id would be the old
+    // single-partition sort of every user; one carrying cents would
+    // be the distinct-value histogram, which near-unique money sums
+    // grow back to ~user cardinality
     val unpartitionedOverUsers = plan.split("\\(\\d+\\) ")
-      .filter(s => s.startsWith("Window") && s.contains(", [], [") && s.contains("user_id"))
+      .filter(s => s.startsWith("Window") && s.contains(", [], [")
+        && (s.contains("user_id") || s.contains("cents")))
     assert(unpartitionedOverUsers.isEmpty,
       unpartitionedOverUsers.mkString("\n---\n"))
+  }
+
+  test("ltvDeciles is bucketWidth-invariant and matches ntile across bucket boundaries") {
+    // lifetime values chosen to straddle coarse buckets at width 4:
+    // ties, adjacent values in different buckets, and one user whose
+    // refunds push the sum negative (div-toward-zero buckets still
+    // partition the value line into ordered intervals)
+    val e = Seq(
+      (1L, 1L, 0.07), (2L, 2L, 0.07), (3L, 3L, 0.08), (4L, 4L, 0.03),
+      (5L, 5L, 0.04), (6L, 6L, 0.01), (7L, 7L, -0.05), (8L, 8L, 0.12),
+      (9L, 9L, 0.11), (10L, 10L, 0.02), (11L, 11L, 0.06))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+      .withColumn("event_type", lit("purchase"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ref = e
+      .select($"user_id", expr("cast(floor(value * 100.0D + 0.5D) as bigint)").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+      .withColumn("decile", ntile(10).over(W.orderBy($"cents".desc, $"user_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_value_cents"))
+      .orderBy($"decile")
+      .as[(Long, Long, Long)].collect().toSeq
+    for (width <- Seq(2L, 4L, 1000L, 1L << 20)) {
+      val got = Retention.ltvDeciles(e, "purchase", "value", bucketWidth = width)
+        .select($"decile", $"n_users", $"total_value_cents")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === ref, s"bucketWidth=$width")
+    }
   }
 
   test("plan shapes: transitionMatrix folds lag+sum+lead into one Window; q133 has none") {
