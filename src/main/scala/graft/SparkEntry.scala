@@ -1595,6 +1595,21 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+
+    // ---- Streaming-maintained CMS cells (transformWithState +
+    // RocksDB): the live-ingest form of q128 — per-day depth·width
+    // counter arrays as typed state, emissions reduced by max on read
+    // (counters are monotone, so the largest emission of a cell is its
+    // final value); shares q128's oracle because the drained cells
+    // equal the batch partial exactly ----
+    "q147_stream_heavy_hitters" -> ((s, dir) => {
+      val src = EventStream.source(s, s"$dir/events.parquet")
+      val cells = EventStream.withStatePartitions(s, 8) {
+        streaming.CmsStream.drainedCells(s, src, keyCol = "user_id", depth = 4, width = 512)
+      }
+      FreqSketch.heavyHittersFromCells(Tables.load(s, dir, "events"),
+        FreqSketch.cmsMerge(cells), keyCol = "user_id", depth = 4, width = 512, topN = 20)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -1660,6 +1675,35 @@ object SparkEntry {
 
   private def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+
+  /** Oracle for q128 AND its streaming twin q147: the CMS cell table
+    * is a pure sum per (row-hash, bucket) — order-independent, so
+    * DuckDB rebuilds the identical sketch whichever side (one-shot
+    * batch or drained transformWithState state) accumulated it, and
+    * the min-over-rows estimate matches to the bit.
+    */
+  private def cmsHeavyHittersSql(depth: Int, width: Int, topN: Int): String = {
+    val params = graft.functions.PortableHash.minhashParams(depth)
+      .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH params(j, a, b) AS (VALUES $params),
+       |eh AS (SELECT h FROM (
+       |    SELECT ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM events)
+       |  WHERE h IS NOT NULL),
+       |cells AS (SELECT p.j, ((p.a * eh.h + p.b) % 2147483647) % $width AS bucket,
+       |            count(*) AS c
+       |          FROM eh CROSS JOIN params p GROUP BY 1, 2),
+       |exact AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_cnt
+       |          FROM events WHERE user_id IS NOT NULL
+       |          GROUP BY 1 ORDER BY exact_cnt DESC, key LIMIT $topN),
+       |probes AS (SELECT x.key, x.exact_cnt, p.j,
+       |             ((p.a * ${hash32Sql("x.key")} + p.b) % 2147483647) % $width AS bucket
+       |           FROM exact x CROSS JOIN params p),
+       |est AS (SELECT pr.key, pr.exact_cnt, min(c.c) AS cms_est
+       |        FROM probes pr JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
+       |        GROUP BY 1, 2)
+       |SELECT key, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+       |FROM est ORDER BY exact_cnt DESC, key""".stripMargin
+  }
 
   /** Oracle for q112: replays TextAnalysis.fitQualityLogitGd's integer
     * GD step by step — one gradient-aggregate CTE + one weight-update
@@ -3094,32 +3138,11 @@ object SparkEntry {
          |SELECT * FROM d UNION ALL SELECT * FROM mrow ORDER BY day_label""".stripMargin
     },
 
-    // CMS replay: the cell table is a pure sum per (row-hash, bucket)
-    // — order-independent, so DuckDB rebuilds the identical sketch
-    // and the min-over-rows estimate matches to the bit.
-    "q128_cms_heavy_hitters" -> {
-      val (depth, width, topN) = (4, 512, 20)
-      val params = graft.functions.PortableHash.minhashParams(depth)
-        .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
-      s"""WITH params(j, a, b) AS (VALUES $params),
-         |eh AS (SELECT h FROM (
-         |    SELECT ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM events)
-         |  WHERE h IS NOT NULL),
-         |cells AS (SELECT p.j, ((p.a * eh.h + p.b) % 2147483647) % $width AS bucket,
-         |            count(*) AS c
-         |          FROM eh CROSS JOIN params p GROUP BY 1, 2),
-         |exact AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_cnt
-         |          FROM events WHERE user_id IS NOT NULL
-         |          GROUP BY 1 ORDER BY exact_cnt DESC, key LIMIT $topN),
-         |probes AS (SELECT x.key, x.exact_cnt, p.j,
-         |             ((p.a * ${hash32Sql("x.key")} + p.b) % 2147483647) % $width AS bucket
-         |           FROM exact x CROSS JOIN params p),
-         |est AS (SELECT pr.key, pr.exact_cnt, min(c.c) AS cms_est
-         |        FROM probes pr JOIN cells c ON c.j = pr.j AND c.bucket = pr.bucket
-         |        GROUP BY 1, 2)
-         |SELECT key, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
-         |FROM est ORDER BY exact_cnt DESC, key""".stripMargin
-    },
+    "q128_cms_heavy_hitters" -> cmsHeavyHittersSql(depth = 4, width = 512, topN = 20),
+
+    // streaming twin of q128: the drained transformWithState cells are
+    // the same order-independent sums, so the oracle is shared verbatim
+    "q147_stream_heavy_hitters" -> cmsHeavyHittersSql(depth = 4, width = 512, topN = 20),
 
     "q125_kmv_cumulative" -> {
       val k = 64

@@ -80,8 +80,19 @@ object FreqSketch {
     */
   def cmsHeavyHitters(events: DataFrame, keyCol: String,
                       depth: Int = 4, width: Int = 512,
-                      topN: Int = 20): DataFrame = {
-    val cells = cmsMerge(cmsDailyCells(events, keyCol, depth, width))
+                      topN: Int = 20): DataFrame =
+    heavyHittersFromCells(events,
+      cmsMerge(cmsDailyCells(events, keyCol, depth, width)),
+      keyCol, depth, width, topN)
+
+  /** [[cmsHeavyHitters]] against an externally-built merged cell table
+    * — the read side shared by the one-shot batch form, the persisted
+    * daily partials, and the streaming-maintained state
+    * ([[graft.streaming.CmsStream]]): however the ≤ depth·width cells
+    * were accumulated, the estimate join below is identical.
+    */
+  def heavyHittersFromCells(events: DataFrame, cells: DataFrame, keyCol: String,
+                            depth: Int, width: Int, topN: Int): DataFrame = {
     val exactTop = events
       .select(col(keyCol).cast("string").as("key"))
       .filter(col("key").isNotNull)
