@@ -1610,6 +1610,20 @@ object SparkEntry {
       FreqSketch.heavyHittersFromCells(Tables.load(s, dir, "events"),
         FreqSketch.cmsMerge(cells), keyCol = "user_id", depth = 4, width = 512, topN = 20)
     }),
+
+    // ---- Rolling purchase-value percentiles from PERSISTED quantile
+    // state (the q139 pattern applied to the quantized-CDF tier):
+    // per-(day, cent) counts land in a lake table — cell-wise additive,
+    // so the 7-day p50/p90 backfill sums windowed cells and walks the
+    // CDF without ever rescanning events; exact type-1 quantiles in
+    // pure i64 arithmetic ----
+    "q148_rolling_value_quantiles" -> ((s, dir) => {
+      val state = Scratch.dir("graft_cents_q148") + "/state"
+      operators.Profile.persistDailyCents(Tables.load(s, dir, "events"),
+        eventType = "purchase", valueCol = "value", path = state)
+      operators.Profile.rollingQuantilesFromState(s, state,
+        windowDays = 7, percents = Seq(50, 90))
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3143,6 +3157,29 @@ object SparkEntry {
     // streaming twin of q128: the drained transformWithState cells are
     // the same order-independent sums, so the oracle is shared verbatim
     "q147_stream_heavy_hitters" -> cmsHeavyHittersSql(depth = 4, width = 512, topN = 20),
+
+    // rolling quantiles replayed from scratch: the per-(day, cent)
+    // partial is a plain count, so DuckDB rebuilds the identical
+    // merged CDF and the type-1 quantile walk matches in i64
+    "q148_rolling_value_quantiles" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cent
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |parts AS (SELECT day, cent, count(*) AS n FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM parts),
+        |merged AS (SELECT d.day, s.cent, sum(s.n) AS n
+        |           FROM parts s JOIN days d
+        |             ON s.day <= d.day AND s.day >= d.day - 6
+        |           GROUP BY 1, 2),
+        |cum AS (SELECT day, cent,
+        |          SUM(n) OVER (PARTITION BY day ORDER BY cent) AS cum,
+        |          SUM(n) OVER (PARTITION BY day) AS total
+        |        FROM merged),
+        |p AS (SELECT CAST(unnest([50, 90]) AS BIGINT) AS p)
+        |SELECT cum.day, p.p, min(cum.cent) AS q_cents
+        |FROM cum JOIN p ON cum.cum * 100 >= p.p * cum.total
+        |GROUP BY 1, 2 ORDER BY day, p""".stripMargin,
 
     "q125_kmv_cumulative" -> {
       val k = 64

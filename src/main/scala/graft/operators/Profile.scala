@@ -75,4 +75,70 @@ object Profile {
       .agg(min(col("cent")).as("q_cents"))
       .orderBy(col(groupCol), col("p"))
   }
+
+  /** Per-day quantized-count CDF partials of `valueCol` over rows of
+    * one `event_type` — the persistable QUANTILE state, completing
+    * the sketch-state family (KMV partials answer "how many
+    * distinct", CMS cells "how often", these "what percentile").
+    * Output (day, cent, n): at most |cent domain| rows per day
+    * whatever the day's volume, and cell-wise ADDITIVE — unlike rank
+    * positions, counts merge across days/batches by plain sum, so a
+    * backfill never rescans events. One map-side-combinable shuffle.
+    */
+  def dailyCentCounts(events: DataFrame, eventType: String, valueCol: String): DataFrame =
+    events
+      .filter(col("event_type") === eventType && col(valueCol).isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cent"))
+      .groupBy(col("day"), col("cent"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Persist a batch's per-day cent partials into the state table
+    * (`append = true` for incremental daily ingest — new days or
+    * late-data top-ups; the merge sums either way).
+    */
+  def persistDailyCents(events: DataFrame, eventType: String, valueCol: String,
+                        path: String, append: Boolean = false): Unit =
+    dailyCentCounts(events, eventType, valueCol).write
+      .mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Rolling-window percentiles per day from partials ONLY: cent-day s
+    * feeds target days s .. s+windowDays-1, window cells sum, and the
+    * CDF walk runs over the merged (day, cent) domain — all integer
+    * arithmetic, bit-identical to a from-scratch compute on the
+    * window's events. The join fans each partial row out windowDays
+    * ways, but the partial table is days × |cent domain| rows — at
+    * 100 TB this reads kilobytes where q41's exact percentile would
+    * re-materialize every event value.
+    * Output: (day, p, q_cents) ordered by (day, p).
+    */
+  def rollingQuantilesFromPartials(partials: DataFrame, windowDays: Int,
+                                   percents: Seq[Int]): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100] (got $percents)")
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val days = partials.select(col("day")).distinct()
+    val merged = partials.select(col("day").as("sday"), col("cent"), col("n"))
+      .join(days,
+        col("sday") <= col("day") &&
+          col("sday") >= date_sub(col("day"), windowDays - 1))
+      .groupBy(col("day"), col("cent"))
+      .agg(sum(col("n")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("day")).orderBy(col("cent"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("day"))))
+    val ps = percents.toDF("p").select(col("p").cast("long").as("p"))
+    cum.join(broadcast(ps), col("cum") * lit(100L) >= col("p") * col("total"))
+      .groupBy(col("day"), col("p"))
+      .agg(min(col("cent")).as("q_cents"))
+      .orderBy(col("day"), col("p"))
+  }
+
+  /** Rolling percentiles from the persisted state ONLY — no events scan. */
+  def rollingQuantilesFromState(spark: org.apache.spark.sql.SparkSession, path: String,
+                                windowDays: Int, percents: Seq[Int]): DataFrame =
+    rollingQuantilesFromPartials(spark.read.parquet(path), windowDays, percents)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Merge, Profile}
+import org.apache.spark.sql.functions.{lit, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q84–q85 operators: latest-wins upsert merge and the one-pass
@@ -92,5 +93,44 @@ class MergeProfileSpec extends AnyFunSuite {
     val d = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Seq(0)) }
     intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Nil) }
+  }
+
+  test("rollingQuantilesFromPartials equals a from-scratch compute per window") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val got = Profile.rollingQuantilesFromPartials(
+        Profile.dailyCentCounts(ev, "purchase", "value"), windowDays = 7, percents = Seq(50, 90))
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // oracle: for each reported day, quantize the window's raw events
+    // and pick the type-1 quantile by rank
+    val cents = ev.filter($"event_type" === "purchase" && $"value".isNotNull)
+      .selectExpr("cast(to_date(ts) as string) as day",
+        "cast(floor(value * 100.0D + 0.5D) as bigint) as c")
+      .as[(String, Long)].collect()
+    got.groupBy(_._1).foreach { case (day, rows) =>
+      val lo = java.sql.Date.valueOf(day.toLocalDate.minusDays(6)).toString
+      val xs = cents.filter { case (d, _) => d >= lo && d <= day.toString }.map(_._2).sorted
+      rows.foreach { case (_, p, q) =>
+        val idx = math.ceil(p * xs.length / 100.0).toInt - 1
+        assert(q == xs(idx), s"day $day p$p")
+      }
+    }
+  }
+
+  test("incrementally appended cent partials answer identically to one-shot state") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val cutoff = ev.selectExpr("cast(max(to_date(ts)) as string)").as[String].head()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString
+    val one = s"$dir/one"; val inc = s"$dir/inc"
+    Profile.persistDailyCents(ev, "purchase", "value", one)
+    // split ingest: history strictly before the last day, then a top-up
+    // batch carrying the last day — partials must SUM across appends
+    Profile.persistDailyCents(ev.filter(to_date($"ts") < lit(cutoff)), "purchase", "value",
+      inc, append = true)
+    Profile.persistDailyCents(ev.filter(to_date($"ts") === lit(cutoff)), "purchase", "value",
+      inc, append = true)
+    val a = Profile.rollingQuantilesFromState(spark, one, 7, Seq(50, 90)).collect().toSeq
+    val b = Profile.rollingQuantilesFromState(spark, inc, 7, Seq(50, 90)).collect().toSeq
+    assert(a === b)
   }
 }
