@@ -262,6 +262,10 @@ object ScaleProbe {
     // ADC join; BPE rounds run on the dedup'd vocab, so mult× more
     // DUPLICATED corpus must NOT grow round cost (same distinct words)
     time("cms_heavy_hitters", operators.FreqSketch.cmsHeavyHitters(events, "user_id", 4, 512, 20))
+    // quantile state: partial build is the only events-wide pass; the
+    // rolling merge + CDF walk run on the days x cent-domain table
+    time("cent_quantiles_rolling", operators.Profile.rollingQuantilesFromPartials(
+      operators.Profile.dailyCentCounts(events, "purchase", "value"), 7, Seq(50, 90)))
     time("pq_topk", Similarity.pqTopK(embs, m = 8, ks = 16, nQueries = 5, k = 10, rerank = 40))
     time("bpe_encode", TextAnalysis.bpeEncodeCounts(docs, merges = 4))
     // build-once/query-many amortization: the persisted-index query
