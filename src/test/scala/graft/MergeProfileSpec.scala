@@ -117,6 +117,22 @@ class MergeProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("dailyCentCounts is one map-side-combined pass; the rolling walk never rescans events") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val partialPlan = Profile.dailyCentCounts(ev, "purchase", "value")
+      .queryExecution.executedPlan.toString
+    // partial -> final hash aggregation around a single exchange: the
+    // reduced frame is (day, cent) cells, not rows
+    assert("HashAggregate".r.findAllIn(partialPlan).length >= 2)
+    assert("FileScan parquet".r.findAllIn(partialPlan).length == 1)
+    // the rolling merge reads ONLY the partial frame: no second events scan
+    val rollPlan = Profile.rollingQuantilesFromPartials(
+        Profile.dailyCentCounts(ev, "purchase", "value"), 7, Seq(50, 90))
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(rollPlan).length <= 2,
+      "rolling walk should reuse the partial (<= 2 scans: partial + day domain)")
+  }
+
   test("incrementally appended cent partials answer identically to one-shot state") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val cutoff = ev.selectExpr("cast(max(to_date(ts)) as string)").as[String].head()

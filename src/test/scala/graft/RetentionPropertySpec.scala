@@ -56,6 +56,27 @@ class RetentionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling cent-CDF quantiles equal brute-force windowed rank-picks on random feeds") {
+    for (seed <- 1L to 6L) {
+      val e = feed(seed, 300)
+      val got = operators.Profile.rollingQuantilesFromPartials(
+          operators.Profile.dailyCentCounts(e, "purchase", "value"),
+          windowDays = 7, percents = Seq(50, 90))
+        .select($"day".cast("string"), $"p", $"q_cents")
+        .as[(String, Long, Long)].collect().toSeq
+      val cents = e.filter($"event_type" === "purchase" && $"value".isNotNull)
+        .select(to_date($"ts").cast("string"),
+          expr("cast(floor(value * 100.0D + 0.5D) as bigint)"))
+        .as[(String, Long)].collect().toSeq
+      val expected = cents.map(_._1).distinct.sorted.flatMap { d =>
+        val lo = java.time.LocalDate.parse(d).minusDays(6).toString
+        val xs = cents.collect { case (cd, c) if cd >= lo && cd <= d => c }.sorted
+        Seq(50L, 90L).map(p => (d, p, xs(math.ceil(p * xs.length / 100.0).toInt - 1)))
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("KMV rolling estimate: n_kept<k days are exact on random feeds") {
     for (seed <- 1L to 4L) {
       val e = feed(seed, 300)
