@@ -159,15 +159,17 @@ object ScaleProbe {
     // copy); the KMV path's merge state is days×k longs at ANY mult,
     // so its curve should flatten once pair-shuffle dominates
     time("rolling_dau_wau", operators.Retention.rollingActiveUsers(events, 7))
-    // REDUCE-FIRST contrast (same result): materialize the distinct
-    // (day,user) pair set with its own shuffle, THEN explode ×7 and
-    // distinct again. Intuitive at 100 TB, but the production
+    // REDUCE-FIRST contrasts (same results): materialize the distinct
+    // (day,user) pair set with its own shuffle FIRST, then proceed —
+    // the shape the retention operators had before the x100
+    // measurement. Intuitive at 100 TB, but the production
     // explode-first form's map-side partial aggregation performs the
     // same reduction in-task without the extra stage — measured
-    // slower at x100 on BOTH staging axes (user-scaled and dense);
-    // this op keeps that comparison re-runnable.
-    time("rolling_dau_wau_reduce_first", {
-      val pairs = events.filter($"user_id".isNotNull)
+    // slower at x100 on BOTH staging axes (user-scaled and dense).
+    // ONE definition serves both axes so the two JSONL labels can
+    // never silently measure different plans.
+    def rollingReduceFirst(ev: DataFrame): DataFrame = {
+      val pairs = ev.filter($"user_id".isNotNull)
         .select(to_date($"ts").as("day"), $"user_id").distinct()
       val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
       val wau = pairs
@@ -176,13 +178,9 @@ object ScaleProbe {
         .groupBy($"day").agg(count(lit(1)).as("wau"))
       dau.join(wau, Seq("day"))
         .select($"day", $"dau", $"wau", expr("dau * 10000L div wau").as("stickiness_bp"))
-    })
-    time("cohort_retention", operators.Retention.cohortRetention(events, 7))
-    // REDUCE-FIRST contrast: pre-distinct the pair set before the
-    // first-day aggregate and the cohort join (the shape
-    // cohortRetention had before the x100 measurement).
-    time("cohort_retention_reduce_first", {
-      val pairs = events.filter($"user_id".isNotNull)
+    }
+    def cohortReduceFirst(ev: DataFrame): DataFrame = {
+      val pairs = ev.filter($"user_id".isNotNull)
         .select(to_date($"ts").as("day"), $"user_id").distinct()
       val first = pairs.groupBy($"user_id").agg(min($"day").as("cohort_day"))
       val sizes = first.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
@@ -193,7 +191,10 @@ object ScaleProbe {
         .join(sizes, Seq("cohort_day"))
         .select($"cohort_day", $"week_offset", $"cohort_size", $"n_active",
           expr("n_active * 10000L div cohort_size").as("retention_bp"))
-    })
+    }
+    time("rolling_dau_wau_reduce_first", rollingReduceFirst(events))
+    time("cohort_retention", operators.Retention.cohortRetention(events, 7))
+    time("cohort_retention_reduce_first", cohortReduceFirst(events))
     time("activity_histogram", operators.Retention.activityHistogram(events))
     time("session_funnel", operators.Sessionize.sessionFunnel(
       events, 60, Seq("view", "click", "purchase")))
@@ -227,32 +228,9 @@ object ScaleProbe {
         .select(to_date($"ts").as("day"), $"user_id").distinct().count()
       println(s"""{"events_dense":${eventsDense.count()},"distinct_day_user_pairs":$pairs}""")
       time("rolling_dau_wau_dense", operators.Retention.rollingActiveUsers(eventsDense, 7))
-      time("rolling_dau_wau_reduce_first_dense", {
-        val pairs = eventsDense.filter($"user_id".isNotNull)
-          .select(to_date($"ts").as("day"), $"user_id").distinct()
-        val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
-        val wau = pairs
-          .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("k"))
-          .select(date_add($"day", $"k").as("day"), $"user_id").distinct()
-          .groupBy($"day").agg(count(lit(1)).as("wau"))
-        dau.join(wau, Seq("day"))
-          .select($"day", $"dau", $"wau", expr("dau * 10000L div wau").as("stickiness_bp"))
-      })
+      time("rolling_dau_wau_reduce_first_dense", rollingReduceFirst(eventsDense))
       time("cohort_retention_dense", operators.Retention.cohortRetention(eventsDense, 7))
-      time("cohort_retention_reduce_first_dense", {
-        val pairs = eventsDense.filter($"user_id".isNotNull)
-          .select(to_date($"ts").as("day"), $"user_id").distinct()
-        val first = pairs.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-        val sizes = first.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_size"))
-        pairs.join(first, Seq("user_id"))
-          .select($"cohort_day",
-            expr("datediff(day, cohort_day) div 7").as("week_offset"), $"user_id")
-          .distinct()
-          .groupBy($"cohort_day", $"week_offset").agg(count(lit(1)).as("n_active"))
-          .join(sizes, Seq("cohort_day"))
-          .select($"cohort_day", $"week_offset", $"cohort_size", $"n_active",
-            expr("n_active * 10000L div cohort_size").as("retention_bp"))
-      })
+      time("cohort_retention_reduce_first_dense", cohortReduceFirst(eventsDense))
       eventsDense.unpersist()
     }
     time("logit_fit_gd", TextAnalysis.fitQualityLogitGd(docs, iters = 3, lrNum = 1L, lrDen = 5L))
@@ -323,10 +301,7 @@ object ScaleProbe {
     if (only.isEmpty || only.contains("stream_session_close")) {
       val dir = Scratch.dir("graft_sess_probe")
       val ev = events.select($"user_id", $"ts").filter($"user_id".isNotNull)
-      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
-      val sentinel = Seq((-1L,
-        new java.sql.Timestamp(maxTs.getTime + 31L * 60 * 1000))).toDF("user_id", "ts")
-      ev.unionByName(sentinel).write.parquet(s"$dir/feed")
+      streaming.SessionStream.stageWithSentinel(ev, s"$dir/feed", gapMinutes = 30)
       def drainTimed(name: String)(drain: => DataFrame): Unit = {
         val t0 = System.nanoTime()
         val n = drain.count()

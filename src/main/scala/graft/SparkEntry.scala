@@ -1580,18 +1580,14 @@ object SparkEntry {
     // shares q107's batch oracle verbatim. max(ts) is a bounded
     // driver probe (one row) for staging the sentinel ----
     "q146_stream_session_close" -> ((s, dir) => {
-      import s.implicits._
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("ts")).filter(col("user_id").isNotNull)
       val staging = Scratch.dir("graft_sess_q146")
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinel = Seq((-1L,
-        new java.sql.Timestamp(maxTs.getTime + 31L * 60 * 1000))).toDF("user_id", "ts")
-      ev.unionByName(sentinel).write.parquet(s"$staging/feed")
+      streaming.SessionStream.stageWithSentinel(ev, s"$staging/feed", gapMinutes = 30)
       EventStream.withStatePartitions(s, 8) {
         streaming.SessionStream.drainClosed(
           s, EventStream.source(s, s"$staging/feed"), gapMinutes = 30)
-      }.filter(col("user_id") =!= -1L)
+      }.filter(col("user_id") =!= streaming.SessionStream.SentinelUser)
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
@@ -3907,10 +3903,14 @@ object SparkEntry {
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
+    // null contract: value-NULL rows are excluded before the lifetime
+    // sum in BOTH engines — a user with no priced purchases is in no
+    // decile (see Retention.ltvDeciles scaladoc)
     "q142_ltv_deciles" ->
       """WITH per_user AS (
         |  SELECT user_id, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND value IS NOT NULL
         |  GROUP BY user_id),
         |cut AS (
         |  SELECT user_id, cents,

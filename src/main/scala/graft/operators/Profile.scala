@@ -56,15 +56,27 @@ object Profile {
     */
   def cdfQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                    percents: Seq[Int]): DataFrame = {
-    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
-      s"percents must be in [1,100] (got $percents)")
-    val spark = df.sparkSession
-    import spark.implicits._
     val counts = df
       .select(col(groupCol),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cent"))
       .groupBy(col(groupCol), col("cent"))
       .agg(count(lit(1)).as("n"))
+    cdfWalk(counts, groupCol, percents)
+  }
+
+  /** The shared CDF walk: from a reduced (groupCol, cent, n) count
+    * frame to type-1 lower quantiles — the single place the quantile
+    * rule (`cum·100 ≥ p·total`) lives, so the one-shot ([[cdfQuantiles]])
+    * and persisted-state ([[rollingQuantilesFromPartials]]) paths
+    * cannot drift. Output: (groupCol, p, q_cents) ordered by
+    * (groupCol, p).
+    */
+  private def cdfWalk(counts: DataFrame, groupCol: String,
+                      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100] (got $percents)")
+    val spark = counts.sparkSession
+    import spark.implicits._
     val cum = counts
       .withColumn("cum", sum(col("n")).over(
         Window.partitionBy(col(groupCol)).orderBy(col("cent"))))
@@ -115,10 +127,6 @@ object Profile {
   def rollingQuantilesFromPartials(partials: DataFrame, windowDays: Int,
                                    percents: Seq[Int]): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
-    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
-      s"percents must be in [1,100] (got $percents)")
-    val spark = partials.sparkSession
-    import spark.implicits._
     val days = partials.select(col("day")).distinct()
     val merged = partials.select(col("day").as("sday"), col("cent"), col("n"))
       .join(days,
@@ -126,15 +134,7 @@ object Profile {
           col("sday") >= date_sub(col("day"), windowDays - 1))
       .groupBy(col("day"), col("cent"))
       .agg(sum(col("n")).as("n"))
-    val cum = merged
-      .withColumn("cum", sum(col("n")).over(
-        Window.partitionBy(col("day")).orderBy(col("cent"))))
-      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("day"))))
-    val ps = percents.toDF("p").select(col("p").cast("long").as("p"))
-    cum.join(broadcast(ps), col("cum") * lit(100L) >= col("p") * col("total"))
-      .groupBy(col("day"), col("p"))
-      .agg(min(col("cent")).as("q_cents"))
-      .orderBy(col("day"), col("p"))
+    cdfWalk(merged, "day", percents)
   }
 
   /** Rolling percentiles from the persisted state ONLY — no events scan. */

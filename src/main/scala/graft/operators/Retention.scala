@@ -115,13 +115,23 @@ object Retention {
     * cents histogram would not be: near-unique lifetime values — the
     * realistic case for money sums — make it ~one row per user
     * again). Term 2 is a bucket-partitioned running sum whose
-    * partitions hold < bucketWidth distinct values by construction;
+    * partitions hold ≤ 2·bucketWidth-1 distinct values by
+    * construction (truncating `div` folds cents in
+    * (-bucketWidth, bucketWidth) into bucket 0; every other bucket
+    * holds < bucketWidth);
     * term 3 is a cents-partitioned `row_number` (distributed; a
     * pathological tie group — millions of users at one exact lifetime
     * value — is the residual hot key, and would need one more level
     * to split). Rank→decile is then ntile's closed-form rule applied
     * map-side: with N users the first N%10 buckets take ceil(N/10),
     * the rest floor(N/10).
+    *
+    * Null contract: rows with a NULL `valueCol` are excluded before
+    * the lifetime sum, so a user with no priced events has no LTV and
+    * appears in NO decile (declared in the q142 oracle the same way).
+    * Without the filter such users would carry a NULL cents key that
+    * silently falls out of the rank equi-join while still counting in
+    * n_total — a row-loss bug, not a contract.
     * Output: (decile, n_users, total_value_cents, share_bp) ordered
     * by decile.
     */
@@ -130,7 +140,8 @@ object Retention {
     require(bucketWidth >= 2, s"bucketWidth must be >= 2 (got $bucketWidth)")
     val W = org.apache.spark.sql.expressions.Window
     val perUser = events
-      .filter(col("event_type") === eventType && col("user_id").isNotNull)
+      .filter(col("event_type") === eventType && col("user_id").isNotNull &&
+        col(valueCol).isNotNull)
       .select(col("user_id"),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))

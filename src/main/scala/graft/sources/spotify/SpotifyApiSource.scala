@@ -129,11 +129,15 @@ private[spotify] case class SpotifyHttpResponse(
   *    the error JSON as a payload row (where it would decay into null
   *    structs downstream, indistinguishable from malformed data).
   *  - **429**: Spotify's rate limiter names its backoff in
-  *    `Retry-After` seconds; the fetcher honors it (capped at
+  *    `Retry-After` seconds; short waits (≤
   *    [[HttpPageFetcher.MaxRetryAfterSec]], at most
-  *    [[HttpPageFetcher.Max429Retries]] attempts) instead of failing
-  *    the task — at fleet fan-out scale a task failure would just
-  *    re-issue the same call sooner, making the limiter angrier.
+  *    [[HttpPageFetcher.Max429Retries]] attempts) are honored
+  *    in-task — failing on every blip would re-issue the call sooner
+  *    and make the limiter angrier — while a Retry-After ABOVE the
+  *    cap fails the task immediately: sleeping a capped 30 s and
+  *    retrying would both violate the server's named backoff and
+  *    park an executor slot; the scheduler's retry budget (the
+  *    reference's 2×5 min, spotify_dag.py:15-16) owns long waits.
   *  - **401 with a refreshable token**: the cached token is dropped,
   *    refreshed once via the grant, and the GET retried — the >1 h
   *    run surviving token expiry. A static user token gets the clear
@@ -178,8 +182,12 @@ class HttpPageFetcher extends PageFetcher {
       val r = exchange(method, url, body, hdrs)
       if (r.status / 100 == 2) return r.body
       else if (r.status == 429 && tries429 < HttpPageFetcher.Max429Retries) {
-        backoff(math.min(r.retryAfterSec.getOrElse(1L) max 1L,
-          HttpPageFetcher.MaxRetryAfterSec))
+        val wait = r.retryAfterSec.getOrElse(1L) max 1L
+        if (wait > HttpPageFetcher.MaxRetryAfterSec)
+          sys.error(s"$what rate-limited: HTTP 429 Retry-After ${wait}s exceeds " +
+            s"the ${HttpPageFetcher.MaxRetryAfterSec}s cap — failing the task so the " +
+            "scheduler's retry budget owns the wait instead of parking an executor slot")
+        backoff(wait)
         tries429 += 1
       } else if (r.status == 401 && refresh.isDefined) {
         hdrs = hdrs + ("Authorization" -> s"Bearer ${refresh.get.apply()}")
@@ -288,8 +296,10 @@ private[spotify] object HttpPageFetcher {
     */
   val Max429Retries: Int = 5
   /** Cap on a single honored Retry-After wait — a limiter asking for
-    * minutes should fail the task (and its retry budget) instead of
-    * silently parking an executor slot.
+    * more than this fails the task immediately (send() raises), so the
+    * scheduler's retry budget owns the wait instead of an executor
+    * slot silently parking (and instead of retrying sooner than the
+    * server asked).
     */
   val MaxRetryAfterSec: Long = 30L
 }

@@ -39,6 +39,16 @@ object CmsStream {
   /** One nonzero cell of one day's sketch — the emission row. */
   final case class DayCell(day: String, j: Int, bucket: Long, c: Long)
 
+  /** State key standing in for a NULL event time. The batch partial
+    * ([[graft.operators.FreqSketch.cmsDailyCells]]) keeps null-ts rows
+    * under a NULL day — the sketch counts the key multiset, the day is
+    * only the mergeability axis — but a typed groupByKey cannot carry
+    * a null key, so the stream routes them through this sentinel and
+    * [[drainedCells]] maps it back to a NULL day. Real days render as
+    * yyyy-MM-dd, so the sentinel cannot collide.
+    */
+  val NullDayKey = "null-ts"
+
   implicit val dayCellEnc: Encoder[DayCell] = Encoders.product[DayCell]
   implicit val stringEnc: Encoder[String] = Encoders.STRING
 
@@ -82,9 +92,9 @@ object CmsStream {
     require(depth >= 1, s"depth must be >= 1 (got $depth)")
     require(width >= 2, s"width must be >= 2 (got $width)")
     src
-      .select(to_date(col("ts")).cast("string").as("day"),
+      .select(coalesce(to_date(col("ts")).cast("string"), lit(NullDayKey)).as("day"),
         PortableHash.hash32(col(keyCol).cast("string")).as("h"))
-      .filter(col("h").isNotNull && col("day").isNotNull)
+      .filter(col("h").isNotNull)
       .as[DayHash](KmvStream.dayHashEnc)
       .groupByKey(_.day)
       .transformWithState(new CmsProcessor(depth, width), TimeMode.None(), OutputMode.Append())
@@ -99,7 +109,10 @@ object CmsStream {
                    depth: Int = 4, width: Int = 512): DataFrame =
     EventStream.withStateStore(spark, EventStream.RocksDbProvider) {
       EventStream.runAppendToMemory(spark, dailyCells(src, keyCol, depth, width).toDF())
-        .groupBy(to_date(col("day")).as("day"), col("j"), col("bucket"))
+        .groupBy(
+          when(col("day") === NullDayKey, lit(null).cast("date"))
+            .otherwise(to_date(col("day"))).as("day"),
+          col("j"), col("bucket"))
         .agg(max(col("c")).as("c"))
     }
 }

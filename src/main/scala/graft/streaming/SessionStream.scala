@@ -184,4 +184,32 @@ object SessionStream {
       EventStream.runAppendToMemory(spark,
         closedSessions(src, gapMinutes, watermarkDelay).toDF())
     }
+
+  /** Reserved user_id of the sentinel row [[stageWithSentinel]]
+    * appends; callers filter it back out of the drained sessions.
+    */
+  val SentinelUser: Long = -1L
+
+  /** Stage `ev` (user_id, ts) as a parquet feed plus ONE sentinel
+    * event that PROVABLY closes every session: it sits at
+    * `max(ts) + gap + delay + 1 min`, so the AvailableNow drain's
+    * closing batch drags the watermark past every open session's
+    * close time and fires every remaining timer — the invariant that
+    * makes a drain of the staged feed equal batch sessionization.
+    * Keeping the arithmetic here (rather than hand-rolled at each
+    * call site) ties the sentinel offset to the SAME gap/delay the
+    * drain uses — a gap change cannot silently stop flushing tail
+    * sessions. The max(ts) probe is a bounded driver read (one row).
+    */
+  def stageWithSentinel(ev: DataFrame, dir: String, gapMinutes: Int,
+                        watermarkDelayMinutes: Int = 0): Unit = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val maxTs = ev.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("ts"))).head().getTimestamp(0)
+    val sentinel = Seq((SentinelUser, new java.sql.Timestamp(
+      maxTs.getTime + (gapMinutes + watermarkDelayMinutes + 1).toLong * 60 * 1000)))
+      .toDF("user_id", "ts")
+    ev.unionByName(sentinel).write.parquet(dir)
+  }
 }

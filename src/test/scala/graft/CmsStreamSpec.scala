@@ -20,7 +20,7 @@ class CmsStreamSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def sortedCells(df: org.apache.spark.sql.DataFrame) =
-    df.select($"day".cast("string"), $"j", $"bucket", $"c")
+    df.select(coalesce($"day".cast("string"), lit("NULL")), $"j", $"bucket", $"c")
       .as[(String, Int, Long, Long)].collect().toSeq.sorted
 
   test("drained streaming cells equal the batch partial on the events fixture") {
@@ -51,6 +51,26 @@ class CmsStreamSpec extends AnyFunSuite {
     val batch = FreqSketch.cmsDailyCells(
       Tables.load(spark, sf, "events"), "user_id", depth = 4, width = 512)
     assert(sortedCells(streamed) === sortedCells(batch))
+  }
+
+  test("null-ts rows keep counting: drained cells equal the batch partial's NULL day") {
+    // the sketch counts the KEY multiset; a null event time lands in
+    // the batch partial under a NULL day, and the stream must agree
+    // (it routes them via the sentinel state key, mapped back on drain)
+    val dir = Files.createTempDirectory("graft-cms-nullts").toString
+    Seq((Some("2024-01-01 10:00:00"), 7L), (None, 7L), (None, 8L), (None, 7L))
+      .toDF("ts_s", "user_id")
+      .select(to_timestamp($"ts_s").as("ts"), $"user_id")
+      .write.parquet(s"$dir/feed")
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, user_id LONG").parquet(s"$dir/feed")
+    val streamed = EventStream.withStatePartitions(spark, 4) {
+      CmsStream.drainedCells(spark, src, "user_id", depth = 2, width = 32)
+    }
+    val batch = graft.operators.FreqSketch.cmsDailyCells(
+      spark.read.parquet(s"$dir/feed"), "user_id", depth = 2, width = 32)
+    assert(sortedCells(streamed) === sortedCells(batch))
+    assert(streamed.filter($"day".isNull).count() > 0)
   }
 
   test("heavy hitters from drained cells match the one-shot batch query") {

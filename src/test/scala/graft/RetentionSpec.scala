@@ -254,6 +254,23 @@ class RetentionSpec extends AnyFunSuite {
     assert(top >= 1000L)
   }
 
+  test("ltvDeciles: all-NULL-value users are excluded, not silently lost from a decile") {
+    // u9's only purchase has a NULL value: it must not appear in any
+    // decile AND must not inflate the ntile total (pre-fix it fell out
+    // of the rank equi-join on a NULL cents key while still counting
+    // in n_total, shifting every decile boundary)
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", Some(30.0)),
+      (2L, "2024-01-01 11:00:00", 2L, "purchase", Some(10.0)),
+      (3L, "2024-01-01 12:00:00", 9L, "purchase", None: Option[Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = Retention.ltvDeciles(e, "purchase", "value")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 3000L, 7500L), (2L, 1L, 1000L, 2500L)))
+    assert(got.map(_._2).sum === 2L)
+  }
+
   test("ltvDeciles equals the literal ntile(10) definition at sf0.001") {
     // the sort-free rank decomposition must reproduce ntile bit-for-bit
     // (same bucket sizes, same tie handling) — checked against a

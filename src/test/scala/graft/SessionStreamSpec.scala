@@ -126,10 +126,7 @@ class SessionStreamSpec extends AnyFunSuite {
     val ev = Tables.load(spark, sf, "events")
       .select($"user_id", $"ts").filter($"user_id".isNotNull)
     val dir = tmp("graft-sess-full")
-    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
-    val sentinel = Seq((-1L,
-      new java.sql.Timestamp(maxTs.getTime + 31L * 60 * 1000))).toDF("user_id", "ts")
-    ev.unionByName(sentinel).write.parquet(s"$dir/data")
+    SessionStream.stageWithSentinel(ev, s"$dir/data", gapMinutes = 30)
 
     val streamed = EventStream.withStatePartitions(spark, 4) {
       SessionStream.drainClosed(spark, EventStream.source(spark, s"$dir/data"), 30)

@@ -47,12 +47,17 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     assert(f.calls.count(_._1 == "GET") === 2)  // limited attempt + retry
   }
 
-  test("missing or garbled Retry-After waits 1 s; huge Retry-After is capped") {
+  test("missing or garbled Retry-After waits 1 s; over-cap Retry-After fails the task") {
     freshCache()
     val f = new Scripted(tokenJson("tokA"),
       rateLimited(None), rateLimited(Some(86400L)), ok("payload"))
-    assert(f.pages("search", "cher", creds).toSeq === Seq("payload"))
-    assert(f.waits.toSeq === Seq(1L, HttpPageFetcher.MaxRetryAfterSec))
+    // first 429 (no header) waits the 1 s floor and retries; the second
+    // names a 24 h backoff — honoring it would park the slot, capping it
+    // would retry sooner than the server asked, so the task fails and
+    // the scheduler's retry budget owns the wait
+    val err = intercept[RuntimeException] { f.pages("search", "cher", creds).toSeq }
+    assert(err.getMessage.contains("Retry-After 86400s exceeds"))
+    assert(f.waits.toSeq === Seq(1L))
   }
 
   test("429 retries are bounded: persistent rate-limiting fails the task with the status") {
