@@ -323,6 +323,21 @@ object ScaleProbe {
         }.filter($"user_id" =!= -1L)
       }
     }
+    // streaming CMS maintenance (q147's shape): drain the staged feed
+    // through the transformWithState processor and reduce emissions —
+    // the stream's extra cost over the 3.3 s batch build is RocksDB
+    // dispatch + re-emission, not asymptotics (state is still ≤2048
+    // cells/day).
+    if (only.isEmpty || only.contains("stream_cms_cells")) {
+      val dir = Scratch.dir("graft_cms_probe")
+      events.select($"ts", $"user_id").write.parquet(s"$dir/feed")
+      val t0 = System.nanoTime()
+      val n = streaming.EventStream.withStatePartitions(spark, 8) {
+        streaming.CmsStream.drainedCells(spark,
+          streaming.EventStream.source(spark, s"$dir/feed"), "user_id", 4, 512)
+      }.count()
+      println(f"""{"op":"stream_cms_cells","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+    }
     // connected-components convergence on an adversarial CHAIN (the
     // shape where diameter-bound propagation dies at scale: rounds =
     // chain length, while large-star/small-star needs O(log d)). Not
