@@ -1774,9 +1774,16 @@ object SparkEntry {
     * (verified empirically on the testdata vectors); cosine is then a
     * single dot of the two unit vectors.
     */
+  /** DuckDB mirror of Similarity.unitExpr's zero-norm guard: an
+    * all-zero vector normalizes to itself, never to `0/0 = NaN`.
+    */
+  private def unitSql(v: String): String =
+    s"CASE WHEN list_dot_product($v, $v) = 0 THEN $v " +
+      s"ELSE list_transform($v, x -> x / sqrt(list_dot_product($v, $v))) END"
+
   private val normalizedCte: String =
-    """e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |e AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e0)""".stripMargin
+    s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e AS (SELECT vec_id, ${unitSql("v")} AS u FROM e0)""".stripMargin
 
   /** DuckDB mirror of Similarity.signLshBuckets' deterministic
     * hyperplane bucket id over double-list expression `v`.
@@ -2495,7 +2502,7 @@ object SparkEntry {
          |       FROM ux GROUP BY cid, pos),
          |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
          |       FROM mx GROUP BY cid),
-         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |c1 AS (SELECT cid, ${unitSql("cv")} AS cu
          |       FROM cm),
          |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
          |       FROM e CROSS JOIN c1 c),
@@ -2887,7 +2894,7 @@ object SparkEntry {
          |       FROM ux GROUP BY cid, pos),
          |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
          |       FROM mx GROUP BY cid),
-         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |c1 AS (SELECT cid, ${unitSql("cv")} AS cu
          |       FROM cm),
          |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
          |       FROM e CROSS JOIN c1 c),
@@ -3088,11 +3095,11 @@ object SparkEntry {
          |         list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
          |       FROM mx GROUP BY label),
          |lu AS (SELECT label, n_members,
-         |         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS lu
+         |         ${unitSql("cv")} AS lu
          |       FROM lm),
          |gm AS (SELECT pos, SUM(sx) AS sx, SUM(cnt) AS cnt FROM mx GROUP BY pos),
          |gv AS (SELECT list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv FROM gm),
-         |gu AS (SELECT list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS gu FROM gv)
+         |gu AS (SELECT ${unitSql("cv")} AS gu FROM gv)
          |SELECT l.label, l.n_members,
          |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
          |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
@@ -3325,7 +3332,7 @@ object SparkEntry {
          |              COUNT(*) AS cnt
          |       FROM ux GROUP BY pos),
          |cm AS (SELECT list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv FROM mx),
-         |c1 AS (SELECT list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu FROM cm),
+         |c1 AS (SELECT ${unitSql("cv")} AS cu FROM cm),
          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
          |scored AS (SELECT e.vec_id,
          |             CAST(floor(list_dot_product(e.u, c.cu) * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
@@ -3362,7 +3369,7 @@ object SparkEntry {
          |       FROM ux GROUP BY cid, pos),
          |cm AS (SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
          |       FROM mx GROUP BY cid),
-         |c1 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cu
+         |c1 AS (SELECT cid, ${unitSql("cv")} AS cu
          |       FROM cm),
          |s2 AS (SELECT e.vec_id, c.cid, list_dot_product(e.u, c.cu) AS cs
          |       FROM e CROSS JOIN c1 c),

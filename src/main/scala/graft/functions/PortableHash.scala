@@ -28,7 +28,17 @@ object PortableHash {
   def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
 
-  /** Deterministic MinHash permutation params (a_i, b_i), i in [0,k). */
+  /** Deterministic MinHash permutation params (a_i, b_i), i in [0,k).
+    *
+    * Domain note: `(a·h + b) mod P` over the 32-bit [[hash32]] range
+    * is 2-to-1 (P = 2³¹−1 < 2³²) — h and h+P collide in EVERY
+    * component simultaneously, equivalent to first folding h into
+    * [0, P). That correlated collision has the same probability order
+    * as a base md5-prefix collision (~2⁻³¹ per shingle pair) and is
+    * accepted as part of the 32-bit portable-hash contract: the DuckDB
+    * oracle replays the identical arithmetic, so both engines agree
+    * bit-for-bit on any input, colliding or not.
+    */
   def minhashParams(k: Int): Seq[(Int, Long, Long)] =
     (0 until k).map(i => (i, 2L * i + 3L, 104729L * (i + 1)))
 }

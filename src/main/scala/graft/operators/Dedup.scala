@@ -80,6 +80,21 @@ object Dedup {
     persistedFrames.clear()
   }
 
+  /** Drop the executor blocks of a `localCheckpoint()`-ed frame once a
+    * later round has superseded it. The iterative operators
+    * (propagation / star contraction) checkpoint a frame per round;
+    * without this, a 25-round run pins 25 full label/edge copies on
+    * executor storage for the life of the job — at corpus scale that
+    * evicts blocks other queries need. `Dataset.unpersist` cannot do
+    * it (it only releases CacheManager entries, not checkpoint
+    * blocks), so the checkpointed RDD is unpersisted directly.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+    }.getOrElse(())
+
   /** Word n-gram shingle set per document: (doc_id, shingle), distinct. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -174,7 +189,14 @@ object Dedup {
     * maxDf², making worst-case cost linear in corpus size × maxDf.
     * Jaccard is then computed over the capped shingle universe:
     * identical to the exact result whenever no shingle exceeds the cap
-    * (asserted in tests), an under-approximation otherwise.
+    * (asserted in tests). Otherwise the deviation is TWO-SIDED, not an
+    * under-approximation: a capped shingle shared by both docs shrinks
+    * the intersection (score drops), but one present in only ONE doc
+    * shrinks that doc's count alone (score RISES — e.g. A={x,s},
+    * B={x} with s capped goes from 1/2 to 1/1), so a pair can clear
+    * `minJ` that the exact operator rejects. That is the standard
+    * stop-word contract: boilerplate shingles carry no identity
+    * signal, and scores are over the informative universe only.
     */
   def jaccardPairsCapped(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
     val sh = shingles(docs, n)
@@ -253,19 +275,21 @@ object Dedup {
 
   /** Persist MinHash signature state as a lake table — the near-dup
     * analog of [[graft.operators.Similarity.buildIvfIndex]]'s
-    * build-once contract. Layout: `path/sigs` (doc_id, sig_0..n-1)
-    * and `path/buckets` (doc_id, band, bucket); at 100 TB these are
-    * the only structures a daily dedup batch needs — history's TEXT
-    * is never re-shingled.
+    * build-once contract. Layout: ONE table, `path/sigs`
+    * (doc_id, sig_0..n-1) — at 100 TB it is the only structure a
+    * daily dedup batch needs (history's TEXT is never re-shingled).
+    * Band buckets are a pure function of the signature row
+    * ([[bandBuckets]]: a concat over k longs), so they are DERIVED at
+    * read time rather than stored: a second table would have to be
+    * appended in lockstep with this one, and a failure between the two
+    * appends would leave a doc invisible to every future candidate
+    * join — silent permanent recall loss. One table, one append, no
+    * torn state.
     */
   def persistMinhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
                                bands: Int, path: String): Unit = {
-    val (_, rawSigs, _) = minhashCandidates(docs, n, numHashes, bands)
-    // materialize once: the sigs plan (shingle + hash + 16-min groupBy)
-    // would otherwise execute for the sigs write AND the buckets write
-    val sigs = materialize(rawSigs)
+    val (_, sigs, _) = minhashCandidates(docs, n, numHashes, bands)
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    bandBuckets(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$path/buckets")
   }
 
   /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
@@ -284,8 +308,9 @@ object Dedup {
     * signature state (plus itself): candidates come from the bucket
     * equi-join of the new batch's bands against history ∪ new — so
     * old×old pairs (already adjudicated in previous runs) are never
-    * re-emitted and history is touched only through its ≤bands rows
-    * of longs per doc — and verification is the estimator form
+    * re-emitted and history is touched only through its signature
+    * rows (numHashes longs per doc; band buckets derive from them in
+    * one narrow map) — and verification is the estimator form
     * ([[minhashLshEstimated]]), reading historical SIGNATURES, not
     * text. Appends the new batch's state to `path`, so tomorrow's
     * run sees today's docs as history — the daily-ingest loop.
@@ -301,8 +326,11 @@ object Dedup {
     // three times, in the operator whose point is never re-shingling
     val newSigs = materialize(rawNewSigs)
     val newBuckets = bandBuckets(newSigs, numHashes, bands)
-    val allBuckets = spark.read.parquet(s"$path/buckets").unionByName(newBuckets)
-    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(newSigs)
+    // history buckets are derived from the one state table (see
+    // persistMinhashSignatures: no second table to tear on append)
+    val histSigs = spark.read.parquet(s"$path/sigs")
+    val allBuckets = bandBuckets(histSigs, numHashes, bands).unionByName(newBuckets)
+    val allSigs = histSigs.unionByName(newSigs)
     val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -318,9 +346,12 @@ object Dedup {
         (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJ)
       .orderBy(col("doc_a"), col("doc_b"))
-    // ingest: today's batch becomes tomorrow's history
+    // ingest: today's batch becomes tomorrow's history — ONE append to
+    // the single state table, so there is no window in which a doc is
+    // half-ingested. Note the returned frame reads the pre-append file
+    // listing (InMemoryFileIndex snapshots at read time), so consuming
+    // `result` after this append still sees history ∪ new exactly once.
     newSigs.write.mode("append").parquet(s"$path/sigs")
-    newBuckets.write.mode("append").parquet(s"$path/buckets")
     result
   }
 
@@ -372,26 +403,11 @@ object Dedup {
     */
   def minhashEstimateAccuracy(docs: DataFrame, n: Int, numHashes: Int,
                               bands: Int, minJ: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
-    val sh = shingles(docs, n)
-    val hashed = sh.select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
-    val sigCols = PortableHash.minhashParams(numHashes).map { case (i, a, b) =>
-      min((lit(a) * col("h") + lit(b)) % lit(PortableHash.P)).as(s"sig_$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-
-    val bandCols = (0 until bands).map { band =>
-      concat_ws(",", (0 until rowsPerBand).map(p =>
-        col(s"sig_${band * rowsPerBand + p}").cast("string")): _*)
-    }
-    val buckets = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // the shared front half — the accuracy harness MUST measure the
+    // exact candidate generation the operators use, so it calls it
+    // rather than re-rolling it (a fix to banding applied to one copy
+    // would silently desynchronize the harness from its subject)
+    val (sh, sigs, cand) = minhashCandidates(docs, n, numHashes, bands)
 
     val sa = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
     val sb = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
@@ -428,14 +444,28 @@ object Dedup {
     * that keeps the operator feasible at 100 TB.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val parts = maxHamming + 1
+    // a negative budget would silently return zero pairs (posexplode
+    // of an empty array) — reject it loudly
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     val sigs = simhash(docs) // (doc_id, simhash)
-    // chunk p covers bit range [p*32/parts, (p+1)*32/parts)
-    val bounds = (0 to parts).map(p => p * 32 / parts)
-    val chunkArr = (0 until parts).map { p =>
-      val lo = bounds(p); val width = bounds(p + 1) - lo
-      expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}")
-    }
+    // budget >= 32 admits EVERY pair of 32-bit signatures, so banding
+    // cannot prune (a qualifying pair may differ in all chunks): the
+    // candidate set is DELIBERATELY the all-pairs join via one
+    // constant chunk — the permissive-budget degenerate form, O(n²)
+    // by definition of what was asked. Below 32, parts = maxHamming+1
+    // chunks of >= 1 bit each (parts <= 32) give the pigeonhole
+    // guarantee: a pair within budget agrees on at least one chunk.
+    val chunkArr =
+      if (maxHamming >= 32) Seq(expr("CAST(0 AS BIGINT)"))
+      else {
+        val parts = maxHamming + 1
+        // chunk p covers bit range [p*32/parts, (p+1)*32/parts)
+        val bounds = (0 to parts).map(p => p * 32 / parts)
+        (0 until parts).map { p =>
+          val lo = bounds(p); val width = bounds(p + 1) - lo
+          expr(s"shiftright(simhash, $lo) & ${(1L << width) - 1}")
+        }
+      }
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(chunkArr: _*)).as(Seq("chunk_idx", "chunk_val")))
     val cand = banded.as("a")
@@ -572,6 +602,9 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).limit(1).count() > 0
+      // the change probe above was the last consumer of the old round's
+      // blocks — drop them before the next round checkpoints more
+      releaseCheckpoint(labels)
       labels = next
       i += 1
     }
@@ -637,6 +670,12 @@ object Dedup {
       val nextCount = next.count()
       changed = nextCount != edgeCount ||
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() > 0
+      // the change probe was the last consumer of this round's
+      // intermediate and of the previous edge frame — drop their
+      // blocks before the next round checkpoints more (the FINAL
+      // edges frame is kept: the label readout below consumes it)
+      releaseCheckpoint(afterLarge)
+      releaseCheckpoint(edges)
       edges = next
       edgeCount = nextCount
       i += 1

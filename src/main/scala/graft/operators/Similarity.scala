@@ -38,6 +38,19 @@ object Similarity {
   private def dotExpr(a: String, b: String): String =
     s"${graft.functions.VectorExprs.DotName}($a, $b)"
 
+  /** Unit-normalization of vector expression `v` with the zero-norm
+    * guard: an all-zero vector (a failed encoder output) normalizes to
+    * ITSELF rather than `0/0 = NaN` — under Spark's NaN-is-greatest
+    * ordering a NaN unit vector would rank as the #1 neighbour of
+    * every query and pass every `cosine >= minCos` gate; a zero one
+    * scores cosine 0 everywhere and falls out naturally. The SAME
+    * guard lives in the DuckDB oracle's normalize kernel
+    * (SparkEntry.unitSql), so both engines agree on degenerate input.
+    */
+  private def unitExpr(v: String): String =
+    s"CASE WHEN ${dotExpr(v, v)} = 0D THEN $v " +
+      s"ELSE transform($v, x -> x / sqrt(${dotExpr(v, v)})) END"
+
   /** (vec_id, u): unit-normalized double vectors — norms computed once
     * per row, not once per pair.
     */
@@ -45,7 +58,7 @@ object Similarity {
     graft.functions.VectorExprs.register(df.sparkSession)
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .select(col("vec_id"),
-        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"))
+        expr(unitExpr("v")).as("u"))
   }
 
   /** Top-k nearest neighbours (cosine) for vec_id < nQueries.
@@ -358,7 +371,7 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
       .select(col("cid"),
-        expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
+        expr(unitExpr("cv")).as("cu"))
   }
 
   /** Product-quantization ADC top-k — the memory-compression tier of
@@ -555,13 +568,23 @@ object Similarity {
     val sv = pqMelt(e, m)
     val c1 = pqCodebooks(sv, ks)
     c1.write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCodes(sv, c1, path, "overwrite")
+  }
+
+  /** The ONE encode-and-write block both the one-shot build and the
+    * incremental append go through — appendToPqIndex's
+    * append-equals-one-shot-encode guarantee (PqIndexSpec) is exactly
+    * the claim that both paths encode identically, so they must share
+    * the code rather than stay identical by luck.
+    */
+  private def writeCodes(sv: DataFrame, c1: DataFrame, path: String,
+                         mode: String): Unit =
     pqAssign(sv, c1)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("s"),
         col("cid").cast("smallint").as("c")))).as("sc"))
       .select(col("vec_id"), expr("transform(sc, p -> p.c)").as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-  }
+      .write.mode(mode).parquet(s"$path/codes")
 
   /** Load a persisted PQ index: (codebooks, codes melted back to
     * (vec_id, s, cid) — the join shape [[pqQuery]] consumes, with cid
@@ -602,12 +625,7 @@ object Similarity {
     val m = c1.agg(max(col("s"))).head().getInt(0) + 1
     val e = pqInt8(newVectors)
     pqDimCheck(e, m)
-    pqAssign(pqMelt(e, m), c1)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("s"),
-        col("cid").cast("smallint").as("c")))).as("sc"))
-      .select(col("vec_id"), expr("transform(sc, p -> p.c)").as("codes"))
-      .write.mode("append").parquet(s"$path/codes")
+    writeCodes(pqMelt(e, m), c1, path, "append")
   }
 
   /** Query-many half of the build-once contract: identical results to
@@ -788,7 +806,7 @@ object Similarity {
   private def bucketed(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
     signLshBuckets(embeddings, planes, dim)
       .select(col("vec_id"),
-        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"),
+        expr(unitExpr("v")).as("u"),
         col("bucket"))
 
   /** 100 TB form of [[embeddingNearDups]]: candidate pairs are
@@ -864,11 +882,7 @@ object Similarity {
     * trade. Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
   def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int, planes: Int, dim: Int): DataFrame = {
-    graft.functions.VectorExprs.register(embeddings.sparkSession)
-    val b = signLshBuckets(embeddings, planes, dim)
-      .select(col("vec_id"),
-        expr(s"transform(v, x -> x / sqrt(${dotExpr("v", "v")}))").as("u"),
-        col("bucket"))
+    val b = bucketed(embeddings, planes, dim)
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("u").as("qu"), col("bucket").as("qbucket"))
     val scored = b.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
@@ -990,7 +1004,7 @@ object Similarity {
       .select(col("pos"), (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(expr("transform(pm, s -> s.m)").as("cv"))
-      .select(expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as("cu"))
+      .select(expr(unitExpr("cv")).as("cu"))
     val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
     val scored = e.crossJoin(broadcast(cv))
       .select(col("vec_id"),
@@ -1036,7 +1050,7 @@ object Similarity {
           max(col("cnt")).as("cnt")) // cnt is constant across a group's lanes
         .select(keys.map(col) :+ col("cnt") :+ expr("transform(pm, s -> s.m)").as("cv"): _*)
       m.select(keys.map(col) :+ col("cnt")
-        :+ expr(s"transform(cv, x -> x / sqrt(${dotExpr("cv", "cv")}))").as(out): _*)
+        :+ expr(unitExpr("cv")).as(out): _*)
     }
     val perLabel = toUnit(lanes, Seq("label"), "lu")
     val global = toUnit(

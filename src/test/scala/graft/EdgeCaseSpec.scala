@@ -104,4 +104,37 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 0L, 1L -> 1L)) // each its own centroid
   }
+
+  test("an all-zero embedding never becomes NaN: it ranks last, not first") {
+    // a failed-encoder zero vector normalizes to itself (cosine 0
+    // everywhere); without the guard it is 0/0 = NaN, and NaN sorts
+    // GREATER than every double in Spark — the zero vector would be
+    // the #1 neighbour of every query and a "near-dup" of everything
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = operators.Similarity.cosineTopK(e, nQueries = 1, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(top.forall(r => !r._4.isNaN))
+    assert(top.head._3 == 1L) // the real neighbour outranks the zero vector
+    val dups = operators.Similarity.embeddingNearDups(e, minCos = 0.5)
+    assert(dups.filter($"vec_a" === 2L || $"vec_b" === 2L).count() == 0)
+  }
+
+  test("a zero-vector centroid seed stays finite instead of NaN-capturing the corpus") {
+    // k-means seeds centroids from the first k vectors; vec 0 is all
+    // zeros, so centroid 0 normalizes to the zero vector (cosine 0
+    // against everything). Without the guard it is NaN, every csim is
+    // NaN, and NaN desc-sorts FIRST — the whole corpus would collapse
+    // into the garbage centroid.
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity.kmeansAssign(e, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // the real directions cluster together, away from the zero seed
+    assert(got(1L) == got(2L) && got(1L) != got(0L))
+  }
 }
