@@ -2427,7 +2427,7 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |  FROM documents WHERE doc_id < 50),
-        |idx AS (SELECT doc_id, w, unnest(range(0, (len(w)-1) // 30 + 1)) AS chunk_idx FROM toks),
+        |idx AS (SELECT doc_id, w, unnest(range(0, greatest(0, (len(w)-11) // 30) + 1)) AS chunk_idx FROM toks),
         |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |        CAST(len(w[chunk_idx*30 + 1 : chunk_idx*30 + 40]) AS BIGINT) AS n_tokens
         |      FROM idx),
@@ -3126,9 +3126,13 @@ object SparkEntry {
     "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
 
+    // null-day contract (ApproxDistinct.dayHashes): ts-NULL rows belong
+    // to no day and are excluded from the whole tier — daily rows, the
+    // ALL merge, and cumulative prefixes — so rows always reconcile
     "q113_kmv_distinct" -> {
       val k = 64
-      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         |           FROM events WHERE ts IS NOT NULL),
          |hs AS (SELECT DISTINCT day, h FROM (
          |    SELECT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e)
          |  WHERE h IS NOT NULL),
@@ -3186,7 +3190,8 @@ object SparkEntry {
 
     "q125_kmv_cumulative" -> {
       val k = 64
-      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+      s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+         |           FROM events WHERE ts IS NOT NULL),
          |hs AS (SELECT DISTINCT day, h FROM (
          |    SELECT day, ${hash32Sql("CAST(user_id AS VARCHAR)")} AS h FROM e)
          |  WHERE h IS NOT NULL),
@@ -3524,7 +3529,7 @@ object SparkEntry {
     "q54_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |              FROM documents WHERE doc_id < 50),
-        |idx AS (SELECT doc_id, w, unnest(range(0, (len(w)-1) // 30 + 1)) AS chunk_idx FROM toks),
+        |idx AS (SELECT doc_id, w, unnest(range(0, greatest(0, (len(w)-11) // 30) + 1)) AS chunk_idx FROM toks),
         |ch AS (SELECT doc_id, chunk_idx, w[chunk_idx*30 + 1 : chunk_idx*30 + 40] AS cw FROM idx)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(len(cw) AS BIGINT) AS n_tokens,
@@ -3534,7 +3539,7 @@ object SparkEntry {
     "q55_redaction" ->
       """SELECT doc_id,
         |  regexp_replace(
-        |    regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]+', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -54,6 +54,32 @@ object ApproxDistinct {
     * day-partitioned exchange; the merge sees ≤ k rows per day. Error
     * is the standard KMV bound ~1/√(k−2) (asserted ≤ 3σ in tests).
     */
+  /** Distinct (day, h) pairs of non-null keys on non-null days — the
+    * shared sketch input of the daily and cumulative forms. NULL-day
+    * contract: an event with ts = NULL belongs to no day and is
+    * excluded from the ENTIRE tier — daily rows, the 'ALL' merge, and
+    * cumulative prefixes — so per-day rows always reconcile with the
+    * merged/exact columns (a null day would otherwise survive into
+    * the kept/exact frames but silently vanish at the null-rejecting
+    * day equi-join, losing the group from the daily output while its
+    * keys still counted in 'ALL'). Declared identically in the
+    * q113/q125 oracles.
+    */
+  private def dayHashes(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"),
+        graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull && col("day").isNotNull)
+      .distinct()
+
+  /** The KMV estimator over a (…, n_kept, kth_hash) frame — the ONE
+    * place the (k−1)·2³² / kth_hash formula lives in this tier.
+    */
+  private def kmvEstimate(grouped: DataFrame, k: Int): DataFrame = grouped
+    .withColumn("approx_distinct",
+      when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
+
   def kmvDaily(events: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     // per-day k smallest via the custom partial-heap operator rather
@@ -69,21 +95,14 @@ object ApproxDistinct {
     // max(h) then ignores — the sketch estimates distinct non-null
     // keys, matching count(DISTINCT key) semantics on both engines
     val kept = graft.plans.TopK.perGroup(
-      events
-        .select(to_date(col("ts")).as("day"),
-          graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
-        .filter(col("h").isNotNull)
-        .distinct(),
+      dayHashes(events, keyCol),
       Seq(col("day")), Seq(col("h").asc), k)
     val exact = events
       .select(to_date(col("ts")).as("day"), col(keyCol).as("key"))
+      .filter(col("day").isNotNull)
       .groupBy(col("day")).agg(countDistinct(col("key")).as("exact_distinct"))
-    def estimated(grouped: DataFrame): DataFrame = grouped
-      .withColumn("approx_distinct",
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
-    val daily = estimated(kept.groupBy(col("day"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")))
+    val daily = kmvEstimate(kept.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")), k)
       .join(exact, Seq("day"))
     // merge path: global k smallest over the per-day retained hashes
     // only (cross-day duplicates collapse by hash value). The
@@ -93,9 +112,10 @@ object ApproxDistinct {
     val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
     val mergedKept = kept.select(col("h")).distinct()
       .withColumn("rnk", row_number().over(wAll)).filter(col("rnk") <= k)
-    val exactAll = events.agg(countDistinct(col(keyCol)).as("exact_distinct"))
-    val merged = estimated(mergedKept
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")))
+    val exactAll = events.filter(to_date(col("ts")).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    val merged = kmvEstimate(mergedKept
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")), k)
       .crossJoin(exactAll)
       .select(lit("ALL").as("day_label"), col("n_kept"), col("kth_hash"),
         col("approx_distinct"), col("exact_distinct"))
@@ -127,11 +147,7 @@ object ApproxDistinct {
   def kmvCumulative(events: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     val kept = graft.plans.TopK.perGroup(
-      events
-        .select(to_date(col("ts")).as("day"),
-          graft.functions.PortableHash.hash32(col(keyCol).cast("string")).as("h"))
-        .filter(col("h").isNotNull)
-        .distinct(),
+      dayHashes(events, keyCol),
       Seq(col("day")), Seq(col("h").asc), k)
     val days = kept.select(col("day")).distinct()
     // prefix union of sketch states, dup hashes collapsed, re-sketched
@@ -140,11 +156,8 @@ object ApproxDistinct {
         .join(days, col("sday") <= col("day"))
         .select(col("day"), col("h")).distinct(),
       Seq(col("day")), Seq(col("h").asc), k)
-    val est = cumKept.groupBy(col("day"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
-      .withColumn("approx_distinct",
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise((lit((k - 1).toLong) * lit(4294967296L)).cast("double") / col("kth_hash")))
+    val est = kmvEstimate(cumKept.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash")), k)
     // exact to-date = how many keys first appeared on or before d
     val firstDays = events
       .select(to_date(col("ts")).as("fd"), col(keyCol).as("key"))

@@ -29,6 +29,10 @@ object TextAnalysis {
     * map-side-combinable groupBy. Novelty is a small-int division —
     * exact and engine-portable.
     * Output: (doc_id, n_grams, n_novel, novelty) ordered by doc_id.
+    * NOTE documents with fewer than n tokens contribute no shingles
+    * and are ABSENT from the output (not emitted as n_grams = 0) —
+    * consumers joining novelty back onto the corpus should left-join
+    * and treat the null as "too short to score".
     */
   def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -166,7 +170,11 @@ object TextAnalysis {
     * ≤ 1e6 fp, per-row |err·x| ≤ 1e12, so corpora to ~9·10^6 docs PER
     * AGGREGATE are exactly safe; beyond that,
     * accumulate the same products as DECIMAL(38,0) (one cast — the
-    * gradient stays exact, the update rule unchanged).
+    * gradient stays exact, the update rule unchanged). The driver-side
+    * update itself never multiplies |g|·lrNum directly (that product
+    * can wrap i64 near the bound when lrNum > 1): it uses the exact
+    * split (|g| div d)·lr + ((|g| mod d)·lr) div d, identical in value
+    * and overflow-free whenever lr·d fits i64.
     * Output: one row per coefficient, (feature, weight_fp) ordered by
     * feature — bias/len/tok/ttr.
     */
@@ -208,11 +216,21 @@ object TextAnalysis {
         names.map(n => sum(err * col(n)).as(s"g_$n")): _*)
       val row = agg.head()
       val n = row.getLong(0)
-      val grads = names.indices.map(i => row.getLong(i + 1))
-      w = w.zipWithIndex.map { case (wj, j) =>
-        val g = grads(j)
-        val den = n * lrDen * 1000000L
-        wj + math.signum(g) * ((math.abs(g) * lrNum) / den)
+      // empty corpus: no gradient evidence — weights stay at their
+      // current values (sum() is NULL and n*... would divide by zero)
+      if (n > 0L) {
+        val grads = names.indices.map(i => row.getLong(i + 1))
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val g = grads(j)
+          val den = n * lrDen * 1000000L
+          // |g| can approach 2⁶³ near the documented corpus bound, so
+          // |g|·lrNum may wrap; split the exact identity
+          //   (a·lr) div d  ==  (a div d)·lr + ((a mod d)·lr) div d
+          // (valid for a,lr,d >= 0) — value-identical where the naive
+          // product fits, and overflow-free whenever lr·d fits i64
+          val a = math.abs(g)
+          wj + math.signum(g) * ((a / den) * lrNum + ((a % den) * lrNum) / den)
+        }
       }
     }
     import spark.implicits._
@@ -436,6 +454,13 @@ object TextAnalysis {
     * Output: (doc_id, score) — top `k` by (score desc, doc_id).
     */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+    // empty query: the fixed-order sum below has no head column (crash
+    // at plan build); duplicated terms: each duplicate adds an
+    // identical conditional-sum column, silently double-counting that
+    // term's contribution in every matching doc's score
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"bm25 query terms must be distinct (got $terms)")
     val toks = docs.select(col("doc_id"), tokens.as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"), col("w"))
     val stats = toks.agg(
@@ -531,12 +556,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Content fingerprints of the whitespace-normalized text (stable
-    * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
-    * and a polynomial rolling hash (base 31 mod 2^31-1) — the
-    * incremental-update-friendly variant a chunking pipeline extends
-    * to sliding windows. Output: (doc_id, fp, fp32, fp_roll) ordered.
-    */
   /** BPE (byte-pair-encoding) merge training — the distributed form
     * of tokenizer-vocabulary learning: `merges` rounds of "count all
     * adjacent symbol pairs across the corpus, merge the most frequent
@@ -659,6 +678,12 @@ object TextAnalysis {
       .orderBy(col("n_tokens").desc, col("token"))
   }
 
+  /** Content fingerprints of the whitespace-normalized text (stable
+    * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
+    * and a polynomial rolling hash (base 31 mod 2^31-1) — the
+    * incremental-update-friendly variant a chunking pipeline extends
+    * to sliding windows. Output: (doc_id, fp, fp32, fp_roll) ordered.
+    */
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(

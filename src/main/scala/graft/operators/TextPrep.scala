@@ -17,6 +17,13 @@ object TextPrep {
 
   /** Split each document into token chunks of `size` with `overlap`
     * tokens shared between neighbours (stride = size - overlap).
+    * A chunk is emitted only if it contributes at least one NEW token
+    * beyond the shared overlap (start + overlap < size(w)); without
+    * that bound, any document whose tail length is <= overlap got a
+    * final chunk fully contained in its predecessor — duplicated
+    * training content that also inflated n_tokens sums and packing
+    * budgets. The first chunk always exists (empty docs chunk to one
+    * empty chunk).
     * Output: (doc_id, chunk_idx, n_tokens, chunk) ordered.
     */
   def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
@@ -25,8 +32,9 @@ object TextPrep {
     docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), posexplode(expr(
-        // starts at 0, stride, 2*stride, ... while start < size(w)
-        s"transform(sequence(0, (size(w)-1) div $stride), i -> slice(w, i*$stride + 1, $size))"
+        // starts at 0, stride, 2*stride, ... while start + overlap < size(w)
+        s"transform(sequence(0, greatest(0, (size(w) - $overlap - 1) div $stride)), " +
+          s"i -> slice(w, i*$stride + 1, $size))"
       )).as(Seq("chunk_idx", "cw")))
       .select(
         col("doc_id"),
@@ -39,13 +47,18 @@ object TextPrep {
   /** Redact digit runs and email-shaped tokens — the pattern layer of
     * a PII scrub (real deployments chain more patterns; each is one
     * more codegen'd regexp_replace). RE2-safe patterns, so the oracle
-    * applies the identical regexes.
+    * applies the identical regexes. The email class includes
+    * `._%+-` in the local part and `.-` in the domain — without them
+    * "jane_doe@my-site.com" matched only "doe@my", leaving the
+    * identifying fragments "jane_" and "-site.com" in output that
+    * LOOKS sanitized (worse than no match at all).
     */
   def redact(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_replace(
-        regexp_replace(col("text"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
         "[0-9]+", "<NUM>").as("redacted"))
       .orderBy(col("doc_id"))
 
@@ -55,7 +68,9 @@ object TextPrep {
     * Unlisted sources keep `defaultPct`.
     */
   def sourceMixture(docs: DataFrame, weights: Map[String, Int], defaultPct: Int): DataFrame = {
-    val bucket = pmod(PortableHash.hash32(col("doc_id").cast("string")), lit(100L))
+    // the one split primitive (Sampling.hashBucket) — mixture sampling
+    // and train/test splitting must bucket identically or drift apart
+    val bucket = Sampling.hashBucket(col("doc_id"))
     val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
       when(col("source") === src, lit(p)).otherwise(acc)
     }

@@ -78,6 +78,41 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(cg.contains("WholeStageCodegen subtrees"))
   }
 
+  // ---- chunking / redaction ----------------------------------------------
+
+  test("chunk never emits a trailing chunk fully contained in its predecessor") {
+    // 100 tokens, size 40 / overlap 10 (stride 30): starts 0,30,60 —
+    // NOT 90, whose 10-token tail is entirely inside chunk 2
+    val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = operators.TextPrep.chunk(doc, size = 40, overlap = 10)
+      .select($"doc_id", $"chunk_idx", $"n_tokens").as[(Long, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq(40L, 40L, 40L)) // 1-40, 31-70, 61-100
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 3L))) // short doc: one chunk
+    assert(got.filter(_._1 == 3L).size == 1) // empty doc still chunks once
+    // every token of doc 1 is covered despite dropping the contained tail
+    val toks = operators.TextPrep.chunk(doc.filter($"doc_id" === 1L), 40, 10)
+      .select(explode(split($"chunk", " "))).distinct().count()
+    assert(toks == 100L)
+  }
+
+  test("redact scrubs underscore/hyphen/plus emails whole, not partially") {
+    val doc = Seq((1L, "contact jane_doe+spam@my-site.com or x99@a.io now"))
+      .toDF("doc_id", "text")
+    val out = operators.TextPrep.redact(doc).select($"redacted").as[String].head()
+    assert(out == "contact <EMAIL> or <EMAIL> now")
+  }
+
+  test("bm25 rejects empty and duplicated query terms loudly") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.bm25(d, Seq.empty, 1.2, 0.75, 10)
+    }
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.bm25(d, Seq("merge", "merge"), 1.2, 0.75, 10)
+    }
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   test("sequence packing: greedy reset, overlong chunk gets its own sequence") {

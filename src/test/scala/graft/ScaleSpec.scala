@@ -115,6 +115,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.count(_._1 == "ALL") == 1)
   }
 
+  test("KMV null-day contract: null-ts rows are excluded from the whole tier, rows reconcile") {
+    // without the shared dayHashes filter a null-ts row survived into
+    // kept/exact but vanished at the null-rejecting day equi-join —
+    // gone from the daily rows yet still counted in the ALL row
+    val ev = Seq(
+      (Some("2024-01-01 10:00:00"), 1L), (Some("2024-01-01 11:00:00"), 2L),
+      (None, 2L), (None, 99L)).toDF("ts_s", "user_id")
+      .select(to_timestamp($"ts_s").as("ts"), $"user_id")
+    val rows = ApproxDistinct.kmvDaily(ev, "user_id", 64)
+      .select($"day_label", $"exact_distinct").as[(String, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("2024-01-01", "ALL"))
+    // user 99 exists ONLY on the null day: excluded from ALL too
+    assert(rows.toMap == Map("2024-01-01" -> 2L, "ALL" -> 2L))
+    val cum = ApproxDistinct.kmvCumulative(ev, "user_id", 64)
+      .select($"day", $"exact_distinct").as[(String, Long)].collect().toSeq
+    assert(cum == Seq(("2024-01-01", 2L)))
+  }
+
   test("KMV merge from retained hashes equals the sketch of the full data (lossless union)") {
     val k = 64
     val ev = Tables.load(spark, sf, "events")
