@@ -1620,6 +1620,22 @@ object SparkEntry {
       operators.Profile.rollingQuantilesFromState(s, state,
         windowDays = 7, percents = Seq(50, 90))
     }),
+
+    // ---- Snapshot change capture: diff two versions of the documents
+    // table into added/removed/changed rows — the incremental-
+    // processing primitive deciding what re-enters dedup/index-append
+    // on a daily run. Staged versions: old = doc_id < 400, new =
+    // doc_id >= 100 with every 10th text amended, so all three
+    // statuses appear; the unchanged mass never leaves the join ----
+    "q149_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val oldSnap = docs.filter($"doc_id" < 400)
+      val newSnap = docs.filter($"doc_id" >= 100)
+        .withColumn("text",
+          when($"doc_id" % 10 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+      operators.Snapshot.diffRows(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3164,6 +3180,26 @@ object SparkEntry {
     // streaming twin of q128: the drained transformWithState cells are
     // the same order-independent sums, so the oracle is shared verbatim
     "q147_stream_heavy_hitters" -> cmsHeavyHittersSql(depth = 4, width = 512, topN = 20),
+
+    // snapshot diff replay: fingerprint = md5 over the value columns
+    // joined on chr(1), byte-identical in both engines; the full-outer
+    // status cases mirror Snapshot.diff verbatim
+    "q149_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS oh
+        |           FROM documents WHERE doc_id < 400),
+        |n0 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text,
+        |         lang
+        |       FROM documents WHERE doc_id >= 100),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS nh FROM n0),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.oh IS NULL THEN 'added'
+        |             WHEN n.nh IS NULL THEN 'removed'
+        |             WHEN o.oh <> n.nh THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY status, doc_id""".stripMargin,
 
     // rolling quantiles replayed from scratch: the per-(day, cent)
     // partial is a plain count, so DuckDB rebuilds the identical

@@ -89,7 +89,7 @@ object Dedup {
     * it (it only releases CacheManager entries, not checkpoint
     * blocks), so the checkpointed RDD is unpersisted directly.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false); ()

@@ -39,16 +39,28 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // the edges⋈deg half of the iteration step is loop-INVARIANT —
+    // join it once and checkpoint, so each round pays only the join
+    // against the evolving rank state
+    val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint()
     var rank = deg.select(col("src"), lit(1000000000L).as("rq"))
     for (_ <- 1 to iters) {
-      rank = edges
-        .join(deg, Seq("src")).join(rank, Seq("src"))
+      val next = edgeDeg
+        .join(rank, Seq("src"))
         .select(col("dst"), expr("rq div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        // damping via the exact split (a·85+50) div 100 ==
+        // (a div 100)·85 + ((a mod 100)·85 + 50) div 100 — identical
+        // in value for a >= 0, but overflow-free: the naive sc·85
+        // wraps i64 once a hub's incoming mass passes ~1.08e17
+        // (a ~1e8-member star at full rank), which non-ANSI Long
+        // arithmetic would turn into silent garbage ranks
         .select(col("dst").as("src"),
-          (lit(150000000L) + expr("(sc * 85 + 50) div 100")).as("rq"))
+          (lit(150000000L) +
+            expr("(sc div 100) * 85 + ((sc % 100) * 85 + 50) div 100")).as("rq"))
         .localCheckpoint()
+      Dedup.releaseCheckpoint(rank)
+      rank = next
     }
     rank.select(col("src").as("doc_id"),
         (col("rq").cast("double") / 1e9).as("rank"))

@@ -30,12 +30,18 @@ object Merge {
     */
   def latestWins(base: DataFrame, updates: DataFrame,
                  keyCol: String, versionCol: String, idCol: String): DataFrame = {
+    // "src" is part of the OUTPUT contract, so an input column of that
+    // name would be silently clobbered by withColumn — refuse loudly
+    // rather than corrupt the caller's data
+    require(!base.columns.contains("src") && !updates.columns.contains("src"),
+      "latestWins adds a 'src' provenance column; rename the inputs' existing 'src' first")
+    val rn = "__graft_rn"
     val all = base.withColumn("src", lit("base"))
       .unionByName(updates.withColumn("src", lit("update")))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, (col("src") === "update").desc, col(idCol).desc)
-    all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    all.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

@@ -48,6 +48,13 @@ object Multimodal {
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val audioEnc: Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
 
+  /** The ONE byte-derived stub hash behind every deterministic fake —
+    * the seed/fold/mask triple must stay identical across stub paths
+    * or the "deterministic fake" contract silently diverges.
+    */
+  private def stubHash(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
+
   /** Per-partition codec. Image decode is real (`javax.imageio`);
     * the remaining operations are === STUB === deterministic fakes —
     * a full deployment replaces them with JNI/javacv bindings. The
@@ -82,7 +89,7 @@ object Multimodal {
         (w, h, img.getColorModel.getNumComponents, lumaSum / (w.toLong * h))
       } else {
         // === STUB === byte-derived pseudo-dimensions for non-image payloads
-        val h = bytes.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
+        val h = stubHash(bytes)
         val w = 64 + (h % 1024).toInt
         val ht = 64 + ((h / 1024) % 1024).toInt
         val brightness = (h % 255).toDouble / 255.0
@@ -128,9 +135,16 @@ object Multimodal {
       try {
         val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
         val fmt = in.getFormat
-        val nFrames = in.getFrameLength
-        val durMs = nFrames * 1000.0 / fmt.getSampleRate
+        // AU headers may declare unknown length: getFrameLength = -1
+        // would flow negative n_frames/duration into aggregates —
+        // derive the count from the decoded bytes instead
+        val declaredFrames = in.getFrameLength
         val data = in.readAllBytes()
+        val nFrames =
+          if (declaredFrames >= 0) declaredFrames
+          else if (fmt.getFrameSize > 0) data.length.toLong / fmt.getFrameSize
+          else 0L
+        val durMs = nFrames * 1000.0 / fmt.getSampleRate
         var sumSq = 0.0
         var n = 0
         if (fmt.getSampleSizeInBits == 16) {
@@ -142,8 +156,14 @@ object Multimodal {
             sumSq += s * s
             n += 1
           }
-        } else if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
-            || fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) {
+        } else if (fmt.getSampleSizeInBits == 8
+            && (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+              || fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)) {
+          // the per-byte branch is 8-BIT ONLY: letting 24/32-bit PCM
+          // fall in here would score each byte of a sample as an
+          // independent 8-bit sample — a silently-garbage RMS. Sample
+          // sizes this decoder does not handle report rms_level = 0
+          // with n = 0 (honest "not measured"), like non-PCM codings.
           data.foreach { b =>
             val s = (if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
               ((b & 0xff) - 128) else b.toInt) / 128.0
@@ -307,11 +327,21 @@ object Multimodal {
   def asMedia(df: DataFrame, idCol: String, binCol: String, kind: String, mime: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // totality at the boundary: MediaRecord's fields are primitives, so
+    // a NULL payload or un-castable id would fail typed deserialization
+    // ("Null value appeared in non-nullable field") deep inside a task.
+    // NULL content becomes an empty payload (the stub/codec paths
+    // handle empty bytes — EdgeCaseSpec); a row whose id cannot key the
+    // record is DROPPED, the reference's malformed-row contract (P5).
     df.select(
       col(idCol).cast("long").as("media_id"),
-      col(binCol).cast("binary").as("content"),
-      struct(lit(kind).as("kind"), lit(mime).as("mimeType"),
-        length(col(binCol).cast("binary")).cast("long").as("sizeBytes")).as("meta"))
+      coalesce(col(binCol).cast("binary"),
+        lit(Array.emptyByteArray)).as("content"))
+      .filter(col("media_id").isNotNull)
+      .select(
+        col("media_id"), col("content"),
+        struct(lit(kind).as("kind"), lit(mime).as("mimeType"),
+          length(col("content")).cast("long").as("sizeBytes")).as("meta"))
       .as[MediaRecord]
   }
 
@@ -337,7 +367,7 @@ object Multimodal {
         if (real != null) real.copy(media_id = r.media_id)
         else {
           // === STUB === byte-derived fake for non-audio payloads
-          val h = r.content.foldLeft(1125899906842597L)((a, b) => 31 * a + b) & 0x7fffffffL
+          val h = stubHash(r.content)
           DecodedAudio(r.media_id, 8000.0 + (h % 40000), 1 + (h % 2).toInt,
             h % 100000, (h % 100000) * 1000.0 / (8000.0 + (h % 40000)),
             (h % 1000) / 1000.0)

@@ -65,10 +65,15 @@ object RangeJoin {
                           startCol: String, endCol: String, idCol: String,
                           slabSec: Long): DataFrame = {
     val sUs = slabSec * 1000000L
+    // malformed intervals (end < start) are EXCLUDED, not joined:
+    // Spark's sequence() happily descends for reversed bounds, so such
+    // a row would still slab-match and emit a pair with NEGATIVE
+    // overlap_sec — nonsense output that looks like data
     def prep(df: DataFrame, p: String) = df.select(
-      col(idCol).as(s"${p}_id"),
-      unix_micros(col(startCol)).as(s"${p}_s"),
-      unix_micros(col(endCol)).as(s"${p}_e"))
+        col(idCol).as(s"${p}_id"),
+        unix_micros(col(startCol)).as(s"${p}_s"),
+        unix_micros(col(endCol)).as(s"${p}_e"))
+      .filter(col(s"${p}_s") <= col(s"${p}_e"))
     val l = prep(left, "l").select(col("l_id"), col("l_s"), col("l_e"),
       explode(sequence(floor(col("l_s") / sUs), floor(col("l_e") / sUs))).as("slab"))
     val r = prep(right, "r").select(col("r_id"), col("r_s"), col("r_e"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Merge, Profile}
+import graft.operators.{Merge, Profile, Snapshot}
 import org.apache.spark.sql.functions.{lit, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -93,6 +93,29 @@ class MergeProfileSpec extends AnyFunSuite {
     val d = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Seq(0)) }
     intercept[IllegalArgumentException] { Profile.cdfQuantiles(d, "g", "v", Nil) }
+  }
+
+  test("Snapshot.diff: all four statuses on a hand fixture; diffRows drops unchanged") {
+    val oldSnap = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq((2L, "b", "en"), (3L, "c CHANGED", "de"), (4L, "d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val full = Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(full == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    val rows = Snapshot.diffRows(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((4L, "added"), (3L, "changed"), (1L, "removed")))
+  }
+
+  test("Snapshot fingerprint separates columns: value shifts across the boundary differ") {
+    // without the  separator ("ab","c") and ("a","bc") would
+    // fingerprint identically and read as unchanged
+    val oldSnap = Seq((1L, "ab", "c")).toDF("doc_id", "text", "lang")
+    val newSnap = Seq((1L, "a", "bc")).toDF("doc_id", "text", "lang")
+    val got = Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "changed")))
   }
 
   test("rollingQuantilesFromPartials equals a from-scratch compute per window") {
