@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   * `CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)`.
   */
 object Ops {
+  /** DECIMAL(12,2) — 10 integer digits — is deliberate, not an
+    * oversight: (12,2)·(12,2) products (q1's disc-price terms) stay
+    * within DECIMAL(25,4), exact in both engines, whereas (38,2)
+    * operands would hit Spark's precision-overflow ROUNDING on
+    * multiply and could diverge from DuckDB. The narrowness is safe
+    * because this codebase runs ANSI mode (Spark 4 default, never
+    * disabled here): a value outside ±1e10 fails the cast LOUDLY
+    * instead of silently nulling out of the sum.
+    */
   private val Dec = DecimalType(12, 2)
 
   /** Exact sum of a 2-dp double column, returned as double. */

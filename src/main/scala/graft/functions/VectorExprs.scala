@@ -85,13 +85,27 @@ case class DotProductLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dotl"
 
+  // captured at driver-side construction: under ANSI the HOF form this
+  // kernel replaces (RewriteHofDot) raises on i64 overflow, so the
+  // kernel must too — a rewrite that swapped a loud ArithmeticException
+  // for silent wraparound would change error semantics. multiplyExact/
+  // addExact are JIT intrinsics, same speed as bare ops until they
+  // throw; the int8 path (|lane| <= 127) can never reach the check.
+  private val failOnOverflow =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    if (failOnOverflow)
+      while (i < n) {
+        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i))); i += 1
+      }
+    else
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     acc
   }
 
@@ -100,11 +114,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val step =
+        if (failOnOverflow)
+          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |  $step
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -44,7 +44,14 @@ object Validation {
     val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
     val aggs = Seq(
       sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
-      (if (hasPlayedAt) count(col("played_at")) - countDistinct(col("played_at"))
+      // null-safe duplicate count, matching pandas Series.is_unique
+      // (the reference's PK check, spotify_etl2.py:61): repeated NULL
+      // keys ARE duplicates there, but count(col) and countDistinct
+      // both ignore nulls, so N null rows slipped through as dups = 0.
+      // distinct-including-null = countDistinct + (any null ? 1 : 0).
+      (if (hasPlayedAt)
+         count(lit(1)) - countDistinct(col("played_at")) -
+           when(sum(when(col("played_at").isNull, 1L).otherwise(0L)) > 0, 1L).otherwise(0L)
        else lit(0L)).as("dups"),
       (if (hasTimestamp)
          sum(when(to_date(col("timestamp")) < date_sub(lit(asOf), 7), 1L).otherwise(0L))

@@ -94,16 +94,23 @@ case class TopKPerGroupExec(groupKeys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopK {
   def perGroup(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    // a k < 1 would otherwise surface as java.util.PriorityQueue's
+    // IllegalArgumentException deep inside a task (and only on
+    // non-empty partitions) — fail at construction, naming the knob
+    require(k >= 1, s"per-group top-k needs k >= 1 (got $k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val child = df.queryExecution.analyzed
     // bind name references to the child's output here: the analyzer
-    // does not descend into unknown node types' expressions
+    // does not descend into unknown node types' expressions. Name
+    // matching goes through the session resolver so case sensitivity
+    // follows spark.sql.caseSensitive like every built-in lookup.
+    val resolver = spark.sessionState.conf.resolver
     def bind(e: Expression): Expression = e.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        child.output.find(_.name == u.nameParts.mkString("."))
+        child.output.find(a => resolver(a.name, u.nameParts.mkString(".")))
           .getOrElse(throw new IllegalArgumentException(
             s"column ${u.name} not in ${child.output.map(_.name).mkString(", ")}"))
     }

@@ -185,11 +185,21 @@ object Sinks {
     * atomically swaps, so a crashed compaction never loses data.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFileMb: Int = 256): Unit = {
+              targetFileMb: Int = 256, partitionCols: Seq[String] = Nil): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    // a hive-partitioned layout (appendPartitioned's output — compact's
+    // HEADLINE use case) rewritten flat would turn the partition column
+    // into a data column: pruning gone, and the next append creates
+    // key=value/ subdirs NEXT TO flat files — a mixed layout later
+    // reads reject. Callers must name the partition columns so the
+    // rewrite preserves the directory structure.
+    val partitioned = fs.exists(hadoopPath) && fs.listStatus(hadoopPath)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(partitionCols.nonEmpty || !partitioned,
+      s"$path is hive-partitioned; pass partitionCols so compaction preserves the layout")
     // refuse to run over a previous compaction's debris: a leftover
     // backup means the last swap died mid-way and an operator must
     // decide which copy wins — proceeding would let the renames below
@@ -199,8 +209,17 @@ object Sinks {
     require(!fs.exists(tmp) || fs.delete(tmp, true), s"could not clear stale $tmp")
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // partitioned layouts cluster by the partition key (one task — and
+    // so one compacted file — per live partition, the point of
+    // compacting a daily-append table); flat layouts round-robin to
+    // the byte-derived file count
+    val reshaped =
+      if (partitionCols.nonEmpty)
+        spark.read.parquet(path).repartition(partitionCols.map(col): _*)
+      else spark.read.parquet(path).repartition(n)
+    val writer = reshaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
     // Hadoop rename reports failure as `false`, not an exception —
     // check both. The two-rename window is NOT atomic: a crash in
     // between leaves the data at `_precompact` (recoverable, never

@@ -26,16 +26,25 @@ object TextLog {
     */
   def read(spark: SparkSession, path: String, keepMalformed: Boolean = false): DataFrame = {
     val pat = "^(\\S+)\\s+(ERROR|WARN|INFO|DEBUG)\\s+(.*)$"
+    // ONE regex evaluation per line — three regexp_extract calls would
+    // each re-run the full pattern match, tripling the hot-path parse
+    // cost at log scale. The anchored replace rewrites a MATCHING line
+    // to its three groups joined by  (a byte no textual log line
+    // legitimately carries); a non-matching line passes through
+    // unchanged and splits to one part. A raw line that does contain
+    //  is conservatively quarantined (the split would be
+    // ambiguous), which is the malformed bucket's job anyway.
+    val Sep = ""
     val parsed = spark.read.text(path)
+      .select(col("value"),
+        split(regexp_replace(col("value"), pat, s"$$1$Sep$$2$Sep$$3"), Sep).as("p"))
       .select(
-        regexp_extract(col("value"), pat, 1).as("ts_raw"),
-        regexp_extract(col("value"), pat, 2).as("level"),
-        regexp_extract(col("value"), pat, 3).as("message"),
-        col("value"))
+        (size(col("p")) === 3 && !col("value").contains(Sep)).as("ok"),
+        col("p"), col("value"))
       .select(
-        when(col("ts_raw") =!= "", to_timestamp(col("ts_raw"))).as("ts"),
-        when(col("level") =!= "", col("level")).as("level"),
-        when(col("ts_raw") =!= "", col("message")).as("message"),
+        when(col("ok"), to_timestamp(element_at(col("p"), 1))).as("ts"),
+        when(col("ok"), element_at(col("p"), 2)).as("level"),
+        when(col("ok"), element_at(col("p"), 3)).as("message"),
         col("value").as("raw"))
     if (keepMalformed) parsed else parsed.filter(col("level").isNotNull).drop("raw")
   }

@@ -140,6 +140,13 @@ object EventStream {
     */
   def source(spark: SparkSession, dir: String,
       schemaIfEmpty: StructType = CanonicalEventsSchema): DataFrame = {
+    // Deliberately session-sticky, NOT save/restored: the returned
+    // stream reads files on every micro-batch, long after this call
+    // returns, and each read consults the session conf — restoring it
+    // here would break the running stream. Tables.load sets the same
+    // flag for the batch path; reading TIMESTAMP(NANOS) as long (then
+    // normalizing via Tables.normalizeTs) is this engine's session-wide
+    // contract, not a transient.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema =
       if (graft.Tables.firstParquetFile(spark, dir).isEmpty) schemaIfEmpty
@@ -156,9 +163,19 @@ object EventStream {
     * only PK check, spotify_etl2.py:61-62): state is bounded by the
     * 7-day watermark — the reference's own staleness tolerance — so at
     * 100 TB the dedup map holds one week of keys, not all history.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates("event_id")`: Spark only builds a state-eviction
+    * predicate when the event-time column is part of the dedup key, so
+    * the plain form's watermark dropped late ROWS but never evicted
+    * stored KEYS — an unbounded state map, the exact holds-all-history
+    * failure this function exists to fix. The within-watermark form
+    * guarantees dedup for duplicates arriving within the 7-day delay
+    * of each other (the reference's own staleness tolerance) and
+    * evicts keys once the watermark passes.
     */
   def dedupped(src: DataFrame): DataFrame =
-    src.withWatermark("ts", "7 days").dropDuplicates("event_id")
+    src.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark("event_id")
 
   /** Tumbling daily aggregate (the natural extension of the reference's
     * per-run summary, SURVEY.md §2.10 "Windows").

@@ -22,9 +22,19 @@ object IncrementalBatch {
     */
   def ingest(incoming: DataFrame, sinkPath: String, tsCol: String = "ts"): Long = {
     val spark = incoming.sparkSession
+    // ONLY a genuinely-missing sink means "first run". A catch-all here
+    // would turn any transient probe failure (IO error, permissions, a
+    // corrupt footer, tsCol renamed in the sink) into cursor = None —
+    // skipping the filter and re-appending the whole input, the exact
+    // double-append this module exists to prevent. Everything but
+    // path-not-found propagates and fails the run loudly.
     val cursor =
       try Option(spark.read.parquet(sinkPath).agg(max(col(tsCol))).head().get(0))
-      catch { case _: Exception => None } // first run: no sink yet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          None // first run: no sink yet
+      }
 
     val fresh = cursor.fold(incoming)(c => incoming.filter(col(tsCol) > lit(c)))
     // count once, write once: cache the (usually small) daily increment

@@ -41,6 +41,30 @@ class CompactionSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_precompact")))
   }
 
+  test("compact preserves a hive-partitioned layout; refuses to flatten it blind") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    (0 until 6).foreach { day =>
+      Seq.tabulate(50)(i => (day.toLong * 100 + i, s"d$day"))
+        .toDF("id", "day").repartition(4)
+        .write.partitionBy("day").mode("append").parquet(dir)
+    }
+    // blind compaction would rewrite 'day' as a data column: pruning
+    // gone and the next append creates a mixed layout — must refuse
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("hive-partitioned"))
+    val before = spark.read.parquet(dir).orderBy($"id").collect()
+    Sinks.compact(spark, dir, partitionCols = Seq("day"))
+    val after = spark.read.parquet(dir)
+    assert(after.orderBy($"id").collect() === before)
+    // layout survived: partition directories still exist and prune
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("day=")) == 6)
+    // appends keep working against the compacted table
+    Seq((9999L, "d9")).toDF("id", "day")
+      .write.partitionBy("day").mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == before.length + 1)
+  }
+
   test("compact refuses to run over an interrupted predecessor's backup") {
     val dir = Files.createTempDirectory("graft_compact_refuse").toString + "/t"
     spark.range(10).write.parquet(dir)

@@ -78,6 +78,19 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(cg.contains("WholeStageCodegen subtrees"))
   }
 
+  test("graft_dotl under ANSI raises on i64 overflow like the HOF form it replaces") {
+    graft.functions.VectorExprs.register(spark)
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val big = Seq((Array(Long.MaxValue), Array(2L))).toDF("a", "b")
+    // the HOF form aggregate(zip_with(...)) errors under ANSI; the
+    // rewritten kernel must match that contract, not wrap silently
+    val e = intercept[Exception] {
+      big.select(expr("graft_dotl(a, b)")).head()
+    }
+    assert(e.toString.toLowerCase.contains("overflow")
+      || e.getCause != null && e.getCause.toString.toLowerCase.contains("overflow"))
+  }
+
   // ---- chunking / redaction ----------------------------------------------
 
   test("chunk never emits a trailing chunk fully contained in its predecessor") {

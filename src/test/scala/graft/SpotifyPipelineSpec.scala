@@ -110,6 +110,20 @@ class SpotifyPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("validation: repeated NULL played_at is a PK violation, single NULL is not") {
+    // pandas Series.is_unique (the reference's check) counts repeated
+    // NaN as duplicates; count/countDistinct both ignore nulls, so a
+    // null-only duplicate used to slip through as dups = 0
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val base = SpotifyFlatten.recentlyPlayed(recently(s"""{"items":[$fullItem]}"""))
+    val oneNull = base.withColumn("played_at", to_timestamp(lit(null).cast("string")))
+    assert(Validation.check(oneNull, java.sql.Date.valueOf("2024-01-12")).duplicatePlayedAt == 0)
+    val twoNulls = oneNull.unionByName(oneNull)
+    intercept[Validation.PrimaryKeyViolation] {
+      Validation.check(twoNulls, java.sql.Date.valueOf("2024-01-12"))
+    }
+  }
+
   test("validation: stale rows warn-count, nulls warn-count, no raise (spotify_etl2.py:65-84)") {
     val df = SpotifyFlatten.recentlyPlayed(recently(s"""{"items":[$fullItem,$sparseItem]}"""))
     val rep = Validation.check(df, java.sql.Date.valueOf("2024-01-30"))

@@ -169,6 +169,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == n1)
   }
 
+  test("incremental batch: an unreadable sink fails the run instead of resetting the cursor") {
+    // a catch-all on the high-water probe would treat ANY failure as
+    // "first run" and re-append everything — the double-append this
+    // module exists to prevent. Only a genuinely missing path may.
+    val sink = tmp("graft-inc3-sink") + "/t"
+    val ev = Tables.load(spark, sf, "events")
+    IncrementalBatch.ingest(ev, sink)
+    // corrupt the sink: replace a data file's bytes with junk
+    val part = new java.io.File(sink).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(part.toPath, "not a parquet file".getBytes)
+    intercept[Exception] { IncrementalBatch.ingest(ev, sink) }
+    // and the sink was NOT appended to by the failed attempt
+    assert(new java.io.File(sink).listFiles().count(_.getName.endsWith(".parquet")) >= 1)
+  }
+
   test("incremental batch: only rows past the high-water mark land") {
     val sink = tmp("graft-inc2-sink") + "/t"
     val ev = Tables.load(spark, sf, "events")

@@ -58,4 +58,19 @@ class TopKPlanSpec extends AnyFunSuite {
     val top = TopK.perGroup(df, Seq($"g"), Seq($"v".asc), k = 100)
     assert(top.as[(Long, Long)].collect().toSet == Set((1L, 10L), (1L, 20L), (2L, 5L)))
   }
+
+  test("k < 1 is rejected at construction, not deep inside a task") {
+    val df = Seq((1L, 10L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq($"g"), Seq($"v".asc), k = 0)
+    }
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
+  test("column binding follows the session resolver (case-insensitive by default)") {
+    val df = Seq((1L, 10L), (1L, 20L)).toDF("g", "v")
+    assert(!spark.sessionState.conf.caseSensitiveAnalysis)
+    val top = TopK.perGroup(df, Seq(col("G")), Seq(col("V").asc), k = 1)
+    assert(top.as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+  }
 }
