@@ -60,11 +60,24 @@ object Tables {
     if (fs.getFileStatus(root).isFile) Some(root)
     else {
       val it = fs.listFiles(root, true)
+      // hidden-prefix check applies to EVERY path segment below the
+      // root, not just the leaf: a crashed write's _temporary/.../
+      // part-*.parquet is possibly truncated, and Spark's own file
+      // index prunes hidden directories at every level — sniffing a
+      // footer Spark itself would never read must not fail the load
+      def hidden(p: Path): Boolean = {
+        var cur = p
+        while (cur != null && cur.toUri.getPath != root.toUri.getPath) {
+          val n = cur.getName
+          if (n.startsWith("_") || n.startsWith(".")) return true
+          cur = cur.getParent
+        }
+        false
+      }
       var found: Option[Path] = None
       while (found.isEmpty && it.hasNext) {
         val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") && !hidden(st.getPath))
           found = Some(st.getPath)
       }
       found

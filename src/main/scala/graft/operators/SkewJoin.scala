@@ -29,6 +29,10 @@ object SkewJoin {
       key: String,
       saltSource: Column,
       buckets: Int): DataFrame = {
+    // buckets < 1 would silently break the row-identical guarantee:
+    // the replicated side explodes over (0 until buckets) = EMPTY, so
+    // the join matches nothing (negative) or ANSI-divides-by-zero (0)
+    require(buckets >= 1, s"salting needs buckets >= 1 (got $buckets)")
     val saltedBig = big.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until buckets).map(b => lit(b)): _*)))

@@ -31,7 +31,7 @@ object SpotifyFlatten {
       .select(explode(col("tracks")).as("t"))
       .filter(col("t").isNotNull)
       .select(
-        coalesce(element_at(col("t.artists"), 1).getField("name"), lit("Unknown")).as("artist_name"),
+        coalesce(try_element_at(col("t.artists"), lit(1)).getField("name"), lit("Unknown")).as("artist_name"),
         coalesce(col("t.name"), lit("Unknown")).as("song_name"),
         coalesce(col("t.popularity"), lit(0)).as("popularity"),
         coalesce(col("t.duration_ms"), lit(0L)).as("duration_ms"),
@@ -56,7 +56,7 @@ object SpotifyFlatten {
       .filter(col("i").isNotNull)
       .select(
         coalesce(col("i.track.name"), lit("Unknown")).as("song_name"),
-        coalesce(element_at(col("i.track.artists"), 1).getField("name"), lit("Unknown")).as("artist_name"),
+        coalesce(try_element_at(col("i.track.artists"), lit(1)).getField("name"), lit("Unknown")).as("artist_name"),
         coalesce(col("i.played_at"), lit("")).as("played_at"),
         when(length(coalesce(col("i.played_at"), lit(""))) > 0,
           substring(col("i.played_at"), 1, 10)).otherwise(lit("")).as("timestamp"),
@@ -71,6 +71,10 @@ object SpotifyFlatten {
     * 1-based position in API response order, which is recency-descending,
     * so we anchor it on `played_at` desc (SURVEY.md W1: never trust
     * incoming row order) with track_id as deterministic tie-break.
+    * The UNPARTITIONED window is deliberate, not an oversight: the
+    * rank is global BY SPEC and the input is one API page (≤ 50 rows —
+    * the endpoint's hard cap, SURVEY.md §6); a feed large enough to
+    * matter would partition by user/day the way q4 does.
     */
   def rankedRecentlyPlayed(payload: DataFrame): DataFrame = {
     val w = Window.orderBy(
@@ -81,7 +85,7 @@ object SpotifyFlatten {
       .filter(col("i.track").isNotNull)
       .select(
         coalesce(col("i.track.name"), lit("Unknown")).as("track_name"),
-        coalesce(element_at(col("i.track.artists"), 1).getField("name"), lit("Unknown")).as("artist_name"),
+        coalesce(try_element_at(col("i.track.artists"), lit(1)).getField("name"), lit("Unknown")).as("artist_name"),
         coalesce(col("i.track.album.name"), lit("Unknown")).as("album_name"),
         coalesce(col("i.track.external_urls.spotify"), lit("")).as("spotify_url"),
         coalesce(col("i.track.preview_url"), lit("")).as("preview_url"),
@@ -90,7 +94,7 @@ object SpotifyFlatten {
         coalesce(col("i.track.explicit"), lit(false)).as("explicit"),
         coalesce(col("i.played_at"), lit("")).as("played_at"),
         coalesce(col("i.track.id"), lit("")).as("track_id"),
-        coalesce(element_at(col("i.track.artists"), 1).getField("id"), lit("")).as("artist_id"),
+        coalesce(try_element_at(col("i.track.artists"), lit(1)).getField("id"), lit("")).as("artist_id"),
         coalesce(col("i.track.album.id"), lit("")).as("album_id"))
       .withColumn("rank", row_number().over(w))
   }

@@ -53,8 +53,13 @@ object Validation {
          count(lit(1)) - countDistinct(col("played_at")) -
            when(sum(when(col("played_at").isNull, 1L).otherwise(0L)) > 0, 1L).otherwise(0L)
        else lit(0L)).as("dups"),
+      // try_to_date, NOT to_date: the flatten's missing-played_at
+      // default is the empty string, and under ANSI (this repo's mode)
+      // to_date('') would CRASH the warn-only staleness check for rows
+      // the pipeline explicitly keeps; an unparseable date is simply
+      // not stale
       (if (hasTimestamp)
-         sum(when(to_date(col("timestamp")) < date_sub(lit(asOf), 7), 1L).otherwise(0L))
+         sum(when(try_to_date(col("timestamp")) < date_sub(lit(asOf), 7), 1L).otherwise(0L))
        else lit(0L)).as("stale"))
 
     val r = df.agg(aggs.head, aggs.tail: _*).head()

@@ -25,9 +25,19 @@ object Sinks {
   /** K2 (scale path) — append a batch to a `timestamp`-partitioned
     * parquet table; the accumulating-append semantics of the SQLite
     * sink (spotify_etl2.py:220) with partition pruning for free.
+    *
+    * Empty-string partition values are rewritten to the visible
+    * sentinel "unknown" BEFORE the write: Spark stores '' as
+    * __HIVE_DEFAULT_PARTITION__, which reads back as NULL — silently
+    * mutating the flatten's guaranteed non-null '' default (a missing
+    * played_at) into a null downstream consumers and the validation
+    * null-count would trip over. A named sentinel keeps the row
+    * visible, non-null, and prunable.
     */
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    df.withColumn(partitionCol,
+        when(col(partitionCol) === "", lit("unknown")).otherwise(col(partitionCol)))
+      .write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
   /** Format breadth beyond the reference: ORC sink (columnar sibling
     * of parquet, ships with Spark). Same append-partitioned shape as

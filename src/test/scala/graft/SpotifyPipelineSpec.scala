@@ -110,6 +110,33 @@ class SpotifyPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("EP1/EP2 flatten: PRESENT-but-EMPTY artists array defaults, no ANSI crash") {
+    // [] is different from absent: element_at([], 1) THROWS under ANSI
+    // (this repo's mode) where .get-style access must default — the
+    // reference's loop does artists[0] inside try/except-continue, but
+    // our contract is default-not-drop for this field
+    val emptyArtists =
+      """{"played_at":"2024-01-10T12:00:00.000Z","track":{"id":"t9","artists":[]}}"""
+    val r2 = SpotifyFlatten.recentlyPlayed(recently(s"""{"items":[$emptyArtists]}""")).head()
+    assert(r2.getAs[String]("artist_name") == "Unknown")
+    val tt = """{"tracks":[{"id":"t9","artists":[]}]}"""
+    val r1 = SpotifyFlatten.topTracks(topTracks(tt)).head()
+    assert(r1.getAs[String]("artist_name") == "Unknown")
+    val r3 = SpotifyFlatten.rankedRecentlyPlayed(recently(s"""{"items":[$emptyArtists]}""")).head()
+    assert(r3.getAs[String]("artist_name") == "Unknown")
+    assert(r3.getAs[String]("artist_id") == "")
+  }
+
+  test("validation: empty-string timestamp (the missing-played_at default) stays warn-only") {
+    // to_date('') under ANSI would crash the staleness check for rows
+    // the pipeline explicitly keeps — it must count as not-stale
+    val kept = SpotifyFlatten.recentlyPlayed(recently(
+      s"""{"items":[$noTrackItem,{"track":{"id":"t3"}}]}"""))
+    assert(kept.filter($"timestamp" === "").count() == 1)
+    val rep = Validation.check(kept, java.sql.Date.valueOf("2024-01-30"))
+    assert(rep.staleRows == 1) // the dated row is stale; the ''-row is not counted
+  }
+
   test("validation: repeated NULL played_at is a PK violation, single NULL is not") {
     // pandas Series.is_unique (the reference's check) counts repeated
     // NaN as duplicates; count/countDistinct both ignore nulls, so a
