@@ -32,8 +32,12 @@ object Jobs {
     val summary = job match {
       case "ep1" => Pipelines.topTracksEtl(spark, payloads, outPath)
       case "ep2" =>
+        // default "today" in UTC, the session timezone — java.sql.Date
+        // from currentTimeMillis renders in the JVM default zone, which
+        // near midnight names the wrong calendar day vs the UTC event
+        // timestamps Validation compares against
         val asOf = if (args.length > 3) java.sql.Date.valueOf(args(3))
-          else new java.sql.Date(System.currentTimeMillis())
+          else java.sql.Date.valueOf(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
         Pipelines.recentlyPlayedEtl(spark, payloads, outPath, asOf)
       case "ep3" => Pipelines.recentlyPlayedAnalysis(spark, payloads, outPath)
       case other => throw new IllegalArgumentException(s"unknown job: $other")

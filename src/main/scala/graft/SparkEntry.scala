@@ -3068,10 +3068,12 @@ object SparkEntry {
          |FROM s GROUP BY 1, 2
          |ORDER BY n_pairs DESC, source_lo, source_hi""".stripMargin,
 
+    // NULL values excluded, matching Profile.cdfQuantiles' contract
+    // (opposite default null orderings would otherwise split engines)
     "q104_cdf_quantiles" ->
       """WITH c AS (SELECT event_type,
         |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cent
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |g AS (SELECT event_type, cent, count(*) AS n FROM c GROUP BY 1, 2),
         |cum AS (SELECT event_type, cent,
         |          SUM(n) OVER (PARTITION BY event_type ORDER BY cent) AS cum,
@@ -3969,7 +3971,7 @@ object SparkEntry {
         |      FROM cut GROUP BY decile),
         |g AS (SELECT CAST(sum(cents) AS BIGINT) AS grand FROM per_user)
         |SELECT decile, n_users, total_value_cents,
-        |  CAST(total_value_cents * 10000 // grand AS BIGINT) AS share_bp
+        |  CAST(total_value_cents * 10000 // nullif(grand, 0) AS BIGINT) AS share_bp
         |FROM d CROSS JOIN g ORDER BY decile""".stripMargin,
 
     "q144_session_funnel_seeded" ->

@@ -24,14 +24,17 @@ object Profile {
     * Output ordered by column_name.
     */
   def numericColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericColumns needs at least one column to profile")
     val aggs = cols.flatMap { c => Seq(
       count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"))
     }
+    // backtick-quote interpolated names so a column like `my col`
+    // cannot break the stack expression
     val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_nulls, n_distinct, min_val, max_val)")
@@ -56,7 +59,15 @@ object Profile {
     */
   def cdfQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                    percents: Seq[Int]): DataFrame = {
+    // NULL values are excluded from the distribution, declared in the
+    // oracle the same way: a NULL cent group would sort FIRST in
+    // Spark's cumulative window but LAST in DuckDB's (opposite default
+    // null ordering) — the one input on which the two engines would
+    // silently disagree — and would inflate `total`, shifting every
+    // real quantile. A percentile of the present values is also the
+    // standard contract (percentile()/median() skip nulls).
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cent"))
       .groupBy(col(groupCol), col("cent"))
@@ -102,6 +113,9 @@ object Profile {
       .filter(col("event_type") === eventType && col(valueCol).isNotNull)
       .select(to_date(col("ts")).as("day"),
         expr(s"cast(floor($valueCol * 100.0D + 0.5D) as bigint)").as("cent"))
+      // null-day contract (ApproxDistinct.dayHashes): null-ts rows are
+      // dead state — persisted but unreachable by the rolling merge
+      .filter(col("day").isNotNull)
       .groupBy(col("day"), col("cent"))
       .agg(count(lit(1)).as("n"))
 

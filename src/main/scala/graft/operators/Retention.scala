@@ -190,7 +190,10 @@ object Retention {
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_value_cents"),
         max(col("grand")).as("grand"))
       .select(col("decile"), col("n_users"), col("total_value_cents"),
-        expr("total_value_cents * 10000L div grand").as("share_bp"))
+        // nullif: a feed whose priced events net to zero cents makes
+        // grand 0, and ANSI div would throw on a valid (degenerate)
+        // input — share is NULL then, matching the oracle
+        expr("total_value_cents * 10000L div nullif(grand, 0L)").as("share_bp"))
       .orderBy(col("decile"))
   }
 
@@ -278,7 +281,11 @@ object Retention {
         .filter(col("user_id").isNotNull)
         .select(to_date(col("ts")).as("day"),
           graft.functions.PortableHash.hash32(col("user_id").cast("string")).as("h"))
-        .filter(col("h").isNotNull)
+        // null-day contract (ApproxDistinct.dayHashes): a null-ts row
+        // belongs to no day — without this filter it burned k sketch
+        // slots in the persisted state and then silently vanished at
+        // the rolling merge's null-rejecting range join
+        .filter(col("h").isNotNull && col("day").isNotNull)
         .distinct(),
       Seq(col("day")), Seq(col("h").asc), k)
   }

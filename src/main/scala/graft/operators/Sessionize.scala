@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   * (`lag`), and session ids are a running sum of start markers — both
   * partitioned by user, so the sort is per-user-partition, never
   * global. The streaming form is the built-in `session_window`
-  * (EventStream.sessionAgg); both implement the same gap rule.
+  * (EventStream.sessionAgg). Boundary caveat: this batch form breaks
+  * on gap STRICTLY GREATER than the threshold (`diff > gap`, pinned
+  * by the q31 oracle), while `session_window` and the timer processor
+  * (SessionStream) break on gap >= threshold (their [start, last+gap)
+  * window is half-open; pinned by the q107/q146 oracle) — two events
+  * EXACTLY one gap apart share a session here and split there. A
+  * deliberate documented variant, not drift: each side matches its
+  * own oracle.
   */
 object Sessionize {
 

@@ -190,7 +190,10 @@ object EventStream {
 
   /** Gap-based session aggregate — the built-in `session_window`
     * (streaming counterpart of operators.Sessionize's analytic-window
-    * batch form; same gap rule, state bounded by the watermark).
+    * batch form; state bounded by the watermark). Boundary: breaks on
+    * gap >= threshold (half-open [start, last+gap) windows), where the
+    * batch form breaks strictly greater — the documented variant, see
+    * Sessionize's header doc.
     */
   def sessionAgg(src: DataFrame, gapMinutes: Int): DataFrame =
     src

@@ -207,6 +207,11 @@ object SessionStream {
     import spark.implicits._
     val maxTs = ev.agg(org.apache.spark.sql.functions.max(
       org.apache.spark.sql.functions.col("ts"))).head().getTimestamp(0)
+    // an empty feed has no max(ts) to anchor the sentinel on — and
+    // nothing to flush either; fail with the cause named rather than
+    // NPE-ing on the null timestamp below
+    require(maxTs != null,
+      "stageWithSentinel: input feed is empty (or all-null ts) — nothing to stage")
     val sentinel = Seq((SentinelUser, new java.sql.Timestamp(
       maxTs.getTime + (gapMinutes + watermarkDelayMinutes + 1).toLong * 60 * 1000)))
       .toDF("user_id", "ts")

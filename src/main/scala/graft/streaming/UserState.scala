@@ -10,9 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * user's batch arrives — running event count, first/last seen event
   * time, and a change flag for downstream consumers.
   *
-  * State is one small record per active user; with event-time timeout
-  * the map is bounded by the same 7-day horizon as the dedup state, so
-  * at 100 TB the store scales with *active* users, not history.
+  * State is one small record per active user, bounded by a 7-day
+  * PROCESSING-TIME inactivity timeout: a user idle for a week is
+  * evicted (its profile re-accumulates from zero if it returns — the
+  * standard activity-profile trade). Without the timeout the map held
+  * every user_id ever seen, scaling with all-time history instead of
+  * active users. Processing-time rather than event-time because the
+  * typed UserEvent carries epoch micros, not a timestamp column a
+  * watermark could ride; at steady ingest the two horizons track.
   */
 object UserState {
 
@@ -30,8 +35,12 @@ object UserState {
       userId: Long,
       events: Iterator[UserEvent],
       state: GroupState[UserProfile]): Iterator[UserProfile] = {
+    if (state.hasTimedOut) { // 7 days idle: evict, emit nothing
+      state.remove()
+      return Iterator.empty
+    }
     val evs = events.toSeq
-    if (evs.isEmpty) return Iterator.empty // timeout tick: nothing to emit
+    if (evs.isEmpty) return Iterator.empty
     val prev = state.getOption.getOrElse(
       UserProfile(userId, 0L, Long.MaxValue, Long.MinValue, 0.0))
     val next = UserProfile(
@@ -41,6 +50,7 @@ object UserState {
       last_seen_micros = math.max(prev.last_seen_micros, evs.map(_.ts_micros).max),
       total_value = prev.total_value + evs.map(_.value).sum)
     state.update(next)
+    state.setTimeoutDuration("7 days") // re-arm the inactivity clock
     Iterator.single(next)
   }
 
@@ -48,5 +58,6 @@ object UserState {
   def profiles(events: Dataset[UserEvent]): Dataset[UserProfile] =
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateProfile)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(updateProfile)
 }

@@ -21,8 +21,13 @@ object UserStateV2 {
     @transient private var profile: ValueState[UserProfile] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // per-state TTL, the v1 ProcessingTimeTimeout's successor: a
+      // profile idle for 7 days is evicted by the store itself, so the
+      // map is bounded by active users, not all-time history (same
+      // contract as UserState.profiles; TTLConfig.NONE would leak)
       profile = getHandle.getValueState[UserProfile](
-        "profile", Encoders.product[UserProfile], TTLConfig.NONE)
+        "profile", Encoders.product[UserProfile],
+        TTLConfig(java.time.Duration.ofDays(7)))
 
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[UserProfile] = {
@@ -47,6 +52,7 @@ object UserStateV2 {
     import UserState.profileEnc
     events
       .groupByKey(_.user_id)(UserState.longEnc)
-      .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Append())
+      // ProcessingTime mode: required for the state TTL above
+      .transformWithState(new ProfileProcessor, TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

@@ -14,6 +14,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class UserStateSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** With the 7-day inactivity eviction, the engine schedules a
+    * timer-check batch EVERY trigger — `processAllAvailable` can
+    * starve behind the continuous batch stream, so tests await the
+    * sink contents directly instead.
+    */
+  private def awaitRows(table: String, n: Int): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.table(table).count() < n) {
+      assert(System.nanoTime() < deadline, s"timed out waiting for $n rows in $table")
+      Thread.sleep(200)
+    }
+  }
+
   test("profiles accumulate across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -21,12 +34,12 @@ class UserStateSpec extends AnyFunSuite {
     val input = MemoryStream[UserEvent]
     val query = UserState.profiles(input.toDS())
       .writeStream.format("memory").queryName("graft_profiles")
-      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
 
     input.addData(UserEvent(1L, 100L, 2.0), UserEvent(1L, 200L, 3.0), UserEvent(2L, 50L, 1.0))
-    query.processAllAvailable()
+    awaitRows("graft_profiles", 2)
     input.addData(UserEvent(1L, 300L, 5.0))
-    query.processAllAvailable()
+    awaitRows("graft_profiles", 3)
     val rows = spark.table("graft_profiles").as[UserProfile].collect()
     query.stop()
 
@@ -50,11 +63,11 @@ class UserStateSpec extends AnyFunSuite {
       val input = MemoryStream[UserEvent]
       val query = graft.streaming.UserStateV2.profiles(input.toDS())
         .writeStream.format("memory").queryName("graft_profiles_v2")
-        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
       input.addData(UserEvent(1L, 100L, 2.0), UserEvent(1L, 200L, 3.0), UserEvent(2L, 50L, 1.0))
-      query.processAllAvailable()
+      awaitRows("graft_profiles_v2", 2)
       input.addData(UserEvent(1L, 300L, 5.0))
-      query.processAllAvailable()
+      awaitRows("graft_profiles_v2", 3)
       val rows = spark.table("graft_profiles_v2").as[UserProfile].collect()
       query.stop()
       assert(rows.toSet == Set(
