@@ -43,8 +43,11 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // strip quotes, backslashes AND all control chars — a \f or
+        // \u0000 in an exception message would break the JSON line and
+        // zero the round's bench data (same escaping rule as Verify)
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(160)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -80,7 +83,9 @@ object Bench {
     // appears both first (for head-anchored parsers) and last (tail
     // capture keeps line ends), and the full JSON is also persisted to
     // tools/last_bench.json so no artifact depends on log truncation.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-dependent — a de_DE
+    // default JVM locale would render 1,234 and break every JSON number
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

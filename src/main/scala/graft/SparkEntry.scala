@@ -1790,7 +1790,7 @@ object SparkEntry {
     * (verified empirically on the testdata vectors); cosine is then a
     * single dot of the two unit vectors.
     */
-  /** DuckDB mirror of Similarity.unitExpr's zero-norm guard: an
+  /** DuckDB mirror of Similarity's zero-norm guard contract: an
     * all-zero vector normalizes to itself, never to `0/0 = NaN`.
     */
   private def unitSql(v: String): String =
@@ -2459,7 +2459,7 @@ object SparkEntry {
         |FROM pack ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q73_temperature_mixture" ->
-      s"""WITH g AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+      s"""WITH g AS (SELECT lang, COUNT(*) AS n_g FROM documents WHERE lang IS NOT NULL GROUP BY lang),
          |t AS (SELECT SUM(n_g) AS n_total,
          |             SUM(pow(CAST(n_g AS DOUBLE), 0.5)) AS pow_total FROM g),
          |r AS (SELECT lang,

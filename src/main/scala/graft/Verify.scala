@@ -43,7 +43,10 @@ object Verify {
             Files.deleteIfExists(fileOut)
             val aliasDir = new java.io.File(s"$outDir/$name")
             if (aliasDir.exists()) {
-              aliasDir.listFiles().foreach(_.delete()); aliasDir.delete()
+              // listFiles() is null for a non-directory (a leftover
+              // regular file at this path): delete whatever is there
+              Option(aliasDir.listFiles()).foreach(_.foreach(_.delete()))
+              aliasDir.delete()
             }
             aliasDir.mkdirs()
             Files.copy(part.toPath, Paths.get(s"$outDir/$name/part-0.parquet"))

@@ -34,11 +34,19 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // mismatched lengths yield NULL (below), even for non-null inputs
+  override def nullable: Boolean = true
 
+  // Length mismatch yields NULL, matching the HOF form this kernel
+  // replaces: zip_with pads the shorter array with null lanes, which
+  // null the aggregate sum. Truncating to the shorter length would
+  // return a plausible PARTIAL dot product for what is always a data
+  // bug (a 32-lane column joined against 64-lane vectors).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -51,12 +59,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -91,13 +103,21 @@ case class DotProductLong(left: Expression, right: Expression)
   // for silent wraparound would change error semantics. multiplyExact/
   // addExact are JIT intrinsics, same speed as bare ops until they
   // throw; the int8 path (|lane| <= 127) can never reach the check.
+  // Declared delta vs the HOF form: the raised exception is the JDK's
+  // bare ArithmeticException("long overflow"), not Spark's
+  // SparkArithmeticException with the ARITHMETIC_OVERFLOW class —
+  // matching the class would need the private[sql] error factories.
   private val failOnOverflow =
     org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
+  // mismatched lengths yield NULL, as in [[DotProduct]]
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     if (failOnOverflow)
@@ -120,12 +140,16 @@ case class DotProductLong(left: Expression, right: Expression)
         else
           s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $step
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $step
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -137,15 +161,31 @@ object VectorExprs {
   val DotName = "graft_dot"
   val DotLongName = "graft_dotl"
 
+  /** Arity-checked builder: a wrong-arity SQL call gets a clean
+    * analysis-time error naming the function, not an
+    * IndexOutOfBounds from deep inside the analyzer.
+    */
+  private[functions] def binaryBuilder(name: String,
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> children.size.toString, "legacyNum" -> "2",
+            "legacyConfKey" -> "", "legacyConfValue" -> ""))
+      f(children.head, children(1))
+    }
+
   /** Make `graft_dot(a, b)` / `graft_dotl(a, b)` available to
     * `expr(...)` in this session. Idempotent; called by the operators
     * that use them.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, (children: Seq[Expression]) => DotProduct(children.head, children(1)), "scala_udf")
+      DotName, binaryBuilder(DotName, DotProduct.apply), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotLongName, (children: Seq[Expression]) => DotProductLong(children.head, children(1)), "scala_udf")
+      DotLongName, binaryBuilder(DotLongName, DotProductLong.apply), "scala_udf")
   }
 }
 
@@ -160,12 +200,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorExprs.DotName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, VectorExprs.DotName),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      VectorExprs.binaryBuilder(VectorExprs.DotName, DotProduct.apply)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorExprs.DotLongName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductLong].getName, VectorExprs.DotLongName),
-      (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+      VectorExprs.binaryBuilder(VectorExprs.DotLongName, DotProductLong.apply)))
     // users writing the portable HOF dot form get the codegen kernel
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
     // the per-group top-k physical operator plans without the

@@ -69,7 +69,12 @@ object Sampling {
     */
   def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
                          alpha: Double, targetFrac: Double): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    // null-group rows are EXCLUDED up front (declared in the q73
+    // oracle the same way): they could never survive the null-unsafe
+    // rate join below anyway, but counted in the totals they would
+    // inflate pow_total and silently deflate every real group's rate
+    val nonNull = df.filter(col(groupCol).isNotNull)
+    val counts = nonNull.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
     val totals = counts.agg(
       sum(col("n_g")).as("n_total"),
       sum(pow(col("n_g").cast("double"), lit(alpha))).as("pow_total"))
@@ -80,7 +85,7 @@ object Sampling {
             * pow(col("n_g").cast("double"), lit(alpha))
             / (col("pow_total") * col("n_g")) + lit(0.5)).cast("long"))
           .as("rate_pct"))
-    df.join(broadcast(rates), Seq(groupCol))
+    nonNull.join(broadcast(rates), Seq(groupCol))
       .filter(hashBucket(col(keyCol).cast("string")) < col("rate_pct"))
   }
 

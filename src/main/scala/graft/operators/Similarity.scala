@@ -38,21 +38,19 @@ object Similarity {
   private def dotExpr(a: String, b: String): String =
     s"${graft.functions.VectorExprs.DotName}($a, $b)"
 
-  /** Unit-normalization of vector expression `v` with the zero-norm
-    * guard: an all-zero vector (a failed encoder output) normalizes to
-    * ITSELF rather than `0/0 = NaN` — under Spark's NaN-is-greatest
-    * ordering a NaN unit vector would rank as the #1 neighbour of
-    * every query and pass every `cosine >= minCos` gate; a zero one
-    * scores cosine 0 everywhere and falls out naturally. The SAME
-    * guard lives in the DuckDB oracle's normalize kernel
+  /** Zero-norm guard contract (every normalization site in this file):
+    * an all-zero vector (a failed encoder output) divides by a guarded
+    * divisor of 1 and so normalizes to ITSELF rather than `0/0 = NaN`
+    * — under Spark's NaN-is-greatest ordering a NaN unit vector would
+    * rank as the #1 neighbour of every query and pass every
+    * `cosine >= minCos` gate; a zero one scores cosine 0 everywhere
+    * and falls out naturally. Implemented everywhere as the hoisted
+    * `_nrm = CASE WHEN n² = 0 THEN 1 ELSE sqrt(n²) END` column feeding
+    * the ORIGINAL single-divide transform — an array-level CASE form
+    * measurably broke cross-consumer subplan reuse (SCALING.md). The
+    * SAME guard lives in the DuckDB oracle's normalize kernel
     * (SparkEntry.unitSql), so both engines agree on degenerate input.
-    * CORPUS-sized frames use the hoisted-norm form in [[normalized]]/
-    * [[bucketed]] instead (dot once per row); this inline form is for
-    * the k-row centroid frames where brevity beats the extra column.
     */
-  private def unitExpr(v: String): String =
-    s"CASE WHEN ${dotExpr(v, v)} = 0D THEN $v " +
-      s"ELSE transform($v, x -> x / sqrt(${dotExpr(v, v)})) END"
 
   /** (vec_id, u): unit-normalized double vectors — norms computed once
     * per row, not once per pair. The squared norm is HOISTED to its
@@ -381,7 +379,11 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
       .select(col("cid"),
-        expr(unitExpr("cv")).as("cu"))
+        col("cv"))
+      .select(col("cid"), col("cv"), expr(
+        s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
+          s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"))
+      .select(col("cid"), expr("transform(cv, x -> x / _nrm)").as("cu"))
   }
 
   /** Product-quantization ADC top-k — the memory-compression tier of
@@ -1019,7 +1021,10 @@ object Similarity {
       .select(col("pos"), (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(expr("transform(pm, s -> s.m)").as("cv"))
-      .select(expr(unitExpr("cv")).as("cu"))
+      .select(col("cv"), expr(
+        s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
+          s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"))
+      .select(expr("transform(cv, x -> x / _nrm)").as("cu"))
     val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
     val scored = e.crossJoin(broadcast(cv))
       .select(col("vec_id"),
@@ -1064,8 +1069,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
           max(col("cnt")).as("cnt")) // cnt is constant across a group's lanes
         .select(keys.map(col) :+ col("cnt") :+ expr("transform(pm, s -> s.m)").as("cv"): _*)
-      m.select(keys.map(col) :+ col("cnt")
-        :+ expr(unitExpr("cv")).as(out): _*)
+      m.select(keys.map(col) :+ col("cnt") :+ col("cv") :+ expr(
+          s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
+            s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"): _*)
+        .select(keys.map(col) :+ col("cnt")
+          :+ expr(s"transform(cv, x -> x / _nrm)").as(out): _*)
     }
     val perLabel = toUnit(lanes, Seq("label"), "lu")
     val global = toUnit(

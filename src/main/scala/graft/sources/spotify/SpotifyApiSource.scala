@@ -151,14 +151,22 @@ class HttpPageFetcher extends PageFetcher {
   /** The raw network boundary — overridden with a script in tests. */
   protected def exchange(method: String, url: String, body: Option[String],
                          headers: Map[String, String]): SpotifyHttpResponse = {
+    // explicit timeouts: a black-holed connection would otherwise park
+    // the executor slot FOREVER — neither the 429/401 retry logic nor
+    // the scheduler's task-retry budget ever fires on a hang, defeating
+    // the same fail-the-task principle as the Retry-After cap. (The
+    // reference sets timeout=30 on every requests call for the same
+    // reason, spotify_etl.py:69.) The client is shared per JVM: one
+    // selector thread + keep-alive pool per executor, not per request.
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
     val withMethod = body match {
       case Some(payload) =>
         b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
       case None => b.GET()
     }
     headers.foreach { case (k, v) => withMethod.header(k, v) }
-    val resp = java.net.http.HttpClient.newHttpClient()
+    val resp = HttpPageFetcher.sharedClient
       .send(withMethod.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     val retryAfter = resp.headers().firstValue("Retry-After")
       .map[Option[Long]](v => v.toLongOption).orElse(None)
@@ -203,6 +211,12 @@ class HttpPageFetcher extends PageFetcher {
   private def basicAuth(options: Map[String, String]): String = {
     val id = options.getOrElse("client_id", sys.env.getOrElse("SPOTIFY_CLIENT_ID", ""))
     val secret = options.getOrElse("client_secret", sys.env.getOrElse("SPOTIFY_CLIENT_SECRET", ""))
+    // fail with the ACTIONABLE cause, like the recently-played path's
+    // missing-user-token error — an empty ":" credential would instead
+    // surface as an opaque HTTP 400 invalid_client on every task
+    require(id.nonEmpty && secret.nonEmpty,
+      "spotify-api needs client credentials: set the client_id/client_secret " +
+        "options or SPOTIFY_CLIENT_ID/SPOTIFY_CLIENT_SECRET in the environment")
     java.util.Base64.getEncoder.encodeToString(s"$id:$secret".getBytes("UTF-8"))
   }
 
@@ -291,6 +305,16 @@ private[spotify] object HttpPageFetcher {
     */
   val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   val TokenTtlMs: Long = 50L * 60 * 1000
+
+  /** One HTTP client per executor JVM (connect timeout 10 s; per-
+    * request timeout set at the call). Building a client per request
+    * would spin up a selector thread and connection pool each time
+    * and defeat keep-alive across a 10k-request fan-out.
+    */
+  lazy val sharedClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
   /** At most this many 429 retries per request, each waiting the
     * server-named Retry-After (missing/garbled header → 1 s).
     */
@@ -380,6 +404,18 @@ private[spotify] class SpotifyApiScan(opts: Map[String, String],
   * CHECKPOINT — not a recomputed wall-clock heuristic — records how
   * far ingestion got, so a crashed run resumes at the first unpulled
   * cursor instead of re-pulling or skipping a day.
+  *
+  * CONTRACT the positional offset imposes: across restarts of the same
+  * checkpoint, the `requests` option must be an APPEND-ONLY extension
+  * of the previous run's list (yesterday's cursors in place, new days
+  * appended — the natural daily shape). Replacing the list (e.g.
+  * supplying only the new day's cursor) remaps indices: a committed
+  * offset of 3 against a 1-element list slices nothing and the stream
+  * silently stalls, and editing pushed request-filters between runs
+  * shifts positions the same way. A value-keyed offset (committed
+  * cursor STRING rather than index) would lift the restriction at the
+  * cost of ordering assumptions on the cursor values; with the
+  * append-only discipline the positional form is exactly-once.
   */
 private[spotify] case class SpotifyCursorOffset(idx: Int) extends Offset {
   override def json(): String = idx.toString

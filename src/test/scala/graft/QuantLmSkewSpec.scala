@@ -78,6 +78,21 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(cg.contains("WholeStageCodegen subtrees"))
   }
 
+  test("dot kernels yield NULL on mismatched lengths, like the HOF form (no partial dots)") {
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).head().isNullAt(0))
+    val dl = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    assert(dl.select(expr("graft_dotl(a, b)")).head().isNullAt(0))
+  }
+
+  test("wrong-arity dot calls fail at analysis with the function named") {
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq((Array(1.0), Array(1.0))).toDF("a", "b")
+    val e = intercept[Exception] { df.select(expr("graft_dot(a)")).head() }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
   test("graft_dotl under ANSI raises on i64 overflow like the HOF form it replaces") {
     graft.functions.VectorExprs.register(spark)
     assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
