@@ -3100,6 +3100,12 @@ object SparkEntry {
         |SELECT term, df, shard, postings FROM agg
         |ORDER BY term, shard""".stripMargin,
 
+    // Integer lane arithmetic end-to-end (see Similarity
+    // .labelCentroidDrift): micro-unit lane sums -> quantized mean
+    // lanes mq/gq (i64) -> norms and dot as exact i64 sums over lane
+    // rows. Every float op is a per-row scalar on exact integer
+    // operands, so Spark and DuckDB agree bit-for-bit regardless of
+    // aggregation order.
     "q106_label_centroid_drift" ->
       s"""WITH $normalizedCte,
          |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
@@ -3109,18 +3115,22 @@ object SparkEntry {
          |         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx,
          |         COUNT(*) AS cnt
          |       FROM ux GROUP BY label, pos),
-         |lm AS (SELECT label, MAX(cnt) AS n_members,
-         |         list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv
-         |       FROM mx GROUP BY label),
-         |lu AS (SELECT label, n_members,
-         |         ${unitSql("cv")} AS lu
-         |       FROM lm),
+         |lm AS (SELECT label, pos, cnt,
+         |         CAST(floor(CAST(sx AS DOUBLE) / cnt + 0.5) AS BIGINT) AS mq
+         |       FROM mx),
          |gm AS (SELECT pos, SUM(sx) AS sx, SUM(cnt) AS cnt FROM mx GROUP BY pos),
-         |gv AS (SELECT list(CAST(sx AS DOUBLE) / (cnt * 1000000.0) ORDER BY pos) AS cv FROM gm),
-         |gu AS (SELECT ${unitSql("cv")} AS gu FROM gv)
-         |SELECT l.label, l.n_members,
-         |  CAST(floor(list_dot_product(l.lu, g.gu) * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
-         |FROM lu l CROSS JOIN gu g ORDER BY l.label""".stripMargin,
+         |gq AS (SELECT pos, CAST(floor(CAST(sx AS DOUBLE) / cnt + 0.5) AS BIGINT) AS gq
+         |       FROM gm),
+         |gn AS (SELECT SUM(gq * gq) AS gnrm2 FROM gq),
+         |pl AS (SELECT label, MAX(cnt) AS n_members,
+         |         SUM(mq * mq) AS nrm2, SUM(mq * gq) AS dot
+         |       FROM lm JOIN gq USING (pos) GROUP BY label)
+         |SELECT label, n_members,
+         |  CAST(floor(CAST(dot AS DOUBLE) /
+         |    ((CASE WHEN nrm2 = 0 THEN 1000000.0 ELSE sqrt(CAST(nrm2 AS DOUBLE)) END) *
+         |     (CASE WHEN gnrm2 = 0 THEN 1000000.0 ELSE sqrt(CAST(gnrm2 AS DOUBLE)) END))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS drift_fp
+         |FROM pl CROSS JOIN gn ORDER BY label""".stripMargin,
 
     "q110_stream_dedup_daily" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events

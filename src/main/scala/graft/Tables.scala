@@ -64,10 +64,16 @@ object Tables {
       // root, not just the leaf: a crashed write's _temporary/.../
       // part-*.parquet is possibly truncated, and Spark's own file
       // index prunes hidden directories at every level — sniffing a
-      // footer Spark itself would never read must not fail the load
+      // footer Spark itself would never read must not fail the load.
+      // The walk stops at the root by Path equality on the QUALIFIED
+      // root: listFiles returns fully-qualified paths, so comparing
+      // against a relative caller argument would never terminate at
+      // the root and a hidden-prefixed ANCESTOR of the data dir
+      // (e.g. data under .../.cache/...) would mark every file hidden
+      val qualifiedRoot = fs.makeQualified(root)
       def hidden(p: Path): Boolean = {
         var cur = p
-        while (cur != null && cur.toUri.getPath != root.toUri.getPath) {
+        while (cur != null && cur != qualifiedRoot) {
           val n = cur.getName
           if (n.startsWith("_") || n.startsWith(".")) return true
           cur = cur.getParent

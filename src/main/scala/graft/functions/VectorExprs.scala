@@ -171,9 +171,13 @@ object VectorExprs {
       if (children.size != 2)
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          // exactly the WITHOUT_SUGGESTION template's parameters —
+          // passing the WITH_SUGGESTION legacy* trio here turns the
+          // clean arity error into an INTERNAL_ERROR on Spark builds
+          // that validate messageParameters against the template
           messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
-            "actualNum" -> children.size.toString, "legacyNum" -> "2",
-            "legacyConfKey" -> "", "legacyConfValue" -> ""))
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       f(children.head, children(1))
     }
 

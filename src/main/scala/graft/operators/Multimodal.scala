@@ -333,8 +333,11 @@ object Multimodal {
     // NULL content becomes an empty payload (the stub/codec paths
     // handle empty bytes — EdgeCaseSpec); a row whose id cannot key the
     // record is DROPPED, the reference's malformed-row contract (P5).
+    // try_cast, not cast: under ANSI (this repo's default) a plain cast
+    // THROWS on a malformed string id instead of nulling it, so the
+    // isNotNull drop would never see it.
     df.select(
-      col(idCol).cast("long").as("media_id"),
+      expr(s"try_cast(`$idCol` AS LONG)").as("media_id"),
       coalesce(col(binCol).cast("binary"),
         lit(Array.emptyByteArray)).as("content"))
       .filter(col("media_id").isNotNull)

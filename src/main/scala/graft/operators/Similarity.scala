@@ -60,13 +60,18 @@ object Similarity {
     * recall-probe path when left inline. Values are bit-identical
     * either way (same IEEE ops, different evaluation count).
     */
-  private def normalized(df: DataFrame): DataFrame = {
+  private def normalized(df: DataFrame, keep: String*): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
-    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .select(col("vec_id"), col("v"), expr(dotExpr("v", "v")).as("_n2"))
-      .select(col("vec_id"), col("v"),
-        expr("CASE WHEN _n2 = 0D THEN 1D ELSE sqrt(_n2) END").as("_nrm"))
-      .select(col("vec_id"), expr("transform(v, x -> x / _nrm)").as("u"))
+    // `keep` columns ride the normalize pass verbatim so consumers that
+    // need e.g. the label never join the corpus back against itself
+    // just to re-attach a column the scan already had (a corpus-sized
+    // shuffle join saved; values bit-identical either way).
+    val ks = keep.map(col)
+    df.select(col("vec_id") +: ks :+ expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"): _*)
+      .select(col("vec_id") +: ks :+ col("v") :+ expr(dotExpr("v", "v")).as("_n2"): _*)
+      .select(col("vec_id") +: ks :+ col("v") :+
+        expr("CASE WHEN _n2 = 0D THEN 1D ELSE sqrt(_n2) END").as("_nrm"): _*)
+      .select(col("vec_id") +: ks :+ expr("transform(v, x -> x / _nrm)").as("u"): _*)
   }
 
   /** Top-k nearest neighbours (cosine) for vec_id < nQueries.
@@ -928,8 +933,8 @@ object Similarity {
     * Output: (qid, true_label, pred_label, votes) ordered by qid.
     */
   def knnClassify(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
-    val el = normalized(embeddings).join(lab, Seq("vec_id"))
+    val el = normalized(
+      embeddings.withColumn("label", col("label").cast("long")), "label")
     val q = el.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("u").as("qu"), col("label").as("true_label"))
     val train = el.filter(col("vec_id") >= nQueries)
@@ -976,19 +981,18 @@ object Similarity {
     */
   def knnClassifyIvf(embeddings: DataFrame, nQueries: Int, k: Int,
                      nlist: Int, nprobe: Int): DataFrame = {
-    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
-    val e = normalized(embeddings)
+    val e = normalized(
+      embeddings.withColumn("label", col("label").cast("long")), "label")
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
     val ranked = e.join(broadcast(cents))
-      .select(col("vec_id"), col("u"), col("cid"), expr(dotExpr("u", "cu")).as("csim"))
+      .select(col("vec_id"), col("u"), col("label"), col("cid"),
+        expr(dotExpr("u", "cu")).as("csim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
     val train = ranked.filter(col("crn") === 1 && col("vec_id") >= nQueries)
-      .join(lab, Seq("vec_id"))
       .select(col("vec_id"), col("u"), col("label"), col("cid").as("cell"))
     val qprobe = ranked.filter(col("vec_id") < nQueries && col("crn") <= nprobe)
-      .join(lab, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("u").as("qu"),
         col("label").as("true_label"), col("cid").as("cell"))
     val scored = train.join(broadcast(qprobe), Seq("cell"))
@@ -1013,7 +1017,8 @@ object Similarity {
     * Output: (rnk, vec_id, label, cos_fp) ordered by rnk (ascending cosine).
     */
   def embeddingOutliers(embeddings: DataFrame, n: Int): DataFrame = {
-    val e = normalized(embeddings)
+    val e = normalized(
+      embeddings.withColumn("label", col("label").cast("long")), "label")
     val cv = e.select(posexplode(col("u")).as(Seq("pos", "x")))
       .select(col("pos"), expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
       .groupBy(col("pos"))
@@ -1025,11 +1030,9 @@ object Similarity {
         s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
           s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"))
       .select(expr("transform(cv, x -> x / _nrm)").as("cu"))
-    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
     val scored = e.crossJoin(broadcast(cv))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         expr(s"cast(floor(${dotExpr("u", "cu")} * 1000000.0D + 0.5D) as bigint)").as("cos_fp"))
-      .join(lab, Seq("vec_id"))
       .orderBy(col("cos_fp").asc, col("vec_id"))
       .limit(n) // TakeOrderedAndProject: per-partition bottom-n heaps
     scored.withColumn("rnk", row_number().over(
@@ -1039,50 +1042,63 @@ object Similarity {
   }
 
   /** Per-label embedding centroid drift — the distribution-shift
-    * diagnostic: each label's unit-vector centroid scored by cosine
-    * against the global centroid, fixed-point i64. A label whose
+    * diagnostic: each label's mean-vector direction scored by cosine
+    * against the global mean direction, fixed-point i64. A label whose
     * centroid sits far from the corpus mean direction (low drift_fp)
-    * is the slice to re-balance or audit before training. Both
-    * centroids derive from ONE set of micro-unit-quantized i64 lane
-    * sums — the global sums are the per-label sums re-added, exact
-    * because integer addition is associative — so the whole report is
-    * order-independent and engine-portable.
+    * is the slice to re-balance or audit before training.
+    *
+    * Everything past the unit-normalize is INTEGER lane arithmetic:
+    * per-(label, pos) micro-unit lane sums (i64), quantized mean lanes
+    * `mq = floor(sx/cnt + 0.5)` (micro-units, i64), and then norms and
+    * the label-vs-global dot as plain i64 `SUM(mq·mq)` / `SUM(mq·gq)`
+    * over lane ROWS — no vector rebuild, no float accumulation
+    * anywhere, so every aggregate is order-independent and the whole
+    * report is engine-portable bit-for-bit. The only float ops are
+    * per-row scalar divisions/sqrt on exact integer operands. The
+    * global sums are the per-label sums re-added (integer addition is
+    * associative), so global and per-label views can never disagree.
+    * A zero centroid (all-zero label) takes divisor 1e6 — micro-unit
+    * for the 1.0 of the file-wide zero-norm guard contract — and
+    * scores drift 0 naturally.
     *
     * Scale shape: one posexplode pass into a (label, pos) map-side-
     * combinable groupBy (≤ |labels|·dim rows out); the global rollup
-    * re-aggregates those rows, not the corpus; the final join is
-    * |labels| rows against a broadcast 1-row global vector.
+    * re-aggregates those rows, not the corpus; the dot/norm agg joins
+    * the |labels|·dim lane rows against a broadcast dim-row global
+    * lane table and combines map-side; the final join is |labels| rows
+    * against a broadcast 1-row global norm.
     * Output: (label, n_members, drift_fp) ordered by label.
     */
   def labelCentroidDrift(embeddings: DataFrame): DataFrame = {
-    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
-    val lanes = normalized(embeddings).join(lab, Seq("vec_id"))
+    val lanes = normalized(
+        embeddings.withColumn("label", col("label").cast("long")), "label")
       .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
       .select(col("label"), col("pos"),
         expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
-    def toUnit(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
-      val m = df.select(keys.map(col) :+ col("pos") :+ col("cnt")
-          :+ (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"): _*)
-        .groupBy(keys.map(col): _*)
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
-          max(col("cnt")).as("cnt")) // cnt is constant across a group's lanes
-        .select(keys.map(col) :+ col("cnt") :+ expr("transform(pm, s -> s.m)").as("cv"): _*)
-      m.select(keys.map(col) :+ col("cnt") :+ col("cv") :+ expr(
-          s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
-            s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"): _*)
-        .select(keys.map(col) :+ col("cnt")
-          :+ expr(s"transform(cv, x -> x / _nrm)").as(out): _*)
-    }
-    val perLabel = toUnit(lanes, Seq("label"), "lu")
-    val global = toUnit(
-      lanes.groupBy(col("pos")).agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
-        .withColumn("g", lit(1)),
-      Seq("g"), "gu")
-    perLabel.crossJoin(broadcast(global.select(col("gu"))))
-      .select(col("label"), col("cnt").as("n_members"),
-        expr(s"cast(floor(${dotExpr("lu", "gu")} * 1000000.0D + 0.5D) as bigint)").as("drift_fp"))
+    // quantized mean lane in micro-units: sx is already a micro-unit
+    // sum, so the mean lane is one exact-operand double divide + round
+    val mq = expr("cast(floor(cast(sx as double) / cnt + 0.5D) as bigint)")
+    val lm = lanes.select(col("label"), col("pos"), col("cnt"), mq.as("mq"))
+    val gq = lanes.groupBy(col("pos"))
+      .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+      .select(col("pos"), mq.as("gq"))
+    // posexplode emits every lane of every vector, so any label with a
+    // member holds ALL dim lanes — SUM(gq²) inside each label group IS
+    // the global norm², no separate global branch or final cross join
+    val perLabel = lm.join(broadcast(gq), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_members"), // cnt is constant across a group's lanes
+        sum(col("mq") * col("mq")).as("nrm2"),
+        sum(col("mq") * col("gq")).as("dot"),
+        sum(col("gq") * col("gq")).as("gnrm2"))
+    val div = (side: String) => // micro-unit norm; 1e6 = guarded unit divisor
+      s"CASE WHEN $side = 0L THEN 1000000.0D ELSE sqrt(cast($side as double)) END"
+    perLabel
+      .select(col("label"), col("n_members"),
+        expr(s"cast(floor(cast(dot as double) / (${div("nrm2")} * ${div("gnrm2")})" +
+          " * 1000000.0D + 0.5D) as bigint)").as("drift_fp"))
       .orderBy(col("label"))
   }
 

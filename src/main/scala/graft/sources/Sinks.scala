@@ -32,12 +32,24 @@ object Sinks {
     * mutating the flatten's guaranteed non-null '' default (a missing
     * played_at) into a null downstream consumers and the validation
     * null-count would trip over. A named sentinel keeps the row
-    * visible, non-null, and prunable.
+    * visible, non-null, and prunable. NOTE for post-read consumers:
+    * after a sink round-trip the flatten/Validation '' default reads
+    * back as "unknown" — match on the sentinel, not ''.
+    *
+    * The rewrite applies ONLY to string partition columns: on a
+    * non-string column `col === ""` type-coerces, and under ANSI the
+    * '' cast can throw at runtime for a value the plain write would
+    * have stored fine.
     */
-  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
-    df.withColumn(partitionCol,
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
+    val isString = df.schema(partitionCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val cleaned =
+      if (isString) df.withColumn(partitionCol,
         when(col(partitionCol) === "", lit("unknown")).otherwise(col(partitionCol)))
-      .write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+      else df
+    cleaned.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+  }
 
   /** Format breadth beyond the reference: ORC sink (columnar sibling
     * of parquet, ships with Spark). Same append-partitioned shape as

@@ -186,15 +186,32 @@ class HttpPageFetcher extends PageFetcher {
     var tries429 = 0
     var hdrs = headers
     var refresh = onUnauthorized
+    val host = java.net.URI.create(url).getHost
+    // fail fast if a prior over-cap 429 left a standing deadline for
+    // this host: an immediate Spark task retry must not re-contact the
+    // server sooner than its own Retry-After asked
+    val standing = HttpPageFetcher.rateLimitedUntil.get(host)
+    if (standing != null) {
+      val leftMs = standing - System.currentTimeMillis()
+      if (leftMs > 0)
+        sys.error(s"$what rate-limited: host $host under a server-named " +
+          s"Retry-After deadline for another ${leftMs / 1000 + 1}s — failing " +
+          "fast WITHOUT contacting the server (hot task retries burn out " +
+          "offline; the DAG-level retry budget owns the wait)")
+      else HttpPageFetcher.rateLimitedUntil.remove(host, standing)
+    }
     while (true) {
       val r = exchange(method, url, body, hdrs)
       if (r.status / 100 == 2) return r.body
       else if (r.status == 429 && tries429 < HttpPageFetcher.Max429Retries) {
         val wait = r.retryAfterSec.getOrElse(1L) max 1L
-        if (wait > HttpPageFetcher.MaxRetryAfterSec)
+        if (wait > HttpPageFetcher.MaxRetryAfterSec) {
+          HttpPageFetcher.rateLimitedUntil.put(
+            host, System.currentTimeMillis() + wait * 1000)
           sys.error(s"$what rate-limited: HTTP 429 Retry-After ${wait}s exceeds " +
             s"the ${HttpPageFetcher.MaxRetryAfterSec}s cap — failing the task so the " +
             "scheduler's retry budget owns the wait instead of parking an executor slot")
+        }
         backoff(wait)
         tries429 += 1
       } else if (r.status == 401 && refresh.isDefined) {
@@ -326,6 +343,20 @@ private[spotify] object HttpPageFetcher {
     * server asked).
     */
   val MaxRetryAfterSec: Long = 30L
+
+  /** Per-JVM rate-limit deadline by host, recorded when an over-cap
+    * Retry-After fails the task. Spark's task-retry machinery re-runs
+    * a failed task IMMEDIATELY (up to spark.task.maxFailures), sooner
+    * than the server asked — so a retried task in the same executor
+    * checks this first and fails FAST without contacting the server,
+    * burning the hot retries offline until the job-level failure hands
+    * the wait to the DAG scheduler's retry budget (the reference's
+    * 2×5 min, spotify_dag.py:15-16). Fresh executors start clean —
+    * acceptable: the goal is not a distributed limiter, just never
+    * hammering the server faster than its own Retry-After from the
+    * same JVM.
+    */
+  val rateLimitedUntil = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 }
 
 private[spotify] class SpotifyApiTable(props: Map[String, String])

@@ -35,7 +35,10 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
 
   private val creds = Map("client_id" -> "cid", "client_secret" -> "sec")
 
-  private def freshCache(): Unit = HttpPageFetcher.tokenCache.clear()
+  private def freshCache(): Unit = {
+    HttpPageFetcher.tokenCache.clear()
+    HttpPageFetcher.rateLimitedUntil.clear()
+  }
 
   test("429 then success: the server-named Retry-After is honored, capped, once per 429") {
     freshCache()
@@ -58,6 +61,25 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     val err = intercept[RuntimeException] { f.pages("search", "cher", creds).toSeq }
     assert(err.getMessage.contains("Retry-After 86400s exceeds"))
     assert(f.waits.toSeq === Seq(1L))
+  }
+
+  test("over-cap 429 leaves a standing per-host deadline: a hot task retry fails fast without contacting the server") {
+    freshCache()
+    val f = new Scripted(tokenJson("tokA"), rateLimited(Some(86400L)))
+    intercept[RuntimeException](f.pages("search", "cher", creds).toSeq)
+    val callsAfterFirst = f.calls.size
+    // Spark's task-retry re-runs the failed task IMMEDIATELY in the
+    // same executor JVM — sooner than the server's Retry-After. The
+    // standing deadline makes that retry fail WITHOUT any exchange
+    // (token comes from the cache; the GET host is under deadline),
+    // so the limiter never sees traffic before its own deadline.
+    val e2 = intercept[RuntimeException](f.pages("search", "cher", creds).toSeq)
+    assert(e2.getMessage.contains("WITHOUT contacting the server"), e2.getMessage)
+    assert(f.calls.size === callsAfterFirst, "hot retry must not reach exchange()")
+    // an expired deadline is cleared and traffic resumes normally
+    HttpPageFetcher.rateLimitedUntil.replaceAll((_, v) => System.currentTimeMillis() - 1)
+    val f2 = new Scripted(ok("payload")) // token still cached: GET only
+    assert(f2.pages("search", "cher", creds).toSeq === Seq("payload"))
   }
 
   test("429 retries are bounded: persistent rate-limiting fails the task with the status") {
