@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * row-count shortcut.
   */
 object Bench {
+
+  /** The bench gate, same rules as tools/bench_check.py: a query
+    * regresses when its min exceeds RegressionX times its recorded
+    * baseline AND either side is over AbsFloorSec (sub-second times
+    * are JVM noise, not plan changes); queries absent from the
+    * baseline never fail. Factored out so the rule itself is
+    * spec-testable — the artifact's `gate_rc` is this plus
+    * errored-queries-fail.
+    */
+  val RegressionX = 1.5
+  val AbsFloorSec = 1.0
+  def gateRegressed(mins: Seq[(String, Double)],
+                    baseline: Map[String, Double]): Seq[String] =
+    mins.collect { case (name, sec)
+      if baseline.get(name).exists(b =>
+        (if (b > 0) sec / b else Double.PositiveInfinity) > RegressionX &&
+          (sec max b) > AbsFloorSec) => name }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,15 +109,22 @@ object Bench {
     val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // the gate verdict rides the artifact itself (VERDICT r10 item 7):
+    // a regression can't ship unnoticed behind a green-looking round
+    // because the round's BENCH JSON carries rc=1 plus the names
+    val regressed = gateRegressed(results.map(r => (r._1, r._2)), baseline)
+    val gateRc = if (errors.nonEmpty || regressed.nonEmpty) 1 else 0
+    val gateJson =
+      s""""gate_rc":$gateRc,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,"total":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,"total":${fmt(total)}}"""
     // stdout line stays min-per-query (compact, driver-parseable); the
     // persisted artifact additionally carries every raw sample
     val samplesJson = results.map { case (k, _, ss) =>
       "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

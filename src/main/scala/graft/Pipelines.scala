@@ -92,4 +92,75 @@ object Pipelines {
       "keep_best" -> graft.operators.Dedup.keepBestPerCluster(docs, pairs, "n_chars"),
       "leakfree_split" -> graft.operators.Sampling.leakFreeSplit(docs, pairs, trainPct))
   }
+
+  /** EP5 (extension) — the DAILY INCREMENTAL LOOP, the capstone the
+    * persisted-state tier was built for: snapshot diff decides what
+    * re-enters dedup and index append, so a daily run pays for its
+    * delta, never the corpus.
+    *
+    * Composition (all existing, individually oracle-checked parts):
+    *  1. [[graft.operators.Snapshot.diff]] on the document snapshots —
+    *     the unchanged mass never leaves the fingerprint join (q149).
+    *  2. ADDED docs re-enter near-dup detection through
+    *     [[graft.operators.Dedup.incrementalMinhashEstimated]] (q126):
+    *     candidates from the new batch's bands vs history ∪ new,
+    *     history touched only through persisted SIGNATURES, and the
+    *     batch's signatures appended so tomorrow sees today as
+    *     history.
+    *  3. ADDED vectors enter the ANN tier through
+    *     [[graft.operators.Similarity.appendToIvfIndex]] (q121's
+    *     build-once index): assigned against the persisted centroids
+    *     only — bit-identical to a full rebuild containing them
+    *     (IvfIndexSpec), at the cost of one batch-sized pass.
+    *
+    * CHANGED and REMOVED keys are returned as the maintenance
+    * worklist, NOT auto-appended: both state tables are append-only
+    * by design (a torn half-append must not orphan a doc — see
+    * persistMinhashSignatures), so superseding an existing key needs
+    * the compaction path (periodic rewrite dropping stale rows), the
+    * same trade every append-only index deployment makes. A grow-only
+    * corpus — the normal training-data ingest shape — takes the pure
+    * fast path.
+    *
+    * Scale shape: the diff is one co-partitionable (key, fingerprint)
+    * full-outer join; dedup touches |batch| shingle rows + signature
+    * state; index append is |batch| × nlist broadcast scoring. Nothing
+    * rescans yesterday's corpus. The incremental ≪ rebuild gap is
+    * measured in ScaleProbe's `daily_incremental` probe.
+    *
+    * Returns the run's frames keyed by name: `doc_changes` /
+    * `emb_changes` (added|changed|removed rows), `dedup_pairs` (new
+    * near-dup pairs with ≥1 added endpoint). Both state paths must
+    * exist from a prior full build (persistMinhashSignatures +
+    * buildIvfIndex) — day zero IS the full build.
+    */
+  def dailyIncremental(spark: SparkSession,
+                       oldDocs: org.apache.spark.sql.DataFrame,
+                       newDocs: org.apache.spark.sql.DataFrame,
+                       oldEmb: org.apache.spark.sql.DataFrame,
+                       newEmb: org.apache.spark.sql.DataFrame,
+                       sigStatePath: String, ivfPath: String,
+                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                       minJ: Double = 0.5): Map[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val docChanges = graft.operators.Snapshot.diff(
+      oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+    val addedDocs = newDocs.join(
+      docChanges.filter(col("status") === "added").select("doc_id"), Seq("doc_id"))
+    val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
+      addedDocs, n, numHashes, bands, minJ, sigStatePath)
+    // embeddings diff fingerprints the vector bytes via the canonical
+    // string form (stable for a given array, engine-portable)
+    def fp(e: org.apache.spark.sql.DataFrame) =
+      e.withColumn("_fp", col("embedding").cast("string"))
+    val embChanges = graft.operators.Snapshot.diff(
+      fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
+    val addedEmb = newEmb.join(
+      embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
+    graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
+    Map(
+      "doc_changes" -> docChanges.filter(col("status") =!= "unchanged"),
+      "emb_changes" -> embChanges.filter(col("status") =!= "unchanged"),
+      "dedup_pairs" -> pairs)
+  }
 }

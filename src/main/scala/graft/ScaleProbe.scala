@@ -293,6 +293,34 @@ object ScaleProbe {
       val sharedSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"neardup_family","standalone_sec":$standaloneSec%.2f,"shared_sec":$sharedSec%.2f,"ratio":${sharedSec / standaloneSec}%.2f}""")
     }
+    // EP5 daily incremental loop vs paying the full day-2 rebuild:
+    // day 1 = 80% of the staged corpus (grow-only), day 2 adds the
+    // rest. The incremental run diffs snapshots, re-derives dedup
+    // state for the ADDED batch only, and appends the batch to the
+    // IVF index; the rebuild path re-pays signatures + index build
+    // over the whole day-2 corpus. The ratio is the loop's whole
+    // point — it should shrink as the corpus grows relative to the
+    // batch (at 100 TB the batch is <<1% of corpus, not 20%).
+    if (only.isEmpty || only.contains("daily_incremental"))
+      for (mod <- Seq(5, 50)) { // 20% and 2% daily-batch fractions
+      val day1Docs = docs.filter($"doc_id" % mod =!= 0)
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % mod =!= 0)
+      val stateDir = Scratch.dir(s"graft_daily_incr_$mod")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$stateDir/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$stateDir/ivf")
+      val t0 = System.nanoTime()
+      Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
+          s"$stateDir/mh", s"$stateDir/ivf")
+        .values.foreach(_.write.format("noop").mode("overwrite").save())
+      val incrSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$stateDir/mh_full")
+      Similarity.buildIvfIndex(embs, nlist = 16, path = s"$stateDir/ivf_full")
+      Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
+        .write.format("noop").mode("overwrite").save()
+      val rebuildSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"daily_incremental","batch_pct":${100 / mod},"incremental_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${incrSec / rebuildSec}%.2f}""")
+    }
     // timer-based session close (SessionStream) vs the built-in
     // session_window aggregate over the same staged feed — both drain
     // AvailableNow with RocksDB state; the custom processor carries

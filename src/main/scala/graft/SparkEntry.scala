@@ -1636,6 +1636,20 @@ object SparkEntry {
           when($"doc_id" % 10 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
       operators.Snapshot.diffRows(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
     }),
+
+    // ---- Persisted near-dup pair table (the q121/q132/q139 build-
+    // once pattern applied to the dedup family): the capped Jaccard
+    // pairs are built ONCE as a lake table and every family consumer
+    // reads that table instead of re-deriving pairs (measured 0.41x
+    // over 4 consumers, tools/scaleprobe_r10_family.jsonl). The
+    // catalog checks the keep-best consumer off the PERSISTED pairs
+    // against q74's standalone oracle verbatim — build+read equals
+    // the standalone form, hash-for-hash. The remaining consumers'
+    // equality is spec-proven (PipelinesSpec EP4).
+    "q150_neardup_family_persisted" -> ((s, dir) => {
+      val pairs = Scratch.dir("graft_pairs_q150") + "/pairs"
+      Pipelines.nearDupFamily(s, Tables.load(s, dir, "documents"), pairs)("keep_best")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -1836,7 +1850,14 @@ object SparkEntry {
        |    d -> (CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),1,8) AS BIGINT) % 1000) / 1000.0 - 0.5)) > 0
        |  THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // persisted build+read forms share their standalone twin's oracle
+    // VERBATIM: the lake round-trip must be hash-invisible
+    base + ("q150_neardup_family_persisted" -> base("q74_dedup_keep_best"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -237,15 +237,18 @@ class HttpPageFetcher extends PageFetcher {
     java.util.Base64.getEncoder.encodeToString(s"$id:$secret".getBytes("UTF-8"))
   }
 
-  /** One token-endpoint POST; `form` picks the grant. */
-  private def tokenGrant(options: Map[String, String], form: String): String = {
-    val tokenJson = post("https://accounts.spotify.com/api/token", form,
+  /** One token-endpoint POST; `form` picks the grant. Returns the raw
+    * response body (the authorization-code grant needs refresh_token
+    * out of the same response).
+    */
+  private def tokenGrantRaw(options: Map[String, String], form: String): String =
+    post("https://accounts.spotify.com/api/token", form,
       Map("Authorization" -> s"Basic ${basicAuth(options)}",
         "Content-Type" -> "application/x-www-form-urlencoded"))
-    """"access_token"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(tokenJson).map(_.group(1))
+
+  private def tokenGrant(options: Map[String, String], form: String): String =
+    HttpPageFetcher.jsonField(tokenGrantRaw(options, form), "access_token")
       .getOrElse(sys.error("no access_token in token response"))
-  }
 
   /** TTL-cached token fetch: client-credentials tokens expire after
     * 3600 s, so a long-lived executor (the microbatch tier's normal
@@ -280,6 +283,54 @@ class HttpPageFetcher extends PageFetcher {
     cachedToken(s"user:$refreshToken", force)(tokenGrant(options,
       s"grant_type=refresh_token&refresh_token=${java.net.URLEncoder.encode(refreshToken, "UTF-8")}"))
 
+  /** The INITIAL authorization-code exchange — the missing first step
+    * of the spotipy flow (reference new.py:51-81): the user visits
+    * [[HttpPageFetcher.authorizeUrl]] in a browser, approves the
+    * scope, and hands the one-time `code` from the redirect to this
+    * connector (`option("auth_code", ...)`); the exchange yields an
+    * access token AND the long-lived refresh token, both cached — the
+    * access token in the per-JVM cache (no immediate re-grant) and the
+    * refresh token in the `token_cache_path` file when set, the model
+    * of spotipy's `.spotify_cache` (new.py:68) so LATER runs need
+    * neither the code (single-use) nor a hand-supplied refresh token.
+    * Returns the refresh token; callers then ride the normal
+    * refresh-grant path.
+    */
+  private def exchangeAuthCode(options: Map[String, String], code: String): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val redirect = options.getOrElse("redirect_uri",
+      sys.env.getOrElse("SPOTIFY_REDIRECT_URI", "http://localhost:8080/callback"))
+    val body = tokenGrantRaw(options,
+      s"grant_type=authorization_code&code=${enc(code)}&redirect_uri=${enc(redirect)}")
+    val access = HttpPageFetcher.jsonField(body, "access_token")
+      .getOrElse(sys.error("no access_token in authorization-code response"))
+    val refresh = HttpPageFetcher.jsonField(body, "refresh_token")
+      .getOrElse(sys.error("authorization-code response lacked refresh_token — " +
+        "cannot survive token expiry; check the grant and scope"))
+    HttpPageFetcher.tokenCache.put(s"user:$refresh", (access, System.currentTimeMillis()))
+    options.get("token_cache_path").foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path,
+        s"""{"refresh_token":"$refresh","scope":"user-read-recently-played"}"""
+          .getBytes("UTF-8"))
+    }
+    refresh
+  }
+
+  /** Refresh token recovered from a prior run's `token_cache_path`
+    * file, if any — checked BEFORE `auth_code` exactly as spotipy
+    * consults `.spotify_cache` before re-running the browser flow
+    * (the code is single-use; re-exchanging a consumed code 400s).
+    */
+  private def cachedRefreshToken(options: Map[String, String]): Option[String] =
+    options.get("token_cache_path").flatMap { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(path)) None
+      else HttpPageFetcher.jsonField(
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"), "refresh_token")
+    }
+
   override def pages(endpoint: String, request: String,
                      options: Map[String, String]): Iterator[String] = {
     val market = options.getOrElse("market", "US")
@@ -293,7 +344,14 @@ class HttpPageFetcher extends PageFetcher {
           appToken(options), Some(() => appToken(options, force = true)))
       case "recently-played" =>
         val url = s"https://api.spotify.com/v1/me/player/recently-played?limit=50&after=$request"
-        val refreshTok = options.get("refresh_token").orElse(sys.env.get("SPOTIFY_REFRESH_TOKEN"))
+        // credential resolution, spotipy-ordered: explicit refresh
+        // token -> prior run's token-cache file (.spotify_cache model)
+        // -> one-time authorization code (first run; writes the cache)
+        // -> static user token -> actionable error
+        val refreshTok = options.get("refresh_token")
+          .orElse(sys.env.get("SPOTIFY_REFRESH_TOKEN"))
+          .orElse(cachedRefreshToken(options))
+          .orElse(options.get("auth_code").map(exchangeAuthCode(options, _)))
         refreshTok match {
           case Some(rt) =>
             (url, refreshedUserToken(options, rt),
@@ -302,7 +360,10 @@ class HttpPageFetcher extends PageFetcher {
             (url, options.getOrElse("user_token", sys.env.getOrElse("SPOTIFY_USER_TOKEN",
               sys.error("recently-played requires a user-authorized token " +
                 "(user-read-recently-played scope): pass option(\"refresh_token\", ...) " +
-                "(or SPOTIFY_REFRESH_TOKEN) for runs longer than a token lifetime, " +
+                "(or SPOTIFY_REFRESH_TOKEN) for runs longer than a token lifetime; " +
+                "for a FIRST run visit HttpPageFetcher.authorizeUrl(...) in a browser " +
+                "and pass the redirect's code as option(\"auth_code\", ...) (plus " +
+                "option(\"token_cache_path\", ...) to persist the grant); " +
                 "or a static option(\"user_token\", ...) / SPOTIFY_USER_TOKEN — " +
                 "a client-credentials token gets 401 here"))),
               None) // static token: a 401 means expired/invalid — surface it
@@ -343,6 +404,30 @@ private[spotify] object HttpPageFetcher {
     * server asked).
     */
   val MaxRetryAfterSec: Long = 30L
+
+  /** Minimal JSON string-field extractor (the token endpoint's flat
+    * responses only — not a general parser, same trade the reference
+    * makes by trusting spotipy's parsed dicts).
+    */
+  def jsonField(json: String, field: String): Option[String] =
+    (s""""${java.util.regex.Pattern.quote(field)}"\\s*:\\s*"([^"]+)"""").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  /** The browser step of the authorization-code grant (reference
+    * new.py:51-81, spotipy SpotifyOAuth): the user visits this URL,
+    * approves the scope, and the redirect lands on
+    * `redirect_uri?code=...` — that one-time code goes to
+    * `option("auth_code", ...)`. Pure URL construction; the browser
+    * interaction itself is inherently out-of-band (spotipy opens a
+    * local server for it; an executor cannot).
+    */
+  def authorizeUrl(clientId: String,
+                   redirectUri: String = "http://localhost:8080/callback",
+                   scope: String = "user-read-recently-played"): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    s"https://accounts.spotify.com/authorize?client_id=${enc(clientId)}" +
+      s"&response_type=code&redirect_uri=${enc(redirectUri)}&scope=${enc(scope)}"
+  }
 
   /** Per-JVM rate-limit deadline by host, recorded when an over-cap
     * Retry-After fails the task. Spark's task-retry machinery re-runs

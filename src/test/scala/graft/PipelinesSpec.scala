@@ -103,4 +103,46 @@ class PipelinesSpec extends AnyFunSuite {
     assert(same(family("keep_best"), Dedup.keepBestPerCluster(docs, standalonePairs, "n_chars")))
     assert(same(family("leakfree_split"), Sampling.leakFreeSplit(docs, standalonePairs, 80)))
   }
+
+  test("EP5 daily incremental loop: day-2 state equals a full day-2 rebuild on the added-rows path") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity, Snapshot}
+    val dir = tmp
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // grow-only corpus: day 1 = 80%, day 2 adds the remaining 20%
+    val day1Docs = docs.filter($"doc_id" % 5 =!= 0)
+    // IVF centroids are the first nlist vec_ids — day 1 MUST contain
+    // them (appendToIvfIndex's bit-identity precondition)
+    val d1e = emb.filter($"vec_id" < 16 || $"vec_id" % 5 =!= 0)
+    // day 0: full build of both state tiers from day 1
+    Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$dir/mh")
+    Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$dir/ivf")
+    // the loop
+    val out = Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, emb,
+      s"$dir/mh", s"$dir/ivf")
+    // 1. diff routed exactly the added keys into the batch
+    val added = out("doc_changes").filter($"status" === "added")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(added === docs.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect().toSet)
+    assert(out("doc_changes").filter($"status" =!= "added").isEmpty) // grow-only: nothing else
+    // 2. signature state now equals a from-scratch day-2 build
+    Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$dir/mh_full")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(spark.read.parquet(s"$dir/mh/sigs"), spark.read.parquet(s"$dir/mh_full/sigs")),
+      "incremental signature state must equal the full rebuild")
+    // 3. the appended IVF index equals a full day-2 rebuild (same
+    //    deterministic centroids: day 1 contained vec_id < 16)
+    Similarity.buildIvfIndex(emb, nlist = 16, path = s"$dir/ivf_full")
+    assert(same(spark.read.parquet(s"$dir/ivf/assignments"),
+      spark.read.parquet(s"$dir/ivf_full/assignments")),
+      "appended IVF assignments must equal the full rebuild")
+    // 4. and the new pairs are the full day-2 estimator pairs that
+    //    touch an added endpoint (old-old pairs never re-emitted)
+    val fullPairs = Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
+      .filter($"doc_a".isin(added.toSeq: _*) || $"doc_b".isin(added.toSeq: _*))
+    assert(same(out("dedup_pairs"), fullPairs),
+      "incremental pairs must equal the added-endpoint slice of the full run")
+  }
 }

@@ -126,6 +126,72 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     val f = new Scripted()
     val e = intercept[RuntimeException](f.pages("recently-played", "0", creds).toSeq)
     assert(e.getMessage.contains("refresh_token"), e.getMessage)
+    assert(e.getMessage.contains("auth_code"), e.getMessage) // names the first-run path too
+  }
+
+  private def codeTokenJson(tok: String, refresh: String) =
+    ok(s"""{"access_token":"$tok","refresh_token":"$refresh","expires_in":3600}""")
+
+  test("first-run authorization-code grant: code->token exchange, cache write, then the refresh path (new.py:51-81)") {
+    freshCache()
+    val cache = java.nio.file.Files.createTempDirectory("graft_oauth").toString + "/.spotify_cache"
+    val opts = creds ++ Map("auth_code" -> "the-code", "token_cache_path" -> cache,
+      "redirect_uri" -> "http://localhost:9090/cb")
+    // FIRST run: only the one-time code. One authorization_code POST
+    // (carrying the redirect_uri the code was minted for), then the GET
+    // rides the access token from the SAME response — no refresh grant.
+    val f = new Scripted(codeTokenJson("user-tokA", "rt-new"), ok("played"))
+    assert(f.pages("recently-played", "0", opts).toSeq === Seq("played"))
+    val posts = f.calls.filter(_._1 == "POST").map(_._3.get)
+    assert(posts.size === 1)
+    assert(posts.head.contains("grant_type=authorization_code"))
+    assert(posts.head.contains("code=the-code"))
+    assert(posts.head.contains("redirect_uri=" +
+      java.net.URLEncoder.encode("http://localhost:9090/cb", "UTF-8")))
+    assert(f.calls.filter(_._1 == "GET").map(_._4("Authorization")) === Seq("Bearer user-tokA"))
+    // the grant persisted: the cache file carries the refresh token
+    val written = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cache)), "UTF-8")
+    assert(written.contains("\"refresh_token\":\"rt-new\""))
+
+    // LATER run (fresh JVM: token cache cleared), same cache file, NO
+    // auth_code: the cached refresh token drives the normal refresh
+    // grant — the single-use code is never re-exchanged.
+    freshCache()
+    val f2 = new Scripted(tokenJson("user-tokB"), ok("played2"))
+    assert(f2.pages("recently-played", "0",
+      creds + ("token_cache_path" -> cache)).toSeq === Seq("played2"))
+    val posts2 = f2.calls.filter(_._1 == "POST").map(_._3.get)
+    assert(posts2.size === 1)
+    assert(posts2.head.contains("grant_type=refresh_token"))
+    assert(posts2.head.contains("refresh_token=rt-new"))
+
+    // EXPIRY mid-run: 401 -> one refresh off the cached refresh token
+    val f3 = new Scripted(expired, tokenJson("user-tokC"), ok("played3"))
+    assert(f3.pages("recently-played", "0",
+      creds ++ Map("auth_code" -> "the-code", "token_cache_path" -> cache)).toSeq
+      === Seq("played3"))
+    // cache file BEATS the supplied code, exactly as spotipy consults
+    // .spotify_cache first (re-exchanging a consumed code would 400)
+    assert(f3.calls.filter(_._1 == "POST").map(_._3.get)
+      .forall(_.contains("grant_type=refresh_token")))
+  }
+
+  test("authorization-code response without a refresh token fails with the actionable cause") {
+    freshCache()
+    val f = new Scripted(tokenJson("short-lived")) // no refresh_token field
+    val e = intercept[RuntimeException](
+      f.pages("recently-played", "0", creds + ("auth_code" -> "c")).toSeq)
+    assert(e.getMessage.contains("lacked refresh_token"), e.getMessage)
+  }
+
+  test("authorizeUrl builds the browser step with encoded client id, redirect and scope") {
+    val u = HttpPageFetcher.authorizeUrl("my client", "http://localhost:8080/callback")
+    assert(u.startsWith("https://accounts.spotify.com/authorize?"))
+    assert(u.contains("client_id=my+client"))
+    assert(u.contains("response_type=code"))
+    assert(u.contains("redirect_uri=http%3A%2F%2Flocalhost%3A8080%2Fcallback"))
+    assert(u.contains("scope=user-read-recently-played"))
   }
 
   test("app token is cached per JVM: a second request issues no second grant") {

@@ -63,6 +63,9 @@ def main(path):
             regressed.append(name)
     base_total = base.get("total", base.get("value", 0.0))
     print(f"\ntotal: {cur['value']:.1f}s vs baseline {base_total:.1f}s")
+    if "gate_rc" in cur:  # Bench self-recorded verdict (graft.Bench.gateRegressed)
+        print(f"recorded gate_rc={cur['gate_rc']}"
+              f" gate_regressed={cur.get('gate_regressed', [])}")
     rc = 0
     if errored := sorted(errors):
         print("ERRORED QUERIES (excluded from comparison):", ", ".join(errored))
