@@ -39,6 +39,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(d.brightness - 0.5) < 1e-6)
   }
 
+  test("asMedia drops a malformed STRING id instead of throwing under ANSI (P5 contract)") {
+    val df = Seq(("7", Array[Byte](1, 2)), ("not-a-number", Array[Byte](3)),
+      (null.asInstanceOf[String], Array[Byte](4)))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.asMedia(df, "doc_id", "payload", "image", "image/png").collect()
+    assert(m.map(_.media_id).toSeq === Seq(7L)) // malformed + NULL both dropped
+  }
+
   test("decodeImages is deterministic and partition-count independent") {
     val a = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     val b = Multimodal.decodeImages(media.repartition(13)).collect().sortBy(_.media_id)

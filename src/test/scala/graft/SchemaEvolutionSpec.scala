@@ -18,6 +18,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("appendPartitioned with a NON-string partition column writes without the sentinel rewrite") {
+    // the ''->"unknown" rewrite is a string-column contract; on an
+    // integer partition column the old `col === ""` coercion could
+    // throw under ANSI for values a plain write stores fine
+    val dir = Files.createTempDirectory("graft_intpart").toString + "/t"
+    val batch = Seq((1L, 20260101L), (2L, 20260102L)).toDF("id", "daykey")
+    Sinks.appendPartitioned(batch, dir, "daykey")
+    val back = spark.read.parquet(dir)
+    assert(back.select($"daykey").distinct().as[Long].collect().sorted
+      === Array(20260101L, 20260102L))
+  }
+
   test("appendPartitioned accepts a widened batch; mergeSchema unions; old readers still work") {
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
     val day1 = Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"))

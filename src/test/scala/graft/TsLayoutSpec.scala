@@ -94,4 +94,26 @@ class TsLayoutSpec extends AnyFunSuite {
     assert(!Tables.tsIsNanosAnnotated(spark, tmp("graft-ts-empty")))
     assert(!Tables.tsIsNanosAnnotated(spark, "/nonexistent/graft-ts-path"))
   }
+
+  test("footer probe finds data under a hidden-prefixed ANCESTOR and a relative root") {
+    // the hidden-segment walk must stop AT the given root: data living
+    // under e.g. ~/.cache/... is legitimate, and a RELATIVE root
+    // argument must terminate the walk just like a qualified one
+    // (pre-fix, the unqualified comparison never matched the
+    // fully-qualified listed paths, so the walk escaped the root and
+    // the .cache ancestor marked every file hidden)
+    val base = Files.createTempDirectory("graft-dotted").toString + "/.cache/data"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(base)
+    assert(Tables.firstParquetFile(spark, base).isDefined)
+    // relative form of the same root (cwd is the repo during tests)
+    val relBase = "target/graft-hidden-walk-test/.cache/data"
+    Seq((2L, "y")).toDF("id", "v").write.mode("overwrite").parquet(relBase)
+    try assert(Tables.firstParquetFile(spark, relBase).isDefined)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File("target/graft-hidden-walk-test"))
+    }
+  }
 }
