@@ -77,20 +77,24 @@ object Pipelines {
     * `neardup_family` probe (shared vs 4x standalone).
     *
     * Parameters mirror the catalog defaults (n=3 shingles, J>=0.5,
-    * df cap 20). Returns the four consumer frames keyed by name.
+    * df cap 20). Returns the four consumers keyed by name as THUNKS:
+    * the connected-components consumers run their iterative rounds
+    * EAGERLY at DataFrame construction (localCheckpoint per round), so
+    * a caller wanting only one consumer must not pay for the others —
+    * force exactly the ones you consume.
     */
   def nearDupFamily(spark: SparkSession,
                     docs: org.apache.spark.sql.DataFrame, pairsPath: String,
                     n: Int = 3, minJ: Double = 0.5, maxDf: Int = 20,
-                    trainPct: Int = 80): Map[String, org.apache.spark.sql.DataFrame] = {
+                    trainPct: Int = 80): Map[String, () => org.apache.spark.sql.DataFrame] = {
     graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf)
       .write.mode("overwrite").parquet(pairsPath)
     val pairs = spark.read.parquet(pairsPath)
     Map(
-      "clusters" -> graft.operators.Dedup.duplicateClusters(pairs),
-      "clusters_star" -> graft.operators.Dedup.duplicateClustersStar(pairs),
-      "keep_best" -> graft.operators.Dedup.keepBestPerCluster(docs, pairs, "n_chars"),
-      "leakfree_split" -> graft.operators.Sampling.leakFreeSplit(docs, pairs, trainPct))
+      "clusters" -> (() => graft.operators.Dedup.duplicateClusters(pairs)),
+      "clusters_star" -> (() => graft.operators.Dedup.duplicateClustersStar(pairs)),
+      "keep_best" -> (() => graft.operators.Dedup.keepBestPerCluster(docs, pairs, "n_chars")),
+      "leakfree_split" -> (() => graft.operators.Sampling.leakFreeSplit(docs, pairs, trainPct)))
   }
 
   /** EP5 (extension) — the DAILY INCREMENTAL LOOP, the capstone the

@@ -289,7 +289,7 @@ object ScaleProbe {
       val pairsDir = Scratch.dir("graft_neardup_pairs")
       val t1 = System.nanoTime()
       Pipelines.nearDupFamily(spark, docs, pairsDir)
-        .values.foreach(_.write.format("noop").mode("overwrite").save())
+        .values.foreach(_().write.format("noop").mode("overwrite").save())
       val sharedSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"neardup_family","standalone_sec":$standaloneSec%.2f,"shared_sec":$sharedSec%.2f,"ratio":${sharedSec / standaloneSec}%.2f}""")
     }

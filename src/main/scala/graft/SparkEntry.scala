@@ -1648,7 +1648,7 @@ object SparkEntry {
     // equality is spec-proven (PipelinesSpec EP4).
     "q150_neardup_family_persisted" -> ((s, dir) => {
       val pairs = Scratch.dir("graft_pairs_q150") + "/pairs"
-      Pipelines.nearDupFamily(s, Tables.load(s, dir, "documents"), pairs)("keep_best")
+      Pipelines.nearDupFamily(s, Tables.load(s, dir, "documents"), pairs)("keep_best")()
     }),
   )
 

@@ -98,10 +98,10 @@ class PipelinesSpec extends AnyFunSuite {
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
       a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
     def standalonePairs = Dedup.jaccardPairsCapped(docs, 3, 0.5, 20)
-    assert(same(family("clusters"), Dedup.duplicateClusters(standalonePairs)))
-    assert(same(family("clusters_star"), Dedup.duplicateClustersStar(standalonePairs)))
-    assert(same(family("keep_best"), Dedup.keepBestPerCluster(docs, standalonePairs, "n_chars")))
-    assert(same(family("leakfree_split"), Sampling.leakFreeSplit(docs, standalonePairs, 80)))
+    assert(same(family("clusters")(), Dedup.duplicateClusters(standalonePairs)))
+    assert(same(family("clusters_star")(), Dedup.duplicateClustersStar(standalonePairs)))
+    assert(same(family("keep_best")(), Dedup.keepBestPerCluster(docs, standalonePairs, "n_chars")))
+    assert(same(family("leakfree_split")(), Sampling.leakFreeSplit(docs, standalonePairs, 80)))
   }
 
   test("EP5 daily incremental loop: day-2 state equals a full day-2 rebuild on the added-rows path") {
