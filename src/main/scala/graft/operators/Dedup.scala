@@ -626,18 +626,26 @@ object Dedup {
     * anti-join probe on checkpointed blocks).
     */
   private[graft] def starWithRounds(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
+    // ONE materialization of the (expensive) pair-generation subtree:
+    // nodes and edges both derive from this narrow two-long frame —
+    // checkpointing each from `pairs` directly would run the whole
+    // shingle/cap/bucket-join pipeline twice (measured ~2x the round-11
+    // pair-gen share of q124)
+    val canon = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .localCheckpoint()
+    val nodes = canon.select(col("src").as("doc_id"))
+      .union(canon.select(col("dst").as("doc_id")))
       .distinct()
       .localCheckpoint()
     // canonical larger→smaller edges; the invariant src > dst holds
     // for every edge both halves emit, so no re-canonicalization per round
-    var edges = pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
-        least(col("doc_a"), col("doc_b")).as("dst"))
+    var edges = canon
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    releaseCheckpoint(canon) // nodes+edges were its only consumers
     var edgeCount = edges.count()
     var changed = true
     var i = 0
