@@ -444,7 +444,9 @@ object Similarity {
     require(ks >= 1, s"ks must be >= 1 (got $ks)")
     val e = pqInt8(embeddings)
     pqDimCheck(e, m)
-    val sv = pqMelt(e, m)
+    // melted once for both the Lloyd pass and the encode (the returned
+    // frame consumes it lazily, so the blocks stay pinned — no release)
+    val sv = graft.operators.Dedup.materialize(pqMelt(e, m))
     val c1 = pqCodebooks(sv, ks)
     val codes = pqAssign(sv, c1).select(col("vec_id"), col("s"), col("cid"))
     pqQuery(e, c1, codes, m, nQueries, k, rerank)
@@ -582,10 +584,15 @@ object Similarity {
     require(ks >= 1 && ks <= 32767, s"ks must fit a smallint codebook id (got $ks)")
     val e = pqInt8(embeddings)
     pqDimCheck(e, m)
-    val sv = pqMelt(e, m)
+    // one materialization of the melted subspace view: it feeds the
+    // codebook Lloyd pass AND the encode pass — un-checkpointed, the
+    // corpus quantize+melt runs twice in the operator whose point is
+    // paying the corpus cost once
+    val sv = graft.operators.Dedup.materialize(pqMelt(e, m))
     val c1 = pqCodebooks(sv, ks)
     c1.write.mode("overwrite").parquet(s"$path/codebooks")
     writeCodes(sv, c1, path, "overwrite")
+    graft.operators.Dedup.releaseCheckpoint(sv)
   }
 
   /** The ONE encode-and-write block both the one-shot build and the
