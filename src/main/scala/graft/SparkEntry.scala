@@ -1650,6 +1650,27 @@ object SparkEntry {
       val pairs = Scratch.dir("graft_pairs_q150") + "/pairs"
       Pipelines.nearDupFamily(s, Tables.load(s, dir, "documents"), pairs)("keep_best")()
     }),
+
+    // ---- The EP5 daily incremental loop end-to-end as a catalog
+    // query: day-0 full build (signatures + IVF) from the 80% day-1
+    // snapshot, then ONE loop turn — snapshot diff routes the added
+    // 20% into incremental dedup + index append — returning the new
+    // near-dup pairs. The oracle replays the full-corpus estimator
+    // restricted to pairs touching an added doc: exactly what the
+    // loop must emit if the incremental path loses nothing. State
+    // rebuilds per call (overwrite day-0 then one append), so the
+    // query is idempotent for the bench's repeated runs. ----
+    "q151_daily_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val st = Scratch.dir("graft_daily_q151")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+      Pipelines.dailyIncremental(s, day1Docs, docs, d1e, emb,
+        st + "/mh", st + "/ivf")("dedup_pairs")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3013,6 +3034,33 @@ object SparkEntry {
          |            FROM sigs GROUP BY doc_id, i // 4),
          |newb AS (SELECT * FROM buckets
          |         WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 >= 80),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |                greatest(x.doc_id, y.doc_id) AS doc_b
+         |         FROM buckets x JOIN newb y
+         |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id),
+         |agree AS (SELECT c.doc_a, c.doc_b,
+         |                 count(CASE WHEN pa.sig = pb.sig THEN 1 END) AS m
+         |          FROM cand c JOIN sigs pa ON pa.doc_id = c.doc_a
+         |                      JOIN sigs pb ON pb.doc_id = c.doc_b AND pb.i = pa.i
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard
+         |FROM agree WHERE CAST(m AS DOUBLE) / 16 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // EP5 loop replay: the q126 estimator pipeline with the grow-only
+    // day split (added = doc_id % 5 = 0) — pairs touching an added
+    // doc, which is exactly what the incremental loop must emit
+    "q151_daily_incremental" ->
+      s"""WITH ${shinglesCte(3)},
+         |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+         |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+         |           FROM (SELECT unnest(range(0, 16)) AS i)),
+         |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+         |         FROM hashed CROSS JOIN params GROUP BY doc_id, i),
+         |buckets AS (SELECT doc_id, i // 4 AS band,
+         |                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bucket
+         |            FROM sigs GROUP BY doc_id, i // 4),
+         |newb AS (SELECT * FROM buckets WHERE doc_id % 5 = 0),
          |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
          |                greatest(x.doc_id, y.doc_id) AS doc_b
          |         FROM buckets x JOIN newb y
