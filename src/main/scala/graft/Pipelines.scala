@@ -147,8 +147,13 @@ object Pipelines {
                        n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                        minJ: Double = 0.5): Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
-    val docChanges = graft.operators.Snapshot.diff(
-      oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+    // the corpus-wide fingerprint diff runs ONCE per table: only the
+    // delta (tiny by definition — it's the daily batch) is
+    // materialized, and both its consumers (the returned change frame
+    // and the added-keys routing join) read the materialized rows
+    val docChanges = graft.operators.Dedup.materialize(
+      graft.operators.Snapshot.diff(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+        .filter(col("status") =!= "unchanged"))
     val addedDocs = newDocs.join(
       docChanges.filter(col("status") === "added").select("doc_id"), Seq("doc_id"))
     val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
@@ -157,14 +162,15 @@ object Pipelines {
     // string form (stable for a given array, engine-portable)
     def fp(e: org.apache.spark.sql.DataFrame) =
       e.withColumn("_fp", col("embedding").cast("string"))
-    val embChanges = graft.operators.Snapshot.diff(
-      fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
+    val embChanges = graft.operators.Dedup.materialize(
+      graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
+        .filter(col("status") =!= "unchanged"))
     val addedEmb = newEmb.join(
       embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
     graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
     Map(
-      "doc_changes" -> docChanges.filter(col("status") =!= "unchanged"),
-      "emb_changes" -> embChanges.filter(col("status") =!= "unchanged"),
+      "doc_changes" -> docChanges,
+      "emb_changes" -> embChanges,
       "dedup_pairs" -> pairs)
   }
 }
