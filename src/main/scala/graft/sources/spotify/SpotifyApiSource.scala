@@ -295,6 +295,14 @@ class HttpPageFetcher extends PageFetcher {
     * neither the code (single-use) nor a hand-supplied refresh token.
     * Returns the refresh token; callers then ride the normal
     * refresh-grant path.
+    *
+    * Deployment caveat: the code is SINGLE-USE, so on a multi-executor
+    * cluster the first-run exchange belongs in a one-task driver-side
+    * job (or the cache file on a shared filesystem) — two executors
+    * racing the same code means the loser gets a 400. Steady-state
+    * fan-out is unaffected: it rides the refresh token, which is
+    * reusable, and the per-JVM TTL cache bounds token POSTs to one
+    * per executor.
     */
   private def exchangeAuthCode(options: Map[String, String], code: String): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
