@@ -111,8 +111,13 @@ object Bench {
       .mkString("{", ",", "}")
     // the gate verdict rides the artifact itself (VERDICT r10 item 7):
     // a regression can't ship unnoticed behind a green-looking round
-    // because the round's BENCH JSON carries rc=1 plus the names
-    val regressed = gateRegressed(results.map(r => (r._1, r._2)), baseline)
+    // because the round's BENCH JSON carries rc=1 plus the names.
+    // Errored queries are EXCLUDED from the ratio list exactly as
+    // bench_check.py excludes them — their fail-fast wall time is not
+    // a plan measurement; they fail the gate through the errors term
+    val regressed = gateRegressed(
+      results.collect { case (n, sec, _) if !errors.contains(n) => (n, sec) },
+      baseline)
     val gateRc = if (errors.nonEmpty || regressed.nonEmpty) 1 else 0
     val gateJson =
       s""""gate_rc":$gateRc,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}]"""

@@ -160,6 +160,19 @@ case class DotProductLong(left: Expression, right: Expression)
 object VectorExprs {
   val DotName = "graft_dot"
   val DotLongName = "graft_dotl"
+  val VSumName = "graft_vsum"
+
+  private[functions] def unaryBuilder(name: String,
+      f: Expression => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name, "expectedNum" -> "1",
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      f(children.head)
+    }
 
   /** Arity-checked builder: a wrong-arity SQL call gets a clean
     * analysis-time error naming the function, not an
@@ -190,6 +203,9 @@ object VectorExprs {
       DotName, binaryBuilder(DotName, DotProduct.apply), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotLongName, binaryBuilder(DotLongName, DotProductLong.apply), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      VSumName, unaryBuilder(VSumName,
+        c => VectorSumAgg(c).toAggregateExpression()), "scala_udf")
   }
 }
 
@@ -210,6 +226,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductLong].getName, VectorExprs.DotLongName),
       VectorExprs.binaryBuilder(VectorExprs.DotLongName, DotProductLong.apply)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorExprs.VSumName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorSumAgg].getName, VectorExprs.VSumName),
+      VectorExprs.unaryBuilder(VectorExprs.VSumName,
+        c => VectorSumAgg(c).toAggregateExpression())))
     // users writing the portable HOF dot form get the codegen kernel
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
     // the per-group top-k physical operator plans without the

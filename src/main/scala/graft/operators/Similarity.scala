@@ -341,8 +341,9 @@ object Similarity {
     *
     * Scale shape per round: the k×dim centroid frame broadcasts; the
     * assignment is one corpus scan + per-vec argmax over k candidate
-    * rows; the update is a posexplode → (cid, pos) groupBy — n·dim
-    * narrow rows, map-side combinable, one shuffle. Empty clusters
+    * rows; the update folds quantized vectors into k i64 lane buffers
+    * via the native graft_vsum aggregate — dim longs per cluster per
+    * partition over the wire, map-side combinable. Empty clusters
     * drop out (standard Lloyd degeneracy) and later rounds assign
     * against the survivors. Centroids stay a DataFrame end to end —
     * no driver-side model state to ship.
@@ -370,26 +371,24 @@ object Similarity {
     * unit centroids (cid, cu). Shared by [[kmeansAssign]] and
     * [[kmeansAssignCoarse]]. Input columns: (vec_id, u, cid).
     */
-  private def updateCentroids(assign: DataFrame): DataFrame = {
-    val sums = assign
-      .select(col("cid"), posexplode(col("u")).as(Seq("pos", "x")))
-      .select(col("cid"), col("pos"),
-        expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
-    sums
-      .select(col("cid"), col("pos"),
-        (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
+  private def updateCentroids(assign: DataFrame): DataFrame =
+    // per-cluster lane sums via the native array-sum aggregate
+    // (graft_vsum): one map-side-combinable fold into k i64 buffers —
+    // no posexplode of n·dim rows, no (cid, pos) shuffle, no
+    // collect_list rebuild. i64 addition is exact and associative, so
+    // the mean lanes (and every oracle) are bit-identical.
+    assign
       .select(col("cid"),
-        col("cv"))
+        expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .groupBy(col("cid"))
+      .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
+        count(lit(1)).as("cnt"))
+      .select(col("cid"),
+        expr("transform(sxs, s -> cast(s as double) / (cnt * 1000000.0D))").as("cv"))
       .select(col("cid"), col("cv"), expr(
         s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
           s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"))
       .select(col("cid"), expr("transform(cv, x -> x / _nrm)").as("cu"))
-  }
 
   /** Product-quantization ADC top-k — the memory-compression tier of
     * the ANN family (brute [[cosineTopK]] / int8 [[cosineTopKInt8]] /
@@ -519,15 +518,18 @@ object Similarity {
   private def pqCodebooks(sv: DataFrame, ks: Int): DataFrame = {
     val c0 = sv.filter(col("vec_id") < ks)
       .select(col("s"), col("vec_id").as("cid"), col("x").as("cv"))
+    // per-(subspace, code) lane sums via graft_vsum: one map-side fold
+    // into s·ks i64 buffers, then the half-up-rounded integer Lloyd
+    // update applied lane-wise on the summed array — no posexplode,
+    // no (s, cid, pos) shuffle, no collect_list rebuild; identical
+    // integer values, oracle untouched
     pqAssign(sv, c0)
-      .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("pos", "lane")))
-      .groupBy(col("s"), col("cid"), col("pos"))
-      .agg(sum(col("lane")).as("sx"), count(lit(1)).as("cnt"))
-      .select(col("s"), col("cid"), col("pos"),
-        expr("cast(floor((2.0D * sx + cnt) / (2.0D * cnt)) as bigint)").as("r"))
+      .select(col("s"), col("cid"), col("x"))
       .groupBy(col("s"), col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("pm"))
-      .select(col("s"), col("cid"), expr("transform(pm, p -> p.r)").as("cv"))
+      .agg(expr(s"${graft.functions.VectorExprs.VSumName}(x)").as("sxs"),
+        count(lit(1)).as("cnt"))
+      .select(col("s"), col("cid"),
+        expr("transform(sxs, sx -> cast(floor((2.0D * sx + cnt) / (2.0D * cnt)) as bigint))").as("cv"))
       .localCheckpoint()
   }
 
@@ -1024,25 +1026,33 @@ object Similarity {
     * Output: (rnk, vec_id, label, cos_fp) ordered by rnk (ascending cosine).
     */
   def embeddingOutliers(embeddings: DataFrame, n: Int): DataFrame = {
-    val e = normalized(
-      embeddings.withColumn("label", col("label").cast("long")), "label")
-    val cv = e.select(posexplode(col("u")).as(Seq("pos", "x")))
-      .select(col("pos"), expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
-      .groupBy(col("pos"))
-      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
-      .select(col("pos"), (col("sx").cast("double") / (col("cnt") * lit(1000000.0))).as("m"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(expr("transform(pm, s -> s.m)").as("cv"))
+    val e = normalized(embeddings)
+    // centroid via the native array-sum aggregate (graft_vsum): each
+    // partition folds its quantized vectors into ONE i64 lane buffer
+    // (map-side partial), no posexplode of n·dim rows, no per-pos
+    // shuffle, no collect_list rebuild — and i64 addition is exact and
+    // associative, so the array is bit-identical to the explode form
+    // and the oracle is untouched. Lane order rides the array itself.
+    val cv = e
+      .select(expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
+        count(lit(1)).as("cnt"))
+      .select(expr("transform(sxs, s -> cast(s as double) / (cnt * 1000000.0D))").as("cv"))
       .select(col("cv"), expr(
         s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
           s"ELSE sqrt(${dotExpr("cv", "cv")}) END").as("_nrm"))
       .select(expr("transform(cv, x -> x / _nrm)").as("cu"))
     val scored = e.crossJoin(broadcast(cv))
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"),
         expr(s"cast(floor(${dotExpr("u", "cu")} * 1000000.0D + 0.5D) as bigint)").as("cos_fp"))
       .orderBy(col("cos_fp").asc, col("vec_id"))
       .limit(n) // TakeOrderedAndProject: per-partition bottom-n heaps
-    scored.withColumn("rnk", row_number().over(
+    // the label joins the n SURVIVORS, never the corpus: at 100 TB
+    // this is a broadcast of n rows against one pass of the label
+    // table, not a corpus-wide carry or corpus×corpus join
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    scored.join(lab, Seq("vec_id"))
+      .withColumn("rnk", row_number().over(
         Window.orderBy(col("cos_fp").asc, col("vec_id"))))
       .select(col("rnk").cast("long").as("rnk"), col("vec_id"), col("label"), col("cos_fp"))
       .orderBy(col("rnk"))
@@ -1068,38 +1078,52 @@ object Similarity {
     * for the 1.0 of the file-wide zero-norm guard contract — and
     * scores drift 0 naturally.
     *
-    * Scale shape: one posexplode pass into a (label, pos) map-side-
-    * combinable groupBy (≤ |labels|·dim rows out); the global rollup
-    * re-aggregates those rows, not the corpus; the dot/norm agg joins
-    * the |labels|·dim lane rows against a broadcast dim-row global
-    * lane table and combines map-side; the final join is |labels| rows
-    * against a broadcast 1-row global norm.
+    * Scale shape: the corpus folds into |labels| i64 lane buffers via
+    * the native graft_vsum aggregate (map-side combinable, dim longs
+    * per label per partition over the wire); the global rollup
+    * re-aggregates the tiny (label, pos) lane rows, not the corpus;
+    * the dot/norm agg joins |labels|·dim lane rows against a broadcast
+    * dim-row global lane table (carrying the windowed global norm²)
+    * and combines map-side.
     * Output: (label, n_members, drift_fp) ordered by label.
     */
   def labelCentroidDrift(embeddings: DataFrame): DataFrame = {
+    // per-label lane sums via the native array-sum aggregate: the
+    // corpus folds into |labels| i64 buffers with map-side partials
+    // (dim longs per label per partition over the wire — the
+    // posexplode form shuffled n·dim quantized-lane ROWS); the tiny
+    // per-label arrays then explode into the (label, pos) lane rows
+    // the rest of the integer pipeline consumes, values bit-identical
     val lanes = normalized(
         embeddings.withColumn("label", col("label").cast("long")), "label")
-      .select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
-      .select(col("label"), col("pos"),
-        expr("cast(floor(x * 1000000.0D + 0.5D) as bigint)").as("q"))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("q")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("label"),
+        expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .groupBy(col("label"))
+      .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("cnt"), posexplode(col("sxs")).as(Seq("pos", "sx")))
+      .select(col("label"), col("pos"), col("sx"), col("cnt"))
     // quantized mean lane in micro-units: sx is already a micro-unit
     // sum, so the mean lane is one exact-operand double divide + round
     val mq = expr("cast(floor(cast(sx as double) / cnt + 0.5D) as bigint)")
     val lm = lanes.select(col("label"), col("pos"), col("cnt"), mq.as("mq"))
+    // the GLOBAL norm² rides every broadcast lane row via a window
+    // over the dim-row gq frame (trivially single-partition), so each
+    // label reads it with max() — no separate global-agg branch, no
+    // final cross join, and NO reliance on every label covering every
+    // dim lane (a ragged label under-summing sum(gq²) in its own
+    // group would silently diverge from the oracle's global gnrm2)
     val gq = lanes.groupBy(col("pos"))
       .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
       .select(col("pos"), mq.as("gq"))
-    // posexplode emits every lane of every vector, so any label with a
-    // member holds ALL dim lanes — SUM(gq²) inside each label group IS
-    // the global norm², no separate global branch or final cross join
+      .withColumn("gnrm2", sum(col("gq") * col("gq"))
+        .over(Window.partitionBy(lit(1))))
     val perLabel = lm.join(broadcast(gq), Seq("pos"))
       .groupBy(col("label"))
       .agg(max(col("cnt")).as("n_members"), // cnt is constant across a group's lanes
         sum(col("mq") * col("mq")).as("nrm2"),
         sum(col("mq") * col("gq")).as("dot"),
-        sum(col("gq") * col("gq")).as("gnrm2"))
+        max(col("gnrm2")).as("gnrm2")) // constant across rows: the global norm²
     val div = (side: String) => // micro-unit norm; 1e6 = guarded unit divisor
       s"CASE WHEN $side = 0L THEN 1000000.0D ELSE sqrt(cast($side as double)) END"
     perLabel

@@ -41,22 +41,33 @@ object Sinks {
     * '' cast can throw at runtime for a value the plain write would
     * have stored fine.
     */
-  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
-    val isString = df.schema(partitionCol).dataType ==
-      org.apache.spark.sql.types.StringType
-    val cleaned =
-      if (isString) df.withColumn(partitionCol,
-        when(col(partitionCol) === "", lit("unknown")).otherwise(col(partitionCol)))
-      else df
-    cleaned.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+  /** The ''->sentinel guard shared by every partitioned sink format.
+    * Column lookup is case-INSENSITIVE like Spark's own resolver —
+    * `df.schema(name)` is exact-match and would reject a mixed-case
+    * caller the write itself accepts.
+    */
+  private def withPartitionSentinel(df: DataFrame, partitionCol: String): DataFrame = {
+    val field = df.schema.fields.find(_.name == partitionCol)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(partitionCol)))
+    val isString = field.exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (isString) df.withColumn(partitionCol,
+      when(col(partitionCol) === "", lit("unknown")).otherwise(col(partitionCol)))
+    else df
   }
 
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
+    withPartitionSentinel(df, partitionCol)
+      .write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+
   /** Format breadth beyond the reference: ORC sink (columnar sibling
-    * of parquet, ships with Spark). Same append-partitioned shape as
-    * [[appendPartitioned]].
+    * of parquet, ships with Spark). Same append-partitioned shape AND
+    * the same ''->"unknown" sentinel contract as [[appendPartitioned]]
+    * — Hive's __HIVE_DEFAULT_PARTITION__ null-on-read trap is
+    * format-independent.
     */
   def appendPartitionedOrc(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCol).orc(path)
+    withPartitionSentinel(df, partitionCol)
+      .write.mode(SaveMode.Append).partitionBy(partitionCol).orc(path)
 
   /** Sorted write for data skipping: repartition by range on
     * `sortCol` then sort within partitions before writing — every

@@ -217,7 +217,16 @@ class HttpPageFetcher extends PageFetcher {
       } else if (r.status == 401 && refresh.isDefined) {
         hdrs = hdrs + ("Authorization" -> s"Bearer ${refresh.get.apply()}")
         refresh = None // one refresh per request: a second 401 is real
-      } else sys.error(s"$what failed: HTTP ${r.status} ${r.body.take(200)}")
+      } else {
+        // retry-EXHAUSTED 429s record a standing deadline too: the
+        // server's last Retry-After must outlive this task, or the hot
+        // task retry re-contacts the still-limited host immediately —
+        // the same gap the over-cap branch closes
+        if (r.status == 429)
+          HttpPageFetcher.rateLimitedUntil.put(host,
+            System.currentTimeMillis() + (r.retryAfterSec.getOrElse(1L) max 1L) * 1000)
+        sys.error(s"$what failed: HTTP ${r.status} ${r.body.take(200)}")
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -319,9 +328,16 @@ class HttpPageFetcher extends PageFetcher {
     options.get("token_cache_path").foreach { p =>
       val path = java.nio.file.Paths.get(p)
       if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+      // escape the (server-minted, unvalidated) token for the JSON
+      // string literal — an embedded quote would otherwise corrupt the
+      // file and silently truncate the recovered token AFTER the
+      // single-use code is already consumed; scope is recorded from
+      // the RESPONSE when the server names one, never assumed
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val scopeField = HttpPageFetcher.jsonField(body, "scope")
+        .map(sc => s""","scope":"${esc(sc)}"""").getOrElse("")
       java.nio.file.Files.write(path,
-        s"""{"refresh_token":"$refresh","scope":"user-read-recently-played"}"""
-          .getBytes("UTF-8"))
+        s"""{"refresh_token":"${esc(refresh)}"$scopeField}""".getBytes("UTF-8"))
     }
     refresh
   }
@@ -335,6 +351,9 @@ class HttpPageFetcher extends PageFetcher {
     options.get("token_cache_path").flatMap { p =>
       val path = java.nio.file.Paths.get(p)
       if (!java.nio.file.Files.exists(path)) None
+      // regex recovery assumes a quote-free token (Spotify's are
+      // base62); the writer escapes anyway so the FILE stays valid
+      // JSON for any other reader even on a hostile token
       else HttpPageFetcher.jsonField(
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8"), "refresh_token")
     }

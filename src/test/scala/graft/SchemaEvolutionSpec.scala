@@ -18,6 +18,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("ORC sink honors the same ''->unknown sentinel contract as the parquet sink") {
+    // __HIVE_DEFAULT_PARTITION__'s null-on-read trap is format-
+    // independent: an empty-string partition value must come back as
+    // the visible sentinel, not NULL, from the ORC sink too
+    val dir = Files.createTempDirectory("graft_orcsent").toString + "/t"
+    val batch = Seq((1L, "a", ""), (2L, "b", "2026-01-02")).toDF("id", "name", "timestamp")
+    Sinks.appendPartitionedOrc(batch, dir)
+    val back = spark.read.orc(dir)
+    assert(back.filter($"timestamp".isNull).count() === 0)
+    assert(back.filter($"timestamp" === "unknown").select($"id").as[Long].collect() === Array(1L))
+  }
+
+  test("appendPartitioned resolves a mixed-case partition column like Spark's resolver") {
+    val dir = Files.createTempDirectory("graft_casepart").toString + "/t"
+    val batch = Seq((1L, ""), (2L, "x")).toDF("id", "timestamp")
+    Sinks.appendPartitioned(batch, dir, "Timestamp") // resolver-insensitive
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("Timestamp") === "unknown").count() === 1)
+  }
+
   test("appendPartitioned with a NON-string partition column writes without the sentinel rewrite") {
     // the ''->"unknown" rewrite is a string-column contract; on an
     // integer partition column the old `col === ""` coercion could

@@ -275,7 +275,12 @@ class TrainingOpsSpec extends AnyFunSuite {
   test("q97 takes the bottom-n with a heap, not a global sort of the corpus") {
     val p = plan("q97_embedding_outliers")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.contains("partial_sum"), "centroid lane sums must combine map-side")
+    // centroid lane sums fold via the native array-sum aggregate with
+    // a map-side partial (partial_graft_vsum), not an n·dim explode
+    assert(p.contains("partial_graft_vsum"),
+      "centroid lane sums must combine map-side via graft_vsum")
+    assert(!p.contains("Generate posexplode"),
+      "the centroid must not explode the corpus lanes")
   }
 
   test("q98 windows per shard — no empty-frame global window over the corpus") {

@@ -89,6 +89,13 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](f.pages("search", "adele", creds).toSeq)
     assert(e.getMessage.contains("429"), e.getMessage)
     assert(f.waits.size === HttpPageFetcher.Max429Retries)
+    // the exhausted request's LAST Retry-After leaves a standing
+    // deadline exactly like the over-cap branch — a hot task retry in
+    // this JVM must not re-contact the still-limited host
+    val callsBefore = f.calls.size
+    val e2 = intercept[RuntimeException](f.pages("search", "adele", creds).toSeq)
+    assert(e2.getMessage.contains("WITHOUT contacting the server"), e2.getMessage)
+    assert(f.calls.size === callsBefore)
   }
 
   test("expired user token is refreshed via the refresh-token grant and the GET retried once") {
