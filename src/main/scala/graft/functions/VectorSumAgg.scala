@@ -54,13 +54,15 @@ case class VectorSumAgg(
   // null buffer = "no rows seen yet"; sized lazily off the first array
   override def createAggregationBuffer(): Array[Long] = null
 
+  private def raggedError(have: Int, got: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: ragged input — group mixes array lengths " +
+        s"$have and $got; vectors in one aggregation must share dim")
+
   private def addInto(buf: Array[Long], arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val acc = if (buf == null) new Array[Long](n) else buf
-    if (acc.length != n)
-      throw new IllegalArgumentException(
-        s"$prettyName: ragged input — group mixes array lengths " +
-          s"${acc.length} and $n; vectors in one aggregation must share dim")
+    if (acc.length != n) raggedError(acc.length, n)
     var i = 0
     if (failOnOverflow)
       while (i < n) { acc(i) = Math.addExact(acc(i), arr.getLong(i)); i += 1 }
@@ -69,21 +71,40 @@ case class VectorSumAgg(
     acc
   }
 
+  // primitive-lane merge: partial buffers arrive as Array[Long], and
+  // wrapping them in GenericArrayData just to reuse the ArrayData fold
+  // would box every lane on every shuffle merge
+  private def addInto(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (buf == null) return other
+    if (buf.length != other.length) raggedError(buf.length, other.length)
+    var i = 0
+    if (failOnOverflow)
+      while (i < buf.length) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
+    else
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buffer else addInto(buffer, v.asInstanceOf[ArrayData])
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
-    if (other == null) buffer
-    else addInto(buffer, new GenericArrayData(other))
+    if (other == null) buffer else addInto(buffer, other)
 
   override def eval(buffer: Array[Long]): Any =
     if (buffer == null) null else new GenericArrayData(buffer.clone())
 
+  // one presence byte ahead of the lanes: a zero-length byte string is
+  // ONLY the null "no rows seen" buffer, so a group of genuinely
+  // empty (dim-0) arrays survives a partial->final exchange as an
+  // empty array instead of flipping to NULL — the result must not
+  // depend on whether the plan inserted a shuffle
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     if (buffer == null) return Array.emptyByteArray
-    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 * buffer.length)
+    bb.put(1: Byte)
     buffer.foreach(bb.putLong)
     bb.array()
   }
@@ -91,7 +112,8 @@ case class VectorSumAgg(
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     if (bytes.isEmpty) return null
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong)
+    bb.get() // presence marker
+    Array.fill((bytes.length - 1) / 8)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =

@@ -38,6 +38,17 @@ object Similarity {
   private def dotExpr(a: String, b: String): String =
     s"${graft.functions.VectorExprs.DotName}($a, $b)"
 
+  /** Micro-unit (1e-6) fixed-point quantize of a double vector — the
+    * shared lane encoding for every graft_vsum centroid fold. ONE
+    * definition so the scale constant and the half-up rounding rule
+    * can never drift between the k-means update, the outlier
+    * centroid, and the drift report (their downstream divisors all
+    * assume the same 1e6 scale); a single divergent site would
+    * silently break the cross-operator bit-identity the oracles pin.
+    */
+  private def quantizeMicro(c: String): String =
+    s"transform($c, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))"
+
   /** Zero-norm guard contract (every normalization site in this file):
     * an all-zero vector (a failed encoder output) divides by a guarded
     * divisor of 1 and so normalizes to ITSELF rather than `0/0 = NaN`
@@ -378,11 +389,17 @@ object Similarity {
     // collect_list rebuild. i64 addition is exact and associative, so
     // the mean lanes (and every oracle) are bit-identical.
     assign
-      .select(col("cid"),
-        expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .select(col("cid"), expr(quantizeMicro("u")).as("qa"))
       .groupBy(col("cid"))
+      // count(qa), NOT count(*): graft_vsum SKIPS null vectors exactly
+      // as the explode form emitted no lane rows for them, so the mean
+      // divisor must skip them too — count(*) would divide by a member
+      // count inflated by null-embedding rows. A cluster whose members
+      // are ALL null folds to a NULL sxs and is dropped below, the
+      // explode form's Lloyd degeneracy (no lane rows -> no group).
       .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
-        count(lit(1)).as("cnt"))
+        count(col("qa")).as("cnt"))
+      .filter(col("sxs").isNotNull)
       .select(col("cid"),
         expr("transform(sxs, s -> cast(s as double) / (cnt * 1000000.0D))").as("cv"))
       .select(col("cid"), col("cv"), expr(
@@ -526,8 +543,11 @@ object Similarity {
     pqAssign(sv, c0)
       .select(col("s"), col("cid"), col("x"))
       .groupBy(col("s"), col("cid"))
+      // count(x), not count(*): the null-vector skip contract shared
+      // with updateCentroids; an all-null codeword group drops out
       .agg(expr(s"${graft.functions.VectorExprs.VSumName}(x)").as("sxs"),
-        count(lit(1)).as("cnt"))
+        count(col("x")).as("cnt"))
+      .filter(col("sxs").isNotNull)
       .select(col("s"), col("cid"),
         expr("transform(sxs, sx -> cast(floor((2.0D * sx + cnt) / (2.0D * cnt)) as bigint))").as("cv"))
       .localCheckpoint()
@@ -1034,9 +1054,15 @@ object Similarity {
     // associative, so the array is bit-identical to the explode form
     // and the oracle is untouched. Lane order rides the array itself.
     val cv = e
-      .select(expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .select(expr(quantizeMicro("u")).as("qa"))
+      // count(qa) + the not-null filter: graft_vsum skips null vectors
+      // like the explode form's absent lane rows, so the mean divisor
+      // skips them too; an all-null corpus folds to NULL sxs and the
+      // filter restores the explode form's empty-centroid-frame shape
+      // (empty crossJoin -> empty report, not a NULL-score corpus).
       .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
-        count(lit(1)).as("cnt"))
+        count(col("qa")).as("cnt"))
+      .filter(col("sxs").isNotNull)
       .select(expr("transform(sxs, s -> cast(s as double) / (cnt * 1000000.0D))").as("cv"))
       .select(col("cv"), expr(
         s"CASE WHEN ${dotExpr("cv", "cv")} = 0D THEN 1D " +
@@ -1096,11 +1122,14 @@ object Similarity {
     // the rest of the integer pipeline consumes, values bit-identical
     val lanes = normalized(
         embeddings.withColumn("label", col("label").cast("long")), "label")
-      .select(col("label"),
-        expr("transform(u, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))").as("qa"))
+      .select(col("label"), expr(quantizeMicro("u")).as("qa"))
       .groupBy(col("label"))
+      // count(qa): n_members counts vectors that actually contributed
+      // lanes (graft_vsum skips nulls; the explode form never emitted
+      // rows for them). An all-null label folds to NULL sxs and drops
+      // out at the posexplode below — same as having no lane rows.
       .agg(expr(s"${graft.functions.VectorExprs.VSumName}(qa)").as("sxs"),
-        count(lit(1)).as("cnt"))
+        count(col("qa")).as("cnt"))
       .select(col("label"), col("cnt"), posexplode(col("sxs")).as(Seq("pos", "sx")))
       .select(col("label"), col("pos"), col("sx"), col("cnt"))
     // quantized mean lane in micro-units: sx is already a micro-unit

@@ -44,20 +44,28 @@ object Sinks {
   /** The ''->sentinel guard shared by every partitioned sink format.
     * Column lookup is case-INSENSITIVE like Spark's own resolver —
     * `df.schema(name)` is exact-match and would reject a mixed-case
-    * caller the write itself accepts.
+    * caller the write itself accepts. Returns the df AND the SCHEMA's
+    * spelling of the column: both the rewrite and the partitionBy must
+    * use the resolved name, because writing with the CALLER's spelling
+    * into a table written earlier under the schema's spelling forks
+    * the directory layout (`Timestamp=...` beside `timestamp=...`) and
+    * poisons partition discovery for every subsequent read.
     */
-  private def withPartitionSentinel(df: DataFrame, partitionCol: String): DataFrame = {
+  private def withPartitionSentinel(df: DataFrame, partitionCol: String): (DataFrame, String) = {
     val field = df.schema.fields.find(_.name == partitionCol)
       .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(partitionCol)))
+    val resolved = field.map(_.name).getOrElse(partitionCol)
     val isString = field.exists(_.dataType == org.apache.spark.sql.types.StringType)
-    if (isString) df.withColumn(partitionCol,
-      when(col(partitionCol) === "", lit("unknown")).otherwise(col(partitionCol)))
+    val out = if (isString) df.withColumn(resolved,
+      when(col(resolved) === "", lit("unknown")).otherwise(col(resolved)))
     else df
+    (out, resolved)
   }
 
-  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
-    withPartitionSentinel(df, partitionCol)
-      .write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
+    val (guarded, resolved) = withPartitionSentinel(df, partitionCol)
+    guarded.write.mode(SaveMode.Append).partitionBy(resolved).parquet(path)
+  }
 
   /** Format breadth beyond the reference: ORC sink (columnar sibling
     * of parquet, ships with Spark). Same append-partitioned shape AND
@@ -65,9 +73,10 @@ object Sinks {
     * — Hive's __HIVE_DEFAULT_PARTITION__ null-on-read trap is
     * format-independent.
     */
-  def appendPartitionedOrc(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit =
-    withPartitionSentinel(df, partitionCol)
-      .write.mode(SaveMode.Append).partitionBy(partitionCol).orc(path)
+  def appendPartitionedOrc(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
+    val (guarded, resolved) = withPartitionSentinel(df, partitionCol)
+    guarded.write.mode(SaveMode.Append).partitionBy(resolved).orc(path)
+  }
 
   /** Sorted write for data skipping: repartition by range on
     * `sortCol` then sort within partitions before writing — every

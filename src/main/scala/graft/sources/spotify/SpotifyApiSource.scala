@@ -351,9 +351,8 @@ class HttpPageFetcher extends PageFetcher {
     options.get("token_cache_path").flatMap { p =>
       val path = java.nio.file.Paths.get(p)
       if (!java.nio.file.Files.exists(path)) None
-      // regex recovery assumes a quote-free token (Spotify's are
-      // base62); the writer escapes anyway so the FILE stays valid
-      // JSON for any other reader even on a hostile token
+      // jsonField is escape-aware and unescapes, matching the writer's
+      // escaping — a hostile token round-trips byte-identical
       else HttpPageFetcher.jsonField(
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8"), "refresh_token")
     }
@@ -434,11 +433,38 @@ private[spotify] object HttpPageFetcher {
 
   /** Minimal JSON string-field extractor (the token endpoint's flat
     * responses only — not a general parser, same trade the reference
-    * makes by trusting spotipy's parsed dicts).
+    * makes by trusting spotipy's parsed dicts). Escape-AWARE: the
+    * value pattern steps over `\"` and `\\` and the capture is
+    * unescaped, so a token the cache writer had to escape reads back
+    * byte-identical instead of truncated at the escaped quote or with
+    * a doubled backslash — the silent-corruption path that would send
+    * a wrong refresh token AFTER the single-use auth code is consumed.
     */
   def jsonField(json: String, field: String): Option[String] =
-    (s""""${java.util.regex.Pattern.quote(field)}"\\s*:\\s*"([^"]+)"""").r
-      .findFirstMatchIn(json).map(_.group(1))
+    (s""""${java.util.regex.Pattern.quote(field)}"\\s*:\\s*"((?:[^"\\\\]|\\\\.)+)"""").r
+      .findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
+
+  private def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 4
+          case other => sb.append(other) // \" \\ \/ and any literal
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** The browser step of the authorization-code grant (reference
     * new.py:51-81, spotipy SpotifyOAuth): the user visits this URL,

@@ -38,6 +38,20 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(back.filter(col("Timestamp") === "unknown").count() === 1)
   }
 
+  test("a differently-cased second append lands in the SAME partition directories") {
+    // the sink must write under the SCHEMA's spelling, not the
+    // caller's: `Timestamp=` directories appearing beside `timestamp=`
+    // fail every subsequent read with conflicting-partition-columns
+    val dir = Files.createTempDirectory("graft_casepart2").toString + "/t"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "timestamp")
+    Sinks.appendPartitioned(batch, dir, "timestamp")
+    Sinks.appendPartitioned(Seq((3L, "a")).toDF("id", "timestamp"), dir, "Timestamp")
+    val back = spark.read.parquet(dir) // would throw on a forked layout
+    assert(back.count() === 3)
+    assert(back.filter($"timestamp" === "a").select($"id").as[Long].collect().sorted
+      === Array(1L, 3L))
+  }
+
   test("appendPartitioned with a NON-string partition column writes without the sentinel rewrite") {
     // the ''->"unknown" rewrite is a string-column contract; on an
     // integer partition column the old `col === ""` coercion could

@@ -83,6 +83,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted) // ascending cosine
   }
 
+  test("a NULL embedding row never shifts a centroid: outliers, drift, and k-means match the corpus without it") {
+    // graft_vsum SKIPS null vectors (the explode form emitted no lane
+    // rows for them) — so the mean DIVISORS must skip them too
+    // (count(qa), not count(*)); a count(*) denominator silently
+    // shrinks every centroid lane by n/(n+nulls)
+    val base = Seq(
+      (0L, Some(Array(1.0f, 0.0f)), 1),
+      (1L, Some(Array(0.9f, 0.1f)), 1),
+      (2L, Some(Array(0.0f, 1.0f)), 2),
+      (3L, Some(Array(0.1f, 0.9f)), 2)
+    )
+    val clean = base.toDF("vec_id", "embedding", "label")
+    val withNull = (base :+ (9L, Option.empty[Array[Float]], 1))
+      .toDF("vec_id", "embedding", "label")
+
+    // outliers: the real vectors' fixed-point scores are unchanged
+    val scoreClean = Similarity.embeddingOutliers(clean, n = 5)
+      .select($"vec_id", $"cos_fp").as[(Long, Long)].collect().toMap
+    val scoreWith = Similarity.embeddingOutliers(withNull, n = 5)
+      .where($"cos_fp".isNotNull) // the NULL row itself scores NULL
+      .select($"vec_id", $"cos_fp").as[(Long, Long)].collect().toMap
+    scoreClean.foreach { case (id, fp) => assert(scoreWith(id) === fp,
+      s"vec $id cos_fp moved when a NULL row joined the corpus") }
+
+    // drift: whole-report equality — the NULL row contributes no lanes
+    // and n_members counts only contributing vectors
+    assert(Similarity.labelCentroidDrift(withNull).collect().toSeq ===
+      Similarity.labelCentroidDrift(clean).collect().toSeq)
+
+    // k-means: non-null rows' assignments ride identical centroids
+    val aClean = Similarity.kmeansAssign(clean, k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val aWith = Similarity.kmeansAssign(withNull, k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    aClean.foreach { case (id, cid) => assert(aWith(id) === cid,
+      s"vec $id changed cluster when a NULL row joined the corpus") }
+  }
+
   test("embeddingOutliers scores are fixed-point cosines in [-1e6, 1e6]") {
     val out = Similarity.embeddingOutliers(embs, n = 20).collect()
     assert(out.length == 20)

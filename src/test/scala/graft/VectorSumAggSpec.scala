@@ -65,6 +65,22 @@ class VectorSumAggSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("a group of genuinely empty (dim-0) arrays survives the partial exchange as an empty array, not NULL") {
+    registered()
+    // 32 partitions force serialized partial buffers through the
+    // shuffle: the presence byte keeps the zero-length buffer distinct
+    // from the null "no rows" buffer, so the result cannot depend on
+    // whether the plan inserted an exchange
+    val df = spark.range(0, 64).select((col("id") % 2).as("g"),
+      expr("cast(array() as array<bigint>)").as("qa")).repartition(32)
+    val out = df.groupBy($"g").agg(expr("graft_vsum(qa)").as("s")).orderBy($"g").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(1), "empty-array group flipped to NULL through the exchange")
+      assert(r.getSeq[Long](1).isEmpty)
+    }
+  }
+
   test("wrong arity gets the clean analysis-time error") {
     registered()
     val e = intercept[org.apache.spark.sql.AnalysisException] {

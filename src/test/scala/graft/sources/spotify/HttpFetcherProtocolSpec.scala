@@ -184,6 +184,30 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
       .forall(_.contains("grant_type=refresh_token")))
   }
 
+  test("a refresh token needing JSON escaping round-trips the cache file byte-identical") {
+    freshCache()
+    // server-minted token carrying a quote and a backslash: the writer
+    // escapes it into the cache file; the reader must UNESCAPE it back,
+    // or the next run sends a corrupted refresh token AFTER the
+    // single-use code is consumed (a silent 400 with no recovery path)
+    val raw = """rt"quote\slash"""
+    val escaped = raw.replace("\\", "\\\\").replace("\"", "\\\"")
+    val cache = java.nio.file.Files.createTempDirectory("graft_oauth_esc").toString + "/.c"
+    val f = new Scripted(
+      ok(s"""{"access_token":"tokA","refresh_token":"$escaped","expires_in":3600}"""),
+      ok("played"))
+    assert(f.pages("recently-played", "0",
+      creds ++ Map("auth_code" -> "c", "token_cache_path" -> cache)).toSeq === Seq("played"))
+    // later run: the refresh grant carries the RAW token, URL-encoded
+    freshCache()
+    val f2 = new Scripted(tokenJson("tokB"), ok("played2"))
+    assert(f2.pages("recently-played", "0",
+      creds + ("token_cache_path" -> cache)).toSeq === Seq("played2"))
+    val post = f2.calls.filter(_._1 == "POST").map(_._3.get).head
+    assert(post.contains("refresh_token=" + java.net.URLEncoder.encode(raw, "UTF-8")),
+      post)
+  }
+
   test("authorization-code response without a refresh token fails with the actionable cause") {
     freshCache()
     val f = new Scripted(tokenJson("short-lived")) // no refresh_token field
