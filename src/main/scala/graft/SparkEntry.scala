@@ -1671,6 +1671,14 @@ object SparkEntry {
       Pipelines.dailyIncremental(s, day1Docs, docs, d1e, emb,
         st + "/mh", st + "/ivf")("dedup_pairs")
     }),
+
+    // ---- DSIR importance weights + resampling (Xie et al. 2023):
+    // hashed-unigram log-likelihood ratios vs a target domain —
+    // broadcast 64-row ratio table, decimal-accumulated sums ----
+    "q152_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(Tables.load(s, dir, "documents"), "src0")),
+    "q153_dsir_resample" -> ((s, dir) =>
+      TextAnalysis.dsirResample(Tables.load(s, dir, "documents"), "src0", k = 40)),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2633,6 +2641,50 @@ object SparkEntry {
          |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** DuckDB replay of DSIR weights (q152) / resampling (q153) — ONE
+    * generator so selection can never drift from scoring. Portable
+    * 32-bit hash mod 64 buckets, add-1-smoothed target(src0)/source
+    * bucket unigrams, DECIMAL(28,9)-accumulated per-doc
+    * log-likelihood-ratio sums — the q69/q82 float discipline, so the
+    * doubles hash-match across engines.
+    */
+  private def dsirOracleSql(resampleK: Option[Int]): String = {
+    val weights =
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    ${hash32Sql("t")} % 64 AS b
+         |  FROM (SELECT doc_id, source,
+         |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |        FROM documents)),
+         |tf AS (SELECT doc_id, source, b, count(*) AS tf
+         |       FROM toks GROUP BY 1, 2, 3),
+         |bc AS (SELECT b,
+         |         CAST(sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS BIGINT) AS tc,
+         |         CAST(sum(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS BIGINT) AS sc
+         |       FROM tf GROUP BY b),
+         |lr AS (SELECT b,
+         |         ln(CAST(tc + 1 AS DOUBLE) / (sum(tc) OVER () + 64))
+         |           - ln(CAST(sc + 1 AS DOUBLE) / (sum(sc) OVER () + 64)) AS lr
+         |       FROM bc),
+         |per AS (SELECT doc_id, tf, CAST(lr * tf AS DECIMAL(28,9)) AS wl
+         |        FROM tf JOIN lr USING (b) WHERE source <> 'src0'),
+         |w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |        CAST(sum(wl) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_log_ratio
+         |      FROM per GROUP BY doc_id)""".stripMargin
+    resampleK match {
+      case None =>
+        s"""$weights
+           |SELECT doc_id, n_tokens, avg_log_ratio FROM w ORDER BY doc_id""".stripMargin
+      case Some(k) =>
+        s"""$weights,
+           |r AS (SELECT row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
+           |             doc_id, n_tokens, avg_log_ratio
+           |      FROM w)
+           |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, avg_log_ratio
+           |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+    }
+  }
+
   /** DuckDB replay of BPE training (q130) / encoding (q131) — ONE
     * generator for both, mirroring the Scala bpeTrain(foldLast) flag
     * so the two oracles can never drift apart. `merges` unrolled
@@ -3073,6 +3125,12 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard
          |FROM agree WHERE CAST(m AS DOUBLE) / 16 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DSIR replay: portable-hashed token buckets, add-1-smoothed
+    // target/source bucket unigrams, decimal-accumulated per-doc
+    // log-likelihood-ratio sums (the q69/q82 discipline)
+    "q152_dsir_weights" -> dsirOracleSql(resampleK = None),
+    "q153_dsir_resample" -> dsirOracleSql(resampleK = Some(40)),
 
     "q95_ngram_novelty" ->
       s"""WITH ${shinglesCte(3)},

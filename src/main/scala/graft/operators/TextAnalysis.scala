@@ -684,6 +684,83 @@ object TextAnalysis {
     * incremental-update-friendly variant a chunking pipeline extends
     * to sliding windows. Output: (doc_id, fp, fp32, fp_roll) ordered.
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", public NeurIPS
+    * paper): every NON-target document scored by how target-like its
+    * hashed-unigram distribution is — the standard lever for steering
+    * a raw web corpus toward a quality domain without training a
+    * model. Features are portable-hashed token buckets
+    * ([[PortableHash.hash32]] mod `buckets`); the weight is the
+    * per-token average log-likelihood ratio
+    * `Σ_b tf_b · (ln p_target(b) − ln p_source(b)) / n_tokens`
+    * under add-1-smoothed bucket unigram distributions (target =
+    * `source == targetSource` docs; source = everything else, the
+    * population being resampled).
+    *
+    * Scale shape: two map-side-combinable aggregations (per-doc bucket
+    * tf; per-bucket corpus counts), then the `buckets`-row log-ratio
+    * table BROADCASTS onto the doc-bucket frame — the corpus is never
+    * joined against itself and nothing scales past Σ tokens. Per-doc
+    * sums accumulate in DECIMAL(28,9) (order-independent under any
+    * partitioning, the [[unigramLogProb]] discipline), so the score
+    * hash-matches the oracle bit-for-bit.
+    * Output: (doc_id, n_tokens, avg_log_ratio) over non-target docs,
+    * ordered by doc_id. Positive = more target-like than the source
+    * average.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val tf = docs
+      .select(col("doc_id"), col("source"), explode(tokens).as("t"))
+      .select(col("doc_id"), col("source"),
+        (PortableHash.hash32(col("t")) % buckets).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val isTarget = col("source") === targetSource
+    val bucketCounts = tf.groupBy(col("b")).agg(
+      sum(when(isTarget, col("tf")).otherwise(0L)).as("tc"),
+      sum(when(!isTarget, col("tf")).otherwise(0L)).as("sc"))
+    // totals ride every bucket row via a single-partition window over
+    // the `buckets`-row frame — no separate global-agg branch
+    val byAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val lr = bucketCounts
+      .withColumn("tt", sum(col("tc")).over(byAll))
+      .withColumn("st", sum(col("sc")).over(byAll))
+      .select(col("b"),
+        (log((col("tc") + 1L).cast("double") / (col("tt") + buckets)) -
+         log((col("sc") + 1L).cast("double") / (col("st") + buckets))).as("lr"))
+    tf.filter(!isTarget)
+      .join(broadcast(lr), Seq("b"))
+      .withColumn("wl", (col("lr") * col("tf")).cast("decimal(28,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wl")).as("w_sum"), sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("w_sum").cast("double") / col("n_tokens")).as("avg_log_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Importance RESAMPLING on [[dsirWeights]]: the top-`k` most
+    * target-like source documents, deterministically tie-broken by
+    * doc_id — the selection step that actually builds the steered
+    * training mix. The top-k is a TakeOrderedAndProject heap (bounded
+    * per-partition memory, no global sort of the corpus); ranks are
+    * minted AFTER the k-row cut, so the window never sees more than
+    * k rows.
+    * Output: (rnk, doc_id, n_tokens, avg_log_ratio) ordered by rnk.
+    */
+  def dsirResample(docs: DataFrame, targetSource: String, k: Int,
+                   buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    dsirWeights(docs, targetSource, buckets)
+      .orderBy(col("avg_log_ratio").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_log_ratio").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
+      .orderBy(col("rnk"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(

@@ -44,6 +44,41 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  // ---- DSIR importance weights -------------------------------------------
+
+  test("dsirWeights: a source doc sharing the target's vocabulary outscores a disjoint one") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha", "tgt"),
+      (2L, "alpha gamma beta beta", "tgt"),
+      (10L, "alpha beta gamma", "web"),
+      (11L, "zeta eta theta", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirWeights(d, "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(1L) && !out.contains(2L), "target docs must be absent")
+    assert(out(10L) > out(11L),
+      s"target-vocabulary doc must outscore the disjoint one: $out")
+  }
+
+  test("dsirWeights is identical across repartitionings (decimal accumulation)") {
+    val a = TextAnalysis.dsirWeights(docs, "src0")
+    val b = TextAnalysis.dsirWeights(docs.repartition(7, $"lang"), "src0")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("dsirResample takes the top-k weights with dense ranks and doc_id tie-break") {
+    val k = 10
+    val out = TextAnalysis.dsirResample(docs, "src0", k).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to k))
+    val byWeight = TextAnalysis.dsirWeights(docs, "src0")
+      .orderBy($"avg_log_ratio".desc, $"doc_id").limit(k)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out.map(_.getLong(1)).toSeq == byWeight)
+    // scores descend (ties broken by doc_id ascending)
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   // ---- int8 ANN ----------------------------------------------------------
 
   test("int8 top-k recall >= 0.8 vs exact cosine top-k") {
