@@ -173,4 +173,51 @@ object Pipelines {
       "emb_changes" -> embChanges,
       "dedup_pairs" -> pairs)
   }
+
+  /** EP6 (extension) — the end-to-end CURATION RUN: the three quality
+    * tiers composed in their production order over one corpus.
+    *
+    *  1. NEAR-DUP collapse: capped-Jaccard pairs → connected
+    *     components → one representative per cluster, best `n_chars`
+    *     ([[graft.operators.Dedup.keepBestPerCluster]], q74).
+    *  2. QUALITY gate: the representatives pass the integer logit
+    *     keep rule ([[graft.operators.TextAnalysis.qualityLogit]],
+    *     q102 — per-doc features only, so restricting it to survivors
+    *     changes nothing about each doc's score).
+    *  3. DSIR steering: the deduped, quality-kept corpus is scored
+    *     against the target domain and the top-k most target-like
+    *     docs selected ([[graft.operators.TextAnalysis.dsirResample]],
+    *     q153). The importance distributions are computed over the
+    *     CURATED corpus — steering decides among survivors; it never
+    *     resurrects a dropped duplicate.
+    *
+    * Order matters and is the production order: dedup first (a
+    * 1000-copy boilerplate cluster must not dominate the DSIR source
+    * distribution), quality second (junk must not hold a resampling
+    * slot), steering last (it allocates the final token budget).
+    *
+    * Scale shape: the pair table is the expensive half and is the
+    * SAME artifact [[nearDupFamily]] persists — a real deployment
+    * passes `pairs` from the lake instead of re-deriving (the catalog
+    * form q154 stays deliberately self-contained, like q74/q127).
+    * Everything downstream is doc_id equi-joins plus the DSIR
+    * broadcast-table aggregation; nothing scales past Σ tokens.
+    * Output: (rnk, doc_id, n_tokens, avg_log_ratio) ordered by rnk.
+    */
+  def curatedSelection(docs: org.apache.spark.sql.DataFrame,
+                       targetSource: String, k: Int,
+                       n: Int = 3, minJ: Double = 0.5, maxDf: Int = 20,
+                       pairs: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairTable = pairs.getOrElse(
+      graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf))
+    val reps = graft.operators.Dedup.keepBestPerCluster(docs, pairTable, "n_chars")
+      .select(col("rep_doc_id").as("doc_id"))
+    val survivors = docs.join(reps, Seq("doc_id"))
+    val kept = survivors.join(
+      graft.operators.TextAnalysis.qualityLogit(survivors)
+        .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    graft.operators.TextAnalysis.dsirResample(kept, targetSource, k)
+  }
 }

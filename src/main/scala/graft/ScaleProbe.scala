@@ -113,6 +113,9 @@ object ScaleProbe {
       "user_id", "ts", "event_id", "value"))
 
     time("unigram_logprob", TextAnalysis.unigramLogProb(docs))
+    // DSIR: two combinable aggs + a broadcast 64-row ratio table —
+    // wall should track Σ tokens, never corpus²
+    time("dsir_weights", TextAnalysis.dsirWeights(docs, "src0"))
     time("cosine_topk_int8", Similarity.cosineTopKInt8(embs, 10, 5))
     time("kmeans_assign", Similarity.kmeansAssign(embs, 8, 2))
     time("temperature_mixture",

@@ -1679,6 +1679,13 @@ object SparkEntry {
       TextAnalysis.dsirWeights(Tables.load(s, dir, "documents"), "src0")),
     "q153_dsir_resample" -> ((s, dir) =>
       TextAnalysis.dsirResample(Tables.load(s, dir, "documents"), "src0", k = 40)),
+
+    // ---- EP6 end-to-end curation run: near-dup keep-best -> quality
+    // logit gate -> DSIR steering, in production order (deliberately
+    // self-contained like q74/q127; real pipelines pass the persisted
+    // pair table) ----
+    "q154_curated_selection" -> ((s, dir) =>
+      Pipelines.curatedSelection(Tables.load(s, dir, "documents"), "src0", k = 40)),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2648,42 +2655,51 @@ object SparkEntry {
     * log-likelihood-ratio sums — the q69/q82 float discipline, so the
     * doubles hash-match across engines.
     */
-  private def dsirOracleSql(resampleK: Option[Int]): String = {
-    val weights =
-      s"""WITH toks AS (
-         |  SELECT doc_id, source,
-         |    ${hash32Sql("t")} % 64 AS b
-         |  FROM (SELECT doc_id, source,
-         |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-         |        FROM documents)),
-         |tf AS (SELECT doc_id, source, b, count(*) AS tf
-         |       FROM toks GROUP BY 1, 2, 3),
-         |bc AS (SELECT b,
-         |         CAST(sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS BIGINT) AS tc,
-         |         CAST(sum(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS BIGINT) AS sc
-         |       FROM tf GROUP BY b),
-         |lr AS (SELECT b,
-         |         ln(CAST(tc + 1 AS DOUBLE) / (sum(tc) OVER () + 64))
-         |           - ln(CAST(sc + 1 AS DOUBLE) / (sum(sc) OVER () + 64)) AS lr
-         |       FROM bc),
-         |per AS (SELECT doc_id, tf, CAST(lr * tf AS DECIMAL(28,9)) AS wl
-         |        FROM tf JOIN lr USING (b) WHERE source <> 'src0'),
-         |w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |        CAST(sum(wl) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_log_ratio
-         |      FROM per GROUP BY doc_id)""".stripMargin
+  /** The DSIR CTE chain rooted at `from` (any relation with doc_id,
+    * source, text) — names prefixed `d` so the chain composes after
+    * the shingle CTEs (which own `toks`) in q154's curation oracle.
+    * Ends at `dw(doc_id, n_tokens, avg_log_ratio)`.
+    */
+  private def dsirCtes(from: String): String =
+    s"""dtok AS (
+       |  SELECT doc_id, source,
+       |    ${hash32Sql("t")} % 64 AS b
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |        FROM $from)),
+       |dtf AS (SELECT doc_id, source, b, count(*) AS tf
+       |        FROM dtok GROUP BY 1, 2, 3),
+       |dbc AS (SELECT b,
+       |          CAST(sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS BIGINT) AS tc,
+       |          CAST(sum(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS BIGINT) AS sc
+       |        FROM dtf GROUP BY b),
+       |dlr AS (SELECT b,
+       |          ln(CAST(tc + 1 AS DOUBLE) / (sum(tc) OVER () + 64))
+       |            - ln(CAST(sc + 1 AS DOUBLE) / (sum(sc) OVER () + 64)) AS lr
+       |        FROM dbc),
+       |dper AS (SELECT doc_id, tf, CAST(lr * tf AS DECIMAL(28,9)) AS wl
+       |         FROM dtf JOIN dlr USING (b) WHERE source <> 'src0'),
+       |dw AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |         CAST(sum(wl) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_log_ratio
+       |       FROM dper GROUP BY doc_id)""".stripMargin
+
+  /** Top-k resample select over [[dsirCtes]]'s `dw`. */
+  private def dsirResampleTail(k: Int): String =
+    s"""r AS (SELECT row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
+       |             doc_id, n_tokens, avg_log_ratio
+       |      FROM dw)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, avg_log_ratio
+       |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+
+  private def dsirOracleSql(resampleK: Option[Int]): String =
     resampleK match {
       case None =>
-        s"""$weights
-           |SELECT doc_id, n_tokens, avg_log_ratio FROM w ORDER BY doc_id""".stripMargin
+        s"""WITH ${dsirCtes("documents")}
+           |SELECT doc_id, n_tokens, avg_log_ratio FROM dw ORDER BY doc_id""".stripMargin
       case Some(k) =>
-        s"""$weights,
-           |r AS (SELECT row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
-           |             doc_id, n_tokens, avg_log_ratio
-           |      FROM w)
-           |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, avg_log_ratio
-           |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+        s"""WITH ${dsirCtes("documents")},
+           |${dsirResampleTail(k)}""".stripMargin
     }
-  }
 
   /** DuckDB replay of BPE training (q130) / encoding (q131) — ONE
     * generator for both, mirroring the Scala bpeTrain(foldLast) flag
@@ -3131,6 +3147,50 @@ object SparkEntry {
     // log-likelihood-ratio sums (the q69/q82 discipline)
     "q152_dsir_weights" -> dsirOracleSql(resampleK = None),
     "q153_dsir_resample" -> dsirOracleSql(resampleK = Some(40)),
+
+    // EP6 curation replay: q74's keep-best chain selects the cluster
+    // representatives, q102's integer logit gates them, and the DSIR
+    // chain (re-rooted at the kept corpus) allocates the final top-40
+    "q154_curated_selection" ->
+      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+         |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |               d.n_chars
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |reps AS (SELECT doc_id FROM (
+         |           SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+         |                    ORDER BY n_chars DESC, doc_id) AS rn
+         |           FROM lab) WHERE rn = 1),
+         |lt AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\\s+') AS w,
+         |              CAST(length(d.text) AS BIGINT) AS nc
+         |       FROM documents d JOIN reps USING (doc_id)),
+         |lf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         |              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, nc
+         |       FROM lt WHERE len(w) >= 1),
+         |lg AS (SELECT doc_id, n_uniq * 1000000 // n_tok AS ttr_fp,
+         |              nc * 1000000 // n_tok AS len_fp, n_tok FROM lf),
+         |keptids AS (SELECT doc_id FROM lg
+         |            WHERE (2 * ttr_fp) // 1000 + (1 * len_fp) // 1000
+         |                    + 10 * n_tok - 7000 >= 0),
+         |kept AS (SELECT d.* FROM documents d JOIN keptids USING (doc_id)),
+         |${dsirCtes("kept")},
+         |${dsirResampleTail(40)}""".stripMargin,
 
     "q95_ngram_novelty" ->
       s"""WITH ${shinglesCte(3)},

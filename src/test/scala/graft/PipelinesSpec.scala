@@ -145,4 +145,31 @@ class PipelinesSpec extends AnyFunSuite {
     assert(same(out("dedup_pairs"), fullPairs),
       "incremental pairs must equal the added-endpoint slice of the full run")
   }
+
+  test("EP6 curated selection: every pick is a kept representative; lake pairs equal the self-contained form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Pipelines.curatedSelection(docs, "src0", k = 10)
+    val picks = out.select($"doc_id").as[Long].collect().toSet
+    assert(picks.size == 10)
+    // (a) every pick survived the near-dup collapse as its cluster's rep
+    val reps = Dedup.keepBestPerCluster(
+        docs, Dedup.jaccardPairsCapped(docs, 3, 0.5, 20), "n_chars")
+      .select($"rep_doc_id".as("doc_id")).as[Long].collect().toSet
+    assert(picks.subsetOf(reps), s"non-representative picked: ${picks -- reps}")
+    // (b) every pick passes the quality gate, and none is a target doc
+    val kept = TextAnalysis.qualityLogit(docs).filter($"keep" === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(picks.subsetOf(kept), s"quality-rejected doc picked: ${picks -- kept}")
+    assert(docs.filter($"source" === "src0")
+      .select($"doc_id").as[Long].collect().toSet.intersect(picks).isEmpty)
+    // (c) a lake-persisted pair table yields the identical selection —
+    // the amortization contract (pairs built once, consumers fan out)
+    val pairsPath = tmp + "/ep6pairs"
+    Dedup.jaccardPairsCapped(docs, 3, 0.5, 20).write.parquet(pairsPath)
+    val viaLake = Pipelines.curatedSelection(docs, "src0", k = 10,
+      pairs = Some(spark.read.parquet(pairsPath)))
+    assert(out.exceptAll(viaLake).isEmpty && viaLake.exceptAll(out).isEmpty)
+  }
 }
