@@ -1686,6 +1686,19 @@ object SparkEntry {
     // pair table) ----
     "q154_curated_selection" -> ((s, dir) =>
       Pipelines.curatedSelection(Tables.load(s, dir, "documents"), "src0", k = 40)),
+
+    // ---- DSIR persisted distribution state: bucket counts appended
+    // per batch (cell-additive, the q139/q147/q148 contract), scoring
+    // reads state sums — equals q152 exactly after all batches append
+    // (oracle shared verbatim) ----
+    "q155_dsir_persisted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_dsir_q155")
+      // two ingest batches append their counts independently
+      TextAnalysis.persistDsirState(docs.filter(col("doc_id") % 2 === 0), "src0", st)
+      TextAnalysis.persistDsirState(docs.filter(col("doc_id") % 2 =!= 0), "src0", st)
+      TextAnalysis.dsirWeightsFromState(docs, s, st, "src0")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -1890,7 +1903,8 @@ object SparkEntry {
     val base = baseOracleSql
     // persisted build+read forms share their standalone twin's oracle
     // VERBATIM: the lake round-trip must be hash-invisible
-    base + ("q150_neardup_family_persisted" -> base("q74_dedup_keep_best"))
+    base + ("q150_neardup_family_persisted" -> base("q74_dedup_keep_best")) +
+      ("q155_dsir_persisted" -> base("q152_dsir_weights"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -710,18 +710,21 @@ object TextAnalysis {
     */
   def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
-    val tf = docs
-      .select(col("doc_id"), col("source"), explode(tokens).as("t"))
-      .select(col("doc_id"), col("source"),
-        (PortableHash.hash32(col("t")) % buckets).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = dsirTf(docs, buckets)
     val isTarget = col("source") === targetSource
     val bucketCounts = tf.groupBy(col("b")).agg(
       sum(when(isTarget, col("tf")).otherwise(0L)).as("tc"),
       sum(when(!isTarget, col("tf")).otherwise(0L)).as("sc"))
-    // totals ride every bucket row via a single-partition window over
-    // the `buckets`-row frame — no separate global-agg branch
+    dsirScore(tf, bucketCounts, targetSource, buckets)
+  }
+
+  /** The shared back half of [[dsirWeights]] and the persisted-state
+    * form: bucket counts → broadcast log-ratio table → decimal per-doc
+    * sums over the non-target doc-bucket frame. `bucketCounts` must
+    * carry (b, tc, sc); `tf` must carry (doc_id, source, b, tf).
+    */
+  private def dsirScore(tf: DataFrame, bucketCounts: DataFrame,
+                        targetSource: String, buckets: Int): DataFrame = {
     val byAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val lr = bucketCounts
       .withColumn("tt", sum(col("tc")).over(byAll))
@@ -729,7 +732,7 @@ object TextAnalysis {
       .select(col("b"),
         (log((col("tc") + 1L).cast("double") / (col("tt") + buckets)) -
          log((col("sc") + 1L).cast("double") / (col("st") + buckets))).as("lr"))
-    tf.filter(!isTarget)
+    tf.filter(col("source") =!= targetSource)
       .join(broadcast(lr), Seq("b"))
       .withColumn("wl", (col("lr") * col("tf")).cast("decimal(28,9)"))
       .groupBy(col("doc_id"))
@@ -737,6 +740,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (col("w_sum").cast("double") / col("n_tokens")).as("avg_log_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc hashed-bucket term frequencies — the front half shared by
+    * the inline and persisted DSIR paths.
+    */
+  private def dsirTf(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), explode(tokens).as("t"))
+      .select(col("doc_id"), col("source"),
+        (PortableHash.hash32(col("t")) % buckets).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Persist a batch's DSIR bucket counts as ADDITIVE state: one
+    * appended parquet table of (b, tc, sc) rows per batch. Counts are
+    * pure sums, so state from any sequence of appends equals the
+    * counts of the concatenated corpus — the same cell-additive
+    * contract as the KMV/CMS/centroid state tier (q139/q147/q148),
+    * which is what makes the backfill read STATE, not documents.
+    * Single-table appends: a torn write can lose a batch's rows but
+    * can never corrupt previously committed ones.
+    */
+  def persistDsirState(batch: DataFrame, targetSource: String,
+                       statePath: String, buckets: Int = 64): Unit = {
+    val isTarget = col("source") === targetSource
+    dsirTf(batch, buckets).groupBy(col("b")).agg(
+      sum(when(isTarget, col("tf")).otherwise(0L)).as("tc"),
+      sum(when(!isTarget, col("tf")).otherwise(0L)).as("sc"))
+      .write.mode("append").parquet(s"$statePath/buckets")
+  }
+
+  /** Score a batch against PERSISTED distribution state: the batch
+    * contributes its own token pass (it must — its counts are part of
+    * the corpus), but the DISTRIBUTIONS come from the state table's
+    * per-bucket sums. After every ingested batch has appended its
+    * counts ([[persistDsirState]]), scoring any document slice equals
+    * the full-corpus [[dsirWeights]] restricted to that slice —
+    * re-scoring under drifted distributions never rescans old text,
+    * only the `buckets`-row-per-batch state.
+    */
+  def dsirWeightsFromState(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                           statePath: String, targetSource: String,
+                           buckets: Int = 64): DataFrame = {
+    val state = spark.read.parquet(s"$statePath/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+    dsirScore(dsirTf(batch, buckets), state, targetSource, buckets)
   }
 
   /** Importance RESAMPLING on [[dsirWeights]]: the top-`k` most

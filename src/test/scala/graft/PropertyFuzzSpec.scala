@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based fuzzing of the native kernels against their
+  * composed-HOF reference forms. Each property instance packs MANY
+  * random groups into ONE DataFrame so a check run costs a handful of
+  * Spark jobs, not hundreds; generators keep magnitudes below 2^40 so
+  * i64 sums/dots cannot overflow under ANSI (overflow semantics have
+  * their own directed specs in VectorSumAggSpec/QuantLmSkewSpec).
+  * Seeded by ScalaCheck's default deterministic-per-run derivation;
+  * any falsified case prints its shrunken input for replay.
+  */
+class PropertyFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def registered() = { graft.functions.VectorExprs.register(spark); spark }
+
+  private val lane = Gen.chooseNum(-(1L << 40), 1L << 40)
+
+  private def check(p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("graft_vsum equals the posexplode lane-sum rebuild on random corpora") {
+    registered()
+    val corpus = for {
+      dim <- Gen.chooseNum(1, 8)
+      nGroups <- Gen.chooseNum(1, 12)
+      rows <- Gen.listOfN(nGroups * 6, for {
+        g <- Gen.chooseNum(0, nGroups - 1)
+        nullRow <- Gen.frequency(9 -> false, 1 -> true)
+        v <- Gen.listOfN(dim, lane)
+      } yield (g.toLong, if (nullRow) None else Some(v)))
+    } yield rows
+    check(Prop.forAll(corpus) { rows =>
+      val df = rows.toDF("g", "qa")
+      val vsum = df.groupBy($"g").agg(expr("graft_vsum(qa)").as("s"))
+      val exploded = df.select($"g", posexplode($"qa").as(Seq("pos", "x")))
+        .groupBy($"g", $"pos").agg(sum($"x").as("sx"))
+        .groupBy($"g")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)").as("s"))
+      // explode drops all-null groups entirely; vsum emits them as
+      // NULL — normalize to the common non-null core plus group sets
+      val a = vsum.filter($"s".isNotNull)
+      vsum.count() >= exploded.count() &&
+        a.exceptAll(exploded).isEmpty && exploded.exceptAll(a).isEmpty
+    })
+  }
+
+  test("graft_dotl equals the zip_with/aggregate HOF fold on random vector pairs") {
+    registered()
+    val pairs = for {
+      dim <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(1, 20)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30), 1L << 30))
+        b <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30), 1L << 30))
+      } yield (a, b))
+    } yield rows
+    check(Prop.forAll(pairs) { rows =>
+      val df = rows.toDF("a", "b")
+      df.select(
+          expr("graft_dotl(a, b)").as("native"),
+          expr("aggregate(zip_with(a, b, (p, q) -> p * q), CAST(0 AS BIGINT), (acc, z) -> acc + z)").as("hof"))
+        .filter($"native" =!= $"hof").isEmpty
+    })
+  }
+
+  test("graft_dot equals the double HOF fold bit-for-bit on random unit-scale vectors") {
+    registered()
+    val pairs = for {
+      dim <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(1, 20)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.listOfN(dim, Gen.chooseNum(-1000, 1000))
+        b <- Gen.listOfN(dim, Gen.chooseNum(-1000, 1000))
+      } yield (a.map(_ / 1000.0), b.map(_ / 1000.0)))
+    } yield rows
+    check(Prop.forAll(pairs) { rows =>
+      val df = rows.toDF("a", "b")
+      // bit-for-bit: the native kernel documents sequential-fold order,
+      // so even float results must be EXACTLY the HOF fold's
+      df.select(
+          expr("graft_dot(a, b)").as("native"),
+          expr("aggregate(zip_with(a, b, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, z) -> acc + z)").as("hof"))
+        .filter($"native" =!= $"hof").isEmpty
+    })
+  }
+
+  test("hash32 is deterministic and always lands in [0, 2^32)") {
+    val strs = Gen.listOfN(200, Gen.asciiPrintableStr)
+    check(Prop.forAll(strs) { ss =>
+      val df = ss.toDF("s")
+        .select(graft.functions.PortableHash.hash32($"s").as("h1"),
+          graft.functions.PortableHash.hash32($"s").as("h2"))
+      df.filter($"h1" =!= $"h2" || $"h1" < 0L || $"h1" >= (1L << 32)).isEmpty
+    }, n = 4)
+  }
+}

@@ -66,6 +66,25 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("dsir persisted state: batch-appended counts score identically to the full corpus") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dsir_state").toString
+    // three uneven ingest batches append independently
+    TextAnalysis.persistDsirState(docs.filter($"doc_id" % 3 === 0), "src0", st)
+    TextAnalysis.persistDsirState(docs.filter($"doc_id" % 3 === 1), "src0", st)
+    TextAnalysis.persistDsirState(docs.filter($"doc_id" % 3 === 2), "src0", st)
+    val full = TextAnalysis.dsirWeights(docs, "src0")
+    val fromState = TextAnalysis.dsirWeightsFromState(docs, spark, st, "src0")
+    assert(full.exceptAll(fromState).isEmpty && fromState.exceptAll(full).isEmpty)
+    // the incremental shape: scoring ONE batch from state equals the
+    // full-corpus weights restricted to that batch — rescoring under
+    // the complete distributions never rescans the other batches' text
+    val batch = docs.filter($"doc_id" % 3 === 2)
+    val slice = TextAnalysis.dsirWeightsFromState(batch, spark, st, "src0")
+    val ids = batch.select($"doc_id").as[Long].collect().toSet
+    val fullSlice = full.filter($"doc_id".isin(ids.toSeq: _*))
+    assert(slice.exceptAll(fullSlice).isEmpty && fullSlice.exceptAll(slice).isEmpty)
+  }
+
   test("dsirResample takes the top-k weights with dense ranks and doc_id tie-break") {
     val k = 10
     val out = TextAnalysis.dsirResample(docs, "src0", k).collect()
