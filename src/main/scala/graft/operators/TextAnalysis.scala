@@ -711,11 +711,19 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     val tf = dsirTf(docs, buckets)
+    dsirScore(tf, dsirBucketCounts(tf, targetSource), targetSource, buckets)
+  }
+
+  /** Per-bucket target/source token counts from a doc-bucket tf frame
+    * — ONE definition shared by the inline path and the persisted
+    * state writer, so the q155 state-equals-full-corpus contract can
+    * never drift on the counting rule.
+    */
+  private def dsirBucketCounts(tf: DataFrame, targetSource: String): DataFrame = {
     val isTarget = col("source") === targetSource
-    val bucketCounts = tf.groupBy(col("b")).agg(
+    tf.groupBy(col("b")).agg(
       sum(when(isTarget, col("tf")).otherwise(0L)).as("tc"),
       sum(when(!isTarget, col("tf")).otherwise(0L)).as("sc"))
-    dsirScore(tf, bucketCounts, targetSource, buckets)
   }
 
   /** The shared back half of [[dsirWeights]] and the persisted-state
@@ -733,7 +741,16 @@ object TextAnalysis {
         (log((col("tc") + 1L).cast("double") / (col("tt") + buckets)) -
          log((col("sc") + 1L).cast("double") / (col("st") + buckets))).as("lr"))
     tf.filter(col("source") =!= targetSource)
-      .join(broadcast(lr), Seq("b"))
+      .join(broadcast(lr), Seq("b"), "left")
+      // a bucket the ratio table has never seen means the contract was
+      // violated (a batch scored before its counts were appended) —
+      // FAIL LOUDLY: an inner join would silently drop those tf rows
+      // and emit a plausible-looking weight over a partial token set.
+      // The inline path cannot hit this (its table derives from tf).
+      .withColumn("lr", coalesce(col("lr"), raise_error(format_string(
+        "dsir: bucket %s absent from the distribution table — score a " +
+          "batch only AFTER persistDsirState appended its counts", col("b")))
+        .cast("double")))
       .withColumn("wl", (col("lr") * col("tf")).cast("decimal(28,9)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("wl")).as("w_sum"), sum(col("tf")).as("n_tokens"))
@@ -763,13 +780,9 @@ object TextAnalysis {
     * can never corrupt previously committed ones.
     */
   def persistDsirState(batch: DataFrame, targetSource: String,
-                       statePath: String, buckets: Int = 64): Unit = {
-    val isTarget = col("source") === targetSource
-    dsirTf(batch, buckets).groupBy(col("b")).agg(
-      sum(when(isTarget, col("tf")).otherwise(0L)).as("tc"),
-      sum(when(!isTarget, col("tf")).otherwise(0L)).as("sc"))
+                       statePath: String, buckets: Int = 64): Unit =
+    dsirBucketCounts(dsirTf(batch, buckets), targetSource)
       .write.mode("append").parquet(s"$statePath/buckets")
-  }
 
   /** Score a batch against PERSISTED distribution state: the batch
     * contributes its own token pass (it must — its counts are part of

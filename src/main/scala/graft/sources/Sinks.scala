@@ -44,26 +44,61 @@ object Sinks {
   /** The ''->sentinel guard shared by every partitioned sink format.
     * Column lookup is case-INSENSITIVE like Spark's own resolver —
     * `df.schema(name)` is exact-match and would reject a mixed-case
-    * caller the write itself accepts. Returns the df AND the SCHEMA's
-    * spelling of the column: both the rewrite and the partitionBy must
-    * use the resolved name, because writing with the CALLER's spelling
-    * into a table written earlier under the schema's spelling forks
-    * the directory layout (`Timestamp=...` beside `timestamp=...`) and
+    * caller the write itself accepts. Returns the df AND the
+    * authoritative spelling of the column: the EXISTING table's
+    * `name=` directory prefix when the path already holds one
+    * (appends from dataframes whose schemas case the column
+    * differently must land in one directory family), else the df
+    * schema's spelling. Writing a second casing into an existing
+    * layout forks it (`Timestamp=...` beside `timestamp=...`) and
     * poisons partition discovery for every subsequent read.
     */
-  private def withPartitionSentinel(df: DataFrame, partitionCol: String): (DataFrame, String) = {
+  private def withPartitionSentinel(df: DataFrame, partitionCol: String,
+                                    path: String): (DataFrame, String) = {
     val field = df.schema.fields.find(_.name == partitionCol)
       .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(partitionCol)))
-    val resolved = field.map(_.name).getOrElse(partitionCol)
+    val schemaName = field.map(_.name).getOrElse(partitionCol)
+    // an EXISTING table owns the spelling: two dataframes whose schemas
+    // case the column differently must still land in one directory
+    // family, so the authoritative name is whatever `<name>=` prefix
+    // the table on disk already uses — df-schema spelling only seeds a
+    // fresh table
+    val resolved = existingPartitionSpelling(df, path, schemaName).getOrElse(schemaName)
     val isString = field.exists(_.dataType == org.apache.spark.sql.types.StringType)
-    val out = if (isString) df.withColumn(resolved,
-      when(col(resolved) === "", lit("unknown")).otherwise(col(resolved)))
-    else df
+    val out =
+      if (resolved == schemaName && !isString) df
+      else {
+        val renamed = if (resolved == schemaName) df
+          else df.withColumnRenamed(schemaName, resolved)
+        if (isString) renamed.withColumn(resolved,
+          when(col(s"`$resolved`") === "", lit("unknown")).otherwise(col(s"`$resolved`")))
+        else renamed
+      }
     (out, resolved)
   }
 
+  /** The partition-column spelling an existing table at `path` already
+    * uses, detected from its `name=value` directories (case-insensitive
+    * match against the df's spelling); None for a fresh table or an
+    * unpartitioned layout.
+    */
+  private def existingPartitionSpelling(df: DataFrame, path: String,
+                                        name: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).iterator
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collectFirst { case n if n.contains("=") &&
+          n.substring(0, n.indexOf('=')).equalsIgnoreCase(name) =>
+          n.substring(0, n.indexOf('=')) }
+    } catch { case _: Exception => None }
+  }
+
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
-    val (guarded, resolved) = withPartitionSentinel(df, partitionCol)
+    val (guarded, resolved) = withPartitionSentinel(df, partitionCol, path)
     guarded.write.mode(SaveMode.Append).partitionBy(resolved).parquet(path)
   }
 
@@ -74,7 +109,7 @@ object Sinks {
     * format-independent.
     */
   def appendPartitionedOrc(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {
-    val (guarded, resolved) = withPartitionSentinel(df, partitionCol)
+    val (guarded, resolved) = withPartitionSentinel(df, partitionCol, path)
     guarded.write.mode(SaveMode.Append).partitionBy(resolved).orc(path)
   }
 

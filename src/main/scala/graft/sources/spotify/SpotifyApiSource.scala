@@ -455,7 +455,13 @@ private[spotify] object HttpPageFetcher {
           case 'n' => sb.append('\n'); case 't' => sb.append('\t')
           case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
           case 'f' => sb.append('\f')
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                Character.digit(c, 16) >= 0) =>
+            // malformed \uXXXX falls through to the literal branch —
+            // a hand-edited or torn cache file must DEGRADE (regex
+            // miss / wrong token handled upstream), never crash the
+            // credential-resolution fallback chain
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 4
           case other => sb.append(other) // \" \\ \/ and any literal

@@ -85,6 +85,24 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(slice.exceptAll(fullSlice).isEmpty && fullSlice.exceptAll(slice).isEmpty)
   }
 
+  test("dsir state scoring fails loudly on a bucket the distributions never saw") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dsir_viol").toString
+    // state sees ONLY doc 1's vocabulary; scoring doc 2 (disjoint
+    // vocabulary, un-appended) hits buckets absent from the table —
+    // a silently partial weight is the failure mode to refuse
+    val day1 = Seq((1L, "alpha beta", "tgt"), (10L, "alpha gamma", "web"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.persistDsirState(day1, "tgt", st)
+    val strangers = Seq((2L, "zeta eta theta omicron", "web"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      TextAnalysis.dsirWeightsFromState(strangers, spark, st, "tgt").collect()
+    }
+    assert(e.getMessage.contains("persistDsirState") ||
+      Option(e.getCause).exists(_.getMessage.contains("persistDsirState")),
+      e.getMessage)
+  }
+
   test("dsirResample takes the top-k weights with dense ranks and doc_id tie-break") {
     val k = 10
     val out = TextAnalysis.dsirResample(docs, "src0", k).collect()

@@ -38,6 +38,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(back.filter(col("Timestamp") === "unknown").count() === 1)
   }
 
+  test("an existing table's partition-directory spelling beats a differently-cased df schema") {
+    // append #1 seeds `timestamp=` dirs; append #2's DATAFRAME spells
+    // the column `Timestamp` — the on-disk layout is authoritative, so
+    // the second write must land in the same directory family
+    val dir = Files.createTempDirectory("graft_casepart3").toString + "/t"
+    Sinks.appendPartitioned(Seq((1L, "a")).toDF("id", "timestamp"), dir)
+    Sinks.appendPartitioned(Seq((2L, "a")).toDF("id", "Timestamp"), dir, "Timestamp")
+    val back = spark.read.parquet(dir) // conflicting names would throw
+    assert(back.columns.map(_.toLowerCase).contains("timestamp"))
+    assert(back.filter(col("timestamp") === "a").count() === 2)
+  }
+
   test("a differently-cased second append lands in the SAME partition directories") {
     // the sink must write under the SCHEMA's spelling, not the
     // caller's: `Timestamp=` directories appearing beside `timestamp=`

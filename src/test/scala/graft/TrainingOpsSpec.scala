@@ -301,6 +301,19 @@ class TrainingOpsSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("q152/q155 broadcast the ratio table; q153 heap-cuts the resample — no corpus self-join anywhere") {
+    for (q <- Seq("q152_dsir_weights", "q155_dsir_persisted")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q must broadcast the buckets-row log-ratio table")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join the corpus against anything corpus-sized")
+    }
+    val p153 = plan("q153_dsir_resample")
+    assert(p153.contains("TakeOrderedAndProject"),
+      "the resample cut must be a bounded heap, not a global sort")
+  }
+
   test("q96/q101 broadcast the query batch and heap-prune the top-k before the exchange") {
     for (q <- Seq("q96_knn_classify", "q101_knn_classify_ivf")) {
       val p = plan(q)

@@ -208,6 +208,17 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
       post)
   }
 
+  test("a malformed unicode escape in a cache file degrades to literal text, never throws") {
+    // a hand-edited or torn cache file must not crash the credential
+    // fallback chain — jsonField recovers what it can
+    val got = HttpPageFetcher.jsonField(
+      "{\"refresh_token\":\"a\\" + "uZZZZb\"}", "refresh_token")
+    assert(got === Some("auZZZZb"), got) // backslash dropped, text kept
+    val ok = HttpPageFetcher.jsonField(
+      "{\"refresh_token\":\"a\\" + "u0041b\"}", "refresh_token")
+    assert(ok === Some("aAb"), ok) // well-formed A decodes to 'A'
+  }
+
   test("authorization-code response without a refresh token fails with the actionable cause") {
     freshCache()
     val f = new Scripted(tokenJson("short-lived")) // no refresh_token field
