@@ -116,6 +116,10 @@ object ScaleProbe {
     // DSIR: two combinable aggs + a broadcast 64-row ratio table —
     // wall should track Σ tokens, never corpus²
     time("dsir_weights", TextAnalysis.dsirWeights(docs, "src0"))
+    // EP6 end-to-end: pair derivation dominates and is bounded by the
+    // df cap even when every doc has `mult` near-identical copies;
+    // the logit+DSIR tail is token-linear
+    time("curated_selection", graft.Pipelines.curatedSelection(docs, "src0", 40))
     time("cosine_topk_int8", Similarity.cosineTopKInt8(embs, 10, 5))
     time("kmeans_assign", Similarity.kmeansAssign(embs, 8, 2))
     time("temperature_mixture",
