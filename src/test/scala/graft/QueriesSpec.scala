@@ -40,4 +40,12 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every query is oracle-checked — the catalog holds the 100% hash-compare standard") {
+    // the driver contract permits rows-only checks for queries without
+    // oracle SQL; this engine has never shipped one, and a new query
+    // silently missing its oracle would weaken the gate unnoticed
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"query without oracle: $unchecked")
+  }
 }
