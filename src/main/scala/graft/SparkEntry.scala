@@ -1754,6 +1754,41 @@ object SparkEntry {
     * frequency cap mirrored: shingles with df > maxDf are dropped
     * before `sh`/`cnt`, exactly as the Spark plan does.
     */
+  /** The capped-Jaccard → reachability-CC → keep-best CTE chain over
+    * `sh`/`cnt` (from [[cappedShinglesCte]]), ending at
+    * `rk(cluster_id, doc_id, n_chars, rn, n_members)` with rn = 1 the
+    * representative. ONE definition shared by q74 and q154 so the
+    * cap, tie-break, and singleton-COALESCE rules can never drift
+    * between the standalone and composed oracles. Requires
+    * WITH RECURSIVE in the enclosing query (the `reach` CTE).
+    */
+  private val keepBestCtes: String =
+    """inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+      |         FROM reach GROUP BY src),
+      |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |               d.n_chars
+      |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |rk AS (SELECT cluster_id, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY cluster_id
+      |                            ORDER BY n_chars DESC, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      |       FROM lab)""".stripMargin
+
   private def cappedShinglesCte(n: Int, maxDf: Int): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
        |idx AS (SELECT doc_id, w, unnest(range(0, len(w)-${n - 1})) AS i FROM toks WHERE len(w) >= $n),
@@ -2545,31 +2580,7 @@ object SparkEntry {
 
     "q74_dedup_keep_best" ->
       s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, node) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-         |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
-         |         FROM reach GROUP BY src),
-         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-         |               d.n_chars
-         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-         |rk AS (SELECT cluster_id, doc_id, n_chars,
-         |         row_number() OVER (PARTITION BY cluster_id
-         |                            ORDER BY n_chars DESC, doc_id) AS rn,
-         |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
-         |       FROM lab)
+         |$keepBestCtes
          |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS best_score, n_members
          |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
@@ -3167,30 +3178,8 @@ object SparkEntry {
     // chain (re-rooted at the kept corpus) allocates the final top-40
     "q154_curated_selection" ->
       s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN cnt ca ON doc_a = ca.doc_id
-         |  JOIN cnt cb ON doc_b = cb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, node) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
-         |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
-         |         FROM reach GROUP BY src),
-         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-         |               d.n_chars
-         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-         |reps AS (SELECT doc_id FROM (
-         |           SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
-         |                    ORDER BY n_chars DESC, doc_id) AS rn
-         |           FROM lab) WHERE rn = 1),
+         |$keepBestCtes,
+         |reps AS (SELECT doc_id FROM rk WHERE rn = 1),
          |lt AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\\s+') AS w,
          |              CAST(length(d.text) AS BIGINT) AS nc
          |       FROM documents d JOIN reps USING (doc_id)),

@@ -780,9 +780,11 @@ object TextAnalysis {
     * can never corrupt previously committed ones.
     */
   def persistDsirState(batch: DataFrame, targetSource: String,
-                       statePath: String, buckets: Int = 64): Unit =
+                       statePath: String, buckets: Int = 64): Unit = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     dsirBucketCounts(dsirTf(batch, buckets), targetSource)
       .write.mode("append").parquet(s"$statePath/buckets")
+  }
 
   /** Score a batch against PERSISTED distribution state: the batch
     * contributes its own token pass (it must — its counts are part of
@@ -796,6 +798,11 @@ object TextAnalysis {
   def dsirWeightsFromState(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
                            statePath: String, targetSource: String,
                            buckets: Int = 64): DataFrame = {
+    // `buckets` must match the writer's: hashing at a different count
+    // maps tokens to buckets the state never saw (the raise_error
+    // contract catches the mismatch at run time, with a misleading
+    // message — validate here too so the obvious misuse fails clearly)
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     val state = spark.read.parquet(s"$statePath/buckets")
       .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
     dsirScore(dsirTf(batch, buckets), state, targetSource, buckets)

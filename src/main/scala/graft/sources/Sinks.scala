@@ -85,16 +85,18 @@ object Sinks {
   private def existingPartitionSpelling(df: DataFrame, path: String,
                                         name: String): Option[String] = {
     import org.apache.hadoop.fs.Path
-    try {
-      val p = new Path(path)
-      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else fs.listStatus(p).iterator
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collectFirst { case n if n.contains("=") &&
-          n.substring(0, n.indexOf('=')).equalsIgnoreCase(name) =>
-          n.substring(0, n.indexOf('=')) }
-    } catch { case _: Exception => None }
+    // a listing failure PROPAGATES and fails the write: silently
+    // falling back to the df spelling on a transient FS error would
+    // re-open the exact layout fork this guard exists to prevent —
+    // the caller's retry (scheduler-level) re-lists on a healthy FS
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collectFirst { case n if n.contains("=") &&
+        n.substring(0, n.indexOf('=')).equalsIgnoreCase(name) =>
+        n.substring(0, n.indexOf('=')) }
   }
 
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String = "timestamp"): Unit = {

@@ -57,9 +57,12 @@ class PropertyFuzzSpec extends AnyFunSuite {
     val pairs = for {
       dim <- Gen.chooseNum(1, 8)
       n <- Gen.chooseNum(1, 20)
+      // exclusive 2^30 bound: chooseNum over-weights its endpoints, and
+      // 16 aligned lanes at exactly +/-2^30 would sum to 2^63 — one
+      // past Long.MaxValue, aborting the property as ANSI overflow
       rows <- Gen.listOfN(n, for {
-        a <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30), 1L << 30))
-        b <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30), 1L << 30))
+        a <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30) + 1, (1L << 30) - 1))
+        b <- Gen.listOfN(dim, Gen.chooseNum(-(1L << 30) + 1, (1L << 30) - 1))
       } yield (a, b))
     } yield rows
     check(Prop.forAll(pairs) { rows =>
