@@ -782,7 +782,13 @@ object TextAnalysis {
   def persistDsirState(batch: DataFrame, targetSource: String,
                        statePath: String, buckets: Int = 64): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    // the bucket count rides every state row: a reader hashing at a
+    // DIFFERENT count maps tokens into a subset/superset of the
+    // state's bucket domain — the subset case never hits the
+    // unseen-bucket raise and would score silently wrong, so the
+    // count mismatch must be detectable from the state itself
     dsirBucketCounts(dsirTf(batch, buckets), targetSource)
+      .withColumn("nb", lit(buckets))
       .write.mode("append").parquet(s"$statePath/buckets")
   }
 
@@ -803,7 +809,17 @@ object TextAnalysis {
     // contract catches the mismatch at run time, with a misleading
     // message — validate here too so the obvious misuse fails clearly)
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
-    val state = spark.read.parquet(s"$statePath/buckets")
+    val raw = spark.read.parquet(s"$statePath/buckets")
+    // bounded driver probe (the state table is buckets-rows-per-batch):
+    // every persisted batch must have hashed at THIS bucket count —
+    // a smaller reader count maps into a subset of seen buckets, which
+    // the unseen-bucket raise below cannot catch
+    val counts = raw.select(col("nb")).distinct().collect().map(_.getInt(0))
+    require(counts.forall(_ == buckets),
+      s"dsir state at $statePath was written with bucket count(s) " +
+        s"${counts.mkString(",")} but this reader hashes at $buckets — " +
+        "distributions are incomparable across bucket counts")
+    val state = raw
       .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
     dsirScore(dsirTf(batch, buckets), state, targetSource, buckets)
   }

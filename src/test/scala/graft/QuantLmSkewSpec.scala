@@ -85,6 +85,20 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(slice.exceptAll(fullSlice).isEmpty && fullSlice.exceptAll(slice).isEmpty)
   }
 
+  test("dsir state scoring rejects a bucket-count mismatch before any arithmetic") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dsir_nb").toString
+    val day1 = Seq((1L, "alpha beta", "tgt"), (10L, "alpha gamma", "web"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.persistDsirState(day1, "tgt", st, buckets = 64)
+    // a SMALLER reader count maps into a subset of the writer's bucket
+    // domain — the unseen-bucket raise can never fire, so the count
+    // check is the only defense against a silently-wrong score
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeightsFromState(day1, spark, st, "tgt", buckets = 32)
+    }
+    assert(e.getMessage.contains("bucket count"), e.getMessage)
+  }
+
   test("dsir state scoring fails loudly on a bucket the distributions never saw") {
     val st = java.nio.file.Files.createTempDirectory("graft_dsir_viol").toString
     // state sees ONLY doc 1's vocabulary; scoring doc 2 (disjoint
