@@ -28,6 +28,68 @@ object Bench {
         (if (b > 0) sec / b else Double.PositiveInfinity) > RegressionX &&
           (sec max b) > AbsFloorSec) => name }
 
+  /** Contention-proof second pass (VERDICT r11 item 1): queries flagged
+    * by the first sweep are re-timed AFTER the whole sweep completes —
+    * a transient load stall that inflated a contiguous run of queries
+    * (r11's q69/q6/q70/q71/q72, all 2.7–4.3× in the sweep, 1.10–1.15×
+    * on a quiet box) cannot also span a second pass separated from the
+    * first by the rest of a ~2-minute sweep. The gate verdict is taken
+    * on the min across BOTH passes; a genuinely slower plan still fails
+    * because no number of re-timings beats a real regression. Returns
+    * (final regressed names, second-pass samples per suspect) so the
+    * artifact records both passes.
+    */
+  def secondPassGate(mins: Seq[(String, Double)],
+                     baseline: Map[String, Double],
+                     reTime: String => Seq[Double]): (Seq[String], Map[String, Seq[Double]]) = {
+    val suspects = gateRegressed(mins, baseline)
+    val second = suspects.map(n => n -> reTime(n)).toMap
+    val merged = mins.map { case (n, m) =>
+      (n, (m +: second.getOrElse(n, Seq.empty)).min) }
+    (gateRegressed(merged, baseline), second)
+  }
+
+  /** Assembles the one-line bench JSON (both the compact stdout form
+    * and, with `withSamples = true`, the persisted artifact carrying
+    * every raw sample plus the second-pass samples). Factored from
+    * `main` so the artifact format — gate fields included — is
+    * spec-testable by generating a line in-test instead of reading
+    * whatever tools/last_bench.json a checkout happens to carry
+    * (ADVICE r11).
+    *
+    * 3-decimal rounding keeps the one-line JSON small enough that the
+    * driver's tail capture retains the whole object; the headline
+    * total appears both first (for head-anchored parsers) and last
+    * (tail capture keeps line ends). Locale.ROOT because the f
+    * interpolator is locale-dependent — a de_DE default JVM locale
+    * would render 1,234 and break every JSON number.
+    */
+  def benchJson(results: Seq[(String, Double, Seq[Double])],
+                errors: collection.Map[String, String],
+                sfDir: String,
+                regressed: Seq[String],
+                secondPass: Map[String, Seq[Double]],
+                withSamples: Boolean): String = {
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val gateRc = if (errors.nonEmpty || regressed.nonEmpty) 1 else 0
+    val secondJson = secondPass.toSeq.sortBy(_._1).map { case (k, ss) =>
+      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gateJson =
+      s""""gate_rc":$gateRc,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"gate_second_pass":$secondJson"""
+    val samplesJson =
+      if (!withSamples) ""
+      else "\"samples\":" + results.map { case (k, _, ss) =>
+        "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}") + ","
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,$samplesJson"total":${fmt(total)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,40 +158,34 @@ object Bench {
       }
       (name, samples.min, samples)
     }
-    // 3-decimal rounding keeps the one-line JSON small enough that the
-    // driver's tail capture retains the whole object; the headline total
-    // appears both first (for head-anchored parsers) and last (tail
-    // capture keeps line ends), and the full JSON is also persisted to
-    // tools/last_bench.json so no artifact depends on log truncation.
-    // Locale.ROOT: the f interpolator is locale-dependent — a de_DE
-    // default JVM locale would render 1,234 and break every JSON number
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
     // the gate verdict rides the artifact itself (VERDICT r10 item 7):
     // a regression can't ship unnoticed behind a green-looking round
     // because the round's BENCH JSON carries rc=1 plus the names.
     // Errored queries are EXCLUDED from the ratio list exactly as
     // bench_check.py excludes them — their fail-fast wall time is not
-    // a plan measurement; they fail the gate through the errors term
-    val regressed = gateRegressed(
+    // a plan measurement; they fail the gate through the errors term.
+    // Suspects from the full sweep get a SECOND PASS of two timings
+    // here, after every other query has run (VERDICT r11 item 1): a
+    // load stall contiguous in the sorted run order can inflate all
+    // samples of neighboring queries, but not samples taken minutes
+    // later. The gate and the reported per-query min both use the min
+    // across passes; the artifact records the second-pass samples.
+    val fns = SparkEntry.queries
+    val (regressed, secondPass) = secondPassGate(
       results.collect { case (n, sec, _) if !errors.contains(n) => (n, sec) },
-      baseline)
-    val gateRc = if (errors.nonEmpty || regressed.nonEmpty) 1 else 0
-    val gateJson =
-      s""""gate_rc":$gateRc,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}]"""
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,"total":${fmt(total)}}"""
+      baseline,
+      name => Seq(timeOne(name, fns(name)), timeOne(name, fns(name))))
+    val merged = results.map { case (n, m, ss) =>
+      val all = ss ++ secondPass.getOrElse(n, Seq.empty)
+      (n, all.min, all)
+    }
+    val finalErrors = errors // second-pass failures land here too
+    val line = benchJson(merged, finalErrors, sfDir, regressed, secondPass,
+      withSamples = false)
     // stdout line stays min-per-query (compact, driver-parseable); the
     // persisted artifact additionally carries every raw sample
-    val samplesJson = results.map { case (k, _, ss) =>
-      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val fileLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,"samples":$samplesJson,"total":${fmt(total)}}"""
+    val fileLine = benchJson(merged, finalErrors, sfDir, regressed, secondPass,
+      withSamples = true)
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
