@@ -120,11 +120,18 @@ object Pipelines {
     * CHANGED and REMOVED keys are returned as the maintenance
     * worklist, NOT auto-appended: both state tables are append-only
     * by design (a torn half-append must not orphan a doc — see
-    * persistMinhashSignatures), so superseding an existing key needs
-    * the compaction path (periodic rewrite dropping stale rows), the
-    * same trade every append-only index deployment makes. A grow-only
+    * persistMinhashSignatures), so superseding an existing key takes
+    * the COMPACTION path — run at whatever cadence edits accumulate:
+    * [[graft.operators.Dedup.compactSignatures]] with
+    * `doc_changes.filter(status = 'changed')` as the stale worklist
+    * (removed keys are detected from the corpus itself), and
+    * [[graft.operators.Similarity.compactIvfIndex]] with the changed ∪
+    * removed `emb_changes` keys followed by [[graft.operators.Similarity.appendToIvfIndex]]
+    * of the changed vectors' current rows. Both rewrite-new + swap, and
+    * both leave state equal to a fresh full build over the current
+    * corpus (StateCompactionSpec; catalog q156/q157). A grow-only
     * corpus — the normal training-data ingest shape — takes the pure
-    * fast path.
+    * fast path and never compacts.
     *
     * Scale shape: the diff is one co-partitionable (key, fingerprint)
     * full-outer join; dedup touches |batch| shingle rows + signature

@@ -1699,6 +1699,49 @@ object SparkEntry {
       TextAnalysis.persistDsirState(docs.filter(col("doc_id") % 2 =!= 0), "src0", st)
       TextAnalysis.dsirWeightsFromState(docs, s, st, "src0")
     }),
+
+    // ---- Stale-key state compaction (the maintenance path the EP5
+    // loop's worklist feeds): day-0 signature state is built over a
+    // TAMPERED corpus — docs ≡0 mod 7 carry a stale draft text, and
+    // 30 ghost docs are later deleted — then ONE edit+compact cycle
+    // must heal both, leaving state identical to a fresh full build
+    // over the current corpus (the oracle computes exactly that,
+    // never seeing the tampered day-0 at all) ----
+    "q156_compact_signatures" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val changed = docs.filter(col("doc_id") % 7 === 0)
+      val day0 = docs.filter(col("doc_id") % 7 =!= 0)
+        .unionByName(changed.withColumn("text", concat(col("text"), lit(" stale draft"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val st = Scratch.dir("graft_compact_q156")
+      Dedup.persistMinhashSignatures(day0, 3, 16, 4, st)
+      // worklist = CHANGED keys only; the removed ghosts must fall out
+      // of the corpus-key semi-join without being named
+      Dedup.compactSignatures(docs, 3, 16, 4, st, changed.select("doc_id"))
+      s.read.parquet(st + "/sigs").orderBy(col("doc_id"))
+    }),
+    // Same cycle for the IVF tier: stale embeddings (reversed arrays,
+    // ids past the centroid block so the centroids stay valid) and
+    // ghost vectors enter the day-0 build; compaction drops their
+    // rows, the current versions re-enter via the DAILY APPEND path,
+    // and the probe result must equal a fresh build — so the oracle
+    // is the plain inline-IVF shape over the current corpus
+    "q157_compact_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val stale = emb.filter(col("vec_id") >= 16 && col("vec_id") % 9 === 0)
+      val ghosts = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val day0 = emb.join(stale.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(stale.withColumn("embedding", reverse(col("embedding"))))
+        .unionByName(ghosts)
+      val st = Scratch.dir("graft_compact_q157") + "/idx"
+      Similarity.buildIvfIndex(day0, nlist = 16, path = st)
+      Similarity.compactIvfIndex(s, st,
+        stale.select("vec_id").unionByName(ghosts.select("vec_id")))
+      Similarity.appendToIvfIndex(stale, s, st)
+      Similarity.cosineTopKIvfIndexed(s, st, nQueries = 8, k = 6, nprobe = 3)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -1941,6 +1984,23 @@ object SparkEntry {
     base + ("q150_neardup_family_persisted" -> base("q74_dedup_keep_best")) +
       ("q155_dsir_persisted" -> base("q152_dsir_weights"))
   }
+
+  /** Oracle for q156: the compacted signature state must equal a
+    * fresh full build over the CURRENT corpus — so the oracle is the
+    * q12/q126 MinHash kernel over `documents`, pivoted to the
+    * persisted (doc_id, sig_0..sig_15) layout; the tampered day-0
+    * corpus never appears in it at all.
+    */
+  private def compactedSigsOracleSql: String =
+    s"""WITH ${shinglesCte(3)},
+       |hashed AS (SELECT doc_id, ${hash32Sql("shingle")} AS h FROM sh),
+       |params AS (SELECT i, CAST(2*i+3 AS BIGINT) AS a, CAST(104729*(i+1) AS BIGINT) AS b
+       |           FROM (SELECT unnest(range(0, 16)) AS i)),
+       |sigs AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS sig
+       |         FROM hashed CROSS JOIN params GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |${(0 until 16).map(i => s"  min(CASE WHEN i = $i THEN sig END) AS sig_$i").mkString(",\n")}
+       |FROM sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3166,6 +3226,34 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST(m AS DOUBLE) / 16 AS est_jaccard
          |FROM agree WHERE CAST(m AS DOUBLE) / 16 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Edit+compact cycle on signature state: post-compaction ≡ fresh
+    // full build on the current corpus (the tampered day-0 is
+    // invisible to the oracle by construction)
+    "q156_compact_signatures" -> compactedSigsOracleSql,
+
+    // Edit+compact+re-append cycle on the IVF index: the healed index
+    // answers probes exactly like an inline build over the current
+    // corpus — q121's oracle shape at (nQueries=8, k=6, nprobe=3)
+    "q157_compact_ivf" ->
+      s"""WITH $normalizedCte,
+         |cents AS (SELECT vec_id AS cid, u AS cu FROM e WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT e.vec_id, e.u, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.u, c.cu) DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, u, cid AS cell FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, u AS qu, cid AS cell FROM ranked
+         |           WHERE vec_id < 8 AND crn <= 3),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id AS nid, list_dot_product(q.qu, a.u) AS cosine
+         |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.vec_id <> q.qid),
+         |topk AS (SELECT qid, nid, cosine,
+         |                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |         FROM scored)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM topk
+         |WHERE rnk <= 6 ORDER BY qid, rnk""".stripMargin,
 
     // DSIR replay: portable-hashed token buckets, add-1-smoothed
     // target/source bucket unigrams, decimal-accumulated per-doc

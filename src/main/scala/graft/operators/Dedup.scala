@@ -355,6 +355,58 @@ object Dedup {
     result
   }
 
+  /** Stale-key compaction for the persisted signature state — the
+    * maintenance half that [[incrementalMinhashEstimated]]'s
+    * append-only contract defers (Pipelines.dailyIncremental returns
+    * CHANGED and REMOVED keys as a worklist instead of auto-appending,
+    * because a torn half-append must never orphan a doc). Rewrites
+    * `path/sigs` so that afterwards the state equals a fresh
+    * [[persistMinhashSignatures]] full build over `currentDocs`
+    * (StateCompactionSpec proves set equality; the q156 catalog query
+    * pins it against the DuckDB oracle):
+    *
+    *  - rows whose doc_id is absent from `currentDocs` are dropped —
+    *    REMOVED docs, detected from the corpus keys themselves, so a
+    *    worklist omission can never leave a ghost signature;
+    *  - rows named in `staleKeys` are dropped and recomputed from the
+    *    current text — CHANGED docs, the one class the state alone
+    *    cannot detect (the whole point of signature state is never
+    *    re-reading history's text); the caller owns this worklist,
+    *    which is exactly `doc_changes.filter(status = 'changed')`
+    *    from the daily loop's snapshot diff;
+    *  - current docs missing from state entirely (a lost append) are
+    *    recomputed too — compaction self-heals;
+    *  - exact duplicate rows from a re-delivered identical batch
+    *    collapse (`distinct` — surviving rows are signature-identical
+    *    by determinism once stale rows are gone).
+    *
+    * Write-new + swap via [[graft.sources.Sinks.swapRewrite]]: the
+    * live table stays readable through the whole rewrite (whose plan
+    * reads it), and a crashed swap leaves the original recoverable at
+    * `sigs_precompact` — the same torn-write discipline as the single
+    * state table itself.
+    *
+    * Scale shape: one pass over the state (numHashes longs per doc,
+    * never text), key-only semi/anti joins against the corpus, and a
+    * shingle pass over ONLY the recomputed docs. Run at the cadence
+    * edits accumulate; a grow-only corpus never needs it.
+    */
+  def compactSignatures(currentDocs: DataFrame, n: Int, numHashes: Int,
+                        bands: Int, path: String, staleKeys: DataFrame): Unit = {
+    val spark = currentDocs.sparkSession
+    val state = spark.read.parquet(s"$path/sigs")
+    val keep = state
+      .join(currentDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(staleKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .distinct()
+    val needFresh = currentDocs
+      .join(keep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val (_, freshSigs, _) = minhashCandidates(needFresh, n, numHashes, bands)
+    graft.sources.Sinks.swapRewrite(spark, s"$path/sigs") { tmp =>
+      keep.unionByName(freshSigs).write.parquet(tmp)
+    }
+  }
+
   /** [[minhashLsh]] with ESTIMATOR verification — the measured 100 TB
     * knob for the verification stage. Exact verification joins every
     * candidate pair back to its shingle rows: pairs × shared-shingles

@@ -329,6 +329,38 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
+  /** Stale-key compaction for the persisted IVF index — the
+    * maintenance half of [[appendToIvfIndex]]'s append-only contract.
+    * Rewrites `path/assignments` dropping every vec_id in `staleKeys`:
+    * REMOVED vectors, plus the OLD rows of CHANGED vectors (re-append
+    * the current version afterwards via [[appendToIvfIndex]] — the
+    * daily loop's `emb_changes` frame names both classes). The
+    * centroid table is left untouched, so post-compaction (+
+    * re-append for the changed keys) the index is bit-identical to a
+    * fresh [[buildIvfIndex]] over the current corpus PROVIDED the
+    * centroid vectors themselves are not among the edits
+    * (StateCompactionSpec asserts; an edited centroid vector is the
+    * re-centering event that warrants the documented full rebuild —
+    * assignments keyed to a stale centroid are wrong everywhere, not
+    * just at the edited rows).
+    *
+    * Write-new + swap ([[graft.sources.Sinks.swapRewrite]]) with the
+    * cell partitioning preserved so probe-time partition pruning
+    * survives; the per-cell `repartition` also merges the
+    * one-file-per-batch debris daily appends leave, so this doubles
+    * as the table's small-file compaction.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      staleKeys: DataFrame): Unit = {
+    val assignPath = s"$path/assignments"
+    graft.sources.Sinks.swapRewrite(spark, assignPath) { tmp =>
+      spark.read.parquet(assignPath)
+        .join(staleKeys.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+  }
+
   /** Query-many half of the build-once contract: identical results to
     * [[cosineTopKIvf]] on the same corpus/parameters (IvfIndexSpec),
     * but the corpus scan + centroid argmax are already on disk — a

@@ -267,8 +267,6 @@ object Sinks {
               targetFileMb: Int = 256, partitionCols: Seq[String] = Nil): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
     // a hive-partitioned layout (appendPartitioned's output — compact's
     // HEADLINE use case) rewritten flat would turn the partition column
     // into a data column: pruning gone, and the next append creates
@@ -279,6 +277,42 @@ object Sinks {
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     require(partitionCols.nonEmpty || !partitioned,
       s"$path is hive-partitioned; pass partitionCols so compaction preserves the layout")
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
+    swapRewrite(spark, path) { tmp =>
+      // partitioned layouts cluster by the partition key (one task — and
+      // so one compacted file — per live partition, the point of
+      // compacting a daily-append table); flat layouts round-robin to
+      // the byte-derived file count
+      val reshaped =
+        if (partitionCols.nonEmpty)
+          spark.read.parquet(path).repartition(partitionCols.map(col): _*)
+        else spark.read.parquet(path).repartition(n)
+      val writer = reshaped.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(tmp)
+    }
+  }
+
+  /** The write-new + swap protocol shared by [[compact]] and the
+    * stale-key state compactions
+    * ([[graft.operators.Dedup.compactSignatures]],
+    * [[graft.operators.Similarity.compactIvfIndex]]): `write` produces
+    * the replacement table at a temp sibling — the live table at
+    * `path` stays fully readable for the whole (possibly long)
+    * rewrite, which matters because the rewrite plan usually READS the
+    * very table it replaces — and the swap then runs as two renames.
+    * A reader holds a consistent table at every instant except the
+    * two-rename window, where a crash leaves the data at
+    * `<path>_precompact`: recoverable, never lost. Appends racing the
+    * swap are the caller's lock to take.
+    */
+  def swapRewrite(spark: org.apache.spark.sql.SparkSession, path: String)
+                 (write: String => Unit): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
     // refuse to run over a previous compaction's debris: a leftover
     // backup means the last swap died mid-way and an operator must
     // decide which copy wins — proceeding would let the renames below
@@ -286,23 +320,11 @@ object Sinks {
     require(!fs.exists(bak),
       s"$bak exists — a previous compact was interrupted; recover it (rename back or delete) first")
     require(!fs.exists(tmp) || fs.delete(tmp, true), s"could not clear stale $tmp")
-    val bytes = fs.getContentSummary(hadoopPath).getLength
-    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    // partitioned layouts cluster by the partition key (one task — and
-    // so one compacted file — per live partition, the point of
-    // compacting a daily-append table); flat layouts round-robin to
-    // the byte-derived file count
-    val reshaped =
-      if (partitionCols.nonEmpty)
-        spark.read.parquet(path).repartition(partitionCols.map(col): _*)
-      else spark.read.parquet(path).repartition(n)
-    val writer = reshaped.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp.toString)
+    write(tmp.toString)
     // Hadoop rename reports failure as `false`, not an exception —
     // check both. The two-rename window is NOT atomic: a crash in
     // between leaves the data at `_precompact` (recoverable, never
-    // lost); appends racing the swap are the caller's lock to take.
+    // lost).
     require(fs.rename(hadoopPath, bak), s"rename $hadoopPath -> $bak failed")
     if (!fs.rename(tmp, hadoopPath)) {
       fs.rename(bak, hadoopPath) // roll back so readers keep working
