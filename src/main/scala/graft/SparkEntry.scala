@@ -1700,6 +1700,20 @@ object SparkEntry {
       TextAnalysis.dsirWeightsFromState(docs, s, st, "src0")
     }),
 
+    // ---- Hashed-BIGRAM DSIR (Xie et al.'s reported-best feature
+    // set): same kernel as q152, feature order 2 — and the persisted
+    // form, whose state rows carry the (nb, ng) param stamp so
+    // unigram state can never silently score bigram features ----
+    "q158_dsir_bigram_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(Tables.load(s, dir, "documents"), "src0", ngram = 2)),
+    "q159_dsir_bigram_persisted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_dsir_q159")
+      TextAnalysis.persistDsirState(docs.filter(col("doc_id") % 2 === 0), "src0", st, ngram = 2)
+      TextAnalysis.persistDsirState(docs.filter(col("doc_id") % 2 =!= 0), "src0", st, ngram = 2)
+      TextAnalysis.dsirWeightsFromState(docs, s, st, "src0", ngram = 2)
+    }),
+
     // ---- Stale-key state compaction (the maintenance path the EP5
     // loop's worklist feeds): day-0 signature state is built over a
     // TAMPERED corpus — docs ≡0 mod 7 carry a stale draft text, and
@@ -2745,13 +2759,28 @@ object SparkEntry {
     * the shingle CTEs (which own `toks`) in q154's curation oracle.
     * Ends at `dw(doc_id, n_tokens, avg_log_ratio)`.
     */
-  private def dsirCtes(from: String): String =
-    s"""dtok AS (
-       |  SELECT doc_id, source,
-       |    ${hash32Sql("t")} % 64 AS b
-       |  FROM (SELECT doc_id, source,
-       |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-       |        FROM $from)),
+  private def dsirCtes(from: String, ngram: Int = 1): String = {
+    // feature extraction: unigrams unnest the token array directly;
+    // n-grams >= 2 mirror the shinglesCte windowing (without distinct
+    // — these are term frequencies), exactly as TextAnalysis.dsirTf
+    val dtok =
+      if (ngram == 1)
+        s"""dtok AS (
+           |  SELECT doc_id, source,
+           |    ${hash32Sql("t")} % 64 AS b
+           |  FROM (SELECT doc_id, source,
+           |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+           |        FROM $from))""".stripMargin
+      else
+        s"""dtok AS (
+           |  SELECT doc_id, source, ${hash32Sql("t")} % 64 AS b
+           |  FROM (SELECT doc_id, source, array_to_string(w[i+1:i+$ngram], ' ') AS t
+           |        FROM (SELECT doc_id, source, w, unnest(range(0, len(w)-${ngram - 1})) AS i
+           |              FROM (SELECT doc_id, source,
+           |                      string_split_regex(lower(trim(text)), '\\s+') AS w
+           |                    FROM $from)
+           |              WHERE len(w) >= $ngram)))""".stripMargin
+    s"""$dtok,
        |dtf AS (SELECT doc_id, source, b, count(*) AS tf
        |        FROM dtok GROUP BY 1, 2, 3),
        |dbc AS (SELECT b,
@@ -2767,6 +2796,7 @@ object SparkEntry {
        |dw AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        |         CAST(sum(wl) AS DOUBLE) / CAST(sum(tf) AS BIGINT) AS avg_log_ratio
        |       FROM dper GROUP BY doc_id)""".stripMargin
+  }
 
   /** Top-k resample select over [[dsirCtes]]'s `dw`. */
   private def dsirResampleTail(k: Int): String =
@@ -2776,13 +2806,13 @@ object SparkEntry {
        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens, avg_log_ratio
        |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
 
-  private def dsirOracleSql(resampleK: Option[Int]): String =
+  private def dsirOracleSql(resampleK: Option[Int], ngram: Int = 1): String =
     resampleK match {
       case None =>
-        s"""WITH ${dsirCtes("documents")}
+        s"""WITH ${dsirCtes("documents", ngram)}
            |SELECT doc_id, n_tokens, avg_log_ratio FROM dw ORDER BY doc_id""".stripMargin
       case Some(k) =>
-        s"""WITH ${dsirCtes("documents")},
+        s"""WITH ${dsirCtes("documents", ngram)},
            |${dsirResampleTail(k)}""".stripMargin
     }
 
@@ -3260,6 +3290,11 @@ object SparkEntry {
     // log-likelihood-ratio sums (the q69/q82 discipline)
     "q152_dsir_weights" -> dsirOracleSql(resampleK = None),
     "q153_dsir_resample" -> dsirOracleSql(resampleK = Some(40)),
+    // bigram feature order: same generator, 2-gram token windowing;
+    // the persisted form shares it verbatim (state round-trip must be
+    // hash-invisible, the q155 rule)
+    "q158_dsir_bigram_weights" -> dsirOracleSql(resampleK = None, ngram = 2),
+    "q159_dsir_bigram_persisted" -> dsirOracleSql(resampleK = None, ngram = 2),
 
     // EP6 curation replay: q74's keep-best chain selects the cluster
     // representatives, q102's integer logit gates them, and the DSIR

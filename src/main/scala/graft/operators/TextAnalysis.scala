@@ -706,11 +706,15 @@ object TextAnalysis {
     * hash-matches the oracle bit-for-bit.
     * Output: (doc_id, n_tokens, avg_log_ratio) over non-target docs,
     * ordered by doc_id. Positive = more target-like than the source
-    * average.
+    * average. `ngram` selects the feature order: 1 = hashed unigrams
+    * (the cheap default), 2 = hashed bigrams — the feature set Xie et
+    * al. report as best-performing (see [[dsirTf]]).
     */
-  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64): DataFrame = {
+  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64,
+                  ngram: Int = 1): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
-    val tf = dsirTf(docs, buckets)
+    require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
+    val tf = dsirTf(docs, buckets, ngram)
     dsirScore(tf, dsirBucketCounts(tf, targetSource), targetSource, buckets)
   }
 
@@ -760,15 +764,32 @@ object TextAnalysis {
   }
 
   /** Per-doc hashed-bucket term frequencies — the front half shared by
-    * the inline and persisted DSIR paths.
+    * the inline and persisted DSIR paths. `ngram = 1` hashes single
+    * whitespace tokens (bit-compatible with the original unigram tier);
+    * `ngram >= 2` hashes space-joined word n-grams, the Dedup.shingles
+    * windowing WITHOUT the distinct (these are term FREQUENCIES) —
+    * Xie et al. 2023 report hashed BIGRAMS as the best-performing
+    * feature set, so 2 is the quality default and 1 the cheap one.
+    * Docs shorter than `ngram` tokens contribute no features and drop
+    * out of the scored population, exactly as zero-token docs do at
+    * ngram = 1.
     */
-  private def dsirTf(docs: DataFrame, buckets: Int): DataFrame =
-    docs
-      .select(col("doc_id"), col("source"), explode(tokens).as("t"))
+  private def dsirTf(docs: DataFrame, buckets: Int, ngram: Int): DataFrame = {
+    val grams =
+      if (ngram == 1)
+        docs.select(col("doc_id"), col("source"), explode(tokens).as("t"))
+      else
+        docs.select(col("doc_id"), col("source"), tokens.as("w"))
+          .filter(size(col("w")) >= ngram)
+          .select(col("doc_id"), col("source"), explode(expr(
+            s"transform(sequence(0, size(w)-$ngram), i -> array_join(slice(w, i+1, $ngram), ' '))"
+          )).as("t"))
+    grams
       .select(col("doc_id"), col("source"),
         (PortableHash.hash32(col("t")) % buckets).as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Persist a batch's DSIR bucket counts as ADDITIVE state: one
     * appended parquet table of (b, tc, sc) rows per batch. Counts are
@@ -780,15 +801,21 @@ object TextAnalysis {
     * can never corrupt previously committed ones.
     */
   def persistDsirState(batch: DataFrame, targetSource: String,
-                       statePath: String, buckets: Int = 64): Unit = {
+                       statePath: String, buckets: Int = 64,
+                       ngram: Int = 1): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
-    // the bucket count rides every state row: a reader hashing at a
-    // DIFFERENT count maps tokens into a subset/superset of the
-    // state's bucket domain — the subset case never hits the
-    // unseen-bucket raise and would score silently wrong, so the
-    // count mismatch must be detectable from the state itself
-    dsirBucketCounts(dsirTf(batch, buckets), targetSource)
+    require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
+    // the bucket count AND the n-gram order ride every state row: a
+    // reader hashing at a DIFFERENT count maps tokens into a
+    // subset/superset of the state's bucket domain — the subset case
+    // never hits the unseen-bucket raise and would score silently
+    // wrong — and counts accumulated over unigrams are meaningless
+    // against bigram features (both land in [0, buckets), so NOTHING
+    // at the bucket level betrays the mix). Both mismatches must be
+    // detectable from the state itself.
+    dsirBucketCounts(dsirTf(batch, buckets, ngram), targetSource)
       .withColumn("nb", lit(buckets))
+      .withColumn("ng", lit(ngram))
       .write.mode("append").parquet(s"$statePath/buckets")
   }
 
@@ -803,25 +830,30 @@ object TextAnalysis {
     */
   def dsirWeightsFromState(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
                            statePath: String, targetSource: String,
-                           buckets: Int = 64): DataFrame = {
-    // `buckets` must match the writer's: hashing at a different count
-    // maps tokens to buckets the state never saw (the raise_error
-    // contract catches the mismatch at run time, with a misleading
-    // message — validate here too so the obvious misuse fails clearly)
+                           buckets: Int = 64, ngram: Int = 1): DataFrame = {
+    // `buckets` and `ngram` must match the writer's: hashing at a
+    // different count maps tokens to buckets the state never saw (the
+    // raise_error contract catches the mismatch at run time, with a
+    // misleading message — validate here too so the obvious misuse
+    // fails clearly), and unigram counts scored against bigram
+    // features never trip ANY bucket-level check (same [0, buckets)
+    // domain), so the stamped params are the only defense
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
     val raw = spark.read.parquet(s"$statePath/buckets")
     // bounded driver probe (the state table is buckets-rows-per-batch):
-    // every persisted batch must have hashed at THIS bucket count —
-    // a smaller reader count maps into a subset of seen buckets, which
-    // the unseen-bucket raise below cannot catch
-    val counts = raw.select(col("nb")).distinct().collect().map(_.getInt(0))
-    require(counts.forall(_ == buckets),
-      s"dsir state at $statePath was written with bucket count(s) " +
-        s"${counts.mkString(",")} but this reader hashes at $buckets — " +
-        "distributions are incomparable across bucket counts")
+    // every persisted batch must have hashed at THIS bucket count and
+    // n-gram order — a smaller reader count maps into a subset of seen
+    // buckets, which the unseen-bucket raise below cannot catch
+    val params = raw.select(col("nb"), col("ng")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    require(params.forall(_ == ((buckets, ngram))),
+      s"dsir state at $statePath was written with (buckets, ngram) " +
+        s"${params.mkString(",")} but this reader hashes at ($buckets, $ngram) — " +
+        "distributions are incomparable across bucket counts or n-gram orders")
     val state = raw
       .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
-    dsirScore(dsirTf(batch, buckets), state, targetSource, buckets)
+    dsirScore(dsirTf(batch, buckets, ngram), state, targetSource, buckets)
   }
 
   /** Importance RESAMPLING on [[dsirWeights]]: the top-`k` most
@@ -834,10 +866,10 @@ object TextAnalysis {
     * Output: (rnk, doc_id, n_tokens, avg_log_ratio) ordered by rnk.
     */
   def dsirResample(docs: DataFrame, targetSource: String, k: Int,
-                   buckets: Int = 64): DataFrame = {
+                   buckets: Int = 64, ngram: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     import org.apache.spark.sql.expressions.Window
-    dsirWeights(docs, targetSource, buckets)
+    dsirWeights(docs, targetSource, buckets, ngram)
       .orderBy(col("avg_log_ratio").desc, col("doc_id"))
       .limit(k)
       .withColumn("rnk", row_number().over(

@@ -117,6 +117,48 @@ class QuantLmSkewSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("dsir bigram features: word-ORDER differences score differently, and short docs drop out") {
+    // two source docs over the SAME unigram multiset but different
+    // word order — unigram features cannot tell them apart; bigram
+    // features must (that order sensitivity is why Xie et al. report
+    // hashed bigrams as the best feature set)
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),
+      (10L, "alpha beta alpha beta", "web"),
+      (11L, "beta alpha beta alpha", "web"),
+      (12L, "solo", "web") // 1 token: no bigrams, must drop out
+    ).toDF("doc_id", "text", "source")
+    val uni = TextAnalysis.dsirWeights(d, "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextAnalysis.dsirWeights(d, "tgt", ngram = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(10L) === uni(11L), "unigrams are order-blind by construction")
+    assert(bi(10L) > bi(11L),
+      s"bigram features must prefer the doc sharing the target's word order: $bi")
+    assert(uni.contains(12L) && !bi.contains(12L),
+      "a doc shorter than the n-gram order has no features and drops out")
+    // n-token accounting: 4 tokens -> 3 bigrams
+    val nTok = TextAnalysis.dsirWeights(d, "tgt", ngram = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nTok(10L) === 3L)
+  }
+
+  test("dsir bigram persisted state round-trips and rejects a cross-ngram reader") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dsir_ng").toString
+    TextAnalysis.persistDsirState(docs.filter($"doc_id" % 2 === 0), "src0", st, ngram = 2)
+    TextAnalysis.persistDsirState(docs.filter($"doc_id" % 2 =!= 0), "src0", st, ngram = 2)
+    val full = TextAnalysis.dsirWeights(docs, "src0", ngram = 2)
+    val fromState = TextAnalysis.dsirWeightsFromState(docs, spark, st, "src0", ngram = 2)
+    assert(full.exceptAll(fromState).isEmpty && fromState.exceptAll(full).isEmpty)
+    // a unigram reader against bigram state maps into the same
+    // [0, buckets) domain — no bucket-level check can fire, so the
+    // stamped ng param is the only defense and must reject loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeightsFromState(docs, spark, st, "src0")
+    }
+    assert(e.getMessage.contains("ngram") || e.getMessage.contains("n-gram"), e.getMessage)
+  }
+
   test("dsirResample takes the top-k weights with dense ranks and doc_id tie-break") {
     val k = 10
     val out = TextAnalysis.dsirResample(docs, "src0", k).collect()
