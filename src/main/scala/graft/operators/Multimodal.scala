@@ -344,6 +344,7 @@ object Multimodal {
       .select(
         col("media_id"), col("content"),
         struct(lit(kind).as("kind"), lit(mime).as("mimeType"),
+          // ansi-ok: length() is int, widening to long never raises
           length(col("content")).cast("long").as("sizeBytes")).as("meta"))
       .as[MediaRecord]
   }

@@ -1144,6 +1144,12 @@ object Similarity {
     * dim-row global lane table (carrying the windowed global norm²)
     * and combines map-side.
     * Output: (label, n_members, drift_fp) ordered by label.
+    *
+    * VALUE-SEMANTICS NOTE (see README "Value-semantics changes"): the
+    * integer-lane rework quantizes mean lanes to micro-units before
+    * the norm/dot, so drift_fp values differ in low digits from the
+    * earlier float-lane implementation. Consumers pinning exact prior
+    * values must re-baseline; the ranking interpretation is unchanged.
     */
   def labelCentroidDrift(embeddings: DataFrame): DataFrame = {
     // per-label lane sums via the native array-sum aggregate: the

@@ -151,14 +151,17 @@ object Sinks {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     partitions: Int, bits: Int = 16): Unit = {
     require(bits >= 1 && bits <= 21, s"bits must be in [1,21] (got $bits)")
+    // ansi-ok: z-order keys are caller-declared numeric dimensions;
+    // a junk string key must fail this write loudly, not sort garbage
     val Array(minA, maxA, minB, maxB) = df
-      .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"), // ansi-ok
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")) // ansi-ok
       .head().toSeq.map(v => v.asInstanceOf[Double]).toArray
     val steps = (1L << bits) - 1
     def quant(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(steps), greatest(lit(0L),
+        // ansi-ok: quant input already range-clamped doubles (see above)
         ((col(c).cast("double") - lit(lo)) * steps / (hi - lo)).cast("long")))
     writeMorton(df, path,
       quant(colA, minA, maxA), quant(colB, minB, maxB), partitions, bits)
@@ -192,13 +195,14 @@ object Sinks {
     // overload sketches every column in the same scan — a second
     // full-table read is the dominant pre-write cost at scale
     val Array(bsA, bsB) = df
+      // ansi-ok: same caller-declared-numeric contract as writeZOrdered
       .select(col(colA).cast("double").as("__qa_src"), col(colB).cast("double").as("__qb_src"))
       .stat.approxQuantile(Array("__qa_src", "__qb_src"), probs, 1.0 / (4 * b))
     def quant(c: String, bs: Array[Double]): Column =
       // bucket index = #boundaries <= value (duplicate boundaries from
       // heavy hitters just collapse those buckets; index stays < 2^bits)
       aggregate(typedLit(bs), lit(0L),
-        (acc, bound) => acc + when(bound <= col(c).cast("double"), 1L).otherwise(0L))
+        (acc, bound) => acc + when(bound <= col(c).cast("double"), 1L).otherwise(0L)) // ansi-ok: numeric dim
     writeMorton(df, path, quant(colA, bsA), quant(colB, bsB), partitions, bits)
   }
 

@@ -313,7 +313,16 @@ class HttpPageFetcher extends PageFetcher {
     * reusable, and the per-JVM TTL cache bounds token POSTs to one
     * per executor.
     */
-  private def exchangeAuthCode(options: Map[String, String], code: String): String = {
+  private def exchangeAuthCode(options: Map[String, String], code: String): String =
+    // computeIfAbsent memoizes per JVM: the code is single-use, so a
+    // second pages() call in the same run must reuse the grant it
+    // already holds instead of re-POSTing the consumed code (400).
+    // Exceptions propagate without caching — a failed exchange may be
+    // retried (e.g. after a transient 5xx) with the code still unspent.
+    HttpPageFetcher.authCodeGrants.computeIfAbsent(code,
+      c => exchangeAuthCodeUncached(options, c))
+
+  private def exchangeAuthCodeUncached(options: Map[String, String], code: String): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val redirect = options.getOrElse("redirect_uri",
       sys.env.getOrElse("SPOTIFY_REDIRECT_URI", "http://localhost:8080/callback"))
@@ -409,6 +418,17 @@ private[spotify] object HttpPageFetcher {
     */
   val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   val TokenTtlMs: Long = 50L * 60 * 1000
+
+  /** Per-JVM memo of completed authorization-code exchanges
+    * (code → refresh token), NO TTL — the refresh token a code minted
+    * stays valid for the JVM's life. Without this, `auth_code` given
+    * WITHOUT `token_cache_path` re-POSTs the consumed single-use code
+    * on the second `pages()` call and the server 400s a read that
+    * already holds a perfectly valid grant; the cache-file path never
+    * hit this only because `cachedRefreshToken` wins the credential
+    * resolution on the second call.
+    */
+  val authCodeGrants = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One HTTP client per executor JVM (connect timeout 10 s; per-
     * request timeout set at the call). Building a client per request

@@ -38,6 +38,7 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
   private def freshCache(): Unit = {
     HttpPageFetcher.tokenCache.clear()
     HttpPageFetcher.rateLimitedUntil.clear()
+    HttpPageFetcher.authCodeGrants.clear()
   }
 
   test("429 then success: the server-named Retry-After is honored, capped, once per 429") {
@@ -182,6 +183,29 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     // .spotify_cache first (re-exchanging a consumed code would 400)
     assert(f3.calls.filter(_._1 == "POST").map(_._3.get)
       .forall(_.contains("grant_type=refresh_token")))
+  }
+
+  test("auth_code without a cache file: the consumed code is never re-exchanged in the same JVM") {
+    freshCache()
+    val opts = creds + ("auth_code" -> "one-shot-code")
+    val f = new Scripted(codeTokenJson("tokA", "rt-memo"), ok("p1"), ok("p2"))
+    assert(f.pages("recently-played", "0", opts).toSeq === Seq("p1"))
+    // SECOND read in the same run: with no token_cache_path to win the
+    // credential resolution, this used to re-POST the consumed
+    // single-use code — a real server 400s that even though the JVM
+    // already holds a valid grant. The per-JVM memo returns the grant
+    // instead, and the access token rides the TTL cache: zero new POSTs.
+    assert(f.pages("recently-played", "0", opts).toSeq === Seq("p2"))
+    val posts = f.calls.filter(_._1 == "POST").map(_._3.get)
+    assert(posts.size === 1, posts.mkString("; "))
+    assert(posts.head.contains("grant_type=authorization_code"))
+    // a FAILED exchange is not memoized: the retry may still spend the
+    // code (transient 5xx never reached the grant server's consumer)
+    freshCache()
+    val f2 = new Scripted(SpotifyHttpResponse(500, """{"error":"boom"}"""),
+      codeTokenJson("tokB", "rt-2"), ok("p3"))
+    intercept[RuntimeException](f2.pages("recently-played", "0", opts).toSeq)
+    assert(f2.pages("recently-played", "0", opts).toSeq === Seq("p3"))
   }
 
   test("a refresh token needing JSON escaping round-trips the cache file byte-identical") {
