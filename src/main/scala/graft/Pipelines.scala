@@ -118,10 +118,14 @@ object Pipelines {
     *     (IvfIndexSpec), at the cost of one batch-sized pass.
     *
     * CHANGED and REMOVED keys are returned as the maintenance
-    * worklist, NOT auto-appended: both state tables are append-only
-    * by design (a torn half-append must not orphan a doc — see
-    * persistMinhashSignatures), so superseding an existing key takes
-    * the COMPACTION path — run at whatever cadence edits accumulate:
+    * worklist and, by default, NOT auto-appended: both state tables
+    * are append-only by design (a torn half-append must not orphan a
+    * doc — see persistMinhashSignatures), so superseding an existing
+    * key takes the COMPACTION path. Pass `healEdits = true` to run
+    * that path inside the loop turn (compact BEFORE the incremental
+    * dedup reads state — q162 proves the healed loop shares the
+    * grow-only oracle), or run it standalone at whatever cadence
+    * edits accumulate:
     * [[graft.operators.Dedup.compactSignatures]] with
     * `doc_changes.filter(status = 'changed')` as the stale worklist
     * (removed keys are detected from the corpus itself), and
@@ -152,7 +156,8 @@ object Pipelines {
                        newEmb: org.apache.spark.sql.DataFrame,
                        sigStatePath: String, ivfPath: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                       minJ: Double = 0.5): Map[String, org.apache.spark.sql.DataFrame] = {
+                       minJ: Double = 0.5,
+                       healEdits: Boolean = false): Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
@@ -161,8 +166,22 @@ object Pipelines {
     val docChanges = graft.operators.Dedup.materialize(
       graft.operators.Snapshot.diff(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
         .filter(col("status") =!= "unchanged"))
-    val addedDocs = newDocs.join(
-      docChanges.filter(col("status") === "added").select("doc_id"), Seq("doc_id"))
+    val addedDocKeys = docChanges.filter(col("status") === "added").select("doc_id")
+    // `healEdits`: run the compaction tier IN the loop turn, BEFORE the
+    // incremental dedup reads state — changed docs re-sign from current
+    // text, removed docs fall out, and history is exactly the current
+    // non-added corpus, so the loop's output is indistinguishable from
+    // the grow-only case (q162 shares q151's oracle). History for the
+    // compaction is newDocs MINUS the added batch: the batch enters
+    // through the incremental append below, and compacting it in first
+    // would double-persist its signatures.
+    if (healEdits) {
+      val histDocs = newDocs.join(addedDocKeys, Seq("doc_id"), "left_anti")
+      graft.operators.Dedup.compactSignatures(histDocs, n, numHashes, bands,
+        sigStatePath,
+        docChanges.filter(col("status") === "changed").select("doc_id"))
+    }
+    val addedDocs = newDocs.join(addedDocKeys, Seq("doc_id"))
     val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
       addedDocs, n, numHashes, bands, minJ, sigStatePath)
     // embeddings diff fingerprints the vector bytes via the canonical
@@ -172,6 +191,16 @@ object Pipelines {
     val embChanges = graft.operators.Dedup.materialize(
       graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
         .filter(col("status") =!= "unchanged"))
+    if (healEdits) {
+      // stale assignment rows out (old versions of changed vectors +
+      // removed vectors), current versions of the changed back in via
+      // the same append path the daily batch rides
+      graft.operators.Similarity.compactIvfIndex(spark, ivfPath,
+        embChanges.filter(col("status").isin("changed", "removed")).select("vec_id"))
+      val changedEmb = newEmb.join(
+        embChanges.filter(col("status") === "changed").select("vec_id"), Seq("vec_id"))
+      graft.operators.Similarity.appendToIvfIndex(changedEmb, spark, ivfPath)
+    }
     val addedEmb = newEmb.join(
       embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
     graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)

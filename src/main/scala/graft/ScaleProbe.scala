@@ -309,7 +309,11 @@ object ScaleProbe {
     // point — it should shrink as the corpus grows relative to the
     // batch (at 100 TB the batch is <<1% of corpus, not 20%).
     if (only.isEmpty || only.contains("daily_incremental"))
-      for (mod <- Seq(5, 50)) { // 20% and 2% daily-batch fractions
+      // 20%, 2% and 0.2% daily-batch fractions: the smallest is the
+      // asymptote regime — at a staged ×10 corpus the 0.2% batch has
+      // the SAME absolute size as the 2% batch at ×1, so the pair
+      // isolates corpus growth (rebuild cost) from batch growth
+      for (mod <- Seq(5, 50, 500)) {
       val day1Docs = docs.filter($"doc_id" % mod =!= 0)
       val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % mod =!= 0)
       val stateDir = Scratch.dir(s"graft_daily_incr_$mod")
@@ -326,7 +330,7 @@ object ScaleProbe {
       Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
         .write.format("noop").mode("overwrite").save()
       val rebuildSec = (System.nanoTime() - t1) / 1e9
-      println(f"""{"op":"daily_incremental","batch_pct":${100 / mod},"incremental_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${incrSec / rebuildSec}%.2f}""")
+      println(f"""{"op":"daily_incremental","mult":$mult,"batch_pct":${100.0 / mod}%.1f,"incremental_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${incrSec / rebuildSec}%.2f}""")
     }
     // timer-based session close (SessionStream) vs the built-in
     // session_window aggregate over the same staged feed — both drain

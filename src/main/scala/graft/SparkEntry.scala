@@ -1714,6 +1714,28 @@ object SparkEntry {
       TextAnalysis.dsirWeightsFromState(docs, s, st, "src0", ngram = 2)
     }),
 
+    // ---- DSIR state RETRACTION: the cell-additive counts make edits
+    // a retract(old rows) + persist(new rows) pair — no rewrite, no
+    // compaction. Day-0 state is built over the same tampered corpus
+    // shape as q156 (stale drafts + ghosts); after the retract/persist
+    // cycle, scoring must equal the inline full-corpus weights, so the
+    // oracle is q152's verbatim ----
+    "q160_dsir_retracted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_dsir_q160")
+      val changed = docs.filter(col("doc_id") % 7 === 0)
+      val stale = changed.withColumn("text", concat(col("text"), lit(" stale draft")))
+      val ghosts = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      TextAnalysis.persistDsirState(
+        docs.filter(col("doc_id") % 7 =!= 0).unionByName(stale).unionByName(ghosts),
+        "src0", st)
+      // the edit lands: cancel the superseded rows, append the current
+      TextAnalysis.retractDsirState(stale.unionByName(ghosts), "src0", st)
+      TextAnalysis.persistDsirState(changed, "src0", st)
+      TextAnalysis.dsirWeightsFromState(docs, s, st, "src0")
+    }),
+
     // ---- Stale-key state compaction (the maintenance path the EP5
     // loop's worklist feeds): day-0 signature state is built over a
     // TAMPERED corpus — docs ≡0 mod 7 carry a stale draft text, and
@@ -1755,6 +1777,52 @@ object SparkEntry {
         stale.select("vec_id").unionByName(ghosts.select("vec_id")))
       Similarity.appendToIvfIndex(stale, s, st)
       Similarity.cosineTopKIvfIndexed(s, st, nQueries = 8, k = 6, nprobe = 3)
+    }),
+    // PQ tier: a deprecated batch (ghost duplicates) lands via the
+    // daily append and is rolled back by compaction — codebooks are
+    // untouched (they trained on the REAL corpus, which never
+    // changed), so the healed index must answer probes exactly like
+    // the pristine build: q129/q132's oracle shape at new params
+    "q161_compact_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val st = Scratch.dir("graft_compact_q161") + "/idx"
+      Similarity.buildPqIndex(emb, m = 8, ks = 16, path = st)
+      val ghosts = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      Similarity.appendToPqIndex(ghosts, s, st)
+      Similarity.compactPqIndex(s, st, ghosts.select("vec_id"))
+      Similarity.pqTopKIndexed(emb, s, st, nQueries = 4, k = 6, rerank = 24)
+    }),
+
+    // ---- EP5 loop WITH EDITS, end-to-end healed: yesterday's corpus
+    // carried stale drafts (doc_id % 35 = 7) and since-deleted ghost
+    // docs (same for the vector side); today's turn diffs, compacts
+    // the changed/removed state rows, re-signs from current text, and
+    // runs the added batch through incremental dedup. Healing must be
+    // INVISIBLE: the emitted pairs share q151's grow-only oracle
+    // verbatim (current corpus, mod-5 added split) ----
+    "q162_daily_edit_loop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      // vector side: stale versions (reversed) of changed ids that are
+      // NOT in today's added batch and NOT centroids, plus ghosts
+      val changedVec = emb.filter(
+        col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+        .unionByName(emb.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q162")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+      Pipelines.dailyIncremental(s, day1Docs, docs, day1Emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true)("dedup_pairs")
     }),
   )
 
@@ -1996,7 +2064,12 @@ object SparkEntry {
     // persisted build+read forms share their standalone twin's oracle
     // VERBATIM: the lake round-trip must be hash-invisible
     base + ("q150_neardup_family_persisted" -> base("q74_dedup_keep_best")) +
-      ("q155_dsir_persisted" -> base("q152_dsir_weights"))
+      ("q155_dsir_persisted" -> base("q152_dsir_weights")) +
+      // retraction must cancel exactly: post-cycle state scores the
+      // current corpus identically to the inline form
+      ("q160_dsir_retracted" -> base("q152_dsir_weights")) +
+      // healed edit loop is indistinguishable from the grow-only loop
+      ("q162_daily_edit_loop" -> base("q151_daily_incremental"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a
@@ -2697,6 +2770,8 @@ object SparkEntry {
     // The persisted-index PQ path must equal the inline replay on the
     // same corpus/parameters — same oracle generator, q132's params.
     "q132_pq_persisted" -> pqOracleSql(nq = 3, k = 8, rr = 32),
+    // append-then-compact rollback leaves the pristine build exactly
+    "q161_compact_pq" -> pqOracleSql(nq = 4, k = 6, rr = 24),
   ) ++ extraOracleSql
 
   /** DuckDB replay of the PQ train→encode→ADC→rerank pipeline

@@ -706,6 +706,31 @@ object Similarity {
     writeCodes(pqMelt(e, m), c1, path, "append")
   }
 
+  /** Stale-key compaction for the persisted PQ index — the
+    * [[compactIvfIndex]] analog for the code table: rewrites
+    * `path/codes` dropping every vec_id in `staleKeys` (removed
+    * vectors, or a deprecated batch being rolled back; re-append the
+    * current version of changed vectors via [[appendToPqIndex]]).
+    * The codebooks are preserved untouched, so the post-compaction
+    * contract is the append path's own: the code table equals a
+    * one-shot encode of the current corpus AGAINST THE PERSISTED
+    * CODEBOOKS (StateCompactionSpec asserts). Codebook RETRAINING on
+    * the edited corpus is deliberately out of scope — retrained
+    * codebooks change every vector's codes, which is the documented
+    * periodic-full-rebuild trade, exactly like IVF re-centering.
+    * Write-new + swap ([[graft.sources.Sinks.swapRewrite]]); the flat
+    * rewrite also merges the one-file-per-batch append debris.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     staleKeys: DataFrame): Unit = {
+    val codesPath = s"$path/codes"
+    graft.sources.Sinks.swapRewrite(spark, codesPath) { tmp =>
+      spark.read.parquet(codesPath)
+        .join(staleKeys.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .write.parquet(tmp)
+    }
+  }
+
   /** Query-many half of the build-once contract: identical results to
     * [[pqTopK]] on the same corpus/parameters (PqIndexSpec), but
     * codebook training and corpus encoding are already on disk — a

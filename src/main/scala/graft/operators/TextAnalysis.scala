@@ -819,6 +819,40 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$statePath/buckets")
   }
 
+  /** RETRACT a previously persisted batch's contribution from the
+    * DSIR distribution state — the edit/removal path the
+    * cell-additive contract makes possible WITHOUT any rewrite: counts
+    * are pure integer sums, so appending the NEGATED counts of the
+    * superseded rows cancels them exactly (integer addition is
+    * associative and invertible), and the state then sums to the
+    * current corpus as if the old rows were never there. An edited
+    * document is a retract (its old text) + persist (its new text);
+    * a removed document is a retract alone. Unlike the signature/index
+    * tiers — whose per-key state needs [[graft.operators.Dedup.compactSignatures]]-style
+    * key surgery — no compaction pass is ever required here; a
+    * periodic [[graft.sources.Sinks.compact]] merging the small
+    * per-batch files is purely a file-count optimization.
+    *
+    * The caller must pass the superseded rows AS PERSISTED (the same
+    * text/source the original append saw — the snapshot diff's
+    * `old` side provides exactly that); retracting rows that were
+    * never appended drives bucket counts negative, the same
+    * wrong-worklist misuse class the signature compaction documents.
+    * Same (nb, ng) stamp and cross-param rejection as
+    * [[persistDsirState]].
+    */
+  def retractDsirState(supersededRows: DataFrame, targetSource: String,
+                       statePath: String, buckets: Int = 64,
+                       ngram: Int = 1): Unit = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
+    dsirBucketCounts(dsirTf(supersededRows, buckets, ngram), targetSource)
+      .select(col("b"), (-col("tc")).as("tc"), (-col("sc")).as("sc"))
+      .withColumn("nb", lit(buckets))
+      .withColumn("ng", lit(ngram))
+      .write.mode("append").parquet(s"$statePath/buckets")
+  }
+
   /** Score a batch against PERSISTED distribution state: the batch
     * contributes its own token pass (it must — its counts are part of
     * the corpus), but the DISTRIBUTIONS come from the state table's

@@ -143,6 +143,31 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(nTok(10L) === 3L)
   }
 
+  test("dsir retraction cancels a superseded batch exactly (edit = retract + persist)") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dsir_retract").toString
+    val changed = docs.filter($"doc_id" % 7 === 0)
+    val stale = changed.withColumn("text", concat($"text", lit(" stale draft")))
+    val ghosts = docs.filter($"doc_id" < 10).withColumn("doc_id", $"doc_id" + 1000000L)
+    // day 0: the tampered corpus is what got persisted
+    TextAnalysis.persistDsirState(
+      docs.filter($"doc_id" % 7 =!= 0).unionByName(stale).unionByName(ghosts), "src0", st)
+    // the edit lands: retract the superseded rows, persist the current
+    TextAnalysis.retractDsirState(stale.unionByName(ghosts), "src0", st)
+    TextAnalysis.persistDsirState(changed, "src0", st)
+    val fromState = TextAnalysis.dsirWeightsFromState(docs, spark, st, "src0")
+    val inline = TextAnalysis.dsirWeights(docs, "src0")
+    assert(inline.exceptAll(fromState).isEmpty && fromState.exceptAll(inline).isEmpty)
+    // a removal alone: retract one more doc and the state must equal
+    // the inline weights over the corpus without it
+    val removed = docs.filter($"doc_id" === 7L)
+    TextAnalysis.retractDsirState(removed, "src0", st)
+    val afterRemove = TextAnalysis.dsirWeightsFromState(
+      docs.filter($"doc_id" =!= 7L), spark, st, "src0")
+    val inlineRemove = TextAnalysis.dsirWeights(docs.filter($"doc_id" =!= 7L), "src0")
+    assert(inlineRemove.exceptAll(afterRemove).isEmpty &&
+      afterRemove.exceptAll(inlineRemove).isEmpty)
+  }
+
   test("dsir bigram persisted state round-trips and rejects a cross-ngram reader") {
     val st = java.nio.file.Files.createTempDirectory("graft_dsir_ng").toString
     TextAnalysis.persistDsirState(docs.filter($"doc_id" % 2 === 0), "src0", st, ngram = 2)

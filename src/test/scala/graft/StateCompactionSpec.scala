@@ -97,6 +97,71 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(healed.collect().toSeq === rebuilt.collect().toSeq)
   }
 
+  test("PQ compaction + re-append equals a one-shot encode against the persisted codebooks") {
+    val idx = Files.createTempDirectory("graft_pq_compact").toString + "/idx"
+    val ref = Files.createTempDirectory("graft_pq_compact_ref").toString + "/idx"
+    // day-0 build over the real corpus; a deprecated batch (ghost
+    // duplicates) and a stale batch (reversed vectors under new ids)
+    // land via the daily append path
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = idx)
+    val ghosts = embs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val stale = embs.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 2000000)
+      .withColumn("embedding", reverse(col("embedding")))
+    Similarity.appendToPqIndex(ghosts, spark, idx)
+    Similarity.appendToPqIndex(stale, spark, idx)
+    // rollback: compaction drops both batches' rows, codebooks untouched
+    Similarity.compactPqIndex(spark, idx,
+      ghosts.select("vec_id").unionByName(stale.select("vec_id")))
+    // reference: one-shot encode of the current corpus against the SAME
+    // codebooks (copy them, then append-encode into an empty code table)
+    val cb = spark.read.parquet(idx + "/codebooks")
+    cb.write.parquet(ref + "/codebooks")
+    Similarity.appendToPqIndex(embs, spark, ref)
+    def codeRows(p: String) = spark.read.parquet(p + "/codes")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(codeRows(idx) === codeRows(ref))
+    // and through the probe path
+    val healed = Similarity.pqTopKIndexed(embs, spark, idx, nQueries = 4, k = 6, rerank = 24)
+    val pristine = Similarity.pqTopKIndexed(embs, spark, ref, nQueries = 4, k = 6, rerank = 24)
+    assert(healed.collect().toSeq === pristine.collect().toSeq)
+  }
+
+  test("healEdits daily loop leaves BOTH state tables equal to a fresh build on the current corpus") {
+    val st = Files.createTempDirectory("graft_daily_heal").toString
+    val freshSig = Files.createTempDirectory("graft_daily_heal_sig").toString
+    val freshIvf = Files.createTempDirectory("graft_daily_heal_ivf").toString + "/idx"
+    // yesterday: stale drafts, ghosts, and a missing today's batch —
+    // the q162 staging at spec scale
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val changedVec = embs.filter(
+      col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(embs.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, day1Emb, embs,
+      st + "/mh", st + "/ivf", healEdits = true)
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    // after ONE healed turn, both state tables match a from-scratch
+    // full build over today's corpus
+    graft.operators.Dedup.persistMinhashSignatures(docs, 3, 16, 4, freshSig)
+    assert(sigRows(st + "/mh") === sigRows(freshSig))
+    Similarity.buildIvfIndex(embs, nlist = 16, path = freshIvf)
+    def assignRows(p: String) = spark.read.parquet(p + "/assignments")
+      .select(col("vec_id"), col("cell").cast("long"), col("u").cast("array<double>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(assignRows(st + "/ivf") === assignRows(freshIvf))
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
