@@ -143,11 +143,24 @@ object Pipelines {
     * rescans yesterday's corpus. The incremental ≪ rebuild gap is
     * measured in ScaleProbe's `daily_incremental` probe.
     *
+    * `dsirStatePath` opts the DSIR distribution state
+    * ([[graft.operators.TextAnalysis.persistDsirState]]) into the same
+    * loop turn: added docs append their bucket counts, and under
+    * `healEdits` the sum-shaped tier heals by RETRACTION instead of
+    * compaction — changed/removed docs' OLD rows (recovered from
+    * `oldDocs`, the as-persisted side the retract contract requires)
+    * cancel via [[graft.operators.TextAnalysis.retractDsirState]] and
+    * changed docs re-persist their current text. The loop reads the
+    * (buckets, ngram) stamp off the state itself
+    * ([[graft.operators.TextAnalysis.dsirStateParams]]) so a turn can
+    * never append at params the day-0 build didn't use.
+    *
     * Returns the run's frames keyed by name: `doc_changes` /
     * `emb_changes` (added|changed|removed rows), `dedup_pairs` (new
-    * near-dup pairs with ≥1 added endpoint). Both state paths must
+    * near-dup pairs with ≥1 added endpoint). All state paths must
     * exist from a prior full build (persistMinhashSignatures +
-    * buildIvfIndex) — day zero IS the full build.
+    * buildIvfIndex + optional persistDsirState) — day zero IS the
+    * full build.
     */
   def dailyIncremental(spark: SparkSession,
                        oldDocs: org.apache.spark.sql.DataFrame,
@@ -157,7 +170,9 @@ object Pipelines {
                        sigStatePath: String, ivfPath: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                        minJ: Double = 0.5,
-                       healEdits: Boolean = false): Map[String, org.apache.spark.sql.DataFrame] = {
+                       healEdits: Boolean = false,
+                       dsirStatePath: Option[String] = None,
+                       dsirTargetSource: String = "src0"): Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
@@ -182,6 +197,23 @@ object Pipelines {
         docChanges.filter(col("status") === "changed").select("doc_id"))
     }
     val addedDocs = newDocs.join(addedDocKeys, Seq("doc_id"))
+    // DSIR tier: sum-shaped state — adds append, edits retract+persist
+    // (no compaction path exists or is needed; see retractDsirState).
+    // Params come off the state's own stamp, never the caller.
+    dsirStatePath.foreach { dp =>
+      val (nb, ng) = graft.operators.TextAnalysis.dsirStateParams(spark, dp)
+      if (healEdits) {
+        val editKeys = docChanges
+          .filter(col("status").isin("changed", "removed")).select("doc_id")
+        graft.operators.TextAnalysis.retractDsirState(
+          oldDocs.join(editKeys, Seq("doc_id")), dsirTargetSource, dp, nb, ng)
+        graft.operators.TextAnalysis.persistDsirState(
+          newDocs.join(docChanges.filter(col("status") === "changed")
+            .select("doc_id"), Seq("doc_id")), dsirTargetSource, dp, nb, ng)
+      }
+      graft.operators.TextAnalysis.persistDsirState(
+        addedDocs, dsirTargetSource, dp, nb, ng)
+    }
     val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
       addedDocs, n, numHashes, bands, minJ, sigStatePath)
     // embeddings diff fingerprints the vector bytes via the canonical

@@ -1824,6 +1824,31 @@ object SparkEntry {
       Pipelines.dailyIncremental(s, day1Docs, docs, day1Emb, emb,
         st + "/mh", st + "/ivf", healEdits = true)("dedup_pairs")
     }),
+
+    // ---- EP5 loop carrying the DSIR tier: the sum-shaped state rides
+    // the same healed turn (adds append; edits retract old text +
+    // persist current — never a compaction), with (nb, ng) read off
+    // the state's own stamp. Same tampered staging as q162 on the doc
+    // side (stale drafts + ghosts), vectors unchanged; after ONE turn,
+    // scoring the current corpus from state must equal the inline
+    // full-corpus weights — q152's oracle verbatim ----
+    "q163_daily_dsir_loop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q163")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(emb, nlist = 16, path = st + "/ivf")
+      TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+      Pipelines.dailyIncremental(s, day1Docs, docs, emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true,
+        dsirStatePath = Some(st + "/dsir"))
+      TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2069,7 +2094,9 @@ object SparkEntry {
       // current corpus identically to the inline form
       ("q160_dsir_retracted" -> base("q152_dsir_weights")) +
       // healed edit loop is indistinguishable from the grow-only loop
-      ("q162_daily_edit_loop" -> base("q151_daily_incremental"))
+      ("q162_daily_edit_loop" -> base("q151_daily_incremental")) +
+      // the DSIR tier healed in-loop scores like the inline weights
+      ("q163_daily_dsir_loop" -> base("q152_dsir_weights"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

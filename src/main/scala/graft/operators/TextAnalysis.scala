@@ -853,6 +853,25 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$statePath/buckets")
   }
 
+  /** The (buckets, ngram) stamp a persisted DSIR state table was
+    * written under — for a MAINTAINER (e.g. the daily loop's DSIR
+    * tier) that must append/retract at exactly the writer's params
+    * without trusting its caller to repeat them correctly. Bounded
+    * driver read (the state is `buckets` rows per batch). Requires a
+    * single consistent stamp; a mixed table is already poisoned and
+    * must fail here rather than grow further.
+    */
+  def dsirStateParams(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String): (Int, Int) = {
+    val params = spark.read.parquet(s"$statePath/buckets")
+      .select(col("nb"), col("ng")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    require(params.length == 1,
+      s"dsir state at $statePath carries ${params.length} distinct " +
+        s"(buckets, ngram) stamps [${params.mkString(",")}] — expected exactly one")
+    params.head
+  }
+
   /** Score a batch against PERSISTED distribution state: the batch
     * contributes its own token pass (it must — its counts are part of
     * the corpus), but the DISTRIBUTIONS come from the state table's

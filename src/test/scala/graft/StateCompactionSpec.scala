@@ -162,6 +162,46 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(assignRows(st + "/ivf") === assignRows(freshIvf))
   }
 
+  test("daily loop DSIR tier: healed turn scores the current corpus like the inline weights") {
+    val st = Files.createTempDirectory("graft_daily_dsir").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    // day-0 DSIR state at NON-default params: the loop must pick the
+    // stamp off the state, not assume the defaults
+    graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir",
+      buckets = 32, ngram = 2)
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true,
+      dsirStatePath = Some(st + "/dsir"))
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    val fromState = graft.operators.TextAnalysis.dsirWeightsFromState(
+      docs, spark, st + "/dsir", "src0", buckets = 32, ngram = 2)
+    val inline = graft.operators.TextAnalysis.dsirWeights(docs, "src0",
+      buckets = 32, ngram = 2)
+    assert(inline.exceptAll(fromState).isEmpty && fromState.exceptAll(inline).isEmpty)
+  }
+
+  test("daily loop DSIR tier: grow-only turn appends only the added batch") {
+    val st = Files.createTempDirectory("graft_daily_dsir_grow").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf",
+      dsirStatePath = Some(st + "/dsir"))
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    val fromState = graft.operators.TextAnalysis.dsirWeightsFromState(
+      docs, spark, st + "/dsir", "src0")
+    val inline = graft.operators.TextAnalysis.dsirWeights(docs, "src0")
+    assert(inline.exceptAll(fromState).isEmpty && fromState.exceptAll(inline).isEmpty)
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
