@@ -121,11 +121,24 @@ object Pipelines {
     * worklist and, by default, NOT auto-appended: both state tables
     * are append-only by design (a torn half-append must not orphan a
     * doc — see persistMinhashSignatures), so superseding an existing
-    * key takes the COMPACTION path. Pass `healEdits = true` to run
-    * that path inside the loop turn (compact BEFORE the incremental
-    * dedup reads state — q162 proves the healed loop shares the
-    * grow-only oracle), or run it standalone at whatever cadence
-    * edits accumulate:
+    * key takes a MAINTENANCE path. Pass `healEdits = true` to run
+    * one inside the loop turn, BEFORE the incremental dedup reads
+    * state, selected by `healVia`:
+    *  - `"compact"` (default): rewrite both state tables
+    *    ([[graft.operators.Dedup.compactSignatures]] /
+    *    [[graft.operators.Similarity.compactIvfIndex]]) — corpus-
+    *    linear cost, zero read-path overhead afterwards; q162 proves
+    *    this healed loop shares the grow-only oracle.
+    *  - `"tombstone"`: O(|edits|) content-addressed tombstones + fresh
+    *    re-signs/re-assignments
+    *    ([[graft.operators.Dedup.tombstoneSignatures]] /
+    *    [[graft.operators.Similarity.tombstoneIvfIndex]]) — the daily
+    *    cadence mode at 100 TB, where a per-turn state rewrite would
+    *    dominate the turn; reads carry a |tombstones| anti-join until
+    *    a scheduled compaction folds them away; q164 proves THIS
+    *    healed loop shares the same grow-only oracle.
+    * Or run maintenance standalone at whatever cadence edits
+    * accumulate:
     * [[graft.operators.Dedup.compactSignatures]] with
     * `doc_changes.filter(status = 'changed')` as the stale worklist
     * (removed keys are detected from the corpus itself), and
@@ -172,7 +185,10 @@ object Pipelines {
                        minJ: Double = 0.5,
                        healEdits: Boolean = false,
                        dsirStatePath: Option[String] = None,
-                       dsirTargetSource: String = "src0"): Map[String, org.apache.spark.sql.DataFrame] = {
+                       dsirTargetSource: String = "src0",
+                       healVia: String = "compact"): Map[String, org.apache.spark.sql.DataFrame] = {
+    require(healVia == "compact" || healVia == "tombstone",
+      s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     import org.apache.spark.sql.functions._
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
@@ -191,10 +207,20 @@ object Pipelines {
     // through the incremental append below, and compacting it in first
     // would double-persist its signatures.
     if (healEdits) {
-      val histDocs = newDocs.join(addedDocKeys, Seq("doc_id"), "left_anti")
-      graft.operators.Dedup.compactSignatures(histDocs, n, numHashes, bands,
-        sigStatePath,
-        docChanges.filter(col("status") === "changed").select("doc_id"))
+      val changedKeys = docChanges.filter(col("status") === "changed").select("doc_id")
+      if (healVia == "tombstone")
+        // O(|edits|): content-addressed tombstones + fresh re-signs,
+        // no state rewrite in the turn — the daily cadence mode; the
+        // rewrite is deferred to scheduled compactSignatures
+        graft.operators.Dedup.tombstoneSignatures(
+          newDocs.join(changedKeys, Seq("doc_id")), n, numHashes, bands,
+          sigStatePath,
+          docChanges.filter(col("status") === "removed").select("doc_id"))
+      else {
+        val histDocs = newDocs.join(addedDocKeys, Seq("doc_id"), "left_anti")
+        graft.operators.Dedup.compactSignatures(histDocs, n, numHashes, bands,
+          sigStatePath, changedKeys)
+      }
     }
     val addedDocs = newDocs.join(addedDocKeys, Seq("doc_id"))
     // DSIR tier: sum-shaped state — adds append, edits retract+persist
@@ -224,14 +250,19 @@ object Pipelines {
       graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
         .filter(col("status") =!= "unchanged"))
     if (healEdits) {
-      // stale assignment rows out (old versions of changed vectors +
-      // removed vectors), current versions of the changed back in via
-      // the same append path the daily batch rides
-      graft.operators.Similarity.compactIvfIndex(spark, ivfPath,
-        embChanges.filter(col("status").isin("changed", "removed")).select("vec_id"))
       val changedEmb = newEmb.join(
         embChanges.filter(col("status") === "changed").select("vec_id"), Seq("vec_id"))
-      graft.operators.Similarity.appendToIvfIndex(changedEmb, spark, ivfPath)
+      if (healVia == "tombstone")
+        graft.operators.Similarity.tombstoneIvfIndex(changedEmb, spark, ivfPath,
+          embChanges.filter(col("status") === "removed").select("vec_id"))
+      else {
+        // stale assignment rows out (old versions of changed vectors +
+        // removed vectors), current versions of the changed back in via
+        // the same append path the daily batch rides
+        graft.operators.Similarity.compactIvfIndex(spark, ivfPath,
+          embChanges.filter(col("status").isin("changed", "removed")).select("vec_id"))
+        graft.operators.Similarity.appendToIvfIndex(changedEmb, spark, ivfPath)
+      }
     }
     val addedEmb = newEmb.join(
       embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))

@@ -332,6 +332,35 @@ object ScaleProbe {
       val rebuildSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"daily_incremental","mult":$mult,"batch_pct":${100.0 / mod}%.1f,"incremental_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${incrSec / rebuildSec}%.2f}""")
     }
+    // stale-key signature compaction vs re-signing the whole corpus:
+    // compaction's cost model is |state| narrow rows (two semi/anti
+    // joins + rewrite) + |edits| text re-signs, so it should sit well
+    // under the full re-sign and be nearly FLAT in the edit fraction
+    // (the state rewrite dominates at small fractions — exactly the
+    // regime edits arrive in).
+    if (only.isEmpty || only.contains("state_compaction"))
+      for (mod <- Seq(10, 100)) { // 10% and 1% edit fractions
+        val changed = docs.filter($"doc_id" % mod === 0)
+        val day0 = docs.filter($"doc_id" % mod =!= 0)
+          .unionByName(changed.withColumn("text", concat($"text", lit(" stale draft"))))
+        val dir = Scratch.dir(s"graft_compact_probe_$mod")
+        Dedup.persistMinhashSignatures(day0, 3, 16, 4, s"$dir/mh")
+        // arm 1: O(|edits|) tombstone heal (state table untouched)
+        Dedup.persistMinhashSignatures(day0, 3, 16, 4, s"$dir/mh_t")
+        val tt = System.nanoTime()
+        Dedup.tombstoneSignatures(changed, 3, 16, 4, s"$dir/mh_t",
+          docs.limit(0).select("doc_id"))
+        val tombstoneSec = (System.nanoTime() - tt) / 1e9
+        // arm 2: full-rewrite compaction
+        val t0 = System.nanoTime()
+        Dedup.compactSignatures(docs, 3, 16, 4, s"$dir/mh", changed.select("doc_id"))
+        val compactSec = (System.nanoTime() - t0) / 1e9
+        // arm 3: re-sign the whole corpus from text
+        val t1 = System.nanoTime()
+        Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$dir/mh_full")
+        val rebuildSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"state_compaction","mult":$mult,"edit_pct":${100.0 / mod}%.1f,"tombstone_sec":$tombstoneSec%.2f,"compact_sec":$compactSec%.2f,"resign_sec":$rebuildSec%.2f,"ratio":${compactSec / rebuildSec}%.2f,"tombstone_ratio":${tombstoneSec / rebuildSec}%.2f}""")
+      }
     // timer-based session close (SessionStream) vs the built-in
     // session_window aggregate over the same staged feed — both drain
     // AvailableNow with RocksDB state; the custom processor carries

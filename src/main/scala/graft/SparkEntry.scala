@@ -1849,6 +1849,34 @@ object SparkEntry {
         dsirStatePath = Some(st + "/dsir"))
       TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
     }),
+
+    // ---- q162's staging healed the TOMBSTONE way: O(|edits|)
+    // content-addressed tombstones + fresh re-signs instead of a
+    // state rewrite — the daily-cadence mode at 100 TB. The
+    // merge-on-read view must make healing exactly as invisible as
+    // the rewrite did: same grow-only oracle (q151's) verbatim ----
+    "q164_daily_tombstone_loop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val changedVec = emb.filter(
+        col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+        .unionByName(emb.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q164")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+      Pipelines.dailyIncremental(s, day1Docs, docs, day1Emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true,
+        healVia = "tombstone")("dedup_pairs")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2096,7 +2124,9 @@ object SparkEntry {
       // healed edit loop is indistinguishable from the grow-only loop
       ("q162_daily_edit_loop" -> base("q151_daily_incremental")) +
       // the DSIR tier healed in-loop scores like the inline weights
-      ("q163_daily_dsir_loop" -> base("q152_dsir_weights"))
+      ("q163_daily_dsir_loop" -> base("q152_dsir_weights")) +
+      // tombstone healing is as invisible as the rewrite was
+      ("q164_daily_tombstone_loop" -> base("q151_daily_incremental"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

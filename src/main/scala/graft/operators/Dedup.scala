@@ -327,8 +327,10 @@ object Dedup {
     val newSigs = materialize(rawNewSigs)
     val newBuckets = bandBuckets(newSigs, numHashes, bands)
     // history buckets are derived from the one state table (see
-    // persistMinhashSignatures: no second table to tear on append)
-    val histSigs = spark.read.parquet(s"$path/sigs")
+    // persistMinhashSignatures: no second table to tear on append),
+    // through the merge-on-read view so tombstoned rows never mint
+    // candidates ([[loadSignatures]])
+    val histSigs = loadSignatures(spark, path)
     val allBuckets = bandBuckets(histSigs, numHashes, bands).unionByName(newBuckets)
     val allSigs = histSigs.unionByName(newSigs)
     val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
@@ -391,10 +393,76 @@ object Dedup {
     * shingle pass over ONLY the recomputed docs. Run at the cadence
     * edits accumulate; a grow-only corpus never needs it.
     */
+  /** Merge-on-read view of the signature state: `path/sigs` minus the
+    * content-addressed tombstones at `path/tombstones` (absent dir =
+    * plain read). EVERY state reader goes through this, so a
+    * tombstoned row is invisible the moment its tombstone lands —
+    * no rewrite on the read path, ever.
+    *
+    * Tombstones match on the FULL row (doc_id + every signature
+    * column), not the key: a changed doc's re-signed CURRENT row
+    * differs from its tombstoned old row and survives the anti-join,
+    * so deletion and re-ingest never race. Signatures are
+    * deterministic functions of text, so content-addressing is exact.
+    */
+  def loadSignatures(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) sigs
+    else sigs.join(spark.read.parquet(t.toString), sigs.columns.toSeq, "left_anti")
+  }
+
+  /** O(|edits|) stale-key healing for the signature state — the
+    * merge-on-read alternative to [[compactSignatures]]' rewrite, for
+    * the cadence problem the compaction probe measures: a full
+    * rewrite is corpus-linear (0.64–0.84× of a re-sign at the ×100
+    * staging), so paying it EVERY daily turn nearly doubles loop
+    * cost. Tombstoning instead appends the superseded rows'
+    * content-addressed copies to `path/tombstones` and the changed
+    * docs' re-signed current rows to the state — both |edits|-sized
+    * appends — and [[loadSignatures]] serves the healed view
+    * immediately. [[compactSignatures]] remains the periodic
+    * maintenance that folds tombstones away (and clears them); until
+    * then reads carry one |tombstones|-row anti-join.
+    *
+    *  - `currentChanged`: CHANGED docs with their CURRENT text (the
+    *    daily loop's `newDocs ⋉ changed-keys`); their old state rows
+    *    are tombstoned and their fresh signatures appended.
+    *  - `removedKeys`: REMOVED doc ids; old rows tombstoned, nothing
+    *    re-enters.
+    *  - A "changed" doc whose shingle set (hence signature) is
+    *    unchanged is a NO-OP on both sides (the two `except`s cancel)
+    *    — without this, the content-addressed tombstone would also
+    *    swallow the identical re-appended row.
+    *
+    * Write order is tombstone-then-append: a crash in between leaves
+    * the doc temporarily absent from the view (never duplicated, and
+    * never a half-signed orphan), and a RETRY self-heals — the old
+    * rows are already gone, so the retry's tombstone side is empty
+    * and the append side re-lands the fresh rows.
+    */
+  def tombstoneSignatures(currentChanged: DataFrame, n: Int, numHashes: Int,
+                          bands: Int, path: String,
+                          removedKeys: DataFrame): Unit = {
+    val spark = currentChanged.sparkSession
+    val staleKeys = currentChanged.select(col("doc_id"))
+      .unionByName(removedKeys.select(col("doc_id")))
+    val oldRows = materialize(loadSignatures(spark, path)
+      .join(staleKeys, Seq("doc_id"), "left_semi").distinct())
+    val (_, rawFresh, _) = minhashCandidates(currentChanged, n, numHashes, bands)
+    val fresh = materialize(rawFresh)
+    oldRows.except(fresh)
+      .write.mode("append").parquet(s"$path/tombstones")
+    fresh.except(oldRows)
+      .write.mode("append").parquet(s"$path/sigs")
+  }
+
   def compactSignatures(currentDocs: DataFrame, n: Int, numHashes: Int,
                         bands: Int, path: String, staleKeys: DataFrame): Unit = {
     val spark = currentDocs.sparkSession
-    val state = spark.read.parquet(s"$path/sigs")
+    val state = loadSignatures(spark, path)
     val keep = state
       .join(currentDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(staleKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -405,6 +473,15 @@ object Dedup {
     graft.sources.Sinks.swapRewrite(spark, s"$path/sigs") { tmp =>
       keep.unionByName(freshSigs).write.parquet(tmp)
     }
+    // the rewrite folded the tombstoned rows away (it read the
+    // merge-on-read view), so the tombstones are spent. A crash
+    // between the swap and this delete is safe: a leftover tombstone
+    // names a row that no longer exists (removed docs are gone, a
+    // changed doc's row is the NEW content), so the anti-join matches
+    // nothing — compaction is idempotent over its own debris.
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
   /** [[minhashLsh]] with ESTIMATOR verification — the measured 100 TB

@@ -305,9 +305,49 @@ object Similarity {
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val assign = spark.read.parquet(s"$path/assignments")
+    val raw = spark.read.parquet(s"$path/assignments")
       .withColumn("cell", col("cell").cast("long"))
+    // merge-on-read: content-addressed tombstones (see
+    // [[tombstoneIvfIndex]]) are anti-joined out of every load, so a
+    // tombstoned assignment is invisible without any rewrite. u is a
+    // deterministic function of the embedding (normalized()), so
+    // full-row matching is exact.
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assign =
+      if (!fs.exists(t)) raw
+      else raw.join(spark.read.parquet(t.toString), raw.columns.toSeq, "left_anti")
     (cents, assign)
+  }
+
+  /** O(|edits|) stale-key healing for the persisted IVF index — the
+    * merge-on-read twin of [[graft.operators.Dedup.tombstoneSignatures]]:
+    * changed vectors' old assignment rows and removed vectors' rows
+    * are appended (content-addressed, full row) to
+    * `path/tombstones`; changed vectors' CURRENT rows re-enter via
+    * the same centroid-assignment path the daily append rides. Both
+    * writes are |edits|-sized — no assignments rewrite, which
+    * [[compactIvfIndex]] defers to maintenance cadence (it folds the
+    * tombstones into its rewrite and clears them). Write order is
+    * tombstone-then-append; a retry after a crash in between
+    * self-heals exactly as the signature twin does.
+    */
+  def tombstoneIvfIndex(currentChanged: DataFrame,
+                        spark: org.apache.spark.sql.SparkSession, path: String,
+                        removedKeys: DataFrame): Unit = {
+    val (cents, assign) = loadIvfIndex(spark, path)
+    val staleKeys = currentChanged.select(col("vec_id"))
+      .unionByName(removedKeys.select(col("vec_id")))
+    val oldRows = graft.operators.Dedup.materialize(
+      assign.join(staleKeys, Seq("vec_id"), "left_semi").distinct())
+    val fresh = graft.operators.Dedup.materialize(
+      assignToCells(normalized(currentChanged), cents)
+        .withColumn("cell", col("cell").cast("long"))
+        .select(oldRows.columns.map(col): _*))
+    oldRows.except(fresh)
+      .write.mode("append").parquet(s"$path/tombstones")
+    fresh.except(oldRows)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
   /** Incremental half of the build-once contract: assign ONLY the new
@@ -354,11 +394,19 @@ object Similarity {
                       staleKeys: DataFrame): Unit = {
     val assignPath = s"$path/assignments"
     graft.sources.Sinks.swapRewrite(spark, assignPath) { tmp =>
-      spark.read.parquet(assignPath)
+      // read the merge-on-read view so outstanding tombstones fold
+      // into the rewrite (loadIvfIndex applies them)
+      loadIvfIndex(spark, path)._2
         .join(staleKeys.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(tmp)
     }
+    // spent tombstones: a leftover after a crash here names content
+    // that no longer exists, so reapplying it is a no-op (idempotent,
+    // same argument as Dedup.compactSignatures)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
   /** Query-many half of the build-once contract: identical results to

@@ -95,6 +95,46 @@ class PropertyFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("dsir retraction cancels any random superseded batch exactly") {
+    // random corpora + a random superseded batch, random (buckets,
+    // ngram): persist(kept ∪ superseded) then retract(superseded) must
+    // score kept EXACTLY like the inline weights over kept — the
+    // integer-invertibility claim behind the no-compaction contract,
+    // fuzzed instead of staged. Degenerate draws (no target docs,
+    // sub-ngram texts) are part of the property: both paths must agree
+    // on them too.
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "theta", "iota")
+    def docsGen = for {
+      n <- Gen.chooseNum(2, 14)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1, 10)
+        ws <- Gen.listOfN(k, word)
+        src <- Gen.oneOf("src0", "src1")
+      } yield (src, ws.mkString(" ")))
+    } yield rows
+    val staged = for {
+      kept <- docsGen
+      sup <- docsGen
+      ngram <- Gen.chooseNum(1, 2)
+      buckets <- Gen.oneOf(16, 64)
+    } yield (kept, sup, ngram, buckets)
+    check(Prop.forAll(staged) { case (kept, sup, ngram, buckets) =>
+      val st = java.nio.file.Files.createTempDirectory("graft_dsir_fuzz").toString
+      val keptDf = kept.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }.toDF("doc_id", "source", "text")
+      val supDf = sup.zipWithIndex
+        .map { case ((s, t), i) => (1000000L + i, s, t) }.toDF("doc_id", "source", "text")
+      graft.operators.TextAnalysis.persistDsirState(
+        keptDf.unionByName(supDf), "src0", st, buckets, ngram)
+      graft.operators.TextAnalysis.retractDsirState(supDf, "src0", st, buckets, ngram)
+      val a = graft.operators.TextAnalysis.dsirWeightsFromState(
+        keptDf, spark, st, "src0", buckets, ngram)
+      val b = graft.operators.TextAnalysis.dsirWeights(keptDf, "src0", buckets, ngram)
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }, n = 5)
+  }
+
   test("hash32 is deterministic and always lands in [0, 2^32)") {
     val strs = Gen.listOfN(200, Gen.asciiPrintableStr)
     check(Prop.forAll(strs) { ss =>

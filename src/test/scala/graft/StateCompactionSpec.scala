@@ -162,6 +162,93 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(assignRows(st + "/ivf") === assignRows(freshIvf))
   }
 
+  test("signature tombstones: merge-on-read view equals a fresh build; compaction folds and clears them") {
+    val state = Files.createTempDirectory("graft_sig_tomb").toString
+    val fresh = Files.createTempDirectory("graft_sig_tomb_fresh").toString
+    val changed = docs.filter(col("doc_id") % 7 === 0)
+    val ghosts = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val day0 = docs.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(changed.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(ghosts)
+    Dedup.persistMinhashSignatures(day0, 3, 16, 4, state)
+    // O(|edits|) heal: changed docs re-signed from current text,
+    // ghosts tombstoned away — NO rewrite of the state table
+    Dedup.tombstoneSignatures(changed, 3, 16, 4, state, ghosts.select("doc_id"))
+    Dedup.persistMinhashSignatures(docs, 3, 16, 4, fresh)
+    def viewRows(p: String) = Dedup.loadSignatures(spark, p)
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(viewRows(state) === viewRows(fresh))
+    // a "changed" doc whose text (hence signature) is unchanged is a
+    // no-op: it must neither vanish nor duplicate
+    Dedup.tombstoneSignatures(docs.filter(col("doc_id") === 1L), 3, 16, 4,
+      state, docs.limit(0).select("doc_id"))
+    assert(Dedup.loadSignatures(spark, state)
+      .filter(col("doc_id") === 1L).count() === 1L)
+    // compaction folds the tombstones into the rewrite and spends them
+    Dedup.compactSignatures(docs, 3, 16, 4, state, docs.limit(0).select("doc_id"))
+    assert(sigRows(state) === sigRows(fresh))
+    assert(!new java.io.File(state + "/tombstones").exists())
+  }
+
+  test("IVF tombstones: merge-on-read view equals a fresh build; compaction folds and clears them") {
+    val idx = Files.createTempDirectory("graft_ivf_tomb").toString + "/idx"
+    val fresh = Files.createTempDirectory("graft_ivf_tomb_fresh").toString + "/idx"
+    val changed = embs.filter(
+      col("vec_id") >= 16 && col("vec_id") % 9 === 0)
+    val ghosts = embs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val day0 = embs.join(changed.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changed.withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(ghosts)
+    Similarity.buildIvfIndex(day0, nlist = 16, path = idx)
+    Similarity.tombstoneIvfIndex(changed, spark, idx, ghosts.select("vec_id"))
+    Similarity.buildIvfIndex(embs, nlist = 16, path = fresh)
+    def viewRows(p: String) = Similarity.loadIvfIndex(spark, p)._2
+      .select(col("vec_id"), col("cell").cast("long"), col("u").cast("array<double>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(viewRows(idx) === viewRows(fresh))
+    // probes through the healed view answer like the pristine build
+    val healed = Similarity.cosineTopKIvfIndexed(spark, idx, nQueries = 8, k = 6, nprobe = 3)
+    val pristine = Similarity.cosineTopKIvfIndexed(spark, fresh, nQueries = 8, k = 6, nprobe = 3)
+    assert(healed.collect().toSeq === pristine.collect().toSeq)
+    Similarity.compactIvfIndex(spark, idx, embs.limit(0).select("vec_id"))
+    assert(viewRows(idx) === viewRows(fresh))
+    assert(!new java.io.File(idx + "/tombstones").exists())
+  }
+
+  test("tombstone-healed daily loop leaves both merge-on-read views equal to a fresh build") {
+    val st = Files.createTempDirectory("graft_daily_tomb").toString
+    val freshSig = Files.createTempDirectory("graft_daily_tomb_sig").toString
+    val freshIvf = Files.createTempDirectory("graft_daily_tomb_ivf").toString + "/idx"
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val changedVec = embs.filter(
+      col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(embs.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, day1Emb, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone")
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    graft.operators.Dedup.persistMinhashSignatures(docs, 3, 16, 4, freshSig)
+    def sigView(p: String) = Dedup.loadSignatures(spark, p)
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(sigView(st + "/mh") === sigView(freshSig))
+    Similarity.buildIvfIndex(embs, nlist = 16, path = freshIvf)
+    def assignView(p: String) = Similarity.loadIvfIndex(spark, p)._2
+      .select(col("vec_id"), col("cell").cast("long"), col("u").cast("array<double>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(assignView(st + "/ivf") === assignView(freshIvf))
+  }
+
   test("daily loop DSIR tier: healed turn scores the current corpus like the inline weights") {
     val st = Files.createTempDirectory("graft_daily_dsir").toString
     val changedDocs = docs.filter(col("doc_id") % 35 === 7)
