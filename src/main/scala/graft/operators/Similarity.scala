@@ -703,14 +703,63 @@ object Similarity {
     * the claim that both paths encode identically, so they must share
     * the code rather than stay identical by luck.
     */
-  private def writeCodes(sv: DataFrame, c1: DataFrame, path: String,
-                         mode: String): Unit =
+  private def encodeCodes(sv: DataFrame, c1: DataFrame): DataFrame =
     pqAssign(sv, c1)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("s"),
         col("cid").cast("smallint").as("c")))).as("sc"))
       .select(col("vec_id"), expr("transform(sc, p -> p.c)").as("codes"))
-      .write.mode(mode).parquet(s"$path/codes")
+
+  private def writeCodes(sv: DataFrame, c1: DataFrame, path: String,
+                         mode: String): Unit =
+    encodeCodes(sv, c1).write.mode(mode).parquet(s"$path/codes")
+
+  /** Merge-on-read view of the PQ code table: `path/codes` minus the
+    * content-addressed tombstones at `path/tombstones` — the
+    * [[graft.operators.Dedup.loadSignatures]] discipline on the third
+    * key-shaped state table. Encoding is deterministic against the
+    * persisted codebooks, so full-row (vec_id + codes) matching is
+    * exact and a re-encoded changed vector's new row survives the
+    * anti-join.
+    */
+  private def pqCodesView(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/codes")
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) raw
+    else raw.join(spark.read.parquet(t.toString), raw.columns.toSeq, "left_anti")
+  }
+
+  /** O(|edits|) stale-key healing for the persisted PQ index — the
+    * [[tombstoneIvfIndex]] twin for the code table: superseded code
+    * rows (changed vectors' old encodings, removed vectors) are
+    * content-tombstoned, changed vectors re-encode against the
+    * UNTOUCHED persisted codebooks and append. Codebook retraining
+    * remains the periodic full-rebuild event ([[appendToPqIndex]]'s
+    * contract). Write order and retry semantics as the signature twin;
+    * [[compactPqIndex]] folds tombstones into its rewrite and clears
+    * them.
+    */
+  def tombstonePqIndex(currentChanged: DataFrame,
+                       spark: org.apache.spark.sql.SparkSession, path: String,
+                       removedKeys: DataFrame): Unit = {
+    val c1 = spark.read.parquet(s"$path/codebooks")
+    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
+    val staleKeys = currentChanged.select(col("vec_id"))
+      .unionByName(removedKeys.select(col("vec_id")))
+    val oldRows = graft.operators.Dedup.materialize(
+      pqCodesView(spark, path)
+        .join(staleKeys, Seq("vec_id"), "left_semi").distinct())
+    val e = pqInt8(currentChanged)
+    pqDimCheck(e, m)
+    val fresh = graft.operators.Dedup.materialize(
+      encodeCodes(pqMelt(e, m), c1).select(oldRows.columns.map(col): _*))
+    oldRows.except(fresh)
+      .write.mode("append").parquet(s"$path/tombstones")
+    fresh.except(oldRows)
+      .write.mode("append").parquet(s"$path/codes")
+  }
 
   /** Load a persisted PQ index: (codebooks, codes melted back to
     * (vec_id, s, cid) — the join shape [[pqQuery]] consumes, with cid
@@ -725,7 +774,7 @@ object Similarity {
     // mismatched m would silently sum a subset of each vector's codes
     // (and truncate dot products) — derive it from the artifact
     val m = c1.agg(max(col("s"))).head().getInt(0) + 1
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = pqCodesView(spark, path)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("int").as("s"), col("c").cast("long").as("cid"))
     (c1, codes, m)
@@ -773,10 +822,15 @@ object Similarity {
                      staleKeys: DataFrame): Unit = {
     val codesPath = s"$path/codes"
     graft.sources.Sinks.swapRewrite(spark, codesPath) { tmp =>
-      spark.read.parquet(codesPath)
+      // merge-on-read view: outstanding tombstones fold into the rewrite
+      pqCodesView(spark, path)
         .join(staleKeys.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .write.parquet(tmp)
     }
+    // spent tombstones — idempotent over debris, as the IVF/sig twins
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
   /** Query-many half of the build-once contract: identical results to

@@ -217,6 +217,35 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(!new java.io.File(idx + "/tombstones").exists())
   }
 
+  test("PQ tombstones: healed view equals a one-shot encode against the persisted codebooks") {
+    val idx = Files.createTempDirectory("graft_pq_tomb").toString + "/idx"
+    val ref = Files.createTempDirectory("graft_pq_tomb_ref").toString + "/idx"
+    val changed = embs.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val ghosts = embs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val day0 = embs.join(changed.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changed.withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(ghosts)
+    // codebooks train on the REAL corpus (they are the versioned
+    // artifact); the stale/ghost rows land through the append path
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = idx)
+    Similarity.compactPqIndex(spark, idx, embs.select("vec_id")) // empty the codes
+    Similarity.appendToPqIndex(day0, spark, idx)
+    Similarity.tombstonePqIndex(changed, spark, idx, ghosts.select("vec_id"))
+    // reference: same codebooks, one-shot encode of the current corpus
+    spark.read.parquet(idx + "/codebooks").write.parquet(ref + "/codebooks")
+    Similarity.appendToPqIndex(embs, spark, ref)
+    val healed = Similarity.pqTopKIndexed(embs, spark, idx, nQueries = 4, k = 6, rerank = 24)
+    val pristine = Similarity.pqTopKIndexed(embs, spark, ref, nQueries = 4, k = 6, rerank = 24)
+    assert(healed.collect().toSeq === pristine.collect().toSeq)
+    // compaction folds the tombstones away and the raw table matches
+    Similarity.compactPqIndex(spark, idx, embs.limit(0).select("vec_id"))
+    def codeRows(p: String) = spark.read.parquet(p + "/codes")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(codeRows(idx) === codeRows(ref))
+    assert(!new java.io.File(idx + "/tombstones").exists())
+  }
+
   test("tombstone-healed daily loop leaves both merge-on-read views equal to a fresh build") {
     val st = Files.createTempDirectory("graft_daily_tomb").toString
     val freshSig = Files.createTempDirectory("graft_daily_tomb_sig").toString
