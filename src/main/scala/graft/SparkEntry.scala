@@ -1846,7 +1846,7 @@ object SparkEntry {
       TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
       Pipelines.dailyIncremental(s, day1Docs, docs, emb, emb,
         st + "/mh", st + "/ivf", healEdits = true,
-        dsirStatePath = Some(st + "/dsir"))
+        dsirStatePath = Some(st + "/dsir"), healVia = "tombstone")
       TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
     }),
 
