@@ -1877,6 +1877,25 @@ object SparkEntry {
         st + "/mh", st + "/ivf", healEdits = true,
         healVia = "tombstone")("dedup_pairs")
     }),
+
+    // ---- q126's daily-ingest near-dup loop as a STREAM: the added
+    // batch arrives as a file stream in 1-file micro-batches, each
+    // near-dupping against persisted signatures + itself and appending
+    // its own — the EP5 ingest under arrival-order partitioning. The
+    // union over micro-batches must equal the one-shot run (pair
+    // emission partitions cleanly across batches), so the oracle is
+    // q126's verbatim ----
+    "q165_stream_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
+      val st = Scratch.dir("graft_stream_dedup_q165")
+      Dedup.persistMinhashSignatures(docs.filter(bucket < 80), 3, 16, 4, st + "/mh")
+      docs.filter(bucket >= 80).repartition(4)
+        .write.parquet(st + "/feed")
+      streaming.DedupStream.incrementalPairs(s, st + "/feed",
+        n = 3, numHashes = 16, bands = 4, minJ = 0.5,
+        sigPath = st + "/mh", outDir = st + "/pairs", checkpoint = st + "/ckpt")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2126,7 +2145,9 @@ object SparkEntry {
       // the DSIR tier healed in-loop scores like the inline weights
       ("q163_daily_dsir_loop" -> base("q152_dsir_weights")) +
       // tombstone healing is as invisible as the rewrite was
-      ("q164_daily_tombstone_loop" -> base("q151_daily_incremental"))
+      ("q164_daily_tombstone_loop" -> base("q151_daily_incremental")) +
+      // the streamed ingest is invariant to micro-batch partitioning
+      ("q165_stream_incremental_dedup" -> base("q126_incremental_minhash"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a
