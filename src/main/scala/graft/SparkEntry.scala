@@ -1896,6 +1896,31 @@ object SparkEntry {
         n = 3, numHashes = 16, bands = 4, minJ = 0.5,
         sigPath = st + "/mh", outDir = st + "/pairs", checkpoint = st + "/ckpt")
     }),
+
+    // ---- IVF re-centering from state: the one edit the incremental
+    // tiers can't heal is a CENTROID vector's own change — the
+    // tombstone updates its assignment row but the centroid table
+    // keeps routing probes against the old vector. Day-0 here carries
+    // exactly that (vec_id 3 reversed) plus stale non-centroid
+    // vectors and ghosts; after the tombstone heal, recenterIvfIndex
+    // rebuilds centroids + assignments FROM STATE (no corpus re-read)
+    // and the probes must answer like a fresh inline build over the
+    // current corpus — q157's oracle verbatim ----
+    "q166_recenter_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val changed = emb.filter(
+        col("vec_id") === 3 || (col("vec_id") >= 16 && col("vec_id") % 9 === 0))
+      val ghosts = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val day0 = emb.join(changed.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(changed.withColumn("embedding", reverse(col("embedding"))))
+        .unionByName(ghosts)
+      val st = Scratch.dir("graft_recenter_q166") + "/idx"
+      Similarity.buildIvfIndex(day0, nlist = 16, path = st)
+      Similarity.tombstoneIvfIndex(changed, s, st, ghosts.select("vec_id"))
+      Similarity.recenterIvfIndex(s, st)
+      Similarity.cosineTopKIvfIndexed(s, st, nQueries = 8, k = 6, nprobe = 3)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2147,7 +2172,9 @@ object SparkEntry {
       // tombstone healing is as invisible as the rewrite was
       ("q164_daily_tombstone_loop" -> base("q151_daily_incremental")) +
       // the streamed ingest is invariant to micro-batch partitioning
-      ("q165_stream_incremental_dedup" -> base("q126_incremental_minhash"))
+      ("q165_stream_incremental_dedup" -> base("q126_incremental_minhash")) +
+      // state-only re-centering answers like a fresh inline build
+      ("q166_recenter_ivf" -> base("q157_compact_ivf"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

@@ -409,6 +409,46 @@ object Similarity {
     if (fs.exists(tomb)) fs.delete(tomb, true)
   }
 
+  /** Rebuild the IVF structure FROM STATE — the periodic maintenance
+    * event, with no corpus re-read: the assignments table stores each
+    * vector's unit form, so centroid refresh, full reassignment, and
+    * the fold-in of append debris and outstanding tombstones all
+    * derive from the merge-on-read view alone.
+    *
+    * This heals the one edit the incremental tiers can't: a CENTROID
+    * vector's own edit/removal. Tombstone/compact update its
+    * assignment row, but the centroids table still carries the old
+    * vector, so probes keep routing against a centroid that no longer
+    * exists in the corpus (results stay well-defined — cells are just
+    * partitions — but drift from what a fresh build would answer).
+    * Re-centering re-derives the centroid set with the build's own
+    * rule (the `nlist` smallest surviving vec_ids) and reassigns
+    * every vector, leaving the index IDENTICAL to
+    * [[buildIvfIndex]] over the current corpus (StateCompactionSpec;
+    * q166 pins it to the inline-IVF oracle) — at |state| cost, not
+    * corpus cost.
+    *
+    * The whole index swaps atomically at its root
+    * ([[graft.sources.Sinks.swapRewrite]]), so readers never observe
+    * new centroids with old assignments or vice versa; spent
+    * tombstones vanish with the old root.
+    */
+  def recenterIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       nlist: Int = 0): Unit = {
+    val (cents, assign) = loadIvfIndex(spark, path)
+    val k = if (nlist > 0) nlist else cents.count().toInt
+    val e = assign.select(col("vec_id"), col("u"))
+    val newCents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val newAssign = assignToCells(e, newCents)
+    graft.sources.Sinks.swapRewrite(spark, path) { tmp =>
+      // both writes execute before the swap and read the ORIGINAL
+      // index files, so the rebuild is consistent even while live
+      newCents.write.parquet(s"$tmp/centroids")
+      newAssign.write.partitionBy("cell").parquet(s"$tmp/assignments")
+    }
+  }
+
   /** Query-many half of the build-once contract: identical results to
     * [[cosineTopKIvf]] on the same corpus/parameters (IvfIndexSpec),
     * but the corpus scan + centroid argmax are already on disk — a

@@ -246,6 +246,40 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(!new java.io.File(idx + "/tombstones").exists())
   }
 
+  test("recentering from state heals an edited centroid vector to a fresh-build index") {
+    val idx = Files.createTempDirectory("graft_recenter").toString + "/idx"
+    val fresh = Files.createTempDirectory("graft_recenter_fresh").toString + "/idx"
+    // the staged edit includes a CENTROID vector (vec_id 3): the
+    // tombstone heal fixes its assignment row but the centroid table
+    // keeps the old vector — only re-centering restores fresh-build
+    // equality
+    val changed = embs.filter(
+      col("vec_id") === 3 || (col("vec_id") >= 16 && col("vec_id") % 9 === 0))
+    val ghosts = embs.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val day0 = embs.join(changed.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changed.withColumn("embedding", reverse(col("embedding"))))
+      .unionByName(ghosts)
+    Similarity.buildIvfIndex(day0, nlist = 16, path = idx)
+    Similarity.tombstoneIvfIndex(changed, spark, idx, ghosts.select("vec_id"))
+    Similarity.buildIvfIndex(embs, nlist = 16, path = fresh)
+    def rows(p: String, part: String) = spark.read.parquet(s"$p/$part")
+      .select(spark.read.parquet(s"$fresh/$part").columns.map(c =>
+        if (c == "cell") col(c).cast("long") else col(c)): _*)
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    // pre-recenter: centroid 3 is stale, so the index disagrees with
+    // a fresh build (if it didn't, the operator would be pointless)
+    assert(rows(idx, "centroids") !== rows(fresh, "centroids"))
+    Similarity.recenterIvfIndex(spark, idx)
+    assert(rows(idx, "centroids") === rows(fresh, "centroids"))
+    assert(rows(idx, "assignments") === rows(fresh, "assignments"))
+    assert(!new java.io.File(idx + "/tombstones").exists(),
+      "spent tombstones must vanish with the swapped-out root")
+    val healed = Similarity.cosineTopKIvfIndexed(spark, idx, nQueries = 8, k = 6, nprobe = 3)
+    val pristine = Similarity.cosineTopKIvfIndexed(spark, fresh, nQueries = 8, k = 6, nprobe = 3)
+    assert(healed.collect().toSeq === pristine.collect().toSeq)
+  }
+
   test("tombstone-healed daily loop leaves both merge-on-read views equal to a fresh build") {
     val st = Files.createTempDirectory("graft_daily_tomb").toString
     val freshSig = Files.createTempDirectory("graft_daily_tomb_sig").toString
