@@ -299,6 +299,24 @@ object Similarity {
     assign.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
   }
 
+  /** [[buildIvfIndex]] over a LIVE index — the full periodic rebuild
+    * ([[recenterIvfIndex]]'s corpus-fed sibling, for when the rebuild
+    * should also pick up re-normalized vectors or a new `nlist`).
+    * A plain buildIvfIndex at the same path overwrites the two
+    * subdirectories one after the other, so a concurrent reader can
+    * load NEW centroids with OLD assignments (cells keyed to centroids
+    * that no longer exist); rebuilding into a temp root and swapping
+    * ([[graft.sources.Sinks.swapRewrite]]) closes that window — the
+    * same discipline every other state mutation here follows. Spent
+    * tombstones vanish with the old root.
+    */
+  def rebuildIvfIndex(embeddings: DataFrame,
+                      spark: org.apache.spark.sql.SparkSession,
+                      nlist: Int, path: String): Unit =
+    graft.sources.Sinks.swapRewrite(spark, path) { tmp =>
+      buildIvfIndex(embeddings, nlist, tmp)
+    }
+
   /** Load a persisted IVF index: (centroids, assignments). The cell
     * partition column comes back integer-typed from directory
     * inference — recast to long so join keys match the inline path.
@@ -736,6 +754,22 @@ object Similarity {
     writeCodes(sv, c1, path, "overwrite")
     graft.operators.Dedup.releaseCheckpoint(sv)
   }
+
+  /** Codebook RETRAINING over a LIVE index — the periodic maintenance
+    * event [[appendToPqIndex]]'s contract defers (retrained codebooks
+    * change every vector's codes, so this is always a full rebuild).
+    * Same atomicity argument as [[rebuildIvfIndex]]: a plain
+    * buildPqIndex at the live path exposes a window where readers
+    * decode OLD codes against NEW codebooks — silently wrong
+    * distances, the worst failure shape — so the rebuild lands in a
+    * temp root and swaps. Spent tombstones vanish with the old root.
+    */
+  def retrainPqIndex(embeddings: DataFrame,
+                     spark: org.apache.spark.sql.SparkSession,
+                     m: Int, ks: Int, path: String): Unit =
+    graft.sources.Sinks.swapRewrite(spark, path) { tmp =>
+      buildPqIndex(embeddings, m, ks, tmp)
+    }
 
   /** The ONE encode-and-write block both the one-shot build and the
     * incremental append go through — appendToPqIndex's

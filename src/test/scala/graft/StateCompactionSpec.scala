@@ -352,6 +352,33 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(inline.exceptAll(fromState).isEmpty && fromState.exceptAll(inline).isEmpty)
   }
 
+  test("atomic rebuild/retrain equals a plain build and refuses a crashed swap's debris") {
+    val ivf = Files.createTempDirectory("graft_rebuild_ivf").toString + "/idx"
+    val pq = Files.createTempDirectory("graft_retrain_pq").toString + "/idx"
+    val refIvf = Files.createTempDirectory("graft_rebuild_ivf_ref").toString + "/idx"
+    val refPq = Files.createTempDirectory("graft_retrain_pq_ref").toString + "/idx"
+    val old = embs.filter(col("vec_id") % 3 =!= 0)
+    Similarity.buildIvfIndex(old, nlist = 16, path = ivf)
+    Similarity.buildPqIndex(old, m = 8, ks = 16, path = pq)
+    Similarity.rebuildIvfIndex(embs, spark, nlist = 16, path = ivf)
+    Similarity.retrainPqIndex(embs, spark, m = 8, ks = 16, path = pq)
+    Similarity.buildIvfIndex(embs, nlist = 16, path = refIvf)
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = refPq)
+    val a = Similarity.cosineTopKIvfIndexed(spark, ivf, nQueries = 8, k = 6, nprobe = 3)
+    val b = Similarity.cosineTopKIvfIndexed(spark, refIvf, nQueries = 8, k = 6, nprobe = 3)
+    assert(a.collect().toSeq === b.collect().toSeq)
+    val c = Similarity.pqTopKIndexed(embs, spark, pq, nQueries = 4, k = 6, rerank = 24)
+    val d = Similarity.pqTopKIndexed(embs, spark, refPq, nQueries = 4, k = 6, rerank = 24)
+    assert(c.collect().toSeq === d.collect().toSeq)
+    // a crashed previous swap (leftover _precompact backup) must stop
+    // the next rebuild loudly, same as every swapRewrite site
+    new java.io.File(ivf + "_precompact").mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(embs, spark, nlist = 16, path = ivf)
+    }
+    assert(ex.getMessage.contains("_precompact"))
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
