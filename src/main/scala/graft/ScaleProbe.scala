@@ -359,7 +359,18 @@ object ScaleProbe {
         val t1 = System.nanoTime()
         Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$dir/mh_full")
         val rebuildSec = (System.nanoTime() - t1) / 1e9
-        println(f"""{"op":"state_compaction","mult":$mult,"edit_pct":${100.0 / mod}%.1f,"tombstone_sec":$tombstoneSec%.2f,"compact_sec":$compactSec%.2f,"resign_sec":$rebuildSec%.2f,"ratio":${compactSec / rebuildSec}%.2f,"tombstone_ratio":${tombstoneSec / rebuildSec}%.2f}""")
+        // read-side tax of outstanding tombstones: drain the merged
+        // view (mh_t still carries them) vs the clean table — the cost
+        // queries pay BETWEEN a tombstone heal and its compaction
+        def drainView(p: String): Double = {
+          val t = System.nanoTime()
+          Dedup.loadSignatures(spark, p)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        val readTombSec = drainView(s"$dir/mh_t")
+        val readCleanSec = drainView(s"$dir/mh_full")
+        println(f"""{"op":"state_compaction","mult":$mult,"edit_pct":${100.0 / mod}%.1f,"tombstone_sec":$tombstoneSec%.2f,"compact_sec":$compactSec%.2f,"resign_sec":$rebuildSec%.2f,"ratio":${compactSec / rebuildSec}%.2f,"tombstone_ratio":${tombstoneSec / rebuildSec}%.2f,"read_tomb_sec":$readTombSec%.2f,"read_clean_sec":$readCleanSec%.2f}""")
       }
     // timer-based session close (SessionStream) vs the built-in
     // session_window aggregate over the same staged feed — both drain
