@@ -379,6 +379,25 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_precompact"))
   }
 
+  test("merge-on-read views plan a broadcast anti-join (and nothing at all when tombstone-free)") {
+    val state = Files.createTempDirectory("graft_tomb_plan").toString
+    Dedup.persistMinhashSignatures(docs, 3, 16, 4, state)
+    // no tombstones: the view is a plain scan — no join node may appear
+    val clean = Dedup.loadSignatures(spark, state)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"),
+      s"tombstone-free view must add nothing to the read:\n${clean.take(800)}")
+    Dedup.tombstoneSignatures(docs.filter(col("doc_id") === 1L), 3, 16, 4,
+      state, docs.filter(col("doc_id") === 2L).select("doc_id"))
+    // with tombstones: the |edits|-row side must BROADCAST — a
+    // shuffled anti-join would re-exchange the whole state table on
+    // every read, exactly the cost the tier exists to avoid
+    val healed = Dedup.loadSignatures(spark, state)
+      .queryExecution.executedPlan.toString
+    assert(healed.contains("BroadcastHashJoin") && healed.contains("LeftAnti"),
+      s"tombstone view must broadcast-anti-join:\n${healed.take(800)}")
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
