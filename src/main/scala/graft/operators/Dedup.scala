@@ -459,6 +459,26 @@ object Dedup {
       .write.mode("append").parquet(s"$path/sigs")
   }
 
+  /** The compaction CADENCE rule, mechanized: run [[compactSignatures]]
+    * only when outstanding tombstones exceed `maxTombstoneFrac` of the
+    * live view ([[graft.sources.Sinks.tombstoneStats]]) — the fraction
+    * bounds both the read-side anti-join tax and the tombstone side's
+    * broadcastability, so a scheduler can call this after every healed
+    * turn and pay the rewrite only when it buys something. Returns
+    * whether the compaction ran. The IVF/PQ tiers gate identically off
+    * the same stats helper on their own table/tombstone pair.
+    */
+  def compactSignaturesIfNeeded(currentDocs: DataFrame, n: Int, numHashes: Int,
+                                bands: Int, path: String, staleKeys: DataFrame,
+                                maxTombstoneFrac: Double = 0.1): Boolean = {
+    require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+      currentDocs.sparkSession, s"$path/sigs", s"$path/tombstones")
+    val due = frac > maxTombstoneFrac
+    if (due) compactSignatures(currentDocs, n, numHashes, bands, path, staleKeys)
+    due
+  }
+
   def compactSignatures(currentDocs: DataFrame, n: Int, numHashes: Int,
                         bands: Int, path: String, staleKeys: DataFrame): Unit = {
     val spark = currentDocs.sparkSession

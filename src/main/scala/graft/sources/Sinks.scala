@@ -255,6 +255,34 @@ object Sinks {
     df.write.mode(SaveMode.Append).format("jdbc")
       .option("url", url).option("dbtable", table).save()
 
+  /** The compact-or-not DECISION input for a tombstoned state table
+    * (signature / IVF-assignment / PQ-code layouts all share the
+    * `<table dir> + sibling tombstones dir` shape): visible rows,
+    * outstanding tombstone rows, and their ratio — the number an
+    * operator compares against a cadence threshold, because the
+    * tombstone tier's read tax and its anti-join's broadcastability
+    * are both bounded by how many tombstones accumulate between
+    * compactions (SCALING.md round 12). Two cheap count jobs; no
+    * driver-side data.
+    */
+  def tombstoneStats(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, tombstonePath: String): (Long, Long, Double) = {
+    val t = new org.apache.hadoop.fs.Path(tombstonePath)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.parquet(tablePath)
+    if (!fs.exists(t)) (raw.count(), 0L, 0.0)
+    else {
+      // live = the exact merge-on-read count (a tombstone can shadow
+      // several duplicate stored rows, and a spent one shadows none —
+      // subtraction would only estimate)
+      val tombs = spark.read.parquet(tombstonePath).count()
+      val live = raw
+        .join(spark.read.parquet(tombstonePath), raw.columns.toSeq, "left_anti")
+        .count()
+      (live, tombs, if (live > 0) tombs.toDouble / live else 0.0)
+    }
+  }
+
   /** Lake maintenance: compact a parquet directory's small files into
     * ~`targetFileMb`-sized ones. Daily appends ([[appendPartitioned]],
     * streaming sinks, [[graft.operators.Similarity.appendToIvfIndex]])

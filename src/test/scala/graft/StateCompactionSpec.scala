@@ -379,6 +379,39 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_precompact"))
   }
 
+  test("cadence-gated compaction runs only past the tombstone-fraction threshold") {
+    val state = Files.createTempDirectory("graft_sig_cadence").toString
+    Dedup.persistMinhashSignatures(docs, 3, 16, 4, state)
+    val none = docs.limit(0).select("doc_id")
+    // edits REPLACE the text outright: an appended suffix often leaves
+    // every minhash minimum intact and the heal's no-op cancel writes
+    // nothing (by design — see tombstoneSignatures), which would keep
+    // the fraction at zero and never exercise the gate
+    def rewritten(d: org.apache.spark.sql.DataFrame, v: String) =
+      d.withColumn("text",
+        concat(lit(s"totally new $v draft for doc "), col("doc_id").cast("string")))
+    // a 1-doc edit: far under a 10% threshold
+    val small = rewritten(docs.filter(col("doc_id") === 1L), "v2")
+    Dedup.tombstoneSignatures(small, 3, 16, 4, state, none)
+    assert(!Dedup.compactSignaturesIfNeeded(
+      docs.filter(col("doc_id") =!= 1L).unionByName(small), 3, 16, 4, state, none),
+      "under-threshold heal must not trigger the rewrite")
+    assert(new java.io.File(state + "/tombstones").exists(),
+      "tombstones must survive a skipped compaction")
+    // a 20% edit wave pushes past the threshold
+    val wave = rewritten(docs.filter(col("doc_id") % 5 === 0), "v3")
+    Dedup.tombstoneSignatures(wave, 3, 16, 4, state, none)
+    val current = docs.filter(col("doc_id") =!= 1L && col("doc_id") % 5 =!= 0)
+      .unionByName(small).unionByName(wave)
+    assert(Dedup.compactSignaturesIfNeeded(current, 3, 16, 4, state, none),
+      "over-threshold backlog must trigger the rewrite")
+    assert(!new java.io.File(state + "/tombstones").exists())
+    // and the folded state equals a fresh build over the current corpus
+    val fresh = Files.createTempDirectory("graft_sig_cadence_fresh").toString
+    Dedup.persistMinhashSignatures(current, 3, 16, 4, fresh)
+    assert(sigRows(state) === sigRows(fresh))
+  }
+
   test("merge-on-read views plan a broadcast anti-join (and nothing at all when tombstone-free)") {
     val state = Files.createTempDirectory("graft_tomb_plan").toString
     Dedup.persistMinhashSignatures(docs, 3, 16, 4, state)
