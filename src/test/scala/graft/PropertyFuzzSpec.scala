@@ -135,6 +135,45 @@ class PropertyFuzzSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("tombstone healing matches a fresh build for any random edit/removal mix") {
+    // random corpora with random CHANGED (replaced text), REMOVED, and
+    // NO-OP-"changed" (identical text — the diff would not flag these,
+    // but a sloppy caller might; the content-addressed cancel must
+    // make them harmless) subsets: after one heal, the merge-on-read
+    // view must equal a fresh full build over the current corpus.
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "theta", "iota", "kappa")
+    val corpus = for {
+      n <- Gen.chooseNum(6, 20)
+      texts <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(3, 12)
+        ws <- Gen.listOfN(k, word)
+      } yield ws.mkString(" "))
+      roles <- Gen.listOfN(n, Gen.frequency(
+        5 -> "keep", 2 -> "changed", 1 -> "removed", 1 -> "noop"))
+    } yield texts.zip(roles).zipWithIndex
+      .map { case ((t, r), i) => (i.toLong, t, r) }
+    check(Prop.forAll(corpus) { rows =>
+      val st = java.nio.file.Files.createTempDirectory("graft_tomb_fuzz").toString
+      val all = rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+      def role(r: String) = rows.filter(_._3 == r).map { case (id, t, _) => (id, t) }
+        .toDF("doc_id", "text")
+      val changedNew = role("changed")
+        .withColumn("text", concat(lit("rewritten entirely "), $"doc_id".cast("string")))
+      val day0 = all // yesterday: every doc at its original text
+      graft.operators.Dedup.persistMinhashSignatures(day0, 3, 16, 4, st)
+      graft.operators.Dedup.tombstoneSignatures(
+        changedNew.unionByName(role("noop")), 3, 16, 4, st,
+        role("removed").select("doc_id"))
+      val current = role("keep").unionByName(role("noop")).unionByName(changedNew)
+      val fresh = java.nio.file.Files.createTempDirectory("graft_tomb_fuzz_ref").toString
+      graft.operators.Dedup.persistMinhashSignatures(current, 3, 16, 4, fresh)
+      def rowsOf(p: String) = graft.operators.Dedup.loadSignatures(spark, p)
+        .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+      rowsOf(st) == rowsOf(fresh)
+    }, n = 5)
+  }
+
   test("hash32 is deterministic and always lands in [0, 2^32)") {
     val strs = Gen.listOfN(200, Gen.asciiPrintableStr)
     check(Prop.forAll(strs) { ss =>

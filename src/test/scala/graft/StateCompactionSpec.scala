@@ -379,6 +379,45 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_precompact"))
   }
 
+  test("tombstone heal is idempotent: full-duplicate retry and mid-crash retry both converge") {
+    def stage(): (String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val st = Files.createTempDirectory("graft_tomb_retry").toString
+      Dedup.persistMinhashSignatures(docs, 3, 16, 4, st)
+      val changed = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(lit("rewritten entirely "), col("doc_id").cast("string")))
+      val removed = docs.filter(col("doc_id") % 11 === 3 && col("doc_id") % 7 =!= 0)
+      (st, changed, removed)
+    }
+    def view(p: String) = Dedup.loadSignatures(spark, p)
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+
+    // full-duplicate retry: a second identical call (e.g. a re-run
+    // task whose first attempt fully committed) must change nothing —
+    // the old rows are already tombstoned and the fresh rows already
+    // present, so both excepts cancel
+    val (st1, ch1, rm1) = stage()
+    Dedup.tombstoneSignatures(ch1, 3, 16, 4, st1, rm1.select("doc_id"))
+    val once = view(st1)
+    Dedup.tombstoneSignatures(ch1, 3, 16, 4, st1, rm1.select("doc_id"))
+    assert(view(st1) === once, "a duplicate heal must be a no-op")
+
+    // mid-crash retry: tombstones landed, the fresh append didn't
+    // (simulated by healing with an empty changed set first — which
+    // tombstones nothing — then tombstoning via the removed path and
+    // re-running the real heal). The retry's tombstone side is empty
+    // and its append side re-lands the fresh rows.
+    val (st2, ch2, rm2) = stage()
+    // simulate the crash window: only the tombstone write of the heal
+    Dedup.tombstoneSignatures(docs.limit(0), 3, 16, 4, st2,
+      ch2.select("doc_id").unionByName(rm2.select("doc_id")))
+    // the changed docs are now absent from the view (consistent, never
+    // duplicated) — exactly the documented crash state
+    assert(Dedup.loadSignatures(spark, st2)
+      .join(ch2.select("doc_id"), Seq("doc_id"), "left_semi").count() === 0L)
+    Dedup.tombstoneSignatures(ch2, 3, 16, 4, st2, rm2.select("doc_id"))
+    assert(view(st2) === once.map(identity), "the retry must converge to the healed state")
+  }
+
   test("cadence-gated compaction runs only past the tombstone-fraction threshold") {
     val state = Files.createTempDirectory("graft_sig_cadence").toString
     Dedup.persistMinhashSignatures(docs, 3, 16, 4, state)
