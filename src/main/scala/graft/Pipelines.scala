@@ -168,6 +168,18 @@ object Pipelines {
     * ([[graft.operators.TextAnalysis.dsirStateParams]]) so a turn can
     * never append at params the day-0 build didn't use.
     *
+    * THE TURN IS RETRY-IDEMPOTENT (q167): a duplicated run — the
+    * orchestrator retry that makes the reference double-append
+    * (spotify_dag.py retries=2 with no idempotence) — leaves every
+    * state table unchanged and emits the same pairs. Signatures are
+    * content-filtered on append (a replay's re-derived rows cancel;
+    * history excludes the batch's keys so the pair computation is
+    * run-stable), IVF appends are key-filtered against the live view,
+    * and the DSIR sums — which carry no per-doc identity to cancel
+    * on — skip via the `runId` batch stamp; pass the orchestrator's
+    * execution date as `runId` whenever the DSIR tier rides the loop
+    * (without it the DSIR appends are at-least-once, as before).
+    *
     * Returns the run's frames keyed by name: `doc_changes` /
     * `emb_changes` (added|changed|removed rows), `dedup_pairs` (new
     * near-dup pairs with ≥1 added endpoint). All state paths must
@@ -186,7 +198,8 @@ object Pipelines {
                        healEdits: Boolean = false,
                        dsirStatePath: Option[String] = None,
                        dsirTargetSource: String = "src0",
-                       healVia: String = "compact"): Map[String, org.apache.spark.sql.DataFrame] = {
+                       healVia: String = "compact",
+                       runId: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     import org.apache.spark.sql.functions._
@@ -228,17 +241,25 @@ object Pipelines {
     // Params come off the state's own stamp, never the caller.
     dsirStatePath.foreach { dp =>
       val (nb, ng) = graft.operators.TextAnalysis.dsirStateParams(spark, dp)
+      // the run identity (the orchestrator's execution date) makes the
+      // sum-shaped appends replay-proof: a retried turn re-delivering
+      // the same batches is skipped by the bid stamp rather than
+      // double-counted. No runId = at-least-once, caller's problem.
+      val rid = runId.getOrElse("")
       if (healEdits) {
         val editKeys = docChanges
           .filter(col("status").isin("changed", "removed")).select("doc_id")
         graft.operators.TextAnalysis.retractDsirState(
-          oldDocs.join(editKeys, Seq("doc_id")), dsirTargetSource, dp, nb, ng)
+          oldDocs.join(editKeys, Seq("doc_id")), dsirTargetSource, dp, nb, ng,
+          batchId = if (rid.isEmpty) "" else s"$rid:edits")
         graft.operators.TextAnalysis.persistDsirState(
           newDocs.join(docChanges.filter(col("status") === "changed")
-            .select("doc_id"), Seq("doc_id")), dsirTargetSource, dp, nb, ng)
+            .select("doc_id"), Seq("doc_id")), dsirTargetSource, dp, nb, ng,
+          batchId = if (rid.isEmpty) "" else s"$rid:changed")
       }
       graft.operators.TextAnalysis.persistDsirState(
-        addedDocs, dsirTargetSource, dp, nb, ng)
+        addedDocs, dsirTargetSource, dp, nb, ng,
+        batchId = if (rid.isEmpty) "" else s"$rid:added")
     }
     val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
       addedDocs, n, numHashes, bands, minJ, sigStatePath)
@@ -264,8 +285,14 @@ object Pipelines {
         graft.operators.Similarity.appendToIvfIndex(changedEmb, spark, ivfPath)
       }
     }
+    // key-filtered against the live view, so a duplicate run (retry)
+    // appends nothing instead of duplicating assignment rows — which
+    // would corrupt top-k results (a duplicated neighbor occupies two
+    // ranks) until the next compaction
     val addedEmb = newEmb.join(
       embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
+      .join(graft.operators.Similarity.loadIvfIndex(spark, ivfPath)._2
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
     graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
     Map(
       "doc_changes" -> docChanges,

@@ -1921,6 +1921,35 @@ object SparkEntry {
       Similarity.recenterIvfIndex(s, st)
       Similarity.cosineTopKIvfIndexed(s, st, nQueries = 8, k = 6, nprobe = 3)
     }),
+
+    // ---- The RETRIED daily turn: q163's healed loop runs TWICE with
+    // the same snapshots and runId — the orchestrator retry that makes
+    // the reference double-append (spotify_dag.py retries=2, no
+    // idempotence). The duplicate must change NOTHING: signatures
+    // content-cancel, IVF appends key-filter, and the DSIR sums (no
+    // per-doc identity to cancel on) skip via the runId batch stamp —
+    // a double-count would shift every weight and hash-mismatch
+    // q152's oracle ----
+    "q167_daily_retry_idempotent" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q167")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(emb, nlist = 16, path = st + "/ivf")
+      TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+      def turn() = Pipelines.dailyIncremental(s, day1Docs, docs, emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true,
+        dsirStatePath = Some(st + "/dsir"), healVia = "tombstone",
+        runId = Some("2026-08-14"))
+      turn() // first attempt commits everything
+      turn() // the retry: must be a complete state no-op
+      TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2174,7 +2203,9 @@ object SparkEntry {
       // the streamed ingest is invariant to micro-batch partitioning
       ("q165_stream_incremental_dedup" -> base("q126_incremental_minhash")) +
       // state-only re-centering answers like a fresh inline build
-      ("q166_recenter_ivf" -> base("q157_compact_ivf"))
+      ("q166_recenter_ivf" -> base("q157_compact_ivf")) +
+      // the retried turn changes nothing: scores still match inline
+      ("q167_daily_retry_idempotent" -> base("q152_dsir_weights"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

@@ -329,8 +329,14 @@ object Dedup {
     // history buckets are derived from the one state table (see
     // persistMinhashSignatures: no second table to tear on append),
     // through the merge-on-read view so tombstoned rows never mint
-    // candidates ([[loadSignatures]])
-    val histSigs = loadSignatures(spark, path)
+    // candidates ([[loadSignatures]]). History EXCLUDES the batch's
+    // own keys: on a first run that exclusion matches nothing, and on
+    // a DUPLICATE run (an orchestrator retry re-delivering a batch the
+    // first attempt already ingested — the reference's double-append
+    // flaw, spotify_dag.py retries) it keeps each doc single-rowed, so
+    // the emitted pairs are IDENTICAL to the first run's.
+    val state = loadSignatures(spark, path)
+    val histSigs = state.join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val allBuckets = bandBuckets(histSigs, numHashes, bands).unionByName(newBuckets)
     val allSigs = histSigs.unionByName(newSigs)
     val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
@@ -350,10 +356,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
     // ingest: today's batch becomes tomorrow's history — ONE append to
     // the single state table, so there is no window in which a doc is
-    // half-ingested. Note the returned frame reads the pre-append file
-    // listing (InMemoryFileIndex snapshots at read time), so consuming
-    // `result` after this append still sees history ∪ new exactly once.
-    newSigs.write.mode("append").parquet(s"$path/sigs")
+    // half-ingested. The append is CONTENT-FILTERED against the rows
+    // state already holds for the batch's keys, making a duplicate run
+    // a state no-op (its signatures are deterministic re-derivations of
+    // the same text, so the except cancels them) while a genuine
+    // re-ingest under a recycled key still lands its new rows. Note the
+    // returned frame reads the pre-append file listing
+    // (InMemoryFileIndex snapshots at read time), so consuming `result`
+    // after this append still sees history ∪ new exactly once.
+    newSigs.except(
+      state.join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .write.mode("append").parquet(s"$path/sigs")
     result
   }
 

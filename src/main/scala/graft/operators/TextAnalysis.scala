@@ -802,7 +802,7 @@ object TextAnalysis {
     */
   def persistDsirState(batch: DataFrame, targetSource: String,
                        statePath: String, buckets: Int = 64,
-                       ngram: Int = 1): Unit = {
+                       ngram: Int = 1, batchId: String = ""): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
     // the bucket count AND the n-gram order ride every state row: a
@@ -813,10 +813,38 @@ object TextAnalysis {
     // against bigram features (both land in [0, buckets), so NOTHING
     // at the bucket level betrays the mix). Both mismatches must be
     // detectable from the state itself.
-    dsirBucketCounts(dsirTf(batch, buckets, ngram), targetSource)
+    appendDsirCells(
+      dsirBucketCounts(dsirTf(batch, buckets, ngram), targetSource),
+      statePath, buckets, ngram, s"persist:$batchId", batchId.nonEmpty)
+  }
+
+  /** The shared DSIR state append: stamps the param and batch-identity
+    * columns and, when `checkReplay`, SKIPS the write if this exact
+    * (operation-qualified) batch id already landed — the sum-shaped
+    * state's replay guard. Counts are additive, so a re-delivered
+    * batch would silently DOUBLE its contribution; unlike the
+    * key-shaped tiers (whose content-addressed rows make replays
+    * self-cancelling) the folded sums carry no per-doc identity, so
+    * idempotence must come from an explicit identity the orchestrator
+    * owns (its run/execution date — exactly the identity the
+    * reference's own retrying DAG already has). An empty batchId
+    * stamps `bid = ""` and never checks: at-least-once, the
+    * pre-round-12 behavior.
+    */
+  private def appendDsirCells(cells: DataFrame, statePath: String,
+                              buckets: Int, ngram: Int,
+                              bid: String, checkReplay: Boolean): Unit = {
+    val spark = cells.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$statePath/buckets")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (checkReplay && fs.exists(dir) &&
+      !spark.read.parquet(dir.toString)
+        .filter(col("bid") === bid).limit(1).isEmpty) return
+    cells
       .withColumn("nb", lit(buckets))
       .withColumn("ng", lit(ngram))
-      .write.mode("append").parquet(s"$statePath/buckets")
+      .withColumn("bid", lit(bid))
+      .write.mode("append").parquet(dir.toString)
   }
 
   /** RETRACT a previously persisted batch's contribution from the
@@ -843,14 +871,15 @@ object TextAnalysis {
     */
   def retractDsirState(supersededRows: DataFrame, targetSource: String,
                        statePath: String, buckets: Int = 64,
-                       ngram: Int = 1): Unit = {
+                       ngram: Int = 1, batchId: String = ""): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
-    dsirBucketCounts(dsirTf(supersededRows, buckets, ngram), targetSource)
-      .select(col("b"), (-col("tc")).as("tc"), (-col("sc")).as("sc"))
-      .withColumn("nb", lit(buckets))
-      .withColumn("ng", lit(ngram))
-      .write.mode("append").parquet(s"$statePath/buckets")
+    // the operation qualifier keeps a retract and a persist of the
+    // SAME batch id distinct — an edit is exactly that pair
+    appendDsirCells(
+      dsirBucketCounts(dsirTf(supersededRows, buckets, ngram), targetSource)
+        .select(col("b"), (-col("tc")).as("tc"), (-col("sc")).as("sc")),
+      statePath, buckets, ngram, s"retract:$batchId", batchId.nonEmpty)
   }
 
   /** The (buckets, ngram) stamp a persisted DSIR state table was

@@ -418,6 +418,36 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(view(st2) === once.map(identity), "the retry must converge to the healed state")
   }
 
+  test("a retried daily turn is a complete state no-op across all three tiers") {
+    val st = Files.createTempDirectory("graft_daily_retry").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
+      st + "/mh", st + "/ivf", healEdits = true,
+      dsirStatePath = Some(st + "/dsir"), healVia = "tombstone",
+      runId = Some("day-1"))
+    val firstPairs = turn()("dedup_pairs").collect().toSeq
+    def sigView() = Dedup.loadSignatures(spark, st + "/mh")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    def ivfView() = Similarity.loadIvfIndex(spark, st + "/ivf")._2
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    def dsirCells() = spark.read.parquet(st + "/dsir/buckets")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val (s1, i1, d1) = (sigView(), ivfView(), dsirCells())
+    val retryPairs = turn()("dedup_pairs").collect().toSeq
+    assert(retryPairs === firstPairs, "the retry must emit the same pairs")
+    assert(sigView() === s1, "signature state must be unchanged by the retry")
+    assert(ivfView() === i1, "IVF state must be unchanged by the retry")
+    assert(dsirCells() === d1, "DSIR cells must be unchanged by the retry (no double-count)")
+  }
+
   test("cadence-gated compaction runs only past the tombstone-fraction threshold") {
     val state = Files.createTempDirectory("graft_sig_cadence").toString
     Dedup.persistMinhashSignatures(docs, 3, 16, 4, state)
