@@ -21,8 +21,22 @@ import graft.operators.Dedup
   *
   * Scale shape: identical to the batch loop per micro-batch — history
   * via narrow signature rows only, estimator verification, one append.
-  * The foreachBatch checkpoint provides exactly-once per batch id, the
-  * same restart discipline as the retained-sketch streams.
+  * The foreachBatch checkpoint provides exactly-once per batch id, and
+  * replay (a batch committed to the sink whose checkpoint write was
+  * lost) converges at both levels: ingest is a state no-op (the
+  * incremental append is content-filtered — see
+  * incrementalMinhashEstimated's retry contract) and each batch
+  * OVERWRITES its own output partition (`batch=<id>`, dynamic
+  * partition overwrite) instead of appending blindly. One replay
+  * artifact remains on disk by construction: a replayed EARLY batch
+  * re-runs against a state horizon that has since advanced, so a
+  * cross-batch pair it could not see the first time lands in its
+  * partition too — as an IDENTICAL row (signatures are deterministic,
+  * so the estimate is bit-equal). The returned view therefore
+  * `distinct`s, which is exact (it can only collapse those replay
+  * twins — a single drain never emits a pair twice) and makes the
+  * consumer-visible result invariant under any crash/restart
+  * interleaving (DedupStreamSpec replays the whole feed).
   */
 object DedupStream {
 
@@ -37,20 +51,27 @@ object DedupStream {
                        n: Int, numHashes: Int, bands: Int, minJ: Double,
                        sigPath: String, outDir: String, checkpoint: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
-    // seed the sink with the pair schema so a feed that emits no pairs
-    // still reads back as an empty frame, not a missing-schema error
+    // seed the sink with the pair schema (plus the batch partition
+    // column) so a feed that emits no pairs still reads back as an
+    // empty frame, not a missing-schema error
     spark.range(0)
       .select(col("id").as("doc_a"), col("id").as("doc_b"),
-        col("id").cast("double").as("est_jaccard"))
-      .write.mode("append").parquet(outDir)
+        col("id").cast("double").as("est_jaccard"), col("id").as("batch"))
+      .write.mode("append").partitionBy("batch").parquet(outDir)
     val schema = spark.read.parquet(feedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
-    EventStream.runForeachBatch(stream, checkpoint) { (batch, _) =>
+    EventStream.runForeachBatch(stream, checkpoint) { (batch, id) =>
+      // per-batch-id dynamic partition overwrite: a replayed batch
+      // replaces its own output instead of appending a duplicate
       Dedup.incrementalMinhashEstimated(batch, n, numHashes, bands, minJ, sigPath)
-        .write.mode("append").parquet(outDir)
+        .withColumn("batch", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(outDir)
     }
-    spark.read.parquet(outDir).orderBy(col("doc_a"), col("doc_b"))
+    spark.read.parquet(outDir).drop("batch")
+      .distinct().orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -48,5 +48,17 @@ class DedupStreamSpec extends AnyFunSuite {
     def rows(p: String) = Dedup.loadSignatures(spark, p)
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
     assert(rows(st + "/mh") === rows(fresh))
+
+    // full replay — every batch re-delivered (fresh checkpoint, same
+    // feed, state and sink): ingest must be a state no-op, and the
+    // returned view must be unchanged (replayed early batches re-emit
+    // cross-batch pairs against the advanced horizon as bit-identical
+    // rows, which the view's distinct collapses exactly)
+    val replayed = streaming.DedupStream.incrementalPairs(spark, st + "/feed",
+      n = 3, numHashes = 16, bands = 4, minJ = 0.5,
+      sigPath = st + "/mh", outDir = st + "/pairs", checkpoint = st + "/ckpt2")
+      .collect().toSeq
+    assert(replayed === streamed, "a full replay must not change the consumer-visible pairs")
+    assert(rows(st + "/mh") === rows(fresh), "a full replay must not change state")
   }
 }
