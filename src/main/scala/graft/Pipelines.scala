@@ -168,6 +168,13 @@ object Pipelines {
     * ([[graft.operators.TextAnalysis.dsirStateParams]]) so a turn can
     * never append at params the day-0 build didn't use.
     *
+    * `pqPath` opts the PQ index into the same turn: added vectors
+    * encode against the persisted codebooks and append (key-filtered
+    * for retries), edits heal by the selected `healVia` mode, and
+    * codebook retraining remains the periodic full-rebuild event
+    * ([[graft.operators.Similarity.retrainPqIndex]]). q168 pins the
+    * healed loop-fed PQ index to the one-shot-encode oracle.
+    *
     * THE TURN IS RETRY-IDEMPOTENT (q167): a duplicated run — the
     * orchestrator retry that makes the reference double-append
     * (spotify_dag.py retries=2 with no idempotence) — leaves every
@@ -199,7 +206,8 @@ object Pipelines {
                        dsirStatePath: Option[String] = None,
                        dsirTargetSource: String = "src0",
                        healVia: String = "compact",
-                       runId: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
+                       runId: Option[String] = None,
+                       pqPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     import org.apache.spark.sql.functions._
@@ -294,6 +302,29 @@ object Pipelines {
       .join(graft.operators.Similarity.loadIvfIndex(spark, ivfPath)._2
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
     graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
+    // optional PQ tier: same change-routing as IVF — added vectors
+    // encode against the persisted codebooks (key-filtered, so a
+    // retried turn appends nothing), edits heal by the selected mode;
+    // codebook retraining stays the periodic event (retrainPqIndex)
+    pqPath.foreach { pp =>
+      if (healEdits) {
+        val changedEmb = newEmb.join(
+          embChanges.filter(col("status") === "changed").select("vec_id"), Seq("vec_id"))
+        if (healVia == "tombstone")
+          graft.operators.Similarity.tombstonePqIndex(changedEmb, spark, pp,
+            embChanges.filter(col("status") === "removed").select("vec_id"))
+        else {
+          graft.operators.Similarity.compactPqIndex(spark, pp,
+            embChanges.filter(col("status").isin("changed", "removed")).select("vec_id"))
+          graft.operators.Similarity.appendToPqIndex(changedEmb, spark, pp)
+        }
+      }
+      val addedPq = newEmb.join(
+        embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
+        .join(graft.operators.Similarity.loadPqIndex(spark, pp)._2
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      graft.operators.Similarity.appendToPqIndex(addedPq, spark, pp)
+    }
     Map(
       "doc_changes" -> docChanges,
       "emb_changes" -> embChanges,

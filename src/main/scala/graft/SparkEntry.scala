@@ -1950,6 +1950,37 @@ object SparkEntry {
       turn() // the retry: must be a complete state no-op
       TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
     }),
+
+    // ---- The PQ tier riding the daily loop: day-0 codebooks trained
+    // on the real corpus (the versioned artifact — q161's discipline),
+    // day-0 codes encode yesterday's tampered corpus; one healed
+    // tombstone turn routes added vectors through the loop's PQ append
+    // and heals stale/ghost codes, so probes must answer exactly like
+    // a one-shot encode of the current corpus against those codebooks:
+    // the pristine pqOracleSql shape at fresh params ----
+    "q168_daily_pq_loop" -> ((s, dir) => {
+      // the doc side is inert here (no doc changes — q162/q164 cover
+      // it); a small slice keeps the entry's cost on the PQ tier
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedVec = emb.filter(
+        col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+        .unionByName(emb.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q168")
+      Dedup.persistMinhashSignatures(docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+      Similarity.buildPqIndex(emb, m = 8, ks = 16, path = st + "/pq")
+      Similarity.compactPqIndex(s, st + "/pq", emb.select("vec_id")) // empty the codes
+      Similarity.appendToPqIndex(day1Emb, s, st + "/pq")
+      Pipelines.dailyIncremental(s, docs, docs, day1Emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        pqPath = Some(st + "/pq"))
+      Similarity.pqTopKIndexed(emb, s, st + "/pq", nQueries = 5, k = 5, rerank = 20)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2908,6 +2939,8 @@ object SparkEntry {
     "q132_pq_persisted" -> pqOracleSql(nq = 3, k = 8, rr = 32),
     // append-then-compact rollback leaves the pristine build exactly
     "q161_compact_pq" -> pqOracleSql(nq = 4, k = 6, rr = 24),
+    // the loop-fed healed PQ index answers like a one-shot encode
+    "q168_daily_pq_loop" -> pqOracleSql(nq = 5, k = 5, rr = 20),
   ) ++ extraOracleSql
 
   /** DuckDB replay of the PQ train→encode→ADC→rerank pipeline

@@ -428,24 +428,37 @@ class StateCompactionSpec extends AnyFunSuite {
     val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
     graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
     Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = st + "/pq")
+    Similarity.compactPqIndex(spark, st + "/pq", embs.select("vec_id"))
+    Similarity.appendToPqIndex(d1e, spark, st + "/pq")
     graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
     def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
       st + "/mh", st + "/ivf", healEdits = true,
       dsirStatePath = Some(st + "/dsir"), healVia = "tombstone",
-      runId = Some("day-1"))
+      runId = Some("day-1"), pqPath = Some(st + "/pq"))
     val firstPairs = turn()("dedup_pairs").collect().toSeq
     def sigView() = Dedup.loadSignatures(spark, st + "/mh")
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
     def ivfView() = Similarity.loadIvfIndex(spark, st + "/ivf")._2
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    def pqView() = Similarity.loadPqIndex(spark, st + "/pq")._2
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
     def dsirCells() = spark.read.parquet(st + "/dsir/buckets")
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
-    val (s1, i1, d1) = (sigView(), ivfView(), dsirCells())
+    val (s1, i1, p1, d1) = (sigView(), ivfView(), pqView(), dsirCells())
     val retryPairs = turn()("dedup_pairs").collect().toSeq
     assert(retryPairs === firstPairs, "the retry must emit the same pairs")
     assert(sigView() === s1, "signature state must be unchanged by the retry")
     assert(ivfView() === i1, "IVF state must be unchanged by the retry")
+    assert(pqView() === p1, "PQ codes must be unchanged by the retry")
     assert(dsirCells() === d1, "DSIR cells must be unchanged by the retry (no double-count)")
+    // and the loop-fed PQ tier equals a one-shot encode of the current
+    // corpus against the same codebooks
+    val ref = Files.createTempDirectory("graft_daily_retry_pqref").toString + "/idx"
+    spark.read.parquet(st + "/pq/codebooks").write.parquet(ref + "/codebooks")
+    Similarity.appendToPqIndex(embs, spark, ref)
+    assert(pqView() === Similarity.loadPqIndex(spark, ref)._2
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq))
   }
 
   test("cadence-gated compaction runs only past the tombstone-fraction threshold") {
