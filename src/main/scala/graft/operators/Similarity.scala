@@ -408,6 +408,21 @@ object Similarity {
     * one-file-per-batch debris daily appends leave, so this doubles
     * as the table's small-file compaction.
     */
+  /** [[compactIvfIndex]] gated on the tombstone-fraction threshold —
+    * the cadence rule ([[graft.operators.Dedup.compactSignaturesIfNeeded]],
+    * same stats helper). Returns whether the rewrite ran.
+    */
+  def compactIvfIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                              path: String, staleKeys: DataFrame,
+                              maxTombstoneFrac: Double = 0.1): Boolean = {
+    require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+      spark, s"$path/assignments", s"$path/tombstones")
+    val due = frac > maxTombstoneFrac
+    if (due) compactIvfIndex(spark, path, staleKeys)
+    due
+  }
+
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       staleKeys: DataFrame): Unit = {
     val assignPath = s"$path/assignments"
@@ -892,6 +907,21 @@ object Similarity {
     * Write-new + swap ([[graft.sources.Sinks.swapRewrite]]); the flat
     * rewrite also merges the one-file-per-batch append debris.
     */
+  /** [[compactPqIndex]] gated on the tombstone-fraction threshold —
+    * the cadence rule, completing the per-tier trio. Returns whether
+    * the rewrite ran.
+    */
+  def compactPqIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                             path: String, staleKeys: DataFrame,
+                             maxTombstoneFrac: Double = 0.1): Boolean = {
+    require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+      spark, s"$path/codes", s"$path/tombstones")
+    val due = frac > maxTombstoneFrac
+    if (due) compactPqIndex(spark, path, staleKeys)
+    due
+  }
+
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      staleKeys: DataFrame): Unit = {
     val codesPath = s"$path/codes"

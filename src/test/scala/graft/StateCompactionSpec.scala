@@ -492,6 +492,28 @@ class StateCompactionSpec extends AnyFunSuite {
     val fresh = Files.createTempDirectory("graft_sig_cadence_fresh").toString
     Dedup.persistMinhashSignatures(current, 3, 16, 4, fresh)
     assert(sigRows(state) === sigRows(fresh))
+
+    // the IVF/PQ twins gate off the same stats: a heavy edit wave
+    // triggers, a clean table does not
+    val idx = Files.createTempDirectory("graft_ivf_cadence").toString + "/idx"
+    Similarity.buildIvfIndex(embs, nlist = 16, path = idx)
+    val none2 = embs.limit(0).select("vec_id")
+    assert(!Similarity.compactIvfIndexIfNeeded(spark, idx, none2),
+      "tombstone-free IVF index must not rewrite")
+    val vecWave = embs.filter(col("vec_id") >= 16 && col("vec_id") % 4 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    Similarity.tombstoneIvfIndex(vecWave, spark, idx, none2)
+    assert(Similarity.compactIvfIndexIfNeeded(spark, idx, none2),
+      "a 25% edit wave must trigger the IVF rewrite")
+    assert(!new java.io.File(idx + "/tombstones").exists())
+    val pq = Files.createTempDirectory("graft_pq_cadence").toString + "/idx"
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = pq)
+    assert(!Similarity.compactPqIndexIfNeeded(spark, pq, none2),
+      "tombstone-free PQ index must not rewrite")
+    Similarity.tombstonePqIndex(vecWave, spark, pq, none2)
+    assert(Similarity.compactPqIndexIfNeeded(spark, pq, none2),
+      "a 25% edit wave must trigger the PQ rewrite")
+    assert(!new java.io.File(pq + "/tombstones").exists())
   }
 
   test("merge-on-read views plan a broadcast anti-join (and nothing at all when tombstone-free)") {
