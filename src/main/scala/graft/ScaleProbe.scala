@@ -332,6 +332,28 @@ object ScaleProbe {
       val rebuildSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"daily_incremental","mult":$mult,"batch_pct":${100.0 / mod}%.1f,"incremental_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${incrSec / rebuildSec}%.2f}""")
     }
+    // the healed loop TURN end-to-end, compact vs tombstone mode:
+    // same staged corpus (2% added batch + 2% edits + ghosts), fresh
+    // state per arm — the per-turn cost the healVia choice actually
+    // buys at daily cadence (the state_compaction probe isolates the
+    // heal-arm delta; this measures it inside the full turn)
+    if (only.isEmpty || only.contains("daily_heal")) {
+      val changedD = docs.filter($"doc_id" % 50 === 7)
+      val day1D = docs.filter($"doc_id" % 50 =!= 0 && $"doc_id" % 50 =!= 7)
+        .unionByName(changedD.withColumn("text", concat(lit("stale draft of doc "), $"doc_id".cast("string"))))
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % 50 =!= 0)
+      for (mode <- Seq("compact", "tombstone")) {
+        val dir = Scratch.dir(s"graft_daily_heal_$mode")
+        Dedup.persistMinhashSignatures(day1D, 3, 16, 4, s"$dir/mh")
+        Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$dir/ivf")
+        val t0 = System.nanoTime()
+        Pipelines.dailyIncremental(spark, day1D, docs, d1e, embs,
+            s"$dir/mh", s"$dir/ivf", healEdits = true, healVia = mode)
+          .values.foreach(_.write.format("noop").mode("overwrite").save())
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"daily_heal","mult":$mult,"mode":"$mode","turn_sec":$sec%.2f}""")
+      }
+    }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti
     // joins + rewrite) + |edits| text re-signs, so it should sit well
