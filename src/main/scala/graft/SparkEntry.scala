@@ -1981,6 +1981,20 @@ object SparkEntry {
         pqPath = Some(st + "/pq"))
       Similarity.pqTopKIndexed(emb, s, st + "/pq", nQueries = 5, k = 5, rerank = 20)
     }),
+
+    // ---- Tokenized-sequence materialization: the q130 trained
+    // merges APPLIED per document as token-ID arrays (reference id
+    // layout: base alphabet then merges in learning order), chunked
+    // to 40-id windows and greedily packed into <=100-token training
+    // sequences with per-chunk sequence offsets — the corpus a
+    // trainer actually reads, boundaries included. Train + encode
+    // touch the corpus twice total; packing is per-doc parallel ----
+    "q169_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.TextPrep.packTokenIds(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        size = 40, budget = 100)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3072,7 +3086,12 @@ object SparkEntry {
     * vocab passes through unchanged (and the merge-table select for
     * that round naturally emits no row).
     */
-  private def bpeOracleSql(merges: Int, encode: Boolean): String = {
+  /** Shared WITH-body of every BPE oracle: word-frequency vocab +
+    * `merges` unrolled train rounds, the word key `w` carried through
+    * each fold so downstream CTEs can rebuild word→ids maps
+    * ([[bpeIdsOracleSql]]). `encode` controls whether the final
+    * round's merge is applied (mirror of the Scala foldLast flag). */
+  private def bpeStagesSql(merges: Int, encode: Boolean): String = {
     val ws = """\s+"""
     def stage(i: Int): String = {
       val src = if (i == 1) "s0" else s"s${i - 1}"
@@ -3084,7 +3103,7 @@ object SparkEntry {
            |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
       if (i == merges && !encode) pairs
       else pairs + ",\n" +
-        s"""s$i AS (SELECT s.freq,
+        s"""s$i AS (SELECT s.w, s.freq,
            |    CASE WHEN b.a IS NULL OR len(s.seq) < 2 THEN s.seq
            |         ELSE string_split(list_reduce(s.seq,
            |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
@@ -3093,6 +3112,15 @@ object SparkEntry {
            |    END AS seq
            |  FROM $src s LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
+    s"""w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS (SELECT w, CAST(freq AS BIGINT) AS freq,
+       |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
+       |${(1 to merges).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql(merges: Int, encode: Boolean): String = {
     val finalSelect =
       if (encode)
         s"""SELECT t AS token, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM (
@@ -3103,13 +3131,65 @@ object SparkEntry {
           s"SELECT CAST($i AS BIGINT) AS iter, a AS sym_a, b AS sym_b, " +
             s"a || b AS merged, cnt AS weighted_count FROM b$i")
           .mkString("", "\nUNION ALL ", "\nORDER BY iter")
-    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY w),
-       |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
-       |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
-       |${(1 to merges).map(stage).mkString(",\n")}
+    s"""WITH ${bpeStagesSql(merges, encode)}
        |$finalSelect""".stripMargin
+  }
+
+  /** DuckDB replay of q169: BPE-encode every document to token IDS
+    * under the reference id layout (base alphabet sorted → ids
+    * 0..C-1, merge round i → id C+i-1, first id wins on collision),
+    * then chunk each id array into `size`-token windows and replay
+    * the greedy packer (the q72 recursive running-sum-with-reset)
+    * at `budget`, emitting per-chunk sequence offsets and id
+    * checksums. */
+  private def bpeIdsOracleSql(merges: Int, size: Int, budget: Int,
+                              docLimit: Int): String = {
+    val ws = """\s+"""
+    val mrg = (1 to merges)
+      .map(i => s"SELECT $i AS iter, a || b AS t FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE ${bpeStagesSql(merges, encode = true)},
+       |chars AS (SELECT DISTINCT unnest(seq) AS t FROM s0),
+       |nb AS (SELECT count(*) AS c FROM chars),
+       |vocab AS (SELECT t, CAST(MIN(id) AS BIGINT) AS id FROM (
+       |    SELECT t, row_number() OVER (ORDER BY t) - 1 AS id FROM chars
+       |    UNION ALL
+       |    SELECT m.t, nb.c + m.iter - 1 AS id FROM ($mrg) m CROSS JOIN nb)
+       |  GROUP BY t),
+       |wt AS (SELECT w, unnest(seq) AS t, unnest(range(0, len(seq))) AS pos FROM s$merges),
+       |wid AS (SELECT w, list(id ORDER BY pos) AS ids
+       |        FROM wt JOIN vocab USING (t) GROUP BY w),
+       |dt AS (SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS wpos FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(trim(text)), '$ws'), x -> x <> '') AS ws
+       |    FROM documents WHERE doc_id < $docLimit)),
+       |denc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+       |         FROM dt JOIN wid USING (w) GROUP BY doc_id),
+       |cidx AS (SELECT doc_id, ids,
+       |           unnest(range(0, greatest(0, (len(ids) - 1) // $size) + 1)) AS chunk_idx
+       |         FROM denc),
+       |ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |         ids[chunk_idx*$size + 1 : chunk_idx*$size + $size] AS cw FROM cidx),
+       |cst AS (SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tokens,
+       |          CAST(cw[1] AS BIGINT) AS first_id, CAST(cw[-1] AS BIGINT) AS last_id
+       |        FROM ch),
+       |wsum AS (SELECT doc_id, chunk_idx, CAST(SUM(x * (pos + 1)) AS BIGINT) AS ids_wsum
+       |         FROM (SELECT doc_id, chunk_idx, unnest(cw) AS x,
+       |                 unnest(range(0, len(cw))) AS pos FROM ch)
+       |         GROUP BY doc_id, chunk_idx),
+       |pack(doc_id, chunk_idx, seq_idx, acc) AS (
+       |  SELECT doc_id, chunk_idx, CAST(0 AS BIGINT), n_tokens FROM cst WHERE chunk_idx = 0
+       |  UNION ALL
+       |  SELECT c.doc_id, c.chunk_idx,
+       |    CASE WHEN p.acc + c.n_tokens > $budget THEN p.seq_idx + 1 ELSE p.seq_idx END,
+       |    CASE WHEN p.acc + c.n_tokens > $budget THEN c.n_tokens ELSE p.acc + c.n_tokens END
+       |  FROM pack p JOIN cst c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1)
+       |SELECT c.doc_id, c.chunk_idx, p.seq_idx, p.acc - c.n_tokens AS seq_offset,
+       |  c.n_tokens, c.first_id, c.last_id, w.ids_wsum
+       |FROM cst c
+       |JOIN pack p ON p.doc_id = c.doc_id AND p.chunk_idx = c.chunk_idx
+       |JOIN wsum w ON w.doc_id = c.doc_id AND w.chunk_idx = c.chunk_idx
+       |ORDER BY c.doc_id, c.chunk_idx""".stripMargin
   }
 
   /** Tail of the oracle catalog — split out of the main literal so
@@ -3710,6 +3790,8 @@ object SparkEntry {
     // q131 applies every merge and emits the token histogram.
     "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
+    "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
+      docLimit = 50),
 
     // null-day contract (ApproxDistinct.dayHashes): ts-NULL rows belong
     // to no day and are excluded from the whole tier — daily rows, the

@@ -608,7 +608,10 @@ object TextAnalysis {
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
+      // `w` rides along untouched: the per-WORD encoding consumers
+      // ([[bpeEncodeIds]]) need the word -> final-symbol-sequence map,
+      // and re-deriving it from `seq` would re-run every fold
+      .select(col("w"), col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
       .persist() // vocab-sized; every round re-reads it through its fold lineage
     var seqs = base
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -647,7 +650,7 @@ object TextAnalysis {
             // expression grows ~5^rounds — measured 135 s for the
             // 4-merge encode at sf0.1 vs ~1 s materialized. The frame
             // is vocab-sized, so each round's materialization is tiny.
-            seqs = seqs.select(col("freq"),
+            seqs = seqs.select(col("w"), col("freq"),
               when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
               .localCheckpoint()
           }
@@ -677,6 +680,75 @@ object TextAnalysis {
       .groupBy(col("token")).agg(sum(col("freq")).as("n_tokens"))
       .orderBy(col("n_tokens").desc, col("token"))
   }
+
+  /** Tokenized-sequence MATERIALIZATION: per-document token-ID arrays
+    * under the trained BPE vocabulary — the artifact a training run
+    * actually consumes (q131's histogram sizes the corpus; this is
+    * the corpus). Returns `(ids frame, vocab frame)` from ONE
+    * training pass:
+    *
+    *  - vocab: `(token, id)` with the reference BPE id layout — the
+    *    base alphabet (every distinct character of the dedup'd word
+    *    vocab) sorted ascending takes ids `0..C-1`, then merge round
+    *    `i` takes id `C + i - 1` in learning order. If a merge
+    *    re-produces an existing token string the FIRST id wins (ids
+    *    must stay a function of the token string).
+    *  - ids: `(doc_id, ids, n_tokens)` — each document's
+    *    whitespace-lowered words encoded by the trained merges and
+    *    mapped to ids, concatenated in word order.
+    *
+    * Scale shape: the corpus is touched exactly TWICE — once by
+    * training's word-frequency count, once by the final
+    * posexplode → join → regroup that rebuilds per-doc order. Words
+    * are encoded ONCE EACH on the dedup'd vocab (the same
+    * never-re-fold-the-corpus discipline as training); documents then
+    * reach their ids through a plain equi-join on the word (AQE
+    * broadcasts the vocab side when it fits; at 100 TB it shuffles —
+    * either way no all-pairs, no driver data). The id map itself is
+    * a broadcast literal (base alphabet + `merges` symbols — a few
+    * hundred entries at most). Per-doc arrays are bounded by the
+    * document's own length, the same boundedness argument as
+    * [[graft.operators.TextPrep.packSequences]].
+    */
+  def bpeEncodeIdsWithVocab(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val (learned, seqs) = bpeTrain(docs, merges, foldLast = true)
+    // base alphabet: distinct pre-merge characters of the vocab words
+    // (vocab-sized scan; the collect is the alphabet, not data)
+    val chars = seqs
+      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("t"))
+      .distinct().orderBy(col("t")).collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    chars.zipWithIndex.foreach { case (c, i) => vocab(c) = i }
+    learned.foreach { case (iter, _, _, merged, _) =>
+      if (!vocab.contains(merged)) vocab(merged) = chars.length + iter.toInt - 1
+    }
+    val vocabDf = {
+      import spark.implicits._
+      vocab.toSeq.toDF("token", "id").orderBy(col("id"))
+    }
+    // every symbol in a folded seq is a base char or a learned merge,
+    // so the literal-map lookup is total by construction
+    val idOf = typedLit(vocab.toMap)
+    val wordIds = seqs.select(col("w"),
+      transform(col("seq"), t => element_at(idOf, t)).as("ids"))
+    val ids = docs
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(wordIds, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        x => x.getField("ids"))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+    (ids, vocabDf)
+  }
+
+  /** [[bpeEncodeIdsWithVocab]] without the vocab frame — the catalog
+    * entry point (q169 feeds these ids into the sequence packer). */
+  def bpeEncodeIds(docs: DataFrame, merges: Int): DataFrame =
+    bpeEncodeIdsWithVocab(docs, merges)._1
 
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,

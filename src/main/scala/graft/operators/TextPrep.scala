@@ -113,4 +113,50 @@ object TextPrep {
       .toDF("doc_id", "chunk_idx", "n_tokens", "seq_idx")
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** Fixed-size token-ID chunking + greedy packing over a
+    * `(doc_id, ids)` frame from
+    * [[graft.operators.TextAnalysis.bpeEncodeIds]]: each document's
+    * id array splits into `size`-token chunks (no overlap — these are
+    * training tokens, not sliding-window features), the chunks pack
+    * greedily into sequences of at most `budget` tokens via
+    * [[packSequences]], and each chunk carries its token OFFSET
+    * within its packed sequence — the chunk/document-boundary table a
+    * trainer reads next to the flat token stream. The id content is
+    * pinned by checksum columns (`first_id`, `last_id`,
+    * `ids_wsum = Σ id_i · (i+1)` over the chunk) so the oracle
+    * verifies the actual ids, not just their count.
+    *
+    * Scale shape: one narrow per-row explode (chunking), the one
+    * [[packSequences]] groupByKey shuffle, one per-doc equi-join back,
+    * and a window PARTITIONED by (doc_id, seq_idx) for the offsets —
+    * nothing global, nothing all-pairs.
+    * Output: (doc_id, chunk_idx, seq_idx, seq_offset, n_tokens,
+    * first_id, last_id, ids_wsum) ordered by (doc_id, chunk_idx).
+    */
+  def packTokenIds(encoded: DataFrame, size: Int, budget: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1 (got $size)")
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val chunks = encoded
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(0, (size(ids) - 1) div $size)), " +
+          s"i -> slice(ids, i*$size + 1, $size))")).as(Seq("chunk_idx", "cw")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("cw")).cast("long").as("n_tokens"),
+        element_at(col("cw"), 1).cast("long").as("first_id"),
+        element_at(col("cw"), -1).cast("long").as("last_id"),
+        expr("aggregate(zip_with(cw, sequence(1, size(cw)), " +
+          "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)").as("ids_wsum"))
+    val packed = packSequences(chunks, budget).select("doc_id", "chunk_idx", "seq_idx")
+    val bySeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("seq_idx")).orderBy(col("chunk_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks.join(packed, Seq("doc_id", "chunk_idx"))
+      .withColumn("seq_offset", coalesce(sum(col("n_tokens")).over(bySeq), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("seq_idx"), col("seq_offset"),
+        col("n_tokens"), col("first_id"), col("last_id"), col("ids_wsum"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

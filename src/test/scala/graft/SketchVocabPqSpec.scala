@@ -180,4 +180,47 @@ class SketchVocabPqSpec extends AnyFunSuite {
       s"encoding must conserve characters ($chars vs $chars1/$chars4)")
     assert(toks4 < toks1, "each merge strictly reduces total tokens on this corpus")
   }
+
+  test("bpeEncodeIds: vocab follows the reference id layout on the hand-checked corpus") {
+    // chars sorted: e,l,o,s,t,w -> ids 0..5; merges lo=6, low=7, es=8
+    val docs = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val (ids, vocab) = TextAnalysis.bpeEncodeIdsWithVocab(docs, merges = 3)
+    assert(vocab.as[(String, Int)].collect().toSeq == Seq(
+      ("e", 0), ("l", 1), ("o", 2), ("s", 3), ("t", 4), ("w", 5),
+      ("lo", 6), ("low", 7), ("es", 8)))
+    // "low low low lowest" -> [low, low, low, low, es, t]
+    val enc = ids.as[(Long, Seq[Int], Long)].collect().toSeq
+    assert(enc == Seq((1L, Seq(7, 7, 7, 7, 8, 4), 6L)))
+  }
+
+  test("bpeEncodeIds id-decode round-trips to bpeEncodeCounts' histogram") {
+    val docs = Tables.load(spark, sf, "documents")
+    val (ids, vocab) = TextAnalysis.bpeEncodeIdsWithVocab(docs, merges = 4)
+    // decode every id back through the vocab and histogram the tokens:
+    // must equal the corpus-wide q131 histogram exactly
+    val decoded = ids.select(explode(col("ids")).as("id"))
+      .join(vocab, Seq("id"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    val direct = TextAnalysis.bpeEncodeCounts(docs, merges = 4)
+      .as[(String, Long)].collect().toMap
+    assert(decoded == direct,
+      "decoding the materialized ids must reproduce q131's token histogram")
+    // and no id decodes ambiguously: vocab ids are unique
+    val vs = vocab.as[(String, Int)].collect()
+    assert(vs.map(_._2).distinct.length == vs.length)
+  }
+
+  test("packTokenIds: offsets restart per sequence and wsum pins chunk content") {
+    // one doc, 7 tokens, chunk size 3, budget 6 -> chunks of 3,3,1;
+    // greedy: seq0=[c0,c1] (offsets 0,3), seq1=[c2] (offset 0)
+    val enc = Seq((1L, Seq(10, 11, 12, 20, 21, 22, 30)))
+      .toDF("doc_id", "ids")
+    val out = graft.operators.TextPrep.packTokenIds(enc, size = 3, budget = 6)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 3L, 10L, 12L, 10L * 1 + 11 * 2 + 12 * 3),
+      (1L, 1L, 0L, 3L, 3L, 20L, 22L, 20L * 1 + 21 * 2 + 22 * 3),
+      (1L, 2L, 1L, 0L, 1L, 30L, 30L, 30L)))
+  }
 }
