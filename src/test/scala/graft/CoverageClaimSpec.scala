@@ -1,0 +1,67 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical staleness gate for the COVERAGE.md correctness claim:
+  * the claim paragraph (round number, green/total counts, artifact
+  * name) must match the NEWEST `CORRECTNESS_r*.json` driver artifact
+  * in the repo root. The claim is machine-written by
+  * `tools/coverage_report.py`; this spec makes forgetting to run it a
+  * test failure rather than a third consecutive stale header.
+  *
+  * Deliberately dumb parsing: the claim format is owned by
+  * coverage_report.py — if the format changes there, change it here.
+  */
+class CoverageClaimSpec extends AnyFunSuite {
+
+  private val root = {
+    // sbt runs tests with cwd = project root; fall back to walking up
+    // from user.dir until COVERAGE.md appears (IDE runners).
+    var d = new File(System.getProperty("user.dir")).getAbsoluteFile
+    while (d != null && !new File(d, "COVERAGE.md").isFile) d = d.getParentFile
+    assert(d != null, "COVERAGE.md not found above user.dir")
+    d
+  }
+
+  test("COVERAGE.md claim matches the newest CORRECTNESS_r*.json artifact") {
+    val artRe = "CORRECTNESS_r(\\d+)\\.json".r
+    val arts = root.listFiles().toSeq
+      .flatMap(f => f.getName match {
+        case artRe(n) => Some((n.toInt, f))
+        case _        => None
+      })
+    assert(arts.nonEmpty, "no CORRECTNESS_r*.json artifact in repo root")
+    val (round, newest) = arts.maxBy(_._1)
+
+    // count green rows exactly like tools/coverage_report.py: a row is
+    // green iff rows_match, schema_match and hash_match are all true
+    val body = new String(Files.readAllBytes(newest.toPath), "UTF-8")
+    val rowRe = ("\"(q[0-9]+[a-z0-9_]*)\"\\s*:\\s*\\{([^}]*)\\}").r
+    val rows = rowRe.findAllMatchIn(body).map { m =>
+      val fields = m.group(2)
+      def flag(k: String) = s""""$k"\\s*:\\s*true""".r.findFirstIn(fields).isDefined
+      (m.group(1), flag("rows_match") && flag("schema_match") && flag("hash_match"))
+    }.toSeq
+    assert(rows.nonEmpty, s"no query rows parsed from ${newest.getName}")
+    val total = rows.size
+    val green = rows.count(_._2)
+
+    val cov = new String(
+      Files.readAllBytes(Paths.get(root.getPath, "COVERAGE.md")), "UTF-8")
+    val claimRe =
+      ("""Driver artifact \(round (\d+)\):\s*\n\*\*(\d+)/(\d+) green\*\* """ +
+        """\(`(CORRECTNESS_r\d+\.json)`""").r
+    val m = claimRe.findFirstMatchIn(cov).getOrElse(
+      fail("COVERAGE.md claim paragraph not found — run tools/coverage_report.py"))
+    assert(m.group(1).toInt == round && m.group(4) == newest.getName,
+      s"COVERAGE.md claims round ${m.group(1)} (${m.group(4)}) but the newest " +
+        s"artifact is round $round (${newest.getName}) — " +
+        "run `python3 tools/coverage_report.py`")
+    assert(m.group(2).toInt == green && m.group(3).toInt == total,
+      s"COVERAGE.md claims ${m.group(2)}/${m.group(3)} green but " +
+        s"${newest.getName} holds $green/$total — " +
+        "run `python3 tools/coverage_report.py`")
+  }
+}
