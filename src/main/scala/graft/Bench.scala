@@ -118,18 +118,34 @@ object Bench {
     // `errored` count) so a consumer can exclude erred queries from
     // both sides of a baseline comparison.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Some(elapsed) on success, None on failure (error recorded either
+    // way). The checked form exists for the second-pass re-time: a
+    // fail-fast elapsed is not a timing, and folding it into the
+    // min-across-passes would report a bogus near-zero for a query
+    // that timed FINE in the first pass (ADVICE r12) — the errors
+    // term, not a poisoned min, is what fails the gate.
+    def timeOneChecked(name: String,
+                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         // strip quotes, backslashes AND all control chars — a \f or
         // \u0000 in an exception message would break the JSON line and
         // zero the round's bench data (same escaping rule as Verify)
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(160)
+        None
       }
-      (System.nanoTime() - t0) / 1e9
+    }
+    // main-sweep form: keeps the fail-fast elapsed as the sample so an
+    // errored query still carries a number in the artifact (it is
+    // excluded from the ratio gate and fails through the errors term)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      timeOneChecked(name, fn).getOrElse((System.nanoTime() - t0) / 1e9)
     }
     // Contention guard: min-of-two still false-flags when a transient
     // load spike spans both runs (observed: alphabetically contiguous
@@ -174,7 +190,9 @@ object Bench {
     val (regressed, secondPass) = secondPassGate(
       results.collect { case (n, sec, _) if !errors.contains(n) => (n, sec) },
       baseline,
-      name => Seq(timeOne(name, fns(name)), timeOne(name, fns(name))))
+      // checked re-times: an errored second-pass run contributes NO
+      // sample (the error still lands in `errors`, failing the gate)
+      name => (1 to 2).flatMap(_ => timeOneChecked(name, fns(name))).toSeq)
     val merged = results.map { case (n, m, ss) =>
       val all = ss ++ secondPass.getOrElse(n, Seq.empty)
       (n, all.min, all)

@@ -184,8 +184,25 @@ object Pipelines {
     * run-stable), IVF appends are key-filtered against the live view,
     * and the DSIR sums — which carry no per-doc identity to cancel
     * on — skip via the `runId` batch stamp; pass the orchestrator's
-    * execution date as `runId` whenever the DSIR tier rides the loop
-    * (without it the DSIR appends are at-least-once, as before).
+    * execution date as `runId` whenever the DSIR tier rides the loop.
+    * Without a `runId` the turn derives a CONTENT-HASH run identity
+    * from the snapshot diff (keys + statuses + both sides' text
+    * fingerprints), so even a runId-less retry re-delivering the same
+    * batches is a DSIR no-op — the at-least-once hole is closed by
+    * default, and an explicit orchestrator date simply overrides the
+    * derived stamp.
+    *
+    * `maintain` (default ON) runs the cadence-gated compaction trio
+    * AFTER the turn's state writes: each tier rewrites iff its
+    * measured tombstone fraction exceeds `maxTombstoneFrac`
+    * ([[graft.sources.Sinks.tombstoneStats]]), so tombstone-mode
+    * deployments bound their read tax WITHOUT any orchestrator
+    * compaction DAG — a clean tier costs two count jobs. Set
+    * `maintain = false` to keep compaction an externally scheduled
+    * event. `manifestPath` appends one audit row per turn (run id,
+    * per-tier change counts, post-maintenance live/tombstone counts
+    * and fractions, which tiers compacted) — the after-the-fact
+    * audit trail retry-idempotence alone doesn't give.
     *
     * Returns the run's frames keyed by name: `doc_changes` /
     * `emb_changes` (added|changed|removed rows), `dedup_pairs` (new
@@ -207,7 +224,10 @@ object Pipelines {
                        dsirTargetSource: String = "src0",
                        healVia: String = "compact",
                        runId: Option[String] = None,
-                       pqPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
+                       pqPath: Option[String] = None,
+                       maintain: Boolean = true,
+                       maxTombstoneFrac: Double = 0.1,
+                       manifestPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     import org.apache.spark.sql.functions._
@@ -252,8 +272,26 @@ object Pipelines {
       // the run identity (the orchestrator's execution date) makes the
       // sum-shaped appends replay-proof: a retried turn re-delivering
       // the same batches is skipped by the bid stamp rather than
-      // double-counted. No runId = at-least-once, caller's problem.
-      val rid = runId.getOrElse("")
+      // double-counted. Without a caller runId, the turn DERIVES one
+      // from the diff content (order-independent sum of per-row
+      // hashes over key + status + both sides' text fingerprints) —
+      // so a runId-less retry re-delivering the same batches is still
+      // a no-op, while a later day re-editing the same keys hashes
+      // differently (the fingerprints moved) and appends normally.
+      // The probe costs one tiny aggregation over the day's delta.
+      val rid = runId.getOrElse {
+        def fpOf(df: org.apache.spark.sql.DataFrame, as: String) =
+          df.select(col("doc_id"),
+            md5(concat_ws("", col("text"), col("lang"))).as(as))
+        val h = docChanges
+          .join(fpOf(newDocs, "nh"), Seq("doc_id"), "left")
+          .join(fpOf(oldDocs, "oh"), Seq("doc_id"), "left")
+          .agg(coalesce(sum(graft.functions.PortableHash.hash32(concat_ws("",
+            col("doc_id"), col("status"),
+            coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))), lit(0L)))
+          .head().getLong(0)
+        f"auto:$h%x"
+      }
       if (healEdits) {
         val editKeys = docChanges
           .filter(col("status").isin("changed", "removed")).select("doc_id")
@@ -269,8 +307,13 @@ object Pipelines {
         addedDocs, dsirTargetSource, dp, nb, ng,
         batchId = if (rid.isEmpty) "" else s"$rid:added")
     }
-    val pairs = graft.operators.Dedup.incrementalMinhashEstimated(
-      addedDocs, n, numHashes, bands, minJ, sigStatePath)
+    // materialized: the post-turn maintenance below may REWRITE the
+    // signature state dir (swapRewrite), and the pair frame's lazy
+    // state scan holds the pre-rewrite file listing — a consumer
+    // collecting pairs after compaction would read deleted files
+    val pairs = graft.operators.Dedup.materialize(
+      graft.operators.Dedup.incrementalMinhashEstimated(
+        addedDocs, n, numHashes, bands, minJ, sigStatePath))
     // embeddings diff fingerprints the vector bytes via the canonical
     // string form (stable for a given array, engine-portable)
     def fp(e: org.apache.spark.sql.DataFrame) =
@@ -324,6 +367,62 @@ object Pipelines {
         .join(graft.operators.Similarity.loadPqIndex(spark, pp)._2
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       graft.operators.Similarity.appendToPqIndex(addedPq, spark, pp)
+    }
+    // ---- post-turn cadence-gated maintenance: the tombstone mode's
+    // read-side tax (measured ~2x a clean drain at 1% edits) is only
+    // bounded if SOMETHING schedules compaction — and an orchestrator
+    // that owns no compaction DAG never will. So the loop turn itself
+    // runs the trio after its state writes: each tier compacts iff its
+    // measured tombstone fraction crossed `maxTombstoneFrac`, and a
+    // clean tier costs exactly the two count jobs of tombstoneStats.
+    // The worklists are empty — every stale key was already tombstoned
+    // or rewritten above; compaction here only folds tombstones away.
+    val noDocKeys = newDocs.select(col("doc_id")).limit(0)
+    val noVecKeys = newEmb.select(col("vec_id")).limit(0)
+    val sigCompacted = maintain && graft.operators.Dedup.compactSignaturesIfNeeded(
+      newDocs, n, numHashes, bands, sigStatePath, noDocKeys, maxTombstoneFrac)
+    val ivfCompacted = maintain && graft.operators.Similarity.compactIvfIndexIfNeeded(
+      spark, ivfPath, noVecKeys, maxTombstoneFrac)
+    val pqCompacted = pqPath.exists(pp => maintain &&
+      graft.operators.Similarity.compactPqIndexIfNeeded(spark, pp, noVecKeys, maxTombstoneFrac))
+    // ---- run manifest: one appended row per turn makes a bad turn
+    // AUDITABLE after the fact (retry-idempotence makes it harmless,
+    // not visible). Counts come off the already-materialized change
+    // frames; fractions/liveness off the same tombstoneStats the
+    // cadence gate reads — post-maintenance, so the row records the
+    // state a reader would actually see.
+    manifestPath.foreach { mp =>
+      import spark.implicits._
+      def statusCounts(ch: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        ch.groupBy(col("status")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val dc = statusCounts(docChanges)
+      val ec = statusCounts(embChanges)
+      val (sigLive, sigTombs, sigFrac) = graft.sources.Sinks.tombstoneStats(
+        spark, s"$sigStatePath/sigs", s"$sigStatePath/tombstones")
+      val (ivfLive, ivfTombs, ivfFrac) = graft.sources.Sinks.tombstoneStats(
+        spark, s"$ivfPath/assignments", s"$ivfPath/tombstones")
+      val (pqLive, pqTombs, pqFrac) = pqPath
+        .map(pp => graft.sources.Sinks.tombstoneStats(
+          spark, s"$pp/codes", s"$pp/tombstones"))
+        .getOrElse((-1L, -1L, -1.0))
+      val manifestDir = new org.apache.hadoop.fs.Path(mp)
+      val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val turnSeq =
+        if (fs.exists(manifestDir)) spark.read.parquet(mp).count() + 1L else 1L
+      Seq((turnSeq, runId.getOrElse(""),
+        dc("added"), dc("changed"), dc("removed"),
+        ec("added"), ec("changed"), ec("removed"),
+        sigLive, sigTombs, sigFrac, sigCompacted,
+        ivfLive, ivfTombs, ivfFrac, ivfCompacted,
+        pqLive, pqTombs, pqFrac, pqCompacted))
+        .toDF("turn_seq", "run_id",
+          "docs_added", "docs_changed", "docs_removed",
+          "emb_added", "emb_changed", "emb_removed",
+          "sig_live", "sig_tombs", "sig_frac", "sig_compacted",
+          "ivf_live", "ivf_tombs", "ivf_frac", "ivf_compacted",
+          "pq_live", "pq_tombs", "pq_frac", "pq_compacted")
+        .write.mode("append").parquet(mp)
     }
     Map(
       "doc_changes" -> docChanges,

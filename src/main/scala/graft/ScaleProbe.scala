@@ -354,6 +354,38 @@ object ScaleProbe {
         println(f"""{"op":"daily_heal","mult":$mult,"mode":"$mode","turn_sec":$sec%.2f}""")
       }
     }
+    // q165's streamed EP5 ingest front vs the one-shot batch ingest:
+    // the SAME 20% added batch either near-dups + appends in ONE call
+    // (incrementalMinhashEstimated — what dailyIncremental's doc tier
+    // runs) or arrives as a file stream drained in 1-file
+    // micro-batches (foreachBatch near-dup + state append per batch).
+    // Arrival-partition INVARIANCE is proven (q165 shares q126's
+    // oracle); this prices what the streaming front PAYS for its
+    // latency — per-micro-batch state reads, checkpoint commits and
+    // partition-overwrite writes — and how that overhead scales with
+    // corpus size and batch-file count.
+    if (only.isEmpty || only.contains("stream_ingest")) {
+      val bucket = Sampling.hashBucket($"doc_id".cast("string"))
+      val hist = docs.filter(bucket < 80)
+      val added = docs.filter(bucket >= 80)
+      val bDir = Scratch.dir("graft_stream_ingest_batch")
+      Dedup.persistMinhashSignatures(hist, 3, 16, 4, s"$bDir/mh")
+      val t0 = System.nanoTime()
+      Dedup.incrementalMinhashEstimated(added, 3, 16, 4, 0.5, s"$bDir/mh")
+        .write.format("noop").mode("overwrite").save()
+      val batchSec = (System.nanoTime() - t0) / 1e9
+      for (files <- Seq(4, 16)) {
+        val sDir = Scratch.dir(s"graft_stream_ingest_$files")
+        Dedup.persistMinhashSignatures(hist, 3, 16, 4, s"$sDir/mh")
+        added.repartition(files).write.parquet(s"$sDir/feed")
+        val t1 = System.nanoTime()
+        graft.streaming.DedupStream.incrementalPairs(spark, s"$sDir/feed",
+            3, 16, 4, 0.5, s"$sDir/mh", s"$sDir/pairs", s"$sDir/ckpt")
+          .write.format("noop").mode("overwrite").save()
+        val streamSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"stream_ingest","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
+      }
+    }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti
     // joins + rewrite) + |edits| text re-signs, so it should sit well

@@ -1995,6 +1995,33 @@ object SparkEntry {
         TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
         size = 40, budget = 100)
     }),
+
+    // ---- The daily turn's RUN MANIFEST: one appended audit row per
+    // turn (run id, per-tier change counts, post-maintenance
+    // live/tombstone state, which tiers compacted) — the
+    // after-the-fact audit trail retry-idempotence alone doesn't
+    // give. Staging is the q162 shape with FULLY-rewritten stale
+    // drafts (so every edit provably tombstones) and a sub-threshold
+    // tombstone fraction (45/500), so the recorded row is exactly
+    // derivable: counts from the diff arithmetic, liveness = current
+    // corpus, no compaction fired ----
+    "q170_run_manifest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text",
+          concat(lit("totally different stale draft for doc "), col("doc_id").cast("string"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val st = Scratch.dir("graft_manifest_q170")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(emb, nlist = 16, path = st + "/ivf")
+      Pipelines.dailyIncremental(s, day1Docs, docs, emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        runId = Some("day-1"), manifestPath = Some(st + "/manifest"))
+      s.read.parquet(st + "/manifest").orderBy(col("turn_seq"))
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -3792,6 +3819,39 @@ object SparkEntry {
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
     "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
       docLimit = 50),
+
+    // q170: every manifest field is derivable from the staged diff —
+    // counts from the fixture arithmetic, liveness = the current
+    // corpus (the turn healed to it), tombstones = changed + removed
+    // rows (each provably tombstoned: stale drafts are full rewrites),
+    // fraction under the 0.1 gate so no tier compacted
+    "q170_run_manifest" ->
+      """WITH d AS (SELECT
+        |    (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS n_added,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 35 = 7 AND doc_id % 5 <> 0) AS n_changed,
+        |    (SELECT count(*) FROM documents WHERE doc_id < 30) AS n_removed,
+        |    (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT count(*) FROM embeddings) AS n_vecs)
+        |SELECT CAST(1 AS BIGINT) AS turn_seq, 'day-1' AS run_id,
+        |  CAST(n_added AS BIGINT) AS docs_added,
+        |  CAST(n_changed AS BIGINT) AS docs_changed,
+        |  CAST(n_removed AS BIGINT) AS docs_removed,
+        |  CAST(0 AS BIGINT) AS emb_added,
+        |  CAST(0 AS BIGINT) AS emb_changed,
+        |  CAST(0 AS BIGINT) AS emb_removed,
+        |  CAST(n_docs AS BIGINT) AS sig_live,
+        |  CAST(n_changed + n_removed AS BIGINT) AS sig_tombs,
+        |  CAST(n_changed + n_removed AS DOUBLE) / n_docs AS sig_frac,
+        |  FALSE AS sig_compacted,
+        |  CAST(n_vecs AS BIGINT) AS ivf_live,
+        |  CAST(0 AS BIGINT) AS ivf_tombs,
+        |  CAST(0.0 AS DOUBLE) AS ivf_frac,
+        |  FALSE AS ivf_compacted,
+        |  CAST(-1 AS BIGINT) AS pq_live,
+        |  CAST(-1 AS BIGINT) AS pq_tombs,
+        |  CAST(-1.0 AS DOUBLE) AS pq_frac,
+        |  FALSE AS pq_compacted
+        |FROM d""".stripMargin,
 
     // null-day contract (ApproxDistinct.dayHashes): ts-NULL rows belong
     // to no day and are excluded from the whole tier — daily rows, the

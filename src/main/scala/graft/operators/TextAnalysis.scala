@@ -903,10 +903,54 @@ object TextAnalysis {
     * stamps `bid = ""` and never checks: at-least-once, the
     * pre-round-12 behavior.
     */
+  /** One-shot migration of a pre-stamp DSIR state table to the
+    * current layout. Early state rows carried only (b, tc, sc, nb) —
+    * the ng (n-gram order) and bid (batch identity) stamps came
+    * later. Appending current-layout rows to such a table creates a
+    * MIXED-schema parquet dir whose resolved schema depends on which
+    * file footer Spark samples (no mergeSchema on the hot read path),
+    * so the stamp guards would fail with a confusing
+    * AnalysisException instead of their intended messages. Detect the
+    * old layout (schema-level or row-level, via a mergeSchema read)
+    * and rewrite ONCE with the historical defaults — ngram = 1 (the
+    * only order that existed pre-stamp) and bid = "" (at-least-once,
+    * no replay identity) — through the atomic
+    * [[graft.sources.Sinks.swapRewrite]] so a crash never strands a
+    * half-migrated table. Idempotent: a current-layout table returns
+    * without touching storage.
+    */
+  private def migrateDsirStateIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                       statePath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$statePath/buckets")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    // mergeSchema: a mixed dir must resolve to the UNION schema here,
+    // whatever footer the default reader would have sampled
+    val raw = spark.read.option("mergeSchema", "true").parquet(dir.toString)
+    val cols = raw.columns.toSet
+    require(cols.contains("nb"),
+      s"dsir state at $statePath carries no nb (bucket count) stamp — " +
+        "unknown provenance, refusing to append to or migrate it")
+    val stale =
+      if (!cols.contains("ng") || !cols.contains("bid")) true
+      else !raw.filter(col("ng").isNull || col("bid").isNull).limit(1).isEmpty
+    if (!stale) return
+    graft.sources.Sinks.swapRewrite(spark, dir.toString) { tmp =>
+      val withNg =
+        if (cols.contains("ng")) raw.withColumn("ng", coalesce(col("ng"), lit(1)))
+        else raw.withColumn("ng", lit(1))
+      val full =
+        if (cols.contains("bid")) withNg.withColumn("bid", coalesce(col("bid"), lit("")))
+        else withNg.withColumn("bid", lit(""))
+      full.write.parquet(tmp)
+    }
+  }
+
   private def appendDsirCells(cells: DataFrame, statePath: String,
                               buckets: Int, ngram: Int,
                               bid: String, checkReplay: Boolean): Unit = {
     val spark = cells.sparkSession
+    migrateDsirStateIfNeeded(spark, statePath)
     val dir = new org.apache.hadoop.fs.Path(s"$statePath/buckets")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (checkReplay && fs.exists(dir) &&
@@ -964,6 +1008,7 @@ object TextAnalysis {
     */
   def dsirStateParams(spark: org.apache.spark.sql.SparkSession,
                       statePath: String): (Int, Int) = {
+    migrateDsirStateIfNeeded(spark, statePath)
     val params = spark.read.parquet(s"$statePath/buckets")
       .select(col("nb"), col("ng")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1)))
@@ -994,6 +1039,7 @@ object TextAnalysis {
     // domain), so the stamped params are the only defense
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
+    migrateDsirStateIfNeeded(spark, statePath)
     val raw = spark.read.parquet(s"$statePath/buckets")
     // bounded driver probe (the state table is buckets-rows-per-batch):
     // every persisted batch must have hashed at THIS bucket count and

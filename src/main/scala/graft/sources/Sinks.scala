@@ -279,7 +279,15 @@ object Sinks {
       val live = raw
         .join(spark.read.parquet(tombstonePath), raw.columns.toSeq, "left_anti")
         .count()
-      (live, tombs, if (live > 0) tombs.toDouble / live else 0.0)
+      // live == 0 with outstanding tombstones is the WORST case, not a
+      // clean one (every stored row is shadowed; the read-side
+      // anti-join tax is maximal) — the fraction must always trip the
+      // cadence gate, not divide-by-zero its way past it
+      val frac =
+        if (live > 0) tombs.toDouble / live
+        else if (tombs > 0) Double.PositiveInfinity
+        else 0.0
+      (live, tombs, frac)
     }
   }
 

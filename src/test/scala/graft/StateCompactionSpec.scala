@@ -535,6 +535,193 @@ class StateCompactionSpec extends AnyFunSuite {
       s"tombstone view must broadcast-anti-join:\n${healed.take(800)}")
   }
 
+  test("a fully-tombstoned table fires the cadence gate (live = 0 edge)") {
+    val state = Files.createTempDirectory("graft_sig_fulltomb").toString
+    val none = docs.limit(0).select("doc_id")
+    val few = docs.filter(col("doc_id") < 8)
+    Dedup.persistMinhashSignatures(few, 3, 16, 4, state)
+    // the whole day-0 corpus is withdrawn: every stored row tombstoned,
+    // nothing re-signed — live drains to ZERO while the read-side
+    // anti-join tax is at its maximum. tombs/live would divide by zero;
+    // the stats must report a gate-firing fraction, not 0.0
+    Dedup.tombstoneSignatures(few.limit(0), 3, 16, 4, state, few.select("doc_id"))
+    val (live, tombs, frac) = graft.sources.Sinks.tombstoneStats(
+      spark, state + "/sigs", state + "/tombstones")
+    assert(live === 0L && tombs > 0L,
+      s"staging broke: expected a fully-tombstoned table (live=$live tombs=$tombs)")
+    assert(frac > 0.1, s"live=0 with outstanding tombstones must fire the gate (frac=$frac)")
+    // the gate fires and compaction rebuilds for the successor corpus
+    val successor = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+    assert(Dedup.compactSignaturesIfNeeded(successor, 3, 16, 4, state, none),
+      "compactSignaturesIfNeeded must trigger on a fully-tombstoned table")
+    assert(!new java.io.File(state + "/tombstones").exists())
+    val fresh = Files.createTempDirectory("graft_sig_fulltomb_fresh").toString
+    Dedup.persistMinhashSignatures(successor, 3, 16, 4, fresh)
+    assert(sigRows(state) === sigRows(fresh))
+  }
+
+  test("the loop turn runs its own cadence-gated maintenance across all three tiers") {
+    val st = Files.createTempDirectory("graft_daily_maintain").toString
+    // a ~50% rewrite wave: the tombstone-mode heal crosses the 10%
+    // gate INSIDE the turn, so the turn itself must compact — no
+    // orchestrator compaction DAG exists in this test on purpose
+    val changed = docs.filter(col("doc_id") % 2 === 0)
+    val day1Docs = docs.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(changed.withColumn("text",
+        concat(lit("totally different stale draft for doc "), col("doc_id").cast("string"))))
+    val changedVec = embs.filter(col("vec_id") >= 16 && col("vec_id") % 2 === 0)
+    val day1Emb = embs.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changedVec.withColumn("embedding", reverse(col("embedding"))))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+    Similarity.buildPqIndex(day1Emb, m = 8, ks = 16, path = st + "/pq")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, day1Emb, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+      pqPath = Some(st + "/pq"))
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    // the turn compacted each tier: zero outstanding tombstones
+    assert(!new java.io.File(st + "/mh/tombstones").exists(),
+      "the turn must have compacted the signature tier")
+    assert(!new java.io.File(st + "/ivf/tombstones").exists(),
+      "the turn must have compacted the IVF tier")
+    assert(!new java.io.File(st + "/pq/tombstones").exists(),
+      "the turn must have compacted the PQ tier")
+    // and each state table equals a fresh full build over today
+    val freshSig = Files.createTempDirectory("graft_daily_maintain_sig").toString
+    graft.operators.Dedup.persistMinhashSignatures(docs, 3, 16, 4, freshSig)
+    assert(sigRows(st + "/mh") === sigRows(freshSig))
+    val freshIvf = Files.createTempDirectory("graft_daily_maintain_ivf").toString + "/idx"
+    Similarity.buildIvfIndex(embs, nlist = 16, path = freshIvf)
+    def assignRows(p: String) = spark.read.parquet(p + "/assignments")
+      .select(col("vec_id"), col("cell").cast("long"), col("u").cast("array<double>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(assignRows(st + "/ivf") === assignRows(freshIvf))
+    val pqRef = Files.createTempDirectory("graft_daily_maintain_pqref").toString + "/idx"
+    spark.read.parquet(st + "/pq/codebooks").write.parquet(pqRef + "/codebooks")
+    Similarity.appendToPqIndex(embs, spark, pqRef)
+    def pqRows(p: String) = Similarity.loadPqIndex(spark, p)._2
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(pqRows(st + "/pq") === pqRows(pqRef))
+
+    // maintain = false keeps compaction an external event: the same
+    // staging leaves its tombstones in place
+    val st2 = Files.createTempDirectory("graft_daily_nomaintain").toString
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st2 + "/mh")
+    Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st2 + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, day1Emb, embs,
+      st2 + "/mh", st2 + "/ivf", healEdits = true, healVia = "tombstone",
+      maintain = false)
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    assert(new java.io.File(st2 + "/mh/tombstones").exists(),
+      "maintain = false must leave the tombstones for the external schedule")
+  }
+
+  test("the run manifest records counts, fractions and maintenance decisions per turn") {
+    val st = Files.createTempDirectory("graft_daily_manifest").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val ghosts = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+      .unionByName(ghosts)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+      runId = Some("day-1"), manifestPath = Some(st + "/manifest"))
+    turn()("dedup_pairs").write.format("noop").mode("overwrite").save()
+    val m1 = spark.read.parquet(st + "/manifest").collect()
+    assert(m1.length === 1, "one turn, one manifest row")
+    val r = m1.head
+    def g[T](c: String): T = r.getAs[T](c)
+    assert(g[Long]("turn_seq") === 1L)
+    assert(g[String]("run_id") === "day-1")
+    assert(g[Long]("docs_added") === docs.filter(col("doc_id") % 5 === 0).count())
+    assert(g[Long]("docs_changed") === changedDocs.count())
+    assert(g[Long]("docs_removed") === ghosts.count())
+    assert(g[Long]("emb_added") === 0L && g[Long]("emb_changed") === 0L
+      && g[Long]("emb_removed") === 0L)
+    // liveness is recorded post-maintenance and must be self-consistent
+    assert(g[Long]("sig_live") > 0L)
+    if (g[Boolean]("sig_compacted")) assert(g[Long]("sig_tombs") === 0L)
+    assert(g[Long]("ivf_live") > 0L && g[Long]("ivf_tombs") === 0L)
+    // no PQ tier in this turn: sentinel -1 rather than a fake zero
+    assert(g[Long]("pq_live") === -1L && g[Boolean]("pq_compacted") === false)
+    // a second (retried) turn appends its own row — the audit trail
+    // shows the retry happened even though state did not move
+    turn()("dedup_pairs").write.format("noop").mode("overwrite").save()
+    val m2 = spark.read.parquet(st + "/manifest").collect()
+    assert(m2.length === 2)
+    assert(m2.map(_.getAs[Long]("turn_seq")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("a runId-less DSIR turn derives a content-hash stamp: double delivery is a no-op") {
+    val st = Files.createTempDirectory("graft_daily_autostamp").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale draft"))))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    def turn(current: org.apache.spark.sql.DataFrame) =
+      Pipelines.dailyIncremental(spark, day1Docs, current, embs, embs,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        dsirStatePath = Some(st + "/dsir")) // deliberately NO runId
+    def cells() = spark.read.parquet(st + "/dsir/buckets")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    turn(docs)("dedup_pairs").write.format("noop").mode("overwrite").save()
+    val afterFirst = cells()
+    // the retry re-delivers the identical diff: the derived stamp
+    // matches and the sum-shaped appends must skip
+    turn(docs)("dedup_pairs").write.format("noop").mode("overwrite").save()
+    assert(cells() === afterFirst,
+      "same-content redelivery without a runId must not double-count DSIR sums")
+    // a GENUINE later edit of the same keys hashes differently (the
+    // text fingerprints moved) and must still append
+    val day2 = docs.filter(col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" second revision"))))
+    Pipelines.dailyIncremental(spark, docs, day2, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+      dsirStatePath = Some(st + "/dsir"))("dedup_pairs")
+      .write.format("noop").mode("overwrite").save()
+    assert(cells() !== afterFirst,
+      "a different edit wave must append (its content hash differs)")
+    // and the healed state still scores like the inline full corpus
+    val fromState = graft.operators.TextAnalysis
+      .dsirWeightsFromState(day2, spark, st + "/dsir", "src0")
+      .collect().toSeq
+    val inline = graft.operators.TextAnalysis.dsirWeights(day2, "src0")
+      .collect().toSeq
+    assert(fromState === inline)
+  }
+
+  test("pre-stamp DSIR state (no ng/bid columns) migrates once and keeps serving") {
+    val stNew = Files.createTempDirectory("graft_dsir_mig_ref").toString
+    val stOld = Files.createTempDirectory("graft_dsir_mig_old").toString
+    graft.operators.TextAnalysis.persistDsirState(docs, "src0", stNew)
+    // forge the pre-round-12 layout: (b, tc, sc, nb) only
+    spark.read.parquet(stNew + "/buckets").drop("ng", "bid")
+      .write.parquet(stOld + "/buckets")
+    // the param probe must not throw on the missing ng column: the
+    // one-shot migration backfills ngram = 1 / bid = ""
+    assert(graft.operators.TextAnalysis.dsirStateParams(spark, stOld) === ((64, 1)))
+    val migrated = spark.read.parquet(stOld + "/buckets")
+    assert(migrated.columns.toSet.contains("ng") && migrated.columns.toSet.contains("bid"))
+    assert(migrated.filter(col("ng") =!= 1 || col("bid") =!= "").count() === 0L)
+    // scoring through the migrated table equals scoring the reference
+    val a = graft.operators.TextAnalysis
+      .dsirWeightsFromState(docs, spark, stOld, "src0").collect().toSeq
+    val b = graft.operators.TextAnalysis
+      .dsirWeightsFromState(docs, spark, stNew, "src0").collect().toSeq
+    assert(a === b)
+    // and current-layout appends land on a CONSISTENT schema (no
+    // mixed-footer dir): the replay-checked append works against it
+    graft.operators.TextAnalysis.persistDsirState(
+      docs.limit(5), "src0", stOld, batchId = "post-migration")
+    assert(spark.read.parquet(stOld + "/buckets")
+      .filter(col("bid") === "persist:post-migration").count() > 0L)
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
