@@ -235,9 +235,13 @@ object Pipelines {
     // delta (tiny by definition — it's the daily batch) is
     // materialized, and both its consumers (the returned change frame
     // and the added-keys routing join) read the materialized rows
-    val docChanges = graft.operators.Dedup.materialize(
-      graft.operators.Snapshot.diff(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+    // diffFp keeps both sides' md5 fingerprints in the materialized
+    // delta — the content identity the DSIR run stamp needs, already
+    // paid for by the diff's own scan (no second corpus pass)
+    val docChangesFp = graft.operators.Dedup.materialize(
+      graft.operators.Snapshot.diffFp(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
         .filter(col("status") =!= "unchanged"))
+    val docChanges = docChangesFp.drop("oh", "nh")
     val addedDocKeys = docChanges.filter(col("status") === "added").select("doc_id")
     // `healEdits`: run the compaction tier IN the loop turn, BEFORE the
     // incremental dedup reads state — changed docs re-sign from current
@@ -278,15 +282,12 @@ object Pipelines {
       // so a runId-less retry re-delivering the same batches is still
       // a no-op, while a later day re-editing the same keys hashes
       // differently (the fingerprints moved) and appends normally.
-      // The probe costs one tiny aggregation over the day's delta.
+      // The probe costs one tiny aggregation over the MATERIALIZED
+      // delta rows — the diff's fingerprints ride along, so no corpus
+      // is re-scanned.
       val rid = runId.getOrElse {
-        def fpOf(df: org.apache.spark.sql.DataFrame, as: String) =
-          df.select(col("doc_id"),
-            md5(concat_ws("", col("text"), col("lang"))).as(as))
-        val h = docChanges
-          .join(fpOf(newDocs, "nh"), Seq("doc_id"), "left")
-          .join(fpOf(oldDocs, "oh"), Seq("doc_id"), "left")
-          .agg(coalesce(sum(graft.functions.PortableHash.hash32(concat_ws("",
+        val h = docChangesFp
+          .agg(coalesce(sum(graft.functions.PortableHash.hash32(concat_ws("",
             col("doc_id"), col("status"),
             coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))), lit(0L)))
           .head().getLong(0)
@@ -307,13 +308,14 @@ object Pipelines {
         addedDocs, dsirTargetSource, dp, nb, ng,
         batchId = if (rid.isEmpty) "" else s"$rid:added")
     }
-    // materialized: the post-turn maintenance below may REWRITE the
-    // signature state dir (swapRewrite), and the pair frame's lazy
-    // state scan holds the pre-rewrite file listing — a consumer
-    // collecting pairs after compaction would read deleted files
-    val pairs = graft.operators.Dedup.materialize(
-      graft.operators.Dedup.incrementalMinhashEstimated(
-        addedDocs, n, numHashes, bands, minJ, sigStatePath))
+    // LAZY on purpose: many turns never consume the pair frame, and
+    // the expensive candidate join must not run eagerly for them. The
+    // one hazard is the post-turn signature compaction below (it
+    // swapRewrites the dir this frame's lazy scan has file-listed) —
+    // so the maintenance block materializes the frame FIRST iff it is
+    // actually about to rewrite.
+    var pairs = graft.operators.Dedup.incrementalMinhashEstimated(
+      addedDocs, n, numHashes, bands, minJ, sigStatePath)
     // embeddings diff fingerprints the vector bytes via the canonical
     // string form (stable for a given array, engine-portable)
     def fp(e: org.apache.spark.sql.DataFrame) =
@@ -379,8 +381,24 @@ object Pipelines {
     // or rewritten above; compaction here only folds tombstones away.
     val noDocKeys = newDocs.select(col("doc_id")).limit(0)
     val noVecKeys = newEmb.select(col("vec_id")).limit(0)
-    val sigCompacted = maintain && graft.operators.Dedup.compactSignaturesIfNeeded(
-      newDocs, n, numHashes, bands, sigStatePath, noDocKeys, maxTombstoneFrac)
+    val sigCompacted = maintain && {
+      val tombDir = new org.apache.hadoop.fs.Path(s"$sigStatePath/tombstones")
+      val due = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tombDir) && {
+        val (_, _, frac) = graft.sources.Sinks.tombstoneStatsFast(
+          spark, s"$sigStatePath/sigs", s"$sigStatePath/tombstones")
+        frac > maxTombstoneFrac
+      }
+      if (due) {
+        // about to rewrite the dir the lazy pair plan file-listed:
+        // pin the pairs NOW so a later consumer never reads the
+        // deleted pre-compaction files
+        pairs = graft.operators.Dedup.materialize(pairs)
+        graft.operators.Dedup.compactSignatures(
+          newDocs, n, numHashes, bands, sigStatePath, noDocKeys)
+      }
+      due
+    }
     val ivfCompacted = maintain && graft.operators.Similarity.compactIvfIndexIfNeeded(
       spark, ivfPath, noVecKeys, maxTombstoneFrac)
     val pqCompacted = pqPath.exists(pp => maintain &&

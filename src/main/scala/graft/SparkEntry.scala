@@ -1996,6 +1996,34 @@ object SparkEntry {
         size = 40, budget = 100)
     }),
 
+    // ---- The tokenizer as a PERSISTED lake artifact (q121/q132's
+    // build-once discipline): train once -> merges + vocab + meta on
+    // disk; encode every batch against the FROZEN artifact (same
+    // fold, corpus never re-trained; novel characters -> the meta
+    // unk id). Over the training corpus this must equal the inline
+    // q169 path bit-for-bit — oracle shared verbatim ----
+    "q171_tokenize_from_vocab" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_bpe_vocab_q171") + "/bpe"
+      TextAnalysis.persistBpeVocab(docs, merges = 4, st)
+      operators.TextPrep.packTokenIds(
+        TextAnalysis.bpeEncodeIdsFromVocab(docs, s, st).filter(col("doc_id") < 50),
+        size = 40, budget = 100)
+    }),
+
+    // ---- CROSS-document concat-and-cut packing: the ids stream cut
+    // every 100 tokens into exactly-full sequences, emitting the
+    // (sequence, document-fragment) boundary table a trainer needs
+    // for attention masking + provenance. Global prefix sum computed
+    // WITHOUT a global window (range-partition subtotals + per-
+    // partition windows) ----
+    "q172_concat_cut_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.TextPrep.packConcatCut(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        budget = 100)
+    }),
+
     // ---- The daily turn's RUN MANIFEST: one appended audit row per
     // turn (run id, per-tier change counts, post-maintenance
     // live/tombstone state, which tiers compacted) — the
@@ -3169,13 +3197,15 @@ object SparkEntry {
     * the greedy packer (the q72 recursive running-sum-with-reset)
     * at `budget`, emitting per-chunk sequence offsets and id
     * checksums. */
-  private def bpeIdsOracleSql(merges: Int, size: Int, budget: Int,
-                              docLimit: Int): String = {
+  /** Shared oracle prefix: BPE stages + reference-layout vocab ids +
+    * the per-document encode, ending at `denc(doc_id, ids)` — used by
+    * q169/q171's chunked pack and q172's concat-and-cut pack. */
+  private def bpeEncodePrefixSql(merges: Int, docLimit: Int): String = {
     val ws = """\s+"""
     val mrg = (1 to merges)
       .map(i => s"SELECT $i AS iter, a || b AS t FROM b$i")
       .mkString("\nUNION ALL ")
-    s"""WITH RECURSIVE ${bpeStagesSql(merges, encode = true)},
+    s"""${bpeStagesSql(merges, encode = true)},
        |chars AS (SELECT DISTINCT unnest(seq) AS t FROM s0),
        |nb AS (SELECT count(*) AS c FROM chars),
        |vocab AS (SELECT t, CAST(MIN(id) AS BIGINT) AS id FROM (
@@ -3191,7 +3221,12 @@ object SparkEntry {
        |      list_filter(string_split_regex(lower(trim(text)), '$ws'), x -> x <> '') AS ws
        |    FROM documents WHERE doc_id < $docLimit)),
        |denc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
-       |         FROM dt JOIN wid USING (w) GROUP BY doc_id),
+       |         FROM dt JOIN wid USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bpeIdsOracleSql(merges: Int, size: Int, budget: Int,
+                              docLimit: Int): String = {
+    s"""WITH RECURSIVE ${bpeEncodePrefixSql(merges, docLimit)},
        |cidx AS (SELECT doc_id, ids,
        |           unnest(range(0, greatest(0, (len(ids) - 1) // $size) + 1)) AS chunk_idx
        |         FROM denc),
@@ -3218,6 +3253,45 @@ object SparkEntry {
        |JOIN wsum w ON w.doc_id = c.doc_id AND w.chunk_idx = c.chunk_idx
        |ORDER BY c.doc_id, c.chunk_idx""".stripMargin
   }
+
+  /** DuckDB replay of q172: concat every encoded document's ids in
+    * doc_id order, cut the stream every `budget` tokens, and emit the
+    * (sequence, document-fragment) boundary table. The global prefix
+    * sum the engine computes distributedly (partition subtotals +
+    * per-partition windows) is here one ordered window — same
+    * arithmetic, oracle scale. */
+  private def concatCutOracleSql(merges: Int, budget: Int,
+                                 docLimit: Int): String =
+    s"""WITH ${bpeEncodePrefixSql(merges, docLimit)},
+       |enc AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n
+       |        FROM denc WHERE len(ids) >= 1),
+       |g AS (SELECT doc_id, ids, n,
+       |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+       |      FROM enc),
+       |frag AS (SELECT doc_id, ids, n, gs,
+       |           unnest(range(gs // $budget, (gs + n - 1) // $budget + 1)) AS seq_idx
+       |         FROM g),
+       |calc AS (SELECT doc_id, ids, gs, seq_idx,
+       |           greatest(gs, seq_idx * $budget) AS fs,
+       |           least(gs + n, (seq_idx + 1) * $budget) AS fe
+       |         FROM frag),
+       |rows_ AS (SELECT CAST(seq_idx AS BIGINT) AS seq_idx,
+       |            CAST(fs - seq_idx * $budget AS BIGINT) AS seq_off,
+       |            doc_id,
+       |            CAST(fs - gs AS BIGINT) AS doc_off,
+       |            CAST(fe - fs AS BIGINT) AS frag_len,
+       |            ids[CAST(fs - gs AS BIGINT) + 1 : CAST(fe - gs AS BIGINT)] AS fr
+       |          FROM calc),
+       |ws AS (SELECT seq_idx, doc_id, CAST(SUM(x * (pos + 1)) AS BIGINT) AS ids_wsum
+       |       FROM (SELECT seq_idx, doc_id, unnest(fr) AS x,
+       |               unnest(range(0, len(fr))) AS pos FROM rows_)
+       |       GROUP BY seq_idx, doc_id)
+       |SELECT r.seq_idx, r.seq_off, r.doc_id, r.doc_off, r.frag_len,
+       |  CAST(r.fr[1] AS BIGINT) AS first_id, CAST(r.fr[-1] AS BIGINT) AS last_id,
+       |  w.ids_wsum
+       |FROM rows_ r JOIN ws w ON w.seq_idx = r.seq_idx AND w.doc_id = r.doc_id
+       |ORDER BY r.seq_idx, r.seq_off""".stripMargin
 
   /** Tail of the oracle catalog — split out of the main literal so
     * [[pqOracleSql]] can sit between the two maps. */
@@ -3818,6 +3892,13 @@ object SparkEntry {
     "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
     "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
+      docLimit = 50),
+    // encode-from-persisted-vocab must be indistinguishable from the
+    // inline train+encode on the training corpus: q169's oracle
+    // verbatim
+    "q171_tokenize_from_vocab" -> bpeIdsOracleSql(merges = 4, size = 40,
+      budget = 100, docLimit = 50),
+    "q172_concat_cut_pack" -> concatCutOracleSql(merges = 4, budget = 100,
       docLimit = 50),
 
     // q170: every manifest field is derivable from the staged diff —

@@ -485,7 +485,12 @@ object Dedup {
                                 bands: Int, path: String, staleKeys: DataFrame,
                                 maxTombstoneFrac: Double = 0.1): Boolean = {
     require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
-    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+    // fast path: no tombstone dir means nothing to fold — skip the
+    // two count jobs entirely (the common clean-turn case)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!tombDir.getFileSystem(currentDocs.sparkSession.sparkContext.hadoopConfiguration)
+          .exists(tombDir)) return false
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStatsFast(
       currentDocs.sparkSession, s"$path/sigs", s"$path/tombstones")
     val due = frac > maxTombstoneFrac
     if (due) compactSignatures(currentDocs, n, numHashes, bands, path, staleKeys)

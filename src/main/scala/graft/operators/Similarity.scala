@@ -416,7 +416,12 @@ object Similarity {
                               path: String, staleKeys: DataFrame,
                               maxTombstoneFrac: Double = 0.1): Boolean = {
     require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
-    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+    // fast path: no tombstone dir means nothing to fold — skip the
+    // two count jobs entirely (the common clean-turn case)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombDir)) return false
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStatsFast(
       spark, s"$path/assignments", s"$path/tombstones")
     val due = frac > maxTombstoneFrac
     if (due) compactIvfIndex(spark, path, staleKeys)
@@ -915,7 +920,12 @@ object Similarity {
                              path: String, staleKeys: DataFrame,
                              maxTombstoneFrac: Double = 0.1): Boolean = {
     require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
-    val (_, _, frac) = graft.sources.Sinks.tombstoneStats(
+    // fast path: no tombstone dir means nothing to fold — skip the
+    // two count jobs entirely (the common clean-turn case)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombDir)) return false
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStatsFast(
       spark, s"$path/codes", s"$path/tombstones")
     val due = frac > maxTombstoneFrac
     if (due) compactPqIndex(spark, path, staleKeys)

@@ -31,7 +31,18 @@ import org.apache.spark.sql.functions._
 object Snapshot {
 
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
-           keyCol: String, cols: Seq[String]): DataFrame = {
+           keyCol: String, cols: Seq[String]): DataFrame =
+    diffFp(oldSnap, newSnap, keyCol, cols).drop("oh", "nh")
+
+  /** [[diff]] keeping both sides' fingerprints (`oh` old / `nh` new,
+    * NULL on the absent side) in the output — for consumers that need
+    * a CONTENT identity of the change set without re-scanning either
+    * corpus (the daily loop derives its replay-proof run stamp from
+    * exactly these rows; the fingerprints are already paid for by the
+    * diff's own scan).
+    */
+  def diffFp(oldSnap: DataFrame, newSnap: DataFrame,
+             keyCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one value column to fingerprint")
     def fp(df: DataFrame, as: String) = df.select(
       col(keyCol).as("k"),
@@ -41,7 +52,8 @@ object Snapshot {
         when(col("oh").isNull, lit("added"))
           .when(col("nh").isNull, lit("removed"))
           .when(col("oh") =!= col("nh"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("oh"), col("nh"))
   }
 
   /** The catalog/query form: only the rows a downstream incremental

@@ -713,16 +713,7 @@ object TextAnalysis {
   def bpeEncodeIdsWithVocab(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val (learned, seqs) = bpeTrain(docs, merges, foldLast = true)
-    // base alphabet: distinct pre-merge characters of the vocab words
-    // (vocab-sized scan; the collect is the alphabet, not data)
-    val chars = seqs
-      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("t"))
-      .distinct().orderBy(col("t")).collect().map(_.getString(0))
-    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    chars.zipWithIndex.foreach { case (c, i) => vocab(c) = i }
-    learned.foreach { case (iter, _, _, merged, _) =>
-      if (!vocab.contains(merged)) vocab(merged) = chars.length + iter.toInt - 1
-    }
+    val (chars, vocab) = vocabFromTraining(seqs, learned)
     val vocabDf = {
       import spark.implicits._
       vocab.toSeq.toDF("token", "id").orderBy(col("id"))
@@ -732,8 +723,39 @@ object TextAnalysis {
     val idOf = typedLit(vocab.toMap)
     val wordIds = seqs.select(col("w"),
       transform(col("seq"), t => element_at(idOf, t)).as("ids"))
-    val ids = docs
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+    (assembleDocIds(docs, wordIds), vocabDf)
+  }
+
+  /** [[bpeEncodeIdsWithVocab]] without the vocab frame — the catalog
+    * entry point (q169 feeds these ids into the sequence packer). */
+  def bpeEncodeIds(docs: DataFrame, merges: Int): DataFrame =
+    bpeEncodeIdsWithVocab(docs, merges)._1
+
+  /** The reference id layout off a finished training pass: base
+    * alphabet (distinct pre-merge characters of the dedup'd words,
+    * sorted) takes ids 0..C-1, merge round i takes C+i-1, first id
+    * wins on a string collision. The chars collect is the ALPHABET,
+    * not data. */
+  private def vocabFromTraining(seqs: DataFrame,
+                                learned: Seq[(Long, String, String, String, Long)])
+  : (Array[String], scala.collection.mutable.LinkedHashMap[String, Int]) = {
+    val chars = seqs
+      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("t"))
+      .distinct().orderBy(col("t")).collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    chars.zipWithIndex.foreach { case (c, i) => vocab(c) = i }
+    learned.foreach { case (iter, _, _, merged, _) =>
+      if (!vocab.contains(merged)) vocab(merged) = chars.length + iter.toInt - 1
+    }
+    (chars, vocab)
+  }
+
+  /** Rebuild per-document id arrays from a word→ids map: one
+    * posexplode + equi-join on the word + per-doc regroup in word
+    * order. Shared by the inline and the persisted-vocab encoders so
+    * the assembly rule can never drift between them. */
+  private def assembleDocIds(docs: DataFrame, wordIds: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
       .join(wordIds, Seq("w"))
       .groupBy(col("doc_id"))
@@ -742,13 +764,86 @@ object TextAnalysis {
         x => x.getField("ids"))).as("ids"))
       .select(col("doc_id"), col("ids"), size(col("ids")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
-    (ids, vocabDf)
+
+  /** Apply a TRAINED merge list, in learning order, to a (w, seq)
+    * words frame — [[bpeTrain]]'s greedy left-to-right fold minus the
+    * counting (the merges are already decided). Same per-round
+    * localCheckpoint discipline (without it the fold expression grows
+    * ~5^rounds under project-collapse). */
+  private def applyMergeList(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var seqs = words
+    merges.foreach { case (a, b) =>
+      val folded = aggregate(
+        expr("slice(seq, 2, size(seq) - 1)"),
+        array(element_at(col("seq"), 1)),
+        (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+      seqs = seqs.select(col("w"),
+        when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
+        .localCheckpoint()
+    }
+    seqs
   }
 
-  /** [[bpeEncodeIdsWithVocab]] without the vocab frame — the catalog
-    * entry point (q169 feeds these ids into the sequence packer). */
-  def bpeEncodeIds(docs: DataFrame, merges: Int): DataFrame =
-    bpeEncodeIdsWithVocab(docs, merges)._1
+  /** PERSIST a trained tokenizer as a lake artifact — the
+    * build-once/apply-many discipline of the IVF/PQ/signature tiers
+    * applied to the vocabulary: `path/merges` (the learned merge
+    * table in order), `path/vocab` (token → id under the reference
+    * layout), `path/meta` (unk id + params). A tokenizer is trained
+    * ONCE and then applied to every ingest batch forever; nothing
+    * downstream may retrain it implicitly (ids would shift corpus-
+    * wide), so the artifact is overwrite-only here and versioning is
+    * the caller's deployment event, like PQ codebook retraining.
+    * The artifact is merges+alphabet-sized — the thing a tokenizer
+    * ships — never corpus-sized.
+    */
+  def persistBpeVocab(docs: DataFrame, merges: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (learned, seqs) = bpeTrain(docs, merges, foldLast = false)
+    val (chars, vocab) = vocabFromTraining(seqs, learned)
+    learned.toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .write.mode("overwrite").parquet(s"$path/merges")
+    vocab.toSeq.toDF("token", "id")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    // the unk id lives in meta, NOT as a magic token string in the
+    // vocab table — a corpus token could legitimately spell any
+    // sentinel string we might choose
+    val unkId = if (vocab.isEmpty) 0 else vocab.values.max + 1
+    Seq((unkId, merges, chars.length))
+      .toDF("unk_id", "merges", "n_base")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Encode documents against a PERSISTED vocab — the daily-ingest
+    * form: the frozen merges apply to the batch's dedup'd words (the
+    * same fold, corpus never re-trained), ids come from the stored
+    * token table, and any symbol outside the trained vocabulary maps
+    * to the artifact's unk id (an unseen WORD of seen characters
+    * still encodes through its chars/merges — reference-BPE
+    * behavior; only genuinely novel characters fall back to unk).
+    * Over the training corpus itself this equals [[bpeEncodeIds]]
+    * exactly (q171 shares q169's oracle verbatim).
+    */
+  def bpeEncodeIdsFromVocab(docs: DataFrame,
+                            spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val mergeList = spark.read.parquet(s"$path/merges").orderBy(col("iter"))
+      .select(col("sym_a"), col("sym_b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val vocabMap = spark.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val unkId = spark.read.parquet(s"$path/meta")
+      .select(col("unk_id")).head().getInt(0)
+    val words = docs.select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
+    val idOf = typedLit(vocabMap)
+    val wordIds = applyMergeList(words, mergeList).select(col("w"),
+      transform(col("seq"), t => coalesce(element_at(idOf, t), lit(unkId))).as("ids"))
+    assembleDocIds(docs, wordIds)
+  }
 
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
@@ -919,8 +1014,18 @@ object TextAnalysis {
     * half-migrated table. Idempotent: a current-layout table returns
     * without touching storage.
     */
+  /** Paths already checked/migrated this JVM: every writer to a DSIR
+    * state table lives in this process, so one check per path per JVM
+    * is sound — and the daily turn touches the state ~5 times
+    * (params probe, up to three appends, scoring), so memoizing turns
+    * four redundant mergeSchema probes into map lookups.
+    */
+  private val dsirMigrationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def migrateDsirStateIfNeeded(spark: org.apache.spark.sql.SparkSession,
                                        statePath: String): Unit = {
+    if (dsirMigrationChecked.contains(statePath)) return
     val dir = new org.apache.hadoop.fs.Path(s"$statePath/buckets")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
@@ -934,7 +1039,7 @@ object TextAnalysis {
     val stale =
       if (!cols.contains("ng") || !cols.contains("bid")) true
       else !raw.filter(col("ng").isNull || col("bid").isNull).limit(1).isEmpty
-    if (!stale) return
+    if (!stale) { dsirMigrationChecked.add(statePath); return }
     graft.sources.Sinks.swapRewrite(spark, dir.toString) { tmp =>
       val withNg =
         if (cols.contains("ng")) raw.withColumn("ng", coalesce(col("ng"), lit(1)))
@@ -944,6 +1049,7 @@ object TextAnalysis {
         else withNg.withColumn("bid", lit(""))
       full.write.parquet(tmp)
     }
+    dsirMigrationChecked.add(statePath)
   }
 
   private def appendDsirCells(cells: DataFrame, statePath: String,

@@ -159,4 +159,74 @@ object TextPrep {
         col("n_tokens"), col("first_id"), col("last_id"), col("ids_wsum"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** CROSS-document concat-and-cut packing — the shape most LLM
+    * training runs actually use: conceptually concatenate every
+    * document's token ids in doc_id order and cut the stream every
+    * `budget` tokens, so every sequence is EXACTLY full (no padding
+    * waste, unlike the per-doc greedy [[packSequences]]) and a
+    * document may span sequences. The deliverable is the BOUNDARY
+    * TABLE: one row per (sequence, document-fragment) telling the
+    * trainer where each document's tokens sit — without it, cut
+    * documents can't mask cross-document attention or recover
+    * provenance.
+    *
+    * Scale shape — the global prefix sum WITHOUT a global window: the
+    * frame range-partitions on doc_id (sorted within partitions),
+    * per-partition token subtotals come back as one row per
+    * partition, their exclusive prefix becomes a broadcast
+    * partition-offset map, and each row's global start = partition
+    * offset + a window sum PARTITIONED by partition id. No stage
+    * ever sees more than its partition; the only driver data is one
+    * subtotal per partition. The frame is localCheckpointed after
+    * partition ids are stamped so the two passes (subtotals, final
+    * plan) can never disagree on placement. Fragment arithmetic is
+    * then pure per-row column math + a bounded explode (a doc emits
+    * one row per sequence it touches).
+    *
+    * Output: (seq_idx, seq_off, doc_id, doc_off, frag_len, first_id,
+    * last_id, ids_wsum) ordered by (seq_idx, seq_off); `ids_wsum` is
+    * the Σ id·(pos+1) checksum over the fragment's ids, pinning the
+    * actual tokens. Every sequence except the last sums frag_len to
+    * exactly `budget`.
+    */
+  def packConcatCut(encoded: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val frozen = Dedup.materialize(
+      encoded.select(col("doc_id"), col("ids"),
+          org.apache.spark.sql.functions.size(col("ids")).cast("long").as("n"))
+        .filter(col("n") >= 1)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    // one row per partition — bounded driver data by construction
+    val subtotals = frozen.groupBy(col("pid")).agg(sum(col("n")).as("t"))
+      .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }
+    val offsetOf = typedLit(
+      (subtotals.map(_._1) zip offsets.map(_._2).dropRight(1)).toMap)
+    val byPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    frozen
+      .withColumn("gs", coalesce(sum(col("n")).over(byPid), lit(0L)) +
+        coalesce(element_at(offsetOf, col("pid")), lit(0L)))
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"gs div $budget"), expr(s"(gs + n - 1) div $budget"))))
+      .withColumn("fs", greatest(col("gs"), col("seq_idx") * budget))
+      .withColumn("fe", least(col("gs") + col("n"), (col("seq_idx") + 1) * budget))
+      .withColumn("doc_off", col("fs") - col("gs"))
+      .withColumn("seq_off", col("fs") - col("seq_idx") * budget)
+      .withColumn("frag_len", col("fe") - col("fs"))
+      .withColumn("frag", expr("slice(ids, cast(doc_off as int) + 1, cast(frag_len as int))"))
+      .select(
+        col("seq_idx"), col("seq_off"), col("doc_id"), col("doc_off"), col("frag_len"),
+        element_at(col("frag"), 1).cast("long").as("first_id"),
+        element_at(col("frag"), -1).cast("long").as("last_id"),
+        expr("aggregate(zip_with(frag, sequence(1, size(frag)), " +
+          "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)").as("ids_wsum"))
+      .orderBy(col("seq_idx"), col("seq_off"))
+  }
 }

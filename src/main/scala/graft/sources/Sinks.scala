@@ -291,6 +291,34 @@ object Sinks {
     }
   }
 
+  /** The GATE-grade form of [[tombstoneStats]]: two raw row counts
+    * (parquet footer statistics — no anti-join job) and the
+    * CONSERVATIVE fraction `tombs / max(raw − tombs, 0)`. Because a
+    * tombstone shadows at least zero and at most several stored rows,
+    * `raw − tombs` lower-bounds the true live count and the fraction
+    * upper-bounds the true one — a cadence gate reading it can only
+    * fire EARLY, and an early compaction is semantically free (state ≡
+    * fresh build either way). Use [[tombstoneStats]] when the exact
+    * live count matters (the run manifest); use this on the per-turn
+    * hot path where the decision is all that's needed.
+    */
+  def tombstoneStatsFast(spark: org.apache.spark.sql.SparkSession,
+                         tablePath: String, tombstonePath: String): (Long, Long, Double) = {
+    val t = new org.apache.hadoop.fs.Path(tombstonePath)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = spark.read.parquet(tablePath).count()
+    if (!fs.exists(t)) (raw, 0L, 0.0)
+    else {
+      val tombs = spark.read.parquet(tombstonePath).count()
+      val liveLower = math.max(raw - tombs, 0L)
+      val frac =
+        if (liveLower > 0) tombs.toDouble / liveLower
+        else if (tombs > 0) Double.PositiveInfinity
+        else 0.0
+      (liveLower, tombs, frac)
+    }
+  }
+
   /** Lake maintenance: compact a parquet directory's small files into
     * ~`targetFileMb`-sized ones. Daily appends ([[appendPartitioned]],
     * streaming sinks, [[graft.operators.Similarity.appendToIvfIndex]])

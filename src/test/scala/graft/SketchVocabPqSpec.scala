@@ -211,6 +211,64 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(vs.map(_._2).distinct.length == vs.length)
   }
 
+  test("persisted vocab: encode-from-state equals inline; novel chars fall back to unk") {
+    val train = Seq((1L, "low low low lowest")).toDF("doc_id", "text")
+    val st = java.nio.file.Files.createTempDirectory("graft_bpe_vocab").toString + "/bpe"
+    TextAnalysis.persistBpeVocab(train, merges = 3, st)
+    // same corpus -> identical ids to the inline train+encode
+    val fromState = TextAnalysis.bpeEncodeIdsFromVocab(train, spark, st)
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    val inline = TextAnalysis.bpeEncodeIds(train, merges = 3)
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    assert(fromState === inline)
+    // vocab: e,l,o,s,t,w -> 0..5; lo=6, low=7, es=8; unk = 9
+    // a NEW word of SEEN chars encodes through chars+merges ("slow"
+    // -> s,low -> [3, 7]); a novel char ('z') maps to unk = 9
+    val day2 = Seq((2L, "slow zlot")).toDF("doc_id", "text")
+    val enc2 = TextAnalysis.bpeEncodeIdsFromVocab(day2, spark, st)
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    // "slow": s l o w -> (l,o)->lo -> (lo,w)->low => [s, low] = [3, 7]
+    // "zlot": z l o t -> lo merge applies => [z=unk, lo, t] = [9, 6, 4]
+    assert(enc2 === Seq((2L, Seq(3, 7, 9, 6, 4), 5L)))
+  }
+
+  test("packConcatCut: exactly-full sequences, total coverage, fragment contiguity") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    val enc = TextAnalysis.bpeEncodeIds(docs, merges = 2)
+    val total = enc.agg(sum(org.apache.spark.sql.functions.size(col("ids"))))
+      .as[Long].head()
+    val out = graft.operators.TextPrep.packConcatCut(enc, budget = 64).collect()
+    // coverage: fragments partition the whole token stream
+    assert(out.map(_.getAs[Long]("frag_len")).sum === total)
+    // every sequence except the last is exactly full
+    val bySeq = out.groupBy(_.getAs[Long]("seq_idx")).view
+      .mapValues(_.map(_.getAs[Long]("frag_len")).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, n) =>
+      if (s != lastSeq) assert(n === 64L, s"seq $s holds $n tokens, want 64")
+      else assert(n >= 1L && n <= 64L)
+    }
+    // within a sequence, fragments tile [0, budget): offsets chain
+    out.groupBy(_.getAs[Long]("seq_idx")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("seq_off"))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("seq_off") === expect); expect + r.getAs[Long]("frag_len")
+      }
+    }
+    // a document's fragments cover its ids contiguously from 0
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_off"))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("doc_off") === expect); expect + r.getAs[Long]("frag_len")
+      }
+    }
+    // and the result is invariant to input partitioning (the frozen
+    // range-partition prefix sum owns placement, not arrival order)
+    val b = graft.operators.TextPrep.packConcatCut(enc.repartition(13), budget = 64)
+      .collect().toSeq
+    assert(b === out.toSeq)
+  }
+
   test("packTokenIds: offsets restart per sequence and wsum pins chunk content") {
     // one doc, 7 tokens, chunk size 3, budget 6 -> chunks of 3,3,1;
     // greedy: seq0=[c0,c1] (offsets 0,3), seq1=[c2] (offset 0)
