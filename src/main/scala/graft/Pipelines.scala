@@ -227,7 +227,9 @@ object Pipelines {
                        pqPath: Option[String] = None,
                        maintain: Boolean = true,
                        maxTombstoneFrac: Double = 0.1,
-                       manifestPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
+                       manifestPath: Option[String] = None,
+                       bpeVocabPath: Option[String] = None,
+                       encodedPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     import org.apache.spark.sql.functions._
@@ -307,6 +309,30 @@ object Pipelines {
       graft.operators.TextAnalysis.persistDsirState(
         addedDocs, dsirTargetSource, dp, nb, ng,
         batchId = if (rid.isEmpty) "" else s"$rid:added")
+    }
+    // ENCODED-CORPUS tier: the frozen tokenizer's (doc_id, ids) rows
+    // ride the same turn — added docs append their encodings
+    // (key+content-filtered, retry-proof), edits heal by the selected
+    // mode, the vocab artifact itself is NEVER retrained here (ids
+    // must not shift corpus-wide inside an ingest turn; retraining is
+    // the versioned deployment event, like PQ codebooks).
+    require(bpeVocabPath.isDefined == encodedPath.isDefined,
+      "bpeVocabPath and encodedPath come as a pair (the encoded state is " +
+        "meaningless without the artifact that defines its ids)")
+    for (vp <- bpeVocabPath; ep <- encodedPath) {
+      if (healEdits) {
+        val changedCur = newDocs.join(
+          docChanges.filter(col("status") === "changed").select("doc_id"), Seq("doc_id"))
+        val removed = docChanges.filter(col("status") === "removed").select("doc_id")
+        if (healVia == "tombstone")
+          graft.operators.TextAnalysis.tombstoneEncodedDocs(changedCur, spark, vp, ep, removed)
+        else {
+          graft.operators.TextAnalysis.compactEncodedCorpus(spark, ep,
+            docChanges.filter(col("status").isin("changed", "removed")).select("doc_id"))
+          graft.operators.TextAnalysis.appendEncodedDocs(changedCur, spark, vp, ep)
+        }
+      }
+      graft.operators.TextAnalysis.appendEncodedDocs(addedDocs, spark, vp, ep)
     }
     // LAZY on purpose: many turns never consume the pair frame, and
     // the expensive candidate join must not run eagerly for them. The
@@ -403,6 +429,9 @@ object Pipelines {
       spark, ivfPath, noVecKeys, maxTombstoneFrac)
     val pqCompacted = pqPath.exists(pp => maintain &&
       graft.operators.Similarity.compactPqIndexIfNeeded(spark, pp, noVecKeys, maxTombstoneFrac))
+    val encCompacted = encodedPath.exists(ep => maintain &&
+      graft.operators.TextAnalysis.compactEncodedCorpusIfNeeded(
+        spark, ep, noDocKeys, maxTombstoneFrac))
     // ---- run manifest: one appended row per turn makes a bad turn
     // AUDITABLE after the fact (retry-idempotence makes it harmless,
     // not visible). Counts come off the already-materialized change
@@ -424,22 +453,39 @@ object Pipelines {
         .map(pp => graft.sources.Sinks.tombstoneStats(
           spark, s"$pp/codes", s"$pp/tombstones"))
         .getOrElse((-1L, -1L, -1.0))
+      val (encLive, encTombs, encFrac) = encodedPath
+        .map(ep => graft.sources.Sinks.tombstoneStats(
+          spark, s"$ep/ids", s"$ep/tombstones"))
+        .getOrElse((-1L, -1L, -1.0))
       val manifestDir = new org.apache.hadoop.fs.Path(mp)
       val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val turnSeq =
         if (fs.exists(manifestDir)) spark.read.parquet(mp).count() + 1L else 1L
-      Seq((turnSeq, runId.getOrElse(""),
+      import org.apache.spark.sql.types._
+      val manifestSchema = StructType(Seq(
+        StructField("turn_seq", LongType), StructField("run_id", StringType),
+        StructField("docs_added", LongType), StructField("docs_changed", LongType),
+        StructField("docs_removed", LongType),
+        StructField("emb_added", LongType), StructField("emb_changed", LongType),
+        StructField("emb_removed", LongType),
+        StructField("sig_live", LongType), StructField("sig_tombs", LongType),
+        StructField("sig_frac", DoubleType), StructField("sig_compacted", BooleanType),
+        StructField("ivf_live", LongType), StructField("ivf_tombs", LongType),
+        StructField("ivf_frac", DoubleType), StructField("ivf_compacted", BooleanType),
+        StructField("pq_live", LongType), StructField("pq_tombs", LongType),
+        StructField("pq_frac", DoubleType), StructField("pq_compacted", BooleanType),
+        StructField("enc_live", LongType), StructField("enc_tombs", LongType),
+        StructField("enc_frac", DoubleType), StructField("enc_compacted", BooleanType)))
+      val row = org.apache.spark.sql.Row(
+        turnSeq, runId.getOrElse(""),
         dc("added"), dc("changed"), dc("removed"),
         ec("added"), ec("changed"), ec("removed"),
         sigLive, sigTombs, sigFrac, sigCompacted,
         ivfLive, ivfTombs, ivfFrac, ivfCompacted,
-        pqLive, pqTombs, pqFrac, pqCompacted))
-        .toDF("turn_seq", "run_id",
-          "docs_added", "docs_changed", "docs_removed",
-          "emb_added", "emb_changed", "emb_removed",
-          "sig_live", "sig_tombs", "sig_frac", "sig_compacted",
-          "ivf_live", "ivf_tombs", "ivf_frac", "ivf_compacted",
-          "pq_live", "pq_tombs", "pq_frac", "pq_compacted")
+        pqLive, pqTombs, pqFrac, pqCompacted,
+        encLive, encTombs, encFrac, encCompacted)
+      spark.createDataFrame(
+          java.util.Collections.singletonList(row), manifestSchema)
         .write.mode("append").parquet(mp)
     }
     Map(

@@ -2024,6 +2024,38 @@ object SparkEntry {
         budget = 100)
     }),
 
+    // ---- The ENCODED CORPUS riding the daily loop: day-0 encodings
+    // under the frozen vocab artifact cover yesterday's tampered
+    // corpus (stale drafts + ghosts, q162's doc staging); one healed
+    // tombstone turn routes added docs through the loop's encode
+    // append and heals stale/ghost rows, so the merge-on-read view
+    // over the CURRENT corpus must equal a one-shot encode — and
+    // therefore packs to exactly q169's oracle, verbatim ----
+    "q173_daily_tokenize_loop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedDocs.withColumn("text",
+          concat(lit("totally different stale draft for doc "), col("doc_id").cast("string"))))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val st = Scratch.dir("graft_daily_q173")
+      // the vocab is the day-0 versioned artifact, trained on the
+      // real corpus (q161's codebook discipline)
+      TextAnalysis.persistBpeVocab(docs, merges = 4, st + "/bpe")
+      TextAnalysis.persistEncodedCorpus(day1Docs, s, st + "/bpe", st + "/enc")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(emb, nlist = 16, path = st + "/ivf")
+      Pipelines.dailyIncremental(s, day1Docs, docs, emb, emb,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+      operators.TextPrep.packTokenIds(
+        TextAnalysis.loadEncodedCorpus(s, st + "/enc")
+          .filter(col("doc_id") < 50).drop("fp"),
+        size = 40, budget = 100)
+    }),
+
     // ---- The daily turn's RUN MANIFEST: one appended audit row per
     // turn (run id, per-tier change counts, post-maintenance
     // live/tombstone state, which tiers compacted) — the
@@ -3898,6 +3930,10 @@ object SparkEntry {
     // verbatim
     "q171_tokenize_from_vocab" -> bpeIdsOracleSql(merges = 4, size = 40,
       budget = 100, docLimit = 50),
+    // the loop-fed encoded state over the current corpus must be
+    // indistinguishable from a one-shot encode: q169's oracle verbatim
+    "q173_daily_tokenize_loop" -> bpeIdsOracleSql(merges = 4, size = 40,
+      budget = 100, docLimit = 50),
     "q172_concat_cut_pack" -> concatCutOracleSql(merges = 4, budget = 100,
       docLimit = 50),
 
@@ -3931,7 +3967,11 @@ object SparkEntry {
         |  CAST(-1 AS BIGINT) AS pq_live,
         |  CAST(-1 AS BIGINT) AS pq_tombs,
         |  CAST(-1.0 AS DOUBLE) AS pq_frac,
-        |  FALSE AS pq_compacted
+        |  FALSE AS pq_compacted,
+        |  CAST(-1 AS BIGINT) AS enc_live,
+        |  CAST(-1 AS BIGINT) AS enc_tombs,
+        |  CAST(-1.0 AS DOUBLE) AS enc_frac,
+        |  FALSE AS enc_compacted
         |FROM d""".stripMargin,
 
     // null-day contract (ApproxDistinct.dayHashes): ts-NULL rows belong

@@ -845,6 +845,106 @@ object TextAnalysis {
     assembleDocIds(docs, wordIds)
   }
 
+  // ---- The ENCODED CORPUS as persisted state: (doc_id, ids) rows
+  // under a frozen vocab artifact, maintained by the daily loop like
+  // the signature/IVF/PQ tiers — content-addressed tombstones for
+  // edits/removals, key+content-filtered appends for retries, cadence-
+  // gated compaction. `fp` (md5 of the id array's canonical string)
+  // makes tombstone rows scalar-only, so the merge-on-read anti-join
+  // broadcasts |edits| scalars exactly like the signature view. ----
+
+  private def withIdsFp(enc: DataFrame): DataFrame =
+    enc.withColumn("fp", md5(col("ids").cast("string")))
+
+  /** Day-0 build: encode `docs` against the vocab artifact at
+    * `vocabPath` and overwrite the encoded-corpus table. */
+  def persistEncodedCorpus(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                           vocabPath: String, encPath: String): Unit =
+    withIdsFp(bpeEncodeIdsFromVocab(docs, spark, vocabPath))
+      .write.mode("overwrite").parquet(s"$encPath/ids")
+
+  /** Merge-on-read view: stored rows minus outstanding tombstones
+    * (broadcast anti-join on (doc_id, fp) — |tombstones| scalar rows,
+    * zero cost when the table is clean). */
+  def loadEncodedCorpus(spark: org.apache.spark.sql.SparkSession,
+                        encPath: String): DataFrame = {
+    val raw = spark.read.parquet(s"$encPath/ids")
+    val t = new org.apache.hadoop.fs.Path(s"$encPath/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(t)) raw
+    else raw.join(broadcast(spark.read.parquet(t.toString)),
+      Seq("doc_id", "fp"), "left_anti")
+  }
+
+  /** Append a batch's encodings, key+content-filtered against the live
+    * view so a retried turn appends nothing. */
+  def appendEncodedDocs(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                        vocabPath: String, encPath: String): Unit = {
+    val fresh = withIdsFp(bpeEncodeIdsFromVocab(batch, spark, vocabPath))
+    fresh.join(loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
+        Seq("doc_id", "fp"), "left_anti")
+      .write.mode("append").parquet(s"$encPath/ids")
+  }
+
+  /** O(|edits|) heal: tombstone the live rows of changed/removed keys
+    * whose content no longer matches, append the changed docs' fresh
+    * encodings. Both sides are no-op-cancelling, so a duplicated heal
+    * writes nothing (the [[graft.operators.Dedup.tombstoneSignatures]]
+    * discipline): after the first heal the live rows CARRY the fresh
+    * fingerprints, so the second pass selects and appends nothing.
+    */
+  def tombstoneEncodedDocs(changedDocs: DataFrame,
+                           spark: org.apache.spark.sql.SparkSession,
+                           vocabPath: String, encPath: String,
+                           removedKeys: DataFrame): Unit = {
+    val fresh = graft.operators.Dedup.materialize(
+      withIdsFp(bpeEncodeIdsFromVocab(changedDocs, spark, vocabPath)))
+    val live = loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp"))
+    val staleOfChanged = live
+      .join(fresh.select(col("doc_id"), col("fp").as("nfp")), Seq("doc_id"))
+      .filter(col("fp") =!= col("nfp")).select(col("doc_id"), col("fp"))
+    val ofRemoved = live.join(removedKeys.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("fp"))
+    staleOfChanged.unionByName(ofRemoved).distinct()
+      .write.mode("append").parquet(s"$encPath/tombstones")
+    fresh.join(loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
+        Seq("doc_id", "fp"), "left_anti")
+      .write.mode("append").parquet(s"$encPath/ids")
+  }
+
+  /** Fold tombstones away: rewrite the table to its live view minus
+    * `staleKeys`, atomically, and clear spent tombstones. Afterwards
+    * the table equals a fresh [[persistEncodedCorpus]] build over the
+    * current corpus. */
+  def compactEncodedCorpus(spark: org.apache.spark.sql.SparkSession,
+                           encPath: String, staleKeys: DataFrame): Unit = {
+    graft.sources.Sinks.swapRewrite(spark, s"$encPath/ids") { tmp =>
+      loadEncodedCorpus(spark, encPath)
+        .join(staleKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.parquet(tmp)
+    }
+    val tomb = new org.apache.hadoop.fs.Path(s"$encPath/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+  }
+
+  /** The cadence gate for the encoded-corpus tier — same rule as the
+    * signature/IVF/PQ twins, fast-stats fraction, fires early at
+    * worst. Returns whether the rewrite ran. */
+  def compactEncodedCorpusIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                   encPath: String, staleKeys: DataFrame,
+                                   maxTombstoneFrac: Double = 0.1): Boolean = {
+    require(maxTombstoneFrac >= 0, s"maxTombstoneFrac must be >= 0 (got $maxTombstoneFrac)")
+    val tombDir = new org.apache.hadoop.fs.Path(s"$encPath/tombstones")
+    if (!tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombDir)) return false
+    val (_, _, frac) = graft.sources.Sinks.tombstoneStatsFast(
+      spark, s"$encPath/ids", s"$encPath/tombstones")
+    val due = frac > maxTombstoneFrac
+    if (due) compactEncodedCorpus(spark, encPath, staleKeys)
+    due
+  }
+
   /** Content fingerprints of the whitespace-normalized text (stable
     * under reformatting): full md5, a 32-bit md5-prefix fingerprint,
     * and a polynomial rolling hash (base 31 mod 2^31-1) — the

@@ -192,27 +192,41 @@ object TextPrep {
     */
   def packConcatCut(encoded: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
-    val frozen = Dedup.materialize(
-      encoded.select(col("doc_id"), col("ids"),
-          org.apache.spark.sql.functions.size(col("ids")).cast("long").as("n"))
-        .filter(col("n") >= 1)
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("pid", spark_partition_id()))
+    val spark = encoded.sparkSession
+    val pre = encoded.select(col("doc_id"), col("ids"),
+        org.apache.spark.sql.functions.size(col("ids")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    // the within-partition EXCLUSIVE prefix sum is stamped in the same
+    // pass as the partition id — imperative per-partition logic, the
+    // one shape a window can't do without a pid re-exchange (post-
+    // checkpoint the optimizer forgets the partitioning and would
+    // shuffle the whole frame again just to group by pid)
+    val schema = org.apache.spark.sql.types.StructType(pre.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ps",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val stamped = pre.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      it.map { r =>
+        val n = r.getLong(2)
+        val out = org.apache.spark.sql.Row(r.get(0), r.get(1), n, pid, acc)
+        acc += n
+        out
+      }
+    }
+    // frozen so the two consumers (subtotal job, final plan) can never
+    // disagree on range placement
+    val frozen = Dedup.materialize(spark.createDataFrame(stamped, schema))
     // one row per partition — bounded driver data by construction
     val subtotals = frozen.groupBy(col("pid")).agg(sum(col("n")).as("t"))
       .orderBy(col("pid")).collect().map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }
-    val offsetOf = typedLit(
-      (subtotals.map(_._1) zip offsets.map(_._2).dropRight(1)).toMap)
-    val byPid = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefixes = subtotals.scanLeft(0L) { case (acc, (_, t)) => acc + t }
+    val offsetOf = typedLit((subtotals.map(_._1) zip prefixes).toMap)
     frozen
-      .withColumn("gs", coalesce(sum(col("n")).over(byPid), lit(0L)) +
-        coalesce(element_at(offsetOf, col("pid")), lit(0L)))
+      .withColumn("gs", col("ps") + coalesce(element_at(offsetOf, col("pid")), lit(0L)))
       .withColumn("seq_idx", explode(sequence(
         expr(s"gs div $budget"), expr(s"(gs + n - 1) div $budget"))))
       .withColumn("fs", greatest(col("gs"), col("seq_idx") * budget))

@@ -432,10 +432,13 @@ class StateCompactionSpec extends AnyFunSuite {
     Similarity.compactPqIndex(spark, st + "/pq", embs.select("vec_id"))
     Similarity.appendToPqIndex(d1e, spark, st + "/pq")
     graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    graft.operators.TextAnalysis.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    graft.operators.TextAnalysis.persistEncodedCorpus(day1Docs, spark, st + "/bpe", st + "/enc")
     def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
       st + "/mh", st + "/ivf", healEdits = true,
       dsirStatePath = Some(st + "/dsir"), healVia = "tombstone",
-      runId = Some("day-1"), pqPath = Some(st + "/pq"))
+      runId = Some("day-1"), pqPath = Some(st + "/pq"),
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
     val firstPairs = turn()("dedup_pairs").collect().toSeq
     def sigView() = Dedup.loadSignatures(spark, st + "/mh")
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
@@ -445,13 +448,17 @@ class StateCompactionSpec extends AnyFunSuite {
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
     def dsirCells() = spark.read.parquet(st + "/dsir/buckets")
       .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
-    val (s1, i1, p1, d1) = (sigView(), ivfView(), pqView(), dsirCells())
+    def encView() = graft.operators.TextAnalysis.loadEncodedCorpus(spark, st + "/enc")
+      .select(col("doc_id"), col("fp"), col("ids").cast("string"), col("n_tokens"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val (s1, i1, p1, d1, e1) = (sigView(), ivfView(), pqView(), dsirCells(), encView())
     val retryPairs = turn()("dedup_pairs").collect().toSeq
     assert(retryPairs === firstPairs, "the retry must emit the same pairs")
     assert(sigView() === s1, "signature state must be unchanged by the retry")
     assert(ivfView() === i1, "IVF state must be unchanged by the retry")
     assert(pqView() === p1, "PQ codes must be unchanged by the retry")
     assert(dsirCells() === d1, "DSIR cells must be unchanged by the retry (no double-count)")
+    assert(encView() === e1, "encoded-corpus state must be unchanged by the retry")
     // and the loop-fed PQ tier equals a one-shot encode of the current
     // corpus against the same codebooks
     val ref = Files.createTempDirectory("graft_daily_retry_pqref").toString + "/idx"
@@ -720,6 +727,71 @@ class StateCompactionSpec extends AnyFunSuite {
       docs.limit(5), "src0", stOld, batchId = "post-migration")
     assert(spark.read.parquet(stOld + "/buckets")
       .filter(col("bid") === "persist:post-migration").count() > 0L)
+  }
+
+  test("encoded-corpus tier: tombstone heal equals a fresh encode; retry is a no-op; gate compacts") {
+    val st = Files.createTempDirectory("graft_enc_tier").toString
+    val TA = graft.operators.TextAnalysis
+    // frozen artifact trained on the real corpus
+    TA.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    val changed = docs.filter(col("doc_id") % 4 === 1)
+    val ghosts = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val day0 = docs.filter(col("doc_id") % 4 =!= 1)
+      .unionByName(changed.withColumn("text",
+        concat(lit("totally different stale draft for doc "), col("doc_id").cast("string"))))
+      .unionByName(ghosts)
+    TA.persistEncodedCorpus(day0, spark, st + "/bpe", st + "/enc")
+    def heal(): Unit =
+      TA.tombstoneEncodedDocs(changed, spark, st + "/bpe", st + "/enc",
+        ghosts.select("doc_id"))
+    heal()
+    // ids cast to string: Array columns compare by identity in
+    // Row.toSeq, so the canonical string form is the comparable one
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("fp"), col("ids").cast("string"), col("n_tokens"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    def view() = norm(TA.loadEncodedCorpus(spark, st + "/enc"))
+    val fresh = Files.createTempDirectory("graft_enc_tier_fresh").toString
+    TA.persistEncodedCorpus(docs, spark, st + "/bpe", fresh + "/enc")
+    val healed = view()
+    assert(healed === norm(TA.loadEncodedCorpus(spark, fresh + "/enc")),
+      "merge-on-read view after the heal must equal a fresh encode of the current corpus")
+    // duplicated heal: content-cancelling, nothing moves
+    heal()
+    assert(view() === healed, "a retried heal must be a complete state no-op")
+    // the ~25% edit wave is over the gate: compaction folds and clears
+    assert(TA.compactEncodedCorpusIfNeeded(spark, st + "/enc",
+      docs.limit(0).select("doc_id")))
+    assert(!new java.io.File(st + "/enc/tombstones").exists())
+    assert(view() === healed, "compaction must not change the view")
+  }
+
+  test("the loop's encoded tier heals in compact mode too (healVia = compact)") {
+    val st = Files.createTempDirectory("graft_enc_compactmode").toString
+    val TA = graft.operators.TextAnalysis
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text",
+        concat(lit("totally different stale draft for doc "), col("doc_id").cast("string"))))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    TA.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    TA.persistEncodedCorpus(day1Docs, spark, st + "/bpe", st + "/enc")
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "compact",
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    val fresh = Files.createTempDirectory("graft_enc_compactmode_fresh").toString
+    TA.persistEncodedCorpus(docs, spark, st + "/bpe", fresh + "/enc")
+    def rows(p: String) = TA.loadEncodedCorpus(spark, p)
+      .select(col("doc_id"), col("fp"), col("ids").cast("string"), col("n_tokens"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(rows(st + "/enc") === rows(fresh + "/enc"))
+    assert(!new java.io.File(st + "/enc/tombstones").exists(),
+      "compact mode leaves no tombstones")
   }
 
   test("compaction refuses to run over a previous crash's debris") {
