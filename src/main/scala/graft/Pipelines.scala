@@ -185,12 +185,20 @@ object Pipelines {
     * and the DSIR sums — which carry no per-doc identity to cancel
     * on — skip via the `runId` batch stamp; pass the orchestrator's
     * execution date as `runId` whenever the DSIR tier rides the loop.
-    * Without a `runId` the turn derives a CONTENT-HASH run identity
-    * from the snapshot diff (keys + statuses + both sides' text
-    * fingerprints), so even a runId-less retry re-delivering the same
-    * batches is a DSIR no-op — the at-least-once hole is closed by
-    * default, and an explicit orchestrator date simply overrides the
-    * derived stamp.
+    * Without a `runId` the turn derives a run identity with TWO lanes:
+    * a content hash of the snapshot diff (keys + statuses + both
+    * sides' text fingerprints + row count, two independent hash
+    * seeds), and a CONTEXT digest of the DSIR state's existing
+    * batch ids EXCLUDING this content's own family. The context lane
+    * is what separates an immediate retry from a legitimately
+    * recurring identical diff (doc edited A→B, reverted, edited A→B
+    * again): the retry sees the same non-family bid set (the original
+    * turn's own appends are family, excluded) so the stamp matches
+    * and the appends skip, while the recurrence necessarily follows
+    * an intervening inverse-edit turn whose appends changed the
+    * non-family set, so the stamp differs and the sums append
+    * normally. The at-least-once hole is closed by default; an
+    * explicit orchestrator date simply overrides the derived stamp.
     *
     * `maintain` (default ON) runs the cadence-gated compaction trio
     * AFTER the turn's state writes: each tier rewrites iff its
@@ -199,10 +207,17 @@ object Pipelines {
     * deployments bound their read tax WITHOUT any orchestrator
     * compaction DAG — a clean tier costs two count jobs. Set
     * `maintain = false` to keep compaction an externally scheduled
-    * event. `manifestPath` appends one audit row per turn (run id,
-    * per-tier change counts, post-maintenance live/tombstone counts
-    * and fractions, which tiers compacted) — the after-the-fact
-    * audit trail retry-idempotence alone doesn't give.
+    * event. `manifestPath` appends one audit row per turn (the run
+    * identity the turn's state writes actually stamped — explicit or
+    * derived, so the audit row correlates with the bid stamps in
+    * state — per-tier change counts, post-maintenance live/tombstone
+    * counts and fractions, which tiers compacted) — the
+    * after-the-fact audit trail retry-idempotence alone doesn't give.
+    * The manifest assumes a SINGLE WRITER per manifest path (the
+    * daily loop has one orchestrator by construction): `turn_seq` is
+    * derived as max(existing)+1 with a non-transactional parquet
+    * append, so concurrent turns against one manifest could mint
+    * duplicate sequence numbers.
     *
     * Returns the run's frames keyed by name: `doc_changes` /
     * `emb_changes` (added|changed|removed rows), `dedup_pairs` (new
@@ -232,6 +247,12 @@ object Pipelines {
                        encodedPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
+    // argument-shape errors must fire BEFORE any state mutation: this
+    // pair-check used to sit below the signature heal and DSIR
+    // appends, where a misconfigured call aborted a half-written turn
+    require(bpeVocabPath.isDefined == encodedPath.isDefined,
+      "bpeVocabPath and encodedPath come as a pair (the encoded state is " +
+        "meaningless without the artifact that defines its ids)")
     import org.apache.spark.sql.functions._
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
@@ -270,31 +291,40 @@ object Pipelines {
       }
     }
     val addedDocs = newDocs.join(addedDocKeys, Seq("doc_id"))
+    // ---- the turn's RUN IDENTITY, shared by the DSIR stamp and the
+    // manifest audit row. Explicit runId wins. Derived form: lane 1 is
+    // an order-independent content digest of the materialized diff
+    // (two independent hash seeds + row count — one tiny agg over the
+    // already-materialized delta, no corpus re-scan); lane 2, present
+    // only when the DSIR tier rides the turn, digests the state's
+    // existing NON-family batch ids. Excluding the family is what
+    // keeps a retry's stamp identical (its own first delivery's
+    // appends are family) while a later identical diff — which can
+    // only recur after an intervening inverse-edit turn appended
+    // non-family bids — derives a different stamp and appends.
+    lazy val contentHash: String = {
+      def lane(seed: String) = coalesce(sum(graft.functions.PortableHash.hash32(
+        concat_ws("", lit(seed), col("doc_id"), col("status"),
+          coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))), lit(0L))
+      val r = docChangesFp.agg(lane("l1"), lane("l2"), count(lit(1))).head()
+      f"${r.getLong(0)}%x-${r.getLong(1)}%x-${r.getLong(2)}%x"
+    }
+    lazy val rid: String = runId.getOrElse(dsirStatePath match {
+      case Some(dp) =>
+        val famMark = s":auto:$contentHash:"
+        val ctx = spark.read.parquet(s"$dp/buckets")
+          .select(col("bid")).distinct()
+          .filter(!col("bid").contains(famMark))
+          .agg(coalesce(sum(graft.functions.PortableHash.hash32(col("bid"))), lit(0L)))
+          .head().getLong(0)
+        f"auto:$contentHash:$ctx%x"
+      case None => s"auto:$contentHash"
+    })
     // DSIR tier: sum-shaped state — adds append, edits retract+persist
     // (no compaction path exists or is needed; see retractDsirState).
     // Params come off the state's own stamp, never the caller.
     dsirStatePath.foreach { dp =>
       val (nb, ng) = graft.operators.TextAnalysis.dsirStateParams(spark, dp)
-      // the run identity (the orchestrator's execution date) makes the
-      // sum-shaped appends replay-proof: a retried turn re-delivering
-      // the same batches is skipped by the bid stamp rather than
-      // double-counted. Without a caller runId, the turn DERIVES one
-      // from the diff content (order-independent sum of per-row
-      // hashes over key + status + both sides' text fingerprints) —
-      // so a runId-less retry re-delivering the same batches is still
-      // a no-op, while a later day re-editing the same keys hashes
-      // differently (the fingerprints moved) and appends normally.
-      // The probe costs one tiny aggregation over the MATERIALIZED
-      // delta rows — the diff's fingerprints ride along, so no corpus
-      // is re-scanned.
-      val rid = runId.getOrElse {
-        val h = docChangesFp
-          .agg(coalesce(sum(graft.functions.PortableHash.hash32(concat_ws("",
-            col("doc_id"), col("status"),
-            coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))), lit(0L)))
-          .head().getLong(0)
-        f"auto:$h%x"
-      }
       if (healEdits) {
         val editKeys = docChanges
           .filter(col("status").isin("changed", "removed")).select("doc_id")
@@ -315,10 +345,9 @@ object Pipelines {
     // (key+content-filtered, retry-proof), edits heal by the selected
     // mode, the vocab artifact itself is NEVER retrained here (ids
     // must not shift corpus-wide inside an ingest turn; retraining is
-    // the versioned deployment event, like PQ codebooks).
-    require(bpeVocabPath.isDefined == encodedPath.isDefined,
-      "bpeVocabPath and encodedPath come as a pair (the encoded state is " +
-        "meaningless without the artifact that defines its ids)")
+    // the versioned deployment event, like PQ codebooks). The
+    // vocab/encoded pair-check fires at the top of the method, before
+    // any state mutation.
     for (vp <- bpeVocabPath; ep <- encodedPath) {
       if (healEdits) {
         val changedCur = newDocs.join(
@@ -459,8 +488,14 @@ object Pipelines {
         .getOrElse((-1L, -1L, -1.0))
       val manifestDir = new org.apache.hadoop.fs.Path(mp)
       val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // max+1, not count+1: a partially-written dir (crash between
+      // read and append) can lose a row but can never repeat a
+      // sequence number. Single-writer assumed (see scaladoc).
       val turnSeq =
-        if (fs.exists(manifestDir)) spark.read.parquet(mp).count() + 1L else 1L
+        if (fs.exists(manifestDir))
+          spark.read.parquet(mp)
+            .agg(coalesce(max(col("turn_seq")), lit(0L))).head().getLong(0) + 1L
+        else 1L
       import org.apache.spark.sql.types._
       val manifestSchema = StructType(Seq(
         StructField("turn_seq", LongType), StructField("run_id", StringType),
@@ -477,7 +512,7 @@ object Pipelines {
         StructField("enc_live", LongType), StructField("enc_tombs", LongType),
         StructField("enc_frac", DoubleType), StructField("enc_compacted", BooleanType)))
       val row = org.apache.spark.sql.Row(
-        turnSeq, runId.getOrElse(""),
+        turnSeq, rid,
         dc("added"), dc("changed"), dc("removed"),
         ec("added"), ec("changed"), ec("removed"),
         sigLive, sigTombs, sigFrac, sigCompacted,

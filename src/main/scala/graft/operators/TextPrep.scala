@@ -138,6 +138,9 @@ object TextPrep {
     require(size >= 1, s"size must be >= 1 (got $size)")
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val chunks = encoded
+      // an empty ids array would otherwise emit a degenerate chunk row
+      // (n_tokens = 0, null first/last) — same guard as packConcatCut
+      .filter(org.apache.spark.sql.functions.size(col("ids")) >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, greatest(0, (size(ids) - 1) div $size)), " +
           s"i -> slice(ids, i*$size + 1, $size))")).as(Seq("chunk_idx", "cw")))

@@ -281,4 +281,13 @@ class SketchVocabPqSpec extends AnyFunSuite {
       (1L, 1L, 0L, 3L, 3L, 20L, 22L, 20L * 1 + 21 * 2 + 22 * 3),
       (1L, 2L, 1L, 0L, 1L, 30L, 30L, 30L)))
   }
+
+  test("packTokenIds: a document with an empty ids array emits no chunk row") {
+    // same guard as packConcatCut — without it an empty array yields a
+    // degenerate (n_tokens = 0, null first/last) row
+    val enc = Seq((1L, Seq(10, 11)), (2L, Seq.empty[Int])).toDF("doc_id", "ids")
+    val out = graft.operators.TextPrep.packTokenIds(enc, size = 3, budget = 6)
+    assert(out.filter(col("doc_id") === 2L).count() === 0L)
+    assert(out.count() === 1L)
+  }
 }

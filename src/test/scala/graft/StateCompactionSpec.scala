@@ -794,6 +794,109 @@ class StateCompactionSpec extends AnyFunSuite {
       "compact mode leaves no tombstones")
   }
 
+  test("a recurring identical diff appends; only an immediate retry skips (runId-less DSIR)") {
+    // the adversarial shape for a pure content-hash stamp: doc edited
+    // A->B (day 1), reverted B->A (day 2), edited A->B AGAIN (day 3).
+    // Day 3's diff is byte-identical to day 1's, so a stamp derived
+    // from content alone would silently skip it and leave the sums
+    // frozen at the day-2 corpus. The context lane (digest of the
+    // state's non-family batch ids) sees day 2's appends and lets
+    // day 3 through — while day 3's own immediate retry still skips.
+    val st = Files.createTempDirectory("graft_daily_recur").toString
+    val TA = graft.operators.TextAnalysis
+    val flip = docs.filter(col("doc_id") % 35 === 7)
+    val corpusA = docs
+    val corpusB = docs.filter(col("doc_id") % 35 =!= 7)
+      .unionByName(flip.withColumn("text", concat(col("text"), lit(" rev B"))))
+    graft.operators.Dedup.persistMinhashSignatures(corpusA, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    TA.persistDsirState(corpusA, "src0", st + "/dsir")
+    def turn(from: org.apache.spark.sql.DataFrame, to: org.apache.spark.sql.DataFrame) =
+      Pipelines.dailyIncremental(spark, from, to, embs, embs,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        dsirStatePath = Some(st + "/dsir"))("dedup_pairs")
+        .write.format("noop").mode("overwrite").save()
+    def cells() = spark.read.parquet(st + "/dsir/buckets")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    turn(corpusA, corpusB) // day 1: A -> B
+    turn(corpusB, corpusA) // day 2: revert
+    turn(corpusA, corpusB) // day 3: the identical diff again — must append
+    val afterDay3 = cells()
+    // the healed state sums to the CURRENT corpus (B), which only
+    // holds if day 3's retract/persist actually landed
+    val fromState = TA.dsirWeightsFromState(corpusB, spark, st + "/dsir", "src0")
+      .select(col("doc_id"), col("avg_log_ratio")).collect().toSeq.sortBy(_.getLong(0))
+    val inline = TA.dsirWeights(corpusB, "src0")
+      .select(col("doc_id"), col("avg_log_ratio")).collect().toSeq.sortBy(_.getLong(0))
+    assert(fromState === inline,
+      "day 3's recurring-but-genuine diff must append: state should sum to corpus B")
+    // the immediate retry of day 3 re-derives the same stamp (its own
+    // first delivery's bids are family, excluded from the context)
+    turn(corpusA, corpusB)
+    assert(cells() === afterDay3,
+      "an immediate retry of day 3 must remain a DSIR no-op")
+  }
+
+  test("a runId-less turn records its derived run identity in the manifest") {
+    val st = Files.createTempDirectory("graft_manifest_autorid").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", manifestPath = Some(st + "/manifest"))("dedup_pairs")
+      .write.format("noop").mode("overwrite").save()
+    turn(); turn()
+    val rows = spark.read.parquet(st + "/manifest")
+      .orderBy(col("turn_seq")).collect()
+    assert(rows.length === 2)
+    // the audit row carries a content identity, not an empty string,
+    // and the retry's row carries the SAME one — the trail shows the
+    // redelivery for what it is
+    assert(rows(0).getAs[String]("run_id").startsWith("auto:"))
+    assert(rows(0).getAs[String]("run_id") === rows(1).getAs[String]("run_id"))
+  }
+
+  test("manifest turn_seq is max+1: a lost row can never repeat a sequence number") {
+    val st = Files.createTempDirectory("graft_manifest_maxseq").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    def turn() = Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", manifestPath = Some(st + "/manifest"))("dedup_pairs")
+      .write.format("noop").mode("overwrite").save()
+    turn(); turn() // seq 1, 2
+    // a torn manifest append lost row 1; count+1 would now mint a
+    // duplicate seq 2, max+1 mints 3
+    val mp = st + "/manifest"
+    val df = spark.read.parquet(mp)
+    val keep = df.filter(col("turn_seq") === 2L).collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(keep), df.schema)
+      .write.mode("overwrite").parquet(mp)
+    turn()
+    assert(spark.read.parquet(mp).select("turn_seq")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("a half-specified tokenizer tier fails before any state mutation") {
+    val st = Files.createTempDirectory("graft_enc_halfpair").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale"))))
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    val before = sigRows(st + "/mh")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+        st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+        bpeVocabPath = Some(st + "/bpe")) // encodedPath missing
+    }
+    assert(e.getMessage.contains("pair"))
+    // the argument error fired before the heal touched the signature
+    // tier: no tombstones, rows untouched
+    assert(!new java.io.File(st + "/mh/tombstones").exists())
+    assert(sigRows(st + "/mh") === before)
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
