@@ -309,14 +309,19 @@ object Pipelines {
       val r = docChangesFp.agg(lane("l1"), lane("l2"), count(lit(1))).head()
       f"${r.getLong(0)}%x-${r.getLong(1)}%x-${r.getLong(2)}%x"
     }
-    lazy val rid: String = runId.getOrElse(dsirStatePath match {
-      case Some(dp) =>
+    // ONE bounded read serves the whole DSIR tier this turn: the
+    // (nb, ng) param stamp, the derived-stamp context digest, and the
+    // pre-turn bid snapshot the three appends answer their replay
+    // checks from — replacing ~5 separate small reads of the same
+    // buckets-rows-per-batch table (measured ~1.5s of driver-
+    // coordinated job overhead per turn at sf0.1).
+    val dsirSummary: Option[(Int, Int, Set[String])] =
+      dsirStatePath.map(dp => graft.operators.TextAnalysis.dsirStateSummary(spark, dp))
+    lazy val rid: String = runId.getOrElse(dsirSummary match {
+      case Some((_, _, bids)) =>
         val famMark = s":auto:$contentHash:"
-        val ctx = spark.read.parquet(s"$dp/buckets")
-          .select(col("bid")).distinct()
-          .filter(!col("bid").contains(famMark))
-          .agg(coalesce(sum(graft.functions.PortableHash.hash32(col("bid"))), lit(0L)))
-          .head().getLong(0)
+        val ctx = bids.filterNot(_.contains(famMark))
+          .foldLeft(0L)((a, b) => a + graft.functions.PortableHash.hash32Jvm(b))
         f"auto:$contentHash:$ctx%x"
       case None => s"auto:$contentHash"
     })
@@ -324,21 +329,22 @@ object Pipelines {
     // (no compaction path exists or is needed; see retractDsirState).
     // Params come off the state's own stamp, never the caller.
     dsirStatePath.foreach { dp =>
-      val (nb, ng) = graft.operators.TextAnalysis.dsirStateParams(spark, dp)
+      val (nb, ng, bids) = dsirSummary.get
+      val kb = Some(bids)
       if (healEdits) {
         val editKeys = docChanges
           .filter(col("status").isin("changed", "removed")).select("doc_id")
         graft.operators.TextAnalysis.retractDsirState(
           oldDocs.join(editKeys, Seq("doc_id")), dsirTargetSource, dp, nb, ng,
-          batchId = if (rid.isEmpty) "" else s"$rid:edits")
+          batchId = if (rid.isEmpty) "" else s"$rid:edits", knownBids = kb)
         graft.operators.TextAnalysis.persistDsirState(
           newDocs.join(docChanges.filter(col("status") === "changed")
             .select("doc_id"), Seq("doc_id")), dsirTargetSource, dp, nb, ng,
-          batchId = if (rid.isEmpty) "" else s"$rid:changed")
+          batchId = if (rid.isEmpty) "" else s"$rid:changed", knownBids = kb)
       }
       graft.operators.TextAnalysis.persistDsirState(
         addedDocs, dsirTargetSource, dp, nb, ng,
-        batchId = if (rid.isEmpty) "" else s"$rid:added")
+        batchId = if (rid.isEmpty) "" else s"$rid:added", knownBids = kb)
     }
     // ENCODED-CORPUS tier: the frozen tokenizer's (doc_id, ids) rows
     // ride the same turn — added docs append their encodings

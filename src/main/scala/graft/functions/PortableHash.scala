@@ -28,6 +28,16 @@ object PortableHash {
   def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
 
+  /** Driver-side twin of [[hash32]]: identical value for the same
+    * string, without a Spark job — for bounded collected sets (e.g.
+    * the daily turn's batch-id context digest).
+    */
+  def hash32Jvm(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+
   /** Deterministic MinHash permutation params (a_i, b_i), i in [0,k).
     *
     * Domain note: `(a·h + b) mod P` over the 32-bit [[hash32]] range

@@ -1069,7 +1069,8 @@ object TextAnalysis {
     */
   def persistDsirState(batch: DataFrame, targetSource: String,
                        statePath: String, buckets: Int = 64,
-                       ngram: Int = 1, batchId: String = ""): Unit = {
+                       ngram: Int = 1, batchId: String = "",
+                       knownBids: Option[scala.collection.Set[String]] = None): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
     // the bucket count AND the n-gram order ride every state row: a
@@ -1082,7 +1083,7 @@ object TextAnalysis {
     // detectable from the state itself.
     appendDsirCells(
       dsirBucketCounts(dsirTf(batch, buckets, ngram), targetSource),
-      statePath, buckets, ngram, s"persist:$batchId", batchId.nonEmpty)
+      statePath, buckets, ngram, s"persist:$batchId", batchId.nonEmpty, knownBids)
   }
 
   /** The shared DSIR state append: stamps the param and batch-identity
@@ -1154,14 +1155,24 @@ object TextAnalysis {
 
   private def appendDsirCells(cells: DataFrame, statePath: String,
                               buckets: Int, ngram: Int,
-                              bid: String, checkReplay: Boolean): Unit = {
+                              bid: String, checkReplay: Boolean,
+                              knownBids: Option[scala.collection.Set[String]] = None): Unit = {
     val spark = cells.sparkSession
     migrateDsirStateIfNeeded(spark, statePath)
     val dir = new org.apache.hadoop.fs.Path(s"$statePath/buckets")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (checkReplay && fs.exists(dir) &&
-      !spark.read.parquet(dir.toString)
-        .filter(col("bid") === bid).limit(1).isEmpty) return
+    // the replay check: a caller holding a pre-read bid snapshot (the
+    // daily turn reads the state ONCE via dsirStateSummary) answers it
+    // as a set lookup; anyone else pays one small read. The snapshot is
+    // sound for the turn's own append sequence — a retry's bids are all
+    // in the pre-turn snapshot, and a crash-resume's missing sub-bids
+    // are missing from it too, so exactly the unwritten ones land.
+    if (checkReplay && (knownBids match {
+      case Some(bids) => bids.contains(bid)
+      case None => fs.exists(dir) &&
+        !spark.read.parquet(dir.toString)
+          .filter(col("bid") === bid).limit(1).isEmpty
+    })) return
     cells
       .withColumn("nb", lit(buckets))
       .withColumn("ng", lit(ngram))
@@ -1193,7 +1204,8 @@ object TextAnalysis {
     */
   def retractDsirState(supersededRows: DataFrame, targetSource: String,
                        statePath: String, buckets: Int = 64,
-                       ngram: Int = 1, batchId: String = ""): Unit = {
+                       ngram: Int = 1, batchId: String = "",
+                       knownBids: Option[scala.collection.Set[String]] = None): Unit = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
     // the operation qualifier keeps a retract and a persist of the
@@ -1201,7 +1213,7 @@ object TextAnalysis {
     appendDsirCells(
       dsirBucketCounts(dsirTf(supersededRows, buckets, ngram), targetSource)
         .select(col("b"), (-col("tc")).as("tc"), (-col("sc")).as("sc")),
-      statePath, buckets, ngram, s"retract:$batchId", batchId.nonEmpty)
+      statePath, buckets, ngram, s"retract:$batchId", batchId.nonEmpty, knownBids)
   }
 
   /** The (buckets, ngram) stamp a persisted DSIR state table was
@@ -1222,6 +1234,32 @@ object TextAnalysis {
       s"dsir state at $statePath carries ${params.length} distinct " +
         s"(buckets, ngram) stamps [${params.mkString(",")}] — expected exactly one")
     params.head
+  }
+
+  /** [[dsirStateParams]] plus the state's distinct batch-id stamps, in
+    * ONE bounded read — for the daily turn, which otherwise pays a
+    * separate small read for the param probe, the derived-stamp
+    * context digest, and each of its up-to-three appends' replay
+    * checks (~5 driver-coordinated jobs against a table of `buckets`
+    * rows per batch). The bid set is a consistent PRE-TURN snapshot:
+    * passed as `knownBids` to [[persistDsirState]]/[[retractDsirState]]
+    * it answers replay checks as set lookups, and the semantics are
+    * exactly the read-per-append ones — a retried turn finds all its
+    * bids in the snapshot and skips; a crash-resumed turn finds only
+    * the sub-batches that landed and appends the rest. Single writer
+    * per state path assumed (as everywhere in this tier).
+    */
+  def dsirStateSummary(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String): (Int, Int, Set[String]) = {
+    migrateDsirStateIfNeeded(spark, statePath)
+    val rows = spark.read.parquet(s"$statePath/buckets")
+      .select(col("nb"), col("ng"), col("bid")).distinct()
+      .collect()
+    val params = rows.map(r => (r.getInt(0), r.getInt(1))).distinct
+    require(params.length == 1,
+      s"dsir state at $statePath carries ${params.length} distinct " +
+        s"(buckets, ngram) stamps [${params.mkString(",")}] — expected exactly one")
+    (params.head._1, params.head._2, rows.map(_.getString(2)).toSet)
   }
 
   /** Score a batch against PERSISTED distribution state: the batch
