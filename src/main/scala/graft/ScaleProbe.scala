@@ -386,6 +386,39 @@ object ScaleProbe {
         println(f"""{"op":"stream_ingest","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
       }
     }
+    // q175's streamed ENCODE front vs the one-shot batch append: the
+    // same 20% added batch either encodes + appends in one call
+    // (appendEncodedDocs — what dailyIncremental's encoded tier runs)
+    // or arrives as a file stream in 1-file micro-batches. Each
+    // micro-batch pays a vocab collect, the live-view anti-join
+    // (an O(|state|) narrow scan) and a checkpoint commit — the same
+    // per-batch premium shape as stream_ingest, but with NO bucket
+    // re-derivation over history (encodes are per-doc), so the
+    // premium should be smaller and flatter in corpus size.
+    if (only.isEmpty || only.contains("stream_encode")) {
+      val TA = graft.operators.TextAnalysis
+      val bucket = Sampling.hashBucket($"doc_id".cast("string"))
+      val hist = docs.filter(bucket < 80)
+      val added = docs.filter(bucket >= 80)
+      val vDir = Scratch.dir("graft_stream_encode_vocab") + "/bpe"
+      TA.persistBpeVocab(docs, merges = 4, vDir)
+      val bDir = Scratch.dir("graft_stream_encode_batch")
+      TA.persistEncodedCorpus(hist, spark, vDir, s"$bDir/enc")
+      val t0 = System.nanoTime()
+      TA.appendEncodedDocs(added, spark, vDir, s"$bDir/enc")
+      val batchSec = (System.nanoTime() - t0) / 1e9
+      for (files <- Seq(4, 16)) {
+        val sDir = Scratch.dir(s"graft_stream_encode_$files")
+        TA.persistEncodedCorpus(hist, spark, vDir, s"$sDir/enc")
+        added.repartition(files).write.parquet(s"$sDir/feed")
+        val t1 = System.nanoTime()
+        graft.streaming.EncodeStream.incrementalEncode(spark, s"$sDir/feed",
+            vDir, s"$sDir/enc", s"$sDir/ckpt")
+          .write.format("noop").mode("overwrite").save()
+        val streamSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"stream_encode","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
+      }
+    }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti
     // joins + rewrite) + |edits| text re-signs, so it should sit well

@@ -2082,6 +2082,49 @@ object SparkEntry {
         runId = Some("day-1"), manifestPath = Some(st + "/manifest"))
       s.read.parquet(st + "/manifest").orderBy(col("turn_seq"))
     }),
+
+    // ---- EP7 end-to-end, the full final mile: the curated top-k
+    // selection (near-dup collapse -> quality gate -> DSIR steering,
+    // q154's chain) TOKENIZED under a vocab trained on the FULL
+    // corpus (the tokenizer is a corpus-level artifact; selection
+    // must not shift ids) and concat-cut packed into exactly-full
+    // training sequences with the boundary table. What a user ships
+    // to a trainer: curation decides WHAT, the frozen tokenizer
+    // decides HOW it spells, the packer decides WHERE it sits ----
+    "q174_curated_sequences" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val picked = Pipelines.curatedSelection(docs, "src0", k = 40).select("doc_id")
+      // k rows by construction — never let the post-agg size estimate
+      // talk the planner out of broadcasting the semi-join side
+      operators.TextPrep.packConcatCut(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4)
+          .join(broadcast(picked), Seq("doc_id")),
+        budget = 100)
+    }),
+
+    // ---- The ENCODED-CORPUS tier's streaming ingest front (q165's
+    // discipline on the tokenizer tier): the added batch arrives as a
+    // file stream in 1-file micro-batches, each encoding against the
+    // frozen vocab artifact and appending key+content-filtered rows.
+    // Documents encode independently under a frozen vocab, so the
+    // union over any arrival partitioning equals the one-shot encode
+    // — the state packs to exactly q169's oracle, verbatim ----
+    "q175_stream_encoded_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
+      val st = Scratch.dir("graft_stream_encode_q175")
+      TextAnalysis.persistBpeVocab(docs, merges = 4, st + "/bpe")
+      TextAnalysis.persistEncodedCorpus(docs.filter(bucket < 80), s,
+        st + "/bpe", st + "/enc")
+      docs.filter(bucket >= 80).repartition(4)
+        .write.parquet(st + "/feed")
+      streaming.EncodeStream.incrementalEncode(s, st + "/feed",
+        vocabPath = st + "/bpe", encPath = st + "/enc", checkpoint = st + "/ckpt")
+      operators.TextPrep.packTokenIds(
+        TextAnalysis.loadEncodedCorpus(s, st + "/enc")
+          .filter(col("doc_id") < 50).drop("fp"),
+        size = 40, budget = 100)
+    }),
   )
 
   /** Guaranteed funnel chains appended to the real feed for q144/q145
@@ -2179,6 +2222,29 @@ object SparkEntry {
        |rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $maxDf),
        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** The EP6 curation chain up to `kept` (the deduped, quality-kept
+    * corpus): capped shingles (n=3, df<=20) → keep-best reps → the
+    * q102 integer logit gate. ONE definition shared by q154's
+    * resample tail and q174's tokenize+pack tail. Requires
+    * WITH RECURSIVE in the enclosing query (keepBestCtes' `reach`).
+    */
+  private lazy val curationKeptCtes: String =
+    s"""${cappedShinglesCte(3, 20)},
+       |$keepBestCtes,
+       |reps AS (SELECT doc_id FROM rk WHERE rn = 1),
+       |lt AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\\s+') AS w,
+       |              CAST(length(d.text) AS BIGINT) AS nc
+       |       FROM documents d JOIN reps USING (doc_id)),
+       |lf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, nc
+       |       FROM lt WHERE len(w) >= 1),
+       |lg AS (SELECT doc_id, n_uniq * 1000000 // n_tok AS ttr_fp,
+       |              nc * 1000000 // n_tok AS len_fp, n_tok FROM lf),
+       |keptids AS (SELECT doc_id FROM lg
+       |            WHERE (2 * ttr_fp) // 1000 + (1 * len_fp) // 1000
+       |                    + 10 * n_tok - 7000 >= 0),
+       |kept AS (SELECT d.* FROM documents d JOIN keptids USING (doc_id))""".stripMargin
 
   private def hash32Sql(x: String): String =
     s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
@@ -3231,8 +3297,10 @@ object SparkEntry {
     * checksums. */
   /** Shared oracle prefix: BPE stages + reference-layout vocab ids +
     * the per-document encode, ending at `denc(doc_id, ids)` — used by
-    * q169/q171's chunked pack and q172's concat-and-cut pack. */
-  private def bpeEncodePrefixSql(merges: Int, docLimit: Int): String = {
+    * q169/q171's chunked pack, q172/q174's concat-and-cut pack.
+    * `docFilter` is the SQL predicate selecting which documents get
+    * encoded (training always reads the full table). */
+  private def bpeEncodePrefixSql(merges: Int, docFilter: String): String = {
     val ws = """\s+"""
     val mrg = (1 to merges)
       .map(i => s"SELECT $i AS iter, a || b AS t FROM b$i")
@@ -3251,14 +3319,14 @@ object SparkEntry {
        |dt AS (SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS wpos FROM (
        |    SELECT doc_id,
        |      list_filter(string_split_regex(lower(trim(text)), '$ws'), x -> x <> '') AS ws
-       |    FROM documents WHERE doc_id < $docLimit)),
+       |    FROM documents WHERE $docFilter)),
        |denc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
        |         FROM dt JOIN wid USING (w) GROUP BY doc_id)""".stripMargin
   }
 
   private def bpeIdsOracleSql(merges: Int, size: Int, budget: Int,
                               docLimit: Int): String = {
-    s"""WITH RECURSIVE ${bpeEncodePrefixSql(merges, docLimit)},
+    s"""WITH RECURSIVE ${bpeEncodePrefixSql(merges, s"doc_id < $docLimit")},
        |cidx AS (SELECT doc_id, ids,
        |           unnest(range(0, greatest(0, (len(ids) - 1) // $size) + 1)) AS chunk_idx
        |         FROM denc),
@@ -3294,8 +3362,33 @@ object SparkEntry {
     * arithmetic, oracle scale. */
   private def concatCutOracleSql(merges: Int, budget: Int,
                                  docLimit: Int): String =
-    s"""WITH ${bpeEncodePrefixSql(merges, docLimit)},
-       |enc AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n
+    s"""WITH ${bpeEncodePrefixSql(merges, s"doc_id < $docLimit")},
+       |${concatCutTailSql(budget)}""".stripMargin
+
+  /** DuckDB replay of q174 — the EP7 composition: the q154 curation
+    * chain (capped-Jaccard dedup → keep-best reps → quality logit →
+    * DSIR top-k) selects the doc ids, the FULL-corpus-trained BPE
+    * encode spells them (bpeStagesSql always trains on `documents`;
+    * only the encode filter narrows — the tokenizer is a corpus-level
+    * artifact), and the q172 concat-and-cut tail packs them. Every
+    * piece is the same shared CTE text its standalone oracle uses, so
+    * the composed and standalone replays can never drift. */
+  private def curatedSequencesOracleSql(merges: Int, budget: Int,
+                                        k: Int): String =
+    s"""WITH RECURSIVE $curationKeptCtes,
+       |${dsirCtes("kept")},
+       |cr AS (SELECT row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
+       |              doc_id
+       |       FROM dw),
+       |pickids AS (SELECT doc_id FROM cr WHERE rnk <= $k),
+       |${bpeEncodePrefixSql(merges, "doc_id IN (SELECT doc_id FROM pickids)")},
+       |${concatCutTailSql(budget)}""".stripMargin
+
+  /** The concat-and-cut CTE tail over `denc(doc_id, ids)` — shared by
+    * q172 (doc-limit filter) and q174 (curated-selection filter) so
+    * the cut arithmetic can never drift between them. */
+  private def concatCutTailSql(budget: Int): String =
+    s"""enc AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n
        |        FROM denc WHERE len(ids) >= 1),
        |g AS (SELECT doc_id, ids, n,
        |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
@@ -3757,21 +3850,7 @@ object SparkEntry {
     // representatives, q102's integer logit gates them, and the DSIR
     // chain (re-rooted at the kept corpus) allocates the final top-40
     "q154_curated_selection" ->
-      s"""WITH RECURSIVE ${cappedShinglesCte(3, 20)},
-         |$keepBestCtes,
-         |reps AS (SELECT doc_id FROM rk WHERE rn = 1),
-         |lt AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\\s+') AS w,
-         |              CAST(length(d.text) AS BIGINT) AS nc
-         |       FROM documents d JOIN reps USING (doc_id)),
-         |lf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
-         |              CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq, nc
-         |       FROM lt WHERE len(w) >= 1),
-         |lg AS (SELECT doc_id, n_uniq * 1000000 // n_tok AS ttr_fp,
-         |              nc * 1000000 // n_tok AS len_fp, n_tok FROM lf),
-         |keptids AS (SELECT doc_id FROM lg
-         |            WHERE (2 * ttr_fp) // 1000 + (1 * len_fp) // 1000
-         |                    + 10 * n_tok - 7000 >= 0),
-         |kept AS (SELECT d.* FROM documents d JOIN keptids USING (doc_id)),
+      s"""WITH RECURSIVE $curationKeptCtes,
          |${dsirCtes("kept")},
          |${dsirResampleTail(40)}""".stripMargin,
 
@@ -3936,6 +4015,16 @@ object SparkEntry {
       budget = 100, docLimit = 50),
     "q172_concat_cut_pack" -> concatCutOracleSql(merges = 4, budget = 100,
       docLimit = 50),
+    // EP7 end-to-end: the q154 curation chain picks the docs, the
+    // full-corpus-trained BPE spells them, the q172 cut packs them —
+    // every stage replayed from its own shared CTE definition
+    "q174_curated_sequences" -> curatedSequencesOracleSql(merges = 4,
+      budget = 100, k = 40),
+    // the stream-fed encoded state over the full corpus must be
+    // indistinguishable from the inline train+encode: q169's oracle
+    // verbatim
+    "q175_stream_encoded_ingest" -> bpeIdsOracleSql(merges = 4, size = 40,
+      budget = 100, docLimit = 50),
 
     // q170: every manifest field is derivable from the staged diff —
     // counts from the fixture arithmetic, liveness = the current
