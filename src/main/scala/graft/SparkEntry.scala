@@ -2109,6 +2109,17 @@ object SparkEntry {
     // Documents encode independently under a frozen vocab, so the
     // union over any arrival partitioning equals the one-shot encode
     // — the state packs to exactly q169's oracle, verbatim ----
+    // ---- BUDGET-constrained DSIR selection: the training-mix form —
+    // most-target-like docs until the token budget fills (prefix-start
+    // rule: kept iff tokens-before < budget, so the boundary doc may
+    // overshoot by its own length). Global score-ordered prefix sum
+    // via range-partition subtotals + broadcast offsets — q172's
+    // technique on the selection axis; no global window anywhere ----
+    "q176_dsir_token_budget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.dsirResampleBudget(docs, "src0", tokenBudget = 4000L)
+    }),
+
     "q175_stream_encoded_ingest" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
@@ -3227,6 +3238,23 @@ object SparkEntry {
            |${dsirResampleTail(k)}""".stripMargin
     }
 
+  /** DuckDB replay of q176 — the budget-constrained selection: the
+    * same score order as [[dsirResampleTail]], one cumulative-sum
+    * window, and the greedy prefix-start rule (kept iff the running
+    * total BEFORE the row is under the budget). */
+  private def dsirBudgetOracleSql(tokenBudget: Long, ngram: Int = 1): String =
+    s"""WITH ${dsirCtes("documents", ngram)},
+       |r AS (SELECT row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
+       |             doc_id, n_tokens, avg_log_ratio
+       |      FROM dw),
+       |c AS (SELECT rnk, doc_id, n_tokens, avg_log_ratio,
+       |        SUM(n_tokens) OVER (ORDER BY rnk) AS cum_tokens
+       |      FROM r)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens, avg_log_ratio
+       |FROM c WHERE cum_tokens - n_tokens < $tokenBudget
+       |ORDER BY rnk""".stripMargin
+
   /** DuckDB replay of BPE training (q130) / encoding (q131) — ONE
     * generator for both, mirroring the Scala bpeTrain(foldLast) flag
     * so the two oracles can never drift apart. `merges` unrolled
@@ -3840,6 +3868,7 @@ object SparkEntry {
     // log-likelihood-ratio sums (the q69/q82 discipline)
     "q152_dsir_weights" -> dsirOracleSql(resampleK = None),
     "q153_dsir_resample" -> dsirOracleSql(resampleK = Some(40)),
+    "q176_dsir_token_budget" -> dsirBudgetOracleSql(tokenBudget = 4000L),
     // bigram feature order: same generator, 2-gram token windowing;
     // the persisted form shares it verbatim (state round-trip must be
     // hash-invisible, the q155 rule)

@@ -1322,6 +1322,75 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** BUDGET-constrained DSIR selection — the form a training-mix build
+    * actually runs: take documents in decreasing target-likeness until
+    * `tokenBudget` tokens are claimed, not until k documents. The
+    * contract is the greedy PREFIX-START rule: a document is kept iff
+    * the tokens selected before it total < `tokenBudget` (so the last
+    * kept document may overshoot by at most its own length — the
+    * deterministic choice; the strict cum<=budget rule would silently
+    * under-fill whenever the boundary document is long).
+    *
+    * Scale shape — a global score-ordered prefix sum WITHOUT a global
+    * window ([[graft.operators.TextPrep.packConcatCut]]'s technique):
+    * the narrow (doc_id, n_tokens, score) frame range-partitions on
+    * (score desc, doc_id), per-partition token/row subtotals come back
+    * as one row per partition, their exclusive prefixes broadcast as
+    * partition offsets, and each row's global cumulative-before /
+    * rank are per-partition stamps plus the offset. No stage sees
+    * more than its partition; the budget filter prunes everything
+    * past the boundary before any downstream consumer.
+    * Output: (rnk, doc_id, n_tokens, cum_tokens, avg_log_ratio)
+    * ordered by rnk; cum_tokens is the inclusive running total.
+    */
+  def dsirResampleBudget(docs: DataFrame, targetSource: String,
+                         tokenBudget: Long, buckets: Int = 64,
+                         ngram: Int = 1): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1 (got $tokenBudget)")
+    val spark = docs.sparkSession
+    val pre = dsirWeights(docs, targetSource, buckets, ngram)
+      .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
+      .repartitionByRange(col("avg_log_ratio").desc, col("doc_id"))
+      .sortWithinPartitions(col("avg_log_ratio").desc, col("doc_id"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(pre.schema.fields ++ Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("ps", LongType, nullable = false),
+      StructField("pr", LongType, nullable = false)))
+    val stamped = pre.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      var row = 0L
+      it.map { r =>
+        val n = r.getLong(1)
+        val out = org.apache.spark.sql.Row(r.get(0), n, r.get(2), pid, acc, row)
+        acc += n; row += 1L
+        out
+      }
+    }
+    // frozen so the subtotal job and the final plan can never disagree
+    // on range placement (same discipline as packConcatCut)
+    val frozen = graft.operators.Dedup.materialize(
+      spark.createDataFrame(stamped, schema))
+    val subtotals = frozen.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("c"))
+      .orderBy(col("pid")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tokPrefix = subtotals.scanLeft(0L) { case (a, (_, t, _)) => a + t }
+    val rowPrefix = subtotals.scanLeft(0L) { case (a, (_, _, c)) => a + c }
+    val tokOff = typedLit((subtotals.map(_._1) zip tokPrefix).toMap)
+    val rowOff = typedLit((subtotals.map(_._1) zip rowPrefix).toMap)
+    frozen
+      .withColumn("cum_before",
+        col("ps") + coalesce(element_at(tokOff, col("pid")), lit(0L)))
+      .filter(col("cum_before") < tokenBudget)
+      .withColumn("rnk",
+        col("pr") + coalesce(element_at(rowOff, col("pid")), lit(0L)) + lit(1L))
+      .withColumn("cum_tokens", col("cum_before") + col("n_tokens"))
+      .select(col("rnk"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("avg_log_ratio"))
+      .orderBy(col("rnk"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(

@@ -197,6 +197,38 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("dsirResampleBudget: prefix-start rule, window-reference equality, partition invariance") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4000L
+    val out = TextAnalysis.dsirResampleBudget(docs, "src0", budget).collect()
+    // reference: one global window over the full weights frame
+    val ref = TextAnalysis.dsirWeights(docs, "src0")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"avg_log_ratio".desc, $"doc_id")).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        Window.orderBy($"rnk")))
+      .filter($"cum_tokens" - $"n_tokens" < budget)
+      .select($"rnk", $"doc_id", $"n_tokens", $"cum_tokens", $"avg_log_ratio")
+      .orderBy($"rnk").collect()
+    assert(out.map(_.toSeq).toSeq === ref.map(_.toSeq).toSeq,
+      "distributed prefix sum must equal the global-window reference")
+    // the prefix-start contract: every kept doc starts under budget,
+    // every doc but possibly the last ends under it, and the NEXT doc
+    // would not have started under it
+    assert(out.forall(r => r.getLong(3) - r.getLong(2) < budget))
+    assert(out.init.forall(r => r.getLong(3) < budget))
+    assert(out.last.getLong(3) >= budget || out.length.toLong ===
+      TextAnalysis.dsirWeights(docs, "src0").count(),
+      "selection stops exactly at the budget boundary (or exhausts the corpus)")
+    // invariance to input partitioning
+    val out13 = TextAnalysis.dsirResampleBudget(docs.repartition(13), "src0", budget)
+      .collect()
+    assert(out13.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // a budget smaller than the best doc still keeps exactly that doc
+    val tiny = TextAnalysis.dsirResampleBudget(docs, "src0", 1L).collect()
+    assert(tiny.length === 1 && tiny.head.getLong(0) === 1L)
+  }
+
   // ---- int8 ANN ----------------------------------------------------------
 
   test("int8 top-k recall >= 0.8 vs exact cosine top-k") {
