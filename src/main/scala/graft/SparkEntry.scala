@@ -2120,6 +2120,17 @@ object SparkEntry {
       TextAnalysis.dsirResampleBudget(docs, "src0", tokenBudget = 4000L)
     }),
 
+    // ---- PER-SOURCE budget mixture: tomorrow's training mix as
+    // (source -> token budget), each slice filled most-target-like
+    // first under the prefix-start rule — q176's prefix-sum machinery
+    // with `source` leading the range key and per-(partition, source)
+    // offsets stitching sources that span partitions ----
+    "q177_dsir_mixture_budget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.dsirMixtureBudget(docs, "src0",
+        Map("src1" -> 600L, "src7" -> 900L, "src19" -> 300L))
+    }),
+
     "q175_stream_encoded_ingest" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
@@ -3238,6 +3249,32 @@ object SparkEntry {
            |${dsirResampleTail(k)}""".stripMargin
     }
 
+  /** DuckDB replay of q177 — the per-source budget mixture: the same
+    * score order and prefix-start rule as q176, windowed PER SOURCE,
+    * each source joined to its own token budget. */
+  private def dsirMixtureOracleSql(budgets: Seq[(String, Long)],
+                                   ngram: Int = 1): String = {
+    val values = budgets.map { case (s, b) => s"('$s', $b)" }.mkString(", ")
+    val srcs = budgets.map { case (s, _) => s"'$s'" }.mkString(", ")
+    s"""WITH ${dsirCtes("documents", ngram)},
+       |srcs AS (SELECT doc_id, source FROM documents WHERE source IN ($srcs)),
+       |j AS (SELECT s.source, w.doc_id, w.n_tokens, w.avg_log_ratio
+       |      FROM dw w JOIN srcs s USING (doc_id)),
+       |r AS (SELECT source,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY avg_log_ratio DESC, doc_id) AS rnk,
+       |        doc_id, n_tokens, avg_log_ratio
+       |      FROM j),
+       |c AS (SELECT source, rnk, doc_id, n_tokens, avg_log_ratio,
+       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnk) AS cum_tokens
+       |      FROM r),
+       |b(source, budget) AS (VALUES $values)
+       |SELECT c.source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens, avg_log_ratio
+       |FROM c JOIN b USING (source) WHERE cum_tokens - n_tokens < budget
+       |ORDER BY c.source, rnk""".stripMargin
+  }
+
   /** DuckDB replay of q176 — the budget-constrained selection: the
     * same score order as [[dsirResampleTail]], one cumulative-sum
     * window, and the greedy prefix-start rule (kept iff the running
@@ -3869,6 +3906,8 @@ object SparkEntry {
     "q152_dsir_weights" -> dsirOracleSql(resampleK = None),
     "q153_dsir_resample" -> dsirOracleSql(resampleK = Some(40)),
     "q176_dsir_token_budget" -> dsirBudgetOracleSql(tokenBudget = 4000L),
+    "q177_dsir_mixture_budget" -> dsirMixtureOracleSql(
+      Seq("src1" -> 600L, "src19" -> 300L, "src7" -> 900L)),
     // bigram feature order: same generator, 2-gram token windowing;
     // the persisted form shares it verbatim (state round-trip must be
     // hash-invisible, the q155 rule)

@@ -1391,6 +1391,92 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** PER-SOURCE budget mixture — the step that actually builds
+    * tomorrow's training mix: each source gets its own token budget
+    * (the mixture weights, in tokens) and fills it with its most
+    * target-like documents first, under [[dsirResampleBudget]]'s
+    * prefix-start rule per source. The target source itself is the
+    * steering distribution, never a selectable slice (budgets naming
+    * it are rejected; [[dsirWeights]] scores only non-target docs).
+    *
+    * Scale shape: the same range-partition prefix-sum as
+    * [[dsirResampleBudget]], with `source` leading the range key and
+    * the per-partition accumulators RESETTING at source boundaries —
+    * so a source spanning partitions stitches through per-(partition,
+    * source) offsets, and no stage sorts more than its partition.
+    * The subtotal collect is one row per (partition, live source) —
+    * bounded driver data.
+    * Output: (source, rnk, doc_id, n_tokens, cum_tokens,
+    * avg_log_ratio) ordered by (source, rnk); rnk restarts per source.
+    */
+  def dsirMixtureBudget(docs: DataFrame, targetSource: String,
+                        budgets: Map[String, Long], buckets: Int = 64,
+                        ngram: Int = 1): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one source")
+    budgets.foreach { case (s, b) =>
+      require(b >= 1, s"budget for '$s' must be >= 1 (got $b)") }
+    require(!budgets.contains(targetSource),
+      s"'$targetSource' is the steering target, not a selectable slice")
+    val spark = docs.sparkSession
+    val pre = dsirWeights(docs, targetSource, buckets, ngram)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("source").isin(budgets.keys.toSeq: _*))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
+      .repartitionByRange(col("source"), col("avg_log_ratio").desc, col("doc_id"))
+      .sortWithinPartitions(col("source"), col("avg_log_ratio").desc, col("doc_id"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(pre.schema.fields ++ Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("ps", LongType, nullable = false),
+      StructField("pr", LongType, nullable = false)))
+    val stamped = pre.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var acc = 0L
+      var row = 0L
+      it.map { r =>
+        val src = r.getString(0)
+        if (src != cur) { cur = src; acc = 0L; row = 0L }
+        val n = r.getLong(2)
+        val out = org.apache.spark.sql.Row(src, r.get(1), n, r.get(3), pid, acc, row)
+        acc += n; row += 1L
+        out
+      }
+    }
+    val frozen = graft.operators.Dedup.materialize(
+      spark.createDataFrame(stamped, schema))
+    // one row per (partition, source present in it) — bounded
+    val subtotals = frozen.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("c"))
+      .orderBy(col("source"), col("pid")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exclusive prefixes per source across partitions (pid order)
+    val tokOffM = scala.collection.mutable.Map.empty[String, Long]
+    val rowOffM = scala.collection.mutable.Map.empty[String, Long]
+    var curSrc: String = null
+    var tAcc = 0L
+    var cAcc = 0L
+    subtotals.foreach { case (pid, src, t, c) =>
+      if (src != curSrc) { curSrc = src; tAcc = 0L; cAcc = 0L }
+      tokOffM(s"$pid|$src") = tAcc
+      rowOffM(s"$pid|$src") = cAcc
+      tAcc += t; cAcc += c
+    }
+    val tokOff = typedLit(tokOffM.toMap)
+    val rowOff = typedLit(rowOffM.toMap)
+    val budgetOf = typedLit(budgets)
+    frozen
+      .withColumn("k", concat(col("pid").cast("string"), lit("|"), col("source")))
+      .withColumn("cum_before",
+        col("ps") + coalesce(element_at(tokOff, col("k")), lit(0L)))
+      .filter(col("cum_before") < element_at(budgetOf, col("source")))
+      .withColumn("rnk",
+        col("pr") + coalesce(element_at(rowOff, col("k")), lit(0L)) + lit(1L))
+      .withColumn("cum_tokens", col("cum_before") + col("n_tokens"))
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("avg_log_ratio"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs.select(

@@ -229,6 +229,40 @@ class QuantLmSkewSpec extends AnyFunSuite {
     assert(tiny.length === 1 && tiny.head.getLong(0) === 1L)
   }
 
+  test("dsirMixtureBudget: per-source window equality, partition invariance, target guard") {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = Map("src1" -> 400L, "src3" -> 250L)
+    val out = TextAnalysis.dsirMixtureBudget(docs, "src0", budgets).collect()
+    val w = Window.partitionBy($"source").orderBy($"avg_log_ratio".desc, $"doc_id")
+    val ref = TextAnalysis.dsirWeights(docs, "src0")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .filter($"source".isin(budgets.keys.toSeq: _*))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        Window.partitionBy($"source").orderBy($"rnk")))
+      .withColumn("budget", element_at(typedLit(budgets), $"source"))
+      .filter($"cum_tokens" - $"n_tokens" < $"budget")
+      .select($"source", $"rnk", $"doc_id", $"n_tokens", $"cum_tokens", $"avg_log_ratio")
+      .orderBy($"source", $"rnk").collect()
+    assert(out.map(_.toSeq).toSeq === ref.map(_.toSeq).toSeq,
+      "stitched per-source prefix sums must equal the per-source window reference")
+    // each source independently respects its boundary contract
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val b = budgets(src)
+      assert(rows.forall(r => r.getLong(4) - r.getLong(3) < b))
+      assert(rows.sortBy(_.getLong(1)).init.forall(_.getLong(4) < b))
+    }
+    // invariance to input partitioning
+    val out7 = TextAnalysis.dsirMixtureBudget(docs.repartition(7), "src0", budgets)
+      .collect()
+    assert(out7.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // the steering target is not a selectable slice
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.dsirMixtureBudget(docs, "src0", Map("src0" -> 100L))
+    }
+    assert(e.getMessage.contains("steering target"))
+  }
+
   // ---- int8 ANN ----------------------------------------------------------
 
   test("int8 top-k recall >= 0.8 vs exact cosine top-k") {
