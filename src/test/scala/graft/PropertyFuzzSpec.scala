@@ -174,6 +174,50 @@ class PropertyFuzzSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("budget selection's stitched prefix sums equal the window reference on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val corpus = for {
+      nSrc <- Gen.chooseNum(2, 4) // s1..sN selectable, t0 the target
+      nDocs <- Gen.chooseNum(6, 40)
+      docs <- Gen.listOfN(nDocs, for {
+        srcIdx <- Gen.chooseNum(0, nSrc) // 0 = target
+        nWords <- Gen.chooseNum(1, 8)
+        ws <- Gen.listOfN(nWords, word)
+      } yield (if (srcIdx == 0) "t0" else s"s$srcIdx", ws.mkString(" ")))
+      budgets <- Gen.listOfN(nSrc, Gen.chooseNum(1L, 30L))
+    } yield (docs, budgets.zipWithIndex.map { case (b, i) => s"s${i + 1}" -> b }.toMap)
+    check(Prop.forAll(corpus) { case (rows, budgets) =>
+      val docs = rows.zipWithIndex
+        .map { case ((src, text), i) => (i.toLong, src, text) }
+        .toDF("doc_id", "source", "text")
+      // the corpus must have at least one target doc and one
+      // selectable doc for weights to exist at all
+      val hasTarget = rows.exists(_._1 == "t0")
+      val hasOther = rows.exists(_._1 != "t0")
+      !hasTarget || !hasOther || {
+        val out = graft.operators.TextAnalysis
+          .dsirMixtureBudget(docs.repartition(5), "t0", budgets)
+          .collect().map(_.toSeq).toSeq
+        val w = Window.partitionBy($"source")
+          .orderBy($"avg_log_ratio".desc, $"doc_id")
+        val ref = graft.operators.TextAnalysis.dsirWeights(docs, "t0")
+          .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+          .filter($"source".isin(budgets.keys.toSeq: _*))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(
+            Window.partitionBy($"source").orderBy($"rnk")))
+          .withColumn("budget", element_at(typedLit(budgets), $"source"))
+          .filter($"cum_tokens" - $"n_tokens" < $"budget")
+          .select($"source", $"rnk", $"doc_id", $"n_tokens",
+            $"cum_tokens", $"avg_log_ratio")
+          .orderBy($"source", $"rnk")
+          .collect().map(_.toSeq).toSeq
+        out == ref
+      }
+    }, n = 6)
+  }
+
   test("hash32 is deterministic and always lands in [0, 2^32)") {
     val strs = Gen.listOfN(200, Gen.asciiPrintableStr)
     check(Prop.forAll(strs) { ss =>
