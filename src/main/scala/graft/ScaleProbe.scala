@@ -419,6 +419,32 @@ object ScaleProbe {
         println(f"""{"op":"stream_encode","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
       }
     }
+    // q176's budget selection: the stamped range-partition prefix sum
+    // vs the naive global-window form (row_number + running sum over
+    // an UNPARTITIONED window — Spark moves every row to ONE
+    // partition). Same output row-for-row (PropertyFuzzSpec /
+    // QuantLmSkewSpec); this prices the difference and documents why
+    // the machinery exists: the window form's single-partition sort is
+    // the classic 100 TB scale-killer.
+    if (only.isEmpty || only.contains("budget_select")) {
+      val TA = graft.operators.TextAnalysis
+      val budget = 4000L * mult
+      val t0 = System.nanoTime()
+      TA.dsirResampleBudget(docs, "src0", budget)
+        .write.format("noop").mode("overwrite").save()
+      val stampedSec = (System.nanoTime() - t0) / 1e9
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"avg_log_ratio".desc, $"doc_id")
+      val t1 = System.nanoTime()
+      TA.dsirWeights(docs, "src0")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"rnk")))
+        .filter($"cum_tokens" - $"n_tokens" < budget)
+        .write.format("noop").mode("overwrite").save()
+      val windowSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"budget_select","mult":$mult,"stamped_sec":$stampedSec%.2f,"window_sec":$windowSec%.2f,"ratio":${windowSec / stampedSec}%.2f}""")
+    }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti
     // joins + rewrite) + |edits| text re-signs, so it should sit well
