@@ -2109,6 +2109,58 @@ object SparkEntry {
     // Documents encode independently under a frozen vocab, so the
     // union over any arrival partitioning equals the one-shot encode
     // — the state packs to exactly q169's oracle, verbatim ----
+    // ---- The DSIR distribution state's streaming ingest front: the
+    // sum-shaped tier completes the per-tier stream story (signatures
+    // q165, encoded q175). Cell-additive sums are order-independent,
+    // so the drained state scores the full corpus exactly like the
+    // inline weights — q152's oracle verbatim; replayed micro-batches
+    // skip via their deterministic foreachBatch-id stamp ----
+    "q178_stream_dsir_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id").cast("string"))
+      val st = Scratch.dir("graft_stream_dsir_q178")
+      TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/dsir")
+      docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+      streaming.DsirStream.incrementalCounts(s, st + "/feed", "src0",
+        st + "/dsir", st + "/ckpt")
+      TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
+    }),
+
+    // ---- The IVF tier's streaming ingest front: centroids are the
+    // VERSIONED corpus-level artifact (q121's build); assignment rows
+    // arrive by stream, each micro-batch assigning against the frozen
+    // centroids with the loop's key-filter replay guard. Staging
+    // removes the batch's assignment rows from the full build
+    // (compactIvfIndex — centroids untouched), so the drained index
+    // must answer probes bit-identically to the full build: q121's
+    // oracle verbatim ----
+    "q179_stream_ivf_ingest" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val bucket = graft.operators.Sampling.hashBucket(col("vec_id").cast("string"))
+      val st = Scratch.dir("graft_stream_ivf_q179")
+      Similarity.buildIvfIndex(emb, nlist = 16, path = st + "/idx")
+      val batch = emb.filter(bucket >= 80)
+      Similarity.compactIvfIndex(s, st + "/idx", batch.select("vec_id"))
+      batch.repartition(4).write.parquet(st + "/feed")
+      streaming.VectorStream.incrementalIvf(s, st + "/feed", st + "/idx", st + "/ckpt")
+      Similarity.cosineTopKIvfIndexed(s, st + "/idx", nQueries = 12, k = 4, nprobe = 3)
+    }),
+
+    // ---- The PQ twin: codebooks versioned, codes streamed — the
+    // drained index reranks bit-identically to the full build (q132's
+    // oracle verbatim) ----
+    "q180_stream_pq_ingest" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val bucket = graft.operators.Sampling.hashBucket(col("vec_id").cast("string"))
+      val st = Scratch.dir("graft_stream_pq_q180")
+      Similarity.buildPqIndex(emb, m = 8, ks = 16, path = st + "/idx")
+      val batch = emb.filter(bucket >= 80)
+      Similarity.compactPqIndex(s, st + "/idx", batch.select("vec_id"))
+      batch.repartition(4).write.parquet(st + "/feed")
+      streaming.VectorStream.incrementalPq(s, st + "/feed", st + "/idx", st + "/ckpt")
+      Similarity.pqTopKIndexed(emb, s, st + "/idx", nQueries = 3, k = 8, rerank = 32)
+    }),
+
     // ---- BUDGET-constrained DSIR selection: the training-mix form —
     // most-target-like docs until the token budget fills (prefix-start
     // rule: kept iff tokens-before < budget, so the boundary doc may
@@ -2425,7 +2477,13 @@ object SparkEntry {
       // state-only re-centering answers like a fresh inline build
       ("q166_recenter_ivf" -> base("q157_compact_ivf")) +
       // the retried turn changes nothing: scores still match inline
-      ("q167_daily_retry_idempotent" -> base("q152_dsir_weights"))
+      ("q167_daily_retry_idempotent" -> base("q152_dsir_weights")) +
+      // streamed cell-additive ingest scores like the inline weights
+      ("q178_stream_dsir_ingest" -> base("q152_dsir_weights")) +
+      // stream-fed assignments against the versioned centroids answer
+      // like the full build that trained them
+      ("q179_stream_ivf_ingest" -> base("q121_ivf_persisted")) +
+      ("q180_stream_pq_ingest" -> base("q132_pq_persisted"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

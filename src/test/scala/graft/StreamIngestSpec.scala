@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-14 streaming ingest fronts (DsirStream, VectorStream):
+  * each persisted state tier's micro-batched drain must equal its
+  * one-shot form under any arrival partitioning, and a full replay
+  * must be a state no-op — the sum tier via deterministic batch-id
+  * stamps, the key tiers via live-view key filters.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embs = Tables.load(spark, sf, "embeddings")
+
+  test("DSIR stream drain sums to the one-shot state; replay skips via the bid stamp") {
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val ref = Files.createTempDirectory("graft_ds_ref").toString + "/dsir"
+    TextAnalysis.persistDsirState(docs, "src0", ref)
+    val st = Files.createTempDirectory("graft_ds_stream").toString
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/dsir")
+    docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/dsir", st + "/ckpt")
+    // sums, not rows: the tiers split the same counts across different
+    // batch boundaries; only the per-bucket totals are the state
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(sums(st + "/dsir") === sums(ref))
+    val before = spark.read.parquet(st + "/dsir/buckets").count()
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/dsir", st + "/ckpt2")
+    assert(spark.read.parquet(st + "/dsir/buckets").count() === before,
+      "a full replay must append no cells (bid stamps match)")
+  }
+
+  test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
+    val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
+    val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
+    Similarity.buildIvfIndex(embs, nlist = 16, path = full)
+    def rows(p: String) = Similarity.loadIvfIndex(spark, p)._2
+      .select(col("vec_id"), col("cell").cast("long"), col("u").cast("array<double>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val fullRows = rows(full)
+    val st = Files.createTempDirectory("graft_vs_stream").toString
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/idx")
+    val batch = embs.filter(bucket >= 80)
+    Similarity.compactIvfIndex(spark, st + "/idx", batch.select("vec_id"))
+    batch.repartition(4).write.parquet(st + "/feed")
+    streaming.VectorStream.incrementalIvf(spark, st + "/feed", st + "/idx", st + "/ckpt")
+    assert(rows(st + "/idx") === fullRows,
+      "streamed assignments against the frozen centroids must equal the full build")
+    streaming.VectorStream.incrementalIvf(spark, st + "/feed", st + "/idx", st + "/ckpt2")
+    assert(rows(st + "/idx") === fullRows, "a full replay must not change the index")
+  }
+
+  test("PQ stream drain rebuilds the full-build codes; replay appends nothing") {
+    val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
+    val full = Files.createTempDirectory("graft_ps_full").toString + "/idx"
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = full)
+    def rows(p: String) = Similarity.loadPqIndex(spark, p)._2
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val fullRows = rows(full)
+    val st = Files.createTempDirectory("graft_ps_stream").toString
+    Similarity.buildPqIndex(embs, m = 8, ks = 16, path = st + "/idx")
+    val batch = embs.filter(bucket >= 80)
+    Similarity.compactPqIndex(spark, st + "/idx", batch.select("vec_id"))
+    batch.repartition(4).write.parquet(st + "/feed")
+    streaming.VectorStream.incrementalPq(spark, st + "/feed", st + "/idx", st + "/ckpt")
+    assert(rows(st + "/idx") === fullRows,
+      "streamed codes against the frozen codebooks must equal the full build")
+    streaming.VectorStream.incrementalPq(spark, st + "/feed", st + "/idx", st + "/ckpt2")
+    assert(rows(st + "/idx") === fullRows, "a full replay must not change the index")
+  }
+}
