@@ -470,9 +470,15 @@ object Pipelines {
     // ---- run manifest: one appended row per turn makes a bad turn
     // AUDITABLE after the fact (retry-idempotence makes it harmless,
     // not visible). Counts come off the already-materialized change
-    // frames; fractions/liveness off the same tombstoneStats the
-    // cadence gate reads — post-maintenance, so the row records the
-    // state a reader would actually see.
+    // frames; fractions/liveness are the FAST footer-count form
+    // (live = stored − tombstones, exact whenever every tombstone
+    // shadows exactly one stored row — every clean state; retry
+    // debris can only make it an undercount), post-maintenance, so
+    // the row records the state a reader would see. The exact
+    // merge-on-read count costs an anti-join SCAN PER TIER per turn —
+    // audit numbers must not out-cost the turn; call
+    // [[graft.sources.Sinks.tombstoneStats]] directly when an exact
+    // census is actually needed.
     manifestPath.foreach { mp =>
       import spark.implicits._
       def statusCounts(ch: org.apache.spark.sql.DataFrame): Map[String, Long] =
@@ -480,16 +486,16 @@ object Pipelines {
           .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
       val dc = statusCounts(docChanges)
       val ec = statusCounts(embChanges)
-      val (sigLive, sigTombs, sigFrac) = graft.sources.Sinks.tombstoneStats(
+      val (sigLive, sigTombs, sigFrac) = graft.sources.Sinks.tombstoneStatsFast(
         spark, s"$sigStatePath/sigs", s"$sigStatePath/tombstones")
-      val (ivfLive, ivfTombs, ivfFrac) = graft.sources.Sinks.tombstoneStats(
+      val (ivfLive, ivfTombs, ivfFrac) = graft.sources.Sinks.tombstoneStatsFast(
         spark, s"$ivfPath/assignments", s"$ivfPath/tombstones")
       val (pqLive, pqTombs, pqFrac) = pqPath
-        .map(pp => graft.sources.Sinks.tombstoneStats(
+        .map(pp => graft.sources.Sinks.tombstoneStatsFast(
           spark, s"$pp/codes", s"$pp/tombstones"))
         .getOrElse((-1L, -1L, -1.0))
       val (encLive, encTombs, encFrac) = encodedPath
-        .map(ep => graft.sources.Sinks.tombstoneStats(
+        .map(ep => graft.sources.Sinks.tombstoneStatsFast(
           spark, s"$ep/ids", s"$ep/tombstones"))
         .getOrElse((-1L, -1L, -1.0))
       val manifestDir = new org.apache.hadoop.fs.Path(mp)

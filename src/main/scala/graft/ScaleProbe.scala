@@ -354,6 +354,46 @@ object ScaleProbe {
         println(f"""{"op":"daily_heal","mult":$mult,"mode":"$mode","turn_sec":$sec%.2f}""")
       }
     }
+    // the FULLY-LOADED daily turn: all five state tiers (signatures,
+    // IVF, PQ, DSIR, encoded corpus) + the run manifest + cadence-
+    // gated maintenance riding ONE healed tombstone-mode turn over a
+    // 2%-added / 2%-edited / ghost-removal day — vs rebuilding every
+    // tier from the current corpus. The capstone number: what a real
+    // deployment pays per day when everything is wired, and what the
+    // incremental discipline buys over the rebuild it replaces.
+    if (only.isEmpty || only.contains("daily_full")) {
+      val TA = graft.operators.TextAnalysis
+      val changedD = docs.filter($"doc_id" % 50 === 7)
+      val day1D = docs.filter($"doc_id" % 50 =!= 0 && $"doc_id" % 50 =!= 7)
+        .unionByName(changedD.withColumn("text",
+          concat(lit("stale draft of doc "), $"doc_id".cast("string"))))
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % 50 =!= 0)
+      val dir = Scratch.dir("graft_daily_full")
+      Dedup.persistMinhashSignatures(day1D, 3, 16, 4, s"$dir/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$dir/ivf")
+      Similarity.buildPqIndex(d1e, m = 8, ks = 16, path = s"$dir/pq")
+      TA.persistDsirState(day1D, "src0", s"$dir/dsir")
+      TA.persistBpeVocab(docs, merges = 4, s"$dir/bpe")
+      TA.persistEncodedCorpus(day1D, spark, s"$dir/bpe", s"$dir/enc")
+      val t0 = System.nanoTime()
+      Pipelines.dailyIncremental(spark, day1D, docs, d1e, embs,
+          s"$dir/mh", s"$dir/ivf", healEdits = true, healVia = "tombstone",
+          dsirStatePath = Some(s"$dir/dsir"), pqPath = Some(s"$dir/pq"),
+          bpeVocabPath = Some(s"$dir/bpe"), encodedPath = Some(s"$dir/enc"),
+          manifestPath = Some(s"$dir/manifest"))
+        .values.foreach(_.write.format("noop").mode("overwrite").save())
+      val turnSec = (System.nanoTime() - t0) / 1e9
+      // the rebuild this turn replaces: every tier from today's corpus
+      val rDir = Scratch.dir("graft_daily_full_rebuild")
+      val t1 = System.nanoTime()
+      Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$rDir/mh")
+      Similarity.buildIvfIndex(embs, nlist = 16, path = s"$rDir/ivf")
+      Similarity.buildPqIndex(embs, m = 8, ks = 16, path = s"$rDir/pq")
+      TA.persistDsirState(docs, "src0", s"$rDir/dsir")
+      TA.persistEncodedCorpus(docs, spark, s"$dir/bpe", s"$rDir/enc")
+      val rebuildSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"daily_full","mult":$mult,"turn_sec":$turnSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${turnSec / rebuildSec}%.2f}""")
+    }
     // q165's streamed EP5 ingest front vs the one-shot batch ingest:
     // the SAME 20% added batch either near-dups + appends in ONE call
     // (incrementalMinhashEstimated — what dailyIncremental's doc tier

@@ -274,11 +274,15 @@ object Sinks {
     else {
       // live = the exact merge-on-read count (a tombstone can shadow
       // several duplicate stored rows, and a spent one shadows none —
-      // subtraction would only estimate)
-      val tombs = spark.read.parquet(tombstonePath).count()
-      val live = raw
-        .join(spark.read.parquet(tombstonePath), raw.columns.toSeq, "left_anti")
-        .count()
+      // subtraction would only estimate). Join on the COMMON columns:
+      // the sig/IVF/PQ tombstones carry the full row, but the encoded
+      // tier's are deliberately scalar-only (doc_id, fp) so its
+      // merge-on-read anti-join broadcasts scalars — the stats view
+      // must apply the same shadowing rule each tier's reader uses.
+      val tombDf = spark.read.parquet(tombstonePath)
+      val joinCols = raw.columns.filter(tombDf.columns.toSet)
+      val tombs = tombDf.count()
+      val live = raw.join(tombDf, joinCols.toSeq, "left_anti").count()
       // live == 0 with outstanding tombstones is the WORST case, not a
       // clean one (every stored row is shadowed; the read-side
       // anti-join tax is maximal) — the fraction must always trip the

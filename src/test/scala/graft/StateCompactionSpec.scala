@@ -877,6 +877,35 @@ class StateCompactionSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("the manifest records the encoded tier's liveness through scalar-only tombstones") {
+    // the encoded tier's tombstones are deliberately scalar-only
+    // (doc_id, fp); the manifest's exact stats must shadow on those
+    // common columns instead of demanding full-row tombstones — a
+    // sub-threshold edit wave leaves tombstones OUTSTANDING at
+    // manifest time, the combination that used to throw
+    val st = Files.createTempDirectory("graft_manifest_enc").toString
+    val TA = graft.operators.TextAnalysis
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val day1Docs = docs.filter(col("doc_id") % 35 =!= 7)
+      .unionByName(changedDocs.withColumn("text", concat(col("text"), lit(" stale"))))
+    TA.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    TA.persistEncodedCorpus(day1Docs, spark, st + "/bpe", st + "/enc")
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"),
+      manifestPath = Some(st + "/manifest"))("dedup_pairs")
+      .write.format("noop").mode("overwrite").save()
+    val r = spark.read.parquet(st + "/manifest").head()
+    assert(r.getAs[Long]("enc_tombs") === changedDocs.count(),
+      "each edited doc's stale encoding is one outstanding scalar tombstone")
+    assert(r.getAs[Long]("enc_live") === docs.count(),
+      "the live view shadows stale rows on (doc_id, fp) and counts the current corpus")
+    assert(!r.getAs[Boolean]("enc_compacted"),
+      "a sub-threshold wave must not have compacted")
+  }
+
   test("a half-specified tokenizer tier fails before any state mutation") {
     val st = Files.createTempDirectory("graft_enc_halfpair").toString
     val changedDocs = docs.filter(col("doc_id") % 35 === 7)
