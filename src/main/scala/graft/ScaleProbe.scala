@@ -394,6 +394,55 @@ object ScaleProbe {
       val rebuildSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"daily_full","mult":$mult,"turn_sec":$turnSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${turnSec / rebuildSec}%.2f}""")
     }
+    // the loaded turn SPLIT: marginal cost of each opt-in tier at the
+    // same staging as daily_full — slim (sig+ivf, pairs forced), +pq,
+    // +dsir, +enc, +manifest. Each arm re-stages its tiers fresh so
+    // the turns are independent; the deltas attribute daily_full's
+    // total to tiers.
+    if (only.isEmpty || only.contains("daily_split")) {
+      val TA = graft.operators.TextAnalysis
+      val changedD = docs.filter($"doc_id" % 50 === 7)
+      val day1D = docs.filter($"doc_id" % 50 =!= 0 && $"doc_id" % 50 =!= 7)
+        .unionByName(changedD.withColumn("text",
+          concat(lit("stale draft of doc "), $"doc_id".cast("string"))))
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % 50 =!= 0)
+      def stage(dir: String, pq: Boolean, dsir: Boolean, enc: Boolean): Unit = {
+        Dedup.persistMinhashSignatures(day1D, 3, 16, 4, s"$dir/mh")
+        Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$dir/ivf")
+        if (pq) Similarity.buildPqIndex(d1e, m = 8, ks = 16, path = s"$dir/pq")
+        if (dsir) TA.persistDsirState(day1D, "src0", s"$dir/dsir")
+        if (enc) {
+          TA.persistBpeVocab(docs, merges = 4, s"$dir/bpe")
+          TA.persistEncodedCorpus(day1D, spark, s"$dir/bpe", s"$dir/enc")
+        }
+      }
+      def turn(dir: String, pq: Boolean, dsir: Boolean, enc: Boolean,
+               manifest: Boolean): Double = {
+        val t0 = System.nanoTime()
+        Pipelines.dailyIncremental(spark, day1D, docs, d1e, embs,
+            s"$dir/mh", s"$dir/ivf", healEdits = true, healVia = "tombstone",
+            pqPath = if (pq) Some(s"$dir/pq") else None,
+            dsirStatePath = if (dsir) Some(s"$dir/dsir") else None,
+            bpeVocabPath = if (enc) Some(s"$dir/bpe") else None,
+            encodedPath = if (enc) Some(s"$dir/enc") else None,
+            manifestPath = if (manifest) Some(s"$dir/manifest") else None)
+          .values.foreach(_.write.format("noop").mode("overwrite").save())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val arms = Seq(
+        ("slim", false, false, false, false),
+        ("pq", true, false, false, false),
+        ("dsir", false, true, false, false),
+        ("enc", false, false, true, false),
+        ("manifest", false, false, false, true),
+        ("full", true, true, true, true))
+      arms.foreach { case (name, pq, dsir, enc, mf) =>
+        val dir = Scratch.dir(s"graft_daily_split_$name")
+        stage(dir, pq, dsir, enc)
+        val sec = turn(dir, pq, dsir, enc, mf)
+        println(f"""{"op":"daily_split","mult":$mult,"arm":"$name","turn_sec":$sec%.2f}""")
+      }
+    }
     // q165's streamed EP5 ingest front vs the one-shot batch ingest:
     // the SAME 20% added batch either near-dups + appends in ONE call
     // (incrementalMinhashEstimated — what dailyIncremental's doc tier
