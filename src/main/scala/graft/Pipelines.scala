@@ -244,7 +244,8 @@ object Pipelines {
                        maxTombstoneFrac: Double = 0.1,
                        manifestPath: Option[String] = None,
                        bpeVocabPath: Option[String] = None,
-                       encodedPath: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
+                       encodedPath: Option[String] = None,
+                       compactionDocs: Option[org.apache.spark.sql.DataFrame] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
     // argument-shape errors must fire BEFORE any state mutation: this
@@ -285,7 +286,8 @@ object Pipelines {
           sigStatePath,
           docChanges.filter(col("status") === "removed").select("doc_id"))
       else {
-        val histDocs = newDocs.join(addedDocKeys, Seq("doc_id"), "left_anti")
+        val histDocs = compactionDocs.getOrElse(newDocs)
+          .join(addedDocKeys, Seq("doc_id"), "left_anti")
         graft.operators.Dedup.compactSignatures(histDocs, n, numHashes, bands,
           sigStatePath, changedKeys)
       }
@@ -456,7 +458,8 @@ object Pipelines {
         // deleted pre-compaction files
         pairs = graft.operators.Dedup.materialize(pairs)
         graft.operators.Dedup.compactSignatures(
-          newDocs, n, numHashes, bands, sigStatePath, noDocKeys)
+          compactionDocs.getOrElse(newDocs), n, numHashes, bands,
+          sigStatePath, noDocKeys)
       }
       due
     }
@@ -539,6 +542,69 @@ object Pipelines {
       "doc_changes" -> docChanges,
       "emb_changes" -> embChanges,
       "dedup_pairs" -> pairs)
+  }
+
+  /** The DELTA-FED daily turn — for deployments whose arrivals come AS
+    * a delta (an ingest queue, a CDC feed, the per-tier stream fronts'
+    * batch shape) rather than as full snapshots. [[dailyIncremental]]'s
+    * one O(corpus) term is the snapshot fingerprint diff
+    * (`tools/scaleprobe_r14_dailysplit.jsonl`: the slim floor); here
+    * the caller passes the delta directly and the same diff machinery
+    * runs over |delta| rows, so the WHOLE turn is batch- and
+    * state-scoped.
+    *
+    * `oldDelta` holds the AS-PERSISTED rows of changed and removed
+    * documents (the retraction contract's old side); `newDelta` the
+    * CURRENT rows of added and changed documents. Statuses derive from
+    * the same key/fingerprint diff the snapshot form uses, so the
+    * derived run identity hashes to the SAME value a snapshot-fed
+    * retry of the same delta would — the two forms interoperate on one
+    * state.
+    *
+    * Two operations genuinely need the full corpus and are gated on
+    * `currentDocs`: compact-mode healing (its history rebuild) and the
+    * cadence-gated SIGNATURE compaction (its membership filter +
+    * lost-append re-signs; the IVF/PQ/encoded gates rebuild from state
+    * and need nothing). Both requirements fail loudly; `maintain`
+    * therefore defaults OFF here — a delta deployment bounds its
+    * tombstone read-tax either by passing `currentDocs` with
+    * `maintain = true` or by scheduling
+    * [[graft.operators.Dedup.compactSignatures]] at its own cadence.
+    * Returns the same frames as [[dailyIncremental]].
+    */
+  def dailyIncrementalDelta(spark: SparkSession,
+                            oldDelta: org.apache.spark.sql.DataFrame,
+                            newDelta: org.apache.spark.sql.DataFrame,
+                            oldEmbDelta: org.apache.spark.sql.DataFrame,
+                            newEmbDelta: org.apache.spark.sql.DataFrame,
+                            sigStatePath: String, ivfPath: String,
+                            n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                            minJ: Double = 0.5,
+                            healEdits: Boolean = false,
+                            dsirStatePath: Option[String] = None,
+                            dsirTargetSource: String = "src0",
+                            healVia: String = "tombstone",
+                            runId: Option[String] = None,
+                            pqPath: Option[String] = None,
+                            maintain: Boolean = false,
+                            maxTombstoneFrac: Double = 0.1,
+                            manifestPath: Option[String] = None,
+                            bpeVocabPath: Option[String] = None,
+                            encodedPath: Option[String] = None,
+                            currentDocs: Option[org.apache.spark.sql.DataFrame] = None)
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    require(healVia == "tombstone" || currentDocs.isDefined,
+      "compact-mode healing rebuilds history from the full corpus — " +
+        "pass currentDocs or heal via tombstones")
+    require(!maintain || currentDocs.isDefined,
+      "gated signature compaction re-signs from the full corpus — " +
+        "pass currentDocs or keep maintain = false and schedule " +
+        "compactSignatures externally")
+    dailyIncremental(spark, oldDelta, newDelta, oldEmbDelta, newEmbDelta,
+      sigStatePath, ivfPath, n, numHashes, bands, minJ, healEdits,
+      dsirStatePath, dsirTargetSource, healVia, runId, pqPath, maintain,
+      maxTombstoneFrac, manifestPath, bpeVocabPath, encodedPath,
+      compactionDocs = currentDocs)
   }
 
   /** EP6 (extension) — the end-to-end CURATION RUN: the three quality

@@ -2109,6 +2109,43 @@ object SparkEntry {
     // Documents encode independently under a frozen vocab, so the
     // union over any arrival partitioning equals the one-shot encode
     // — the state packs to exactly q169's oracle, verbatim ----
+    // ---- The DELTA-FED daily turn: q164's scenario with the turn
+    // consuming the delta DIRECTLY (as-persisted old rows of
+    // changed/removed, current rows of added/changed) instead of
+    // diffing two corpus snapshots — the arrival-queue/CDC deployment
+    // shape that skips the turn's one O(corpus) term. The healed
+    // result must be indistinguishable from the snapshot-fed turn:
+    // q151's grow-only oracle verbatim ----
+    "q181_daily_delta_turn" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+      val changedOld = changedDocs.withColumn("text", concat(col("text"), lit(" stale draft")))
+      val ghosts = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+        .unionByName(changedOld).unionByName(ghosts)
+      val changedVec = emb.filter(
+        col("vec_id") >= 16 && col("vec_id") % 9 === 0 && col("vec_id") % 5 =!= 0)
+      val changedVecOld = changedVec.withColumn("embedding", reverse(col("embedding")))
+      val embGhosts = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val day1Emb = d1e.join(changedVec.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(changedVecOld).unionByName(embGhosts)
+      val st = Scratch.dir("graft_daily_q181")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(day1Emb, nlist = 16, path = st + "/ivf")
+      // the turn sees ONLY the delta
+      Pipelines.dailyIncrementalDelta(s,
+        changedOld.unionByName(ghosts),
+        docs.filter(col("doc_id") % 5 === 0).unionByName(changedDocs),
+        changedVecOld.unionByName(embGhosts),
+        emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0)
+          .unionByName(changedVec),
+        st + "/mh", st + "/ivf", healEdits = true)("dedup_pairs")
+    }),
+
     // ---- The DSIR distribution state's streaming ingest front: the
     // sum-shaped tier completes the per-tier stream story (signatures
     // q165, encoded q175). Cell-additive sums are order-independent,
@@ -2483,7 +2520,9 @@ object SparkEntry {
       // stream-fed assignments against the versioned centroids answer
       // like the full build that trained them
       ("q179_stream_ivf_ingest" -> base("q121_ivf_persisted")) +
-      ("q180_stream_pq_ingest" -> base("q132_pq_persisted"))
+      ("q180_stream_pq_ingest" -> base("q132_pq_persisted")) +
+      // the delta-fed turn is indistinguishable from the snapshot turn
+      ("q181_daily_delta_turn" -> base("q151_daily_incremental"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

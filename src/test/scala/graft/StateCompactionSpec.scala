@@ -926,6 +926,57 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(sigRows(st + "/mh") === before)
   }
 
+  test("the delta-fed turn equals the snapshot-fed turn on twin states") {
+    val TA = graft.operators.TextAnalysis
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val changedOld = changedDocs.withColumn("text", concat(col("text"), lit(" stale")))
+    val ghosts = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedOld).unionByName(ghosts)
+    val added = docs.filter(col("doc_id") % 5 === 0)
+    def stage(tag: String): String = {
+      val st = Files.createTempDirectory(s"graft_delta_$tag").toString
+      graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+      TA.persistDsirState(day1Docs, "src0", st + "/dsir")
+      st
+    }
+    val snapSt = stage("snap")
+    val snapPairs = Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      snapSt + "/mh", snapSt + "/ivf", healEdits = true, healVia = "tombstone",
+      dsirStatePath = Some(snapSt + "/dsir"), runId = Some("d1"))("dedup_pairs")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val deltaSt = stage("delta")
+    val deltaPairs = Pipelines.dailyIncrementalDelta(spark,
+      changedOld.unionByName(ghosts), added.unionByName(changedDocs),
+      embs.limit(0), embs.limit(0),
+      deltaSt + "/mh", deltaSt + "/ivf", healEdits = true,
+      dsirStatePath = Some(deltaSt + "/dsir"), runId = Some("d1"))("dedup_pairs")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(deltaPairs === snapPairs, "delta and snapshot turns must emit the same pairs")
+    assert(sigRows(deltaSt + "/mh") === sigRows(snapSt + "/mh"),
+      "signature state must be identical across the two feed shapes")
+    def dsirSums(p: String) = spark.read.parquet(p + "/dsir/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(dsirSums(deltaSt) === dsirSums(snapSt),
+      "DSIR sums must be identical across the two feed shapes")
+    // the full-corpus-dependent modes fail loudly without currentDocs
+    val e1 = intercept[IllegalArgumentException] {
+      Pipelines.dailyIncrementalDelta(spark,
+        changedOld, changedDocs, embs.limit(0), embs.limit(0),
+        deltaSt + "/mh", deltaSt + "/ivf", healEdits = true, healVia = "compact")
+    }
+    assert(e1.getMessage.contains("currentDocs"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipelines.dailyIncrementalDelta(spark,
+        changedOld, changedDocs, embs.limit(0), embs.limit(0),
+        deltaSt + "/mh", deltaSt + "/ivf", maintain = true)
+    }
+    assert(e2.getMessage.contains("currentDocs"))
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
