@@ -442,6 +442,24 @@ object ScaleProbe {
         val sec = turn(dir, pq, dsir, enc, mf)
         println(f"""{"op":"daily_split","mult":$mult,"arm":"$name","turn_sec":$sec%.2f}""")
       }
+      // the DELTA-FED slim turn on the same staging: the caller hands
+      // the turn its delta (changed-old rows + added/changed current
+      // rows), so the snapshot fingerprint diff — the slim arm's
+      // O(corpus) floor — never runs. Everything else is identical.
+      val dDir = Scratch.dir("graft_daily_split_deltaarm")
+      stage(dDir, pq = false, dsir = false, enc = false)
+      val changedOld = changedD.withColumn("text",
+        concat(lit("stale draft of doc "), $"doc_id".cast("string")))
+      val addedD = docs.filter($"doc_id" % 50 === 0)
+      val addedE = embs.filter($"vec_id" >= 16 && $"vec_id" % 50 === 0)
+      val tD0 = System.nanoTime()
+      Pipelines.dailyIncrementalDelta(spark,
+          changedOld, addedD.unionByName(changedD),
+          embs.limit(0), addedE,
+          s"$dDir/mh", s"$dDir/ivf", healEdits = true)
+        .values.foreach(_.write.format("noop").mode("overwrite").save())
+      val deltaSec = (System.nanoTime() - tD0) / 1e9
+      println(f"""{"op":"daily_split","mult":$mult,"arm":"delta_slim","turn_sec":$deltaSec%.2f}""")
     }
     // q165's streamed EP5 ingest front vs the one-shot batch ingest:
     // the SAME 20% added batch either near-dups + appends in ONE call
