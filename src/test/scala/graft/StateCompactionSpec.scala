@@ -977,6 +977,38 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("currentDocs"))
   }
 
+  test("a runId-less delta retry of a snapshot turn derives the same stamp: DSIR no-op") {
+    // the interop claim: both feed shapes hash the SAME delta rows
+    // (keys, statuses, both sides' fingerprints) and the same state
+    // context, so a delta-fed redelivery of a snapshot-fed turn's
+    // batch skips exactly like a same-shape retry would
+    val TA = graft.operators.TextAnalysis
+    val st = Files.createTempDirectory("graft_interop").toString
+    val changedDocs = docs.filter(col("doc_id") % 35 === 7)
+    val changedOld = changedDocs.withColumn("text", concat(col("text"), lit(" stale")))
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 35 =!= 7)
+      .unionByName(changedOld)
+    val added = docs.filter(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    TA.persistDsirState(day1Docs, "src0", st + "/dsir")
+    def cells() = spark.read.parquet(st + "/dsir/buckets")
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
+      dsirStatePath = Some(st + "/dsir"))("dedup_pairs") // NO runId
+      .write.format("noop").mode("overwrite").save()
+    val afterSnap = cells()
+    Pipelines.dailyIncrementalDelta(spark,
+      changedOld, added.unionByName(changedDocs),
+      embs.limit(0), embs.limit(0),
+      st + "/mh", st + "/ivf", healEdits = true,
+      dsirStatePath = Some(st + "/dsir"))("dedup_pairs") // NO runId either
+      .write.format("noop").mode("overwrite").save()
+    assert(cells() === afterSnap,
+      "the delta-shaped redelivery must derive the snapshot turn's stamp and skip")
+  }
+
   test("compaction refuses to run over a previous crash's debris") {
     val state = Files.createTempDirectory("graft_sig_debris").toString
     Dedup.persistMinhashSignatures(docs.limit(50), 3, 16, 4, state)
