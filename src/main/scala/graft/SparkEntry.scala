@@ -2109,6 +2109,18 @@ object SparkEntry {
     // Documents encode independently under a frozen vocab, so the
     // union over any arrival partitioning equals the one-shot encode
     // — the state packs to exactly q169's oracle, verbatim ----
+    // ---- Separator-terminated concat-and-cut: each document closed
+    // by a reserved EOS id before the stream cuts — the shard shape
+    // trainers actually read; the boundary table's document-closing
+    // fragments carry the separator (last_id = sep) so attention
+    // masks and provenance stay consistent with the token stream ----
+    "q182_concat_cut_sep" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.TextPrep.packConcatCutSep(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        budget = 100, sepId = 1000000)
+    }),
+
     // ---- The DELTA-FED daily turn: q164's scenario with the turn
     // consuming the delta DIRECTLY (as-persisted old rows of
     // changed/removed, current rows of added/changed) instead of
@@ -3546,12 +3558,13 @@ object SparkEntry {
        |${bpeEncodePrefixSql(merges, "doc_id IN (SELECT doc_id FROM pickids)")},
        |${concatCutTailSql(budget)}""".stripMargin
 
-  /** The concat-and-cut CTE tail over `denc(doc_id, ids)` — shared by
-    * q172 (doc-limit filter) and q174 (curated-selection filter) so
-    * the cut arithmetic can never drift between them. */
-  private def concatCutTailSql(budget: Int): String =
+  /** The concat-and-cut CTE tail over `$from(doc_id, ids)` — shared by
+    * q172 (doc-limit filter), q174 (curated-selection filter) and
+    * q182 (separator-terminated stream) so the cut arithmetic can
+    * never drift between them. */
+  private def concatCutTailSql(budget: Int, from: String = "denc"): String =
     s"""enc AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n
-       |        FROM denc WHERE len(ids) >= 1),
+       |        FROM $from WHERE len(ids) >= 1),
        |g AS (SELECT doc_id, ids, n,
        |        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
@@ -4185,6 +4198,13 @@ object SparkEntry {
     // every stage replayed from its own shared CTE definition
     "q174_curated_sequences" -> curatedSequencesOracleSql(merges = 4,
       budget = 100, k = 40),
+    // the separator-terminated stream: the same encode prefix with one
+    // appended EOS id per document, then the shared cut tail
+    "q182_concat_cut_sep" ->
+      s"""WITH ${bpeEncodePrefixSql(4, "doc_id < 50")},
+         |dencs AS (SELECT doc_id, list_append(ids, CAST(1000000 AS BIGINT)) AS ids
+         |          FROM denc),
+         |${concatCutTailSql(100, from = "dencs")}""".stripMargin,
     // the stream-fed encoded state over the full corpus must be
     // indistinguishable from the inline train+encode: q169's oracle
     // verbatim

@@ -193,6 +193,23 @@ object TextPrep {
     * actual tokens. Every sequence except the last sums frag_len to
     * exactly `budget`.
     */
+  /** [[packConcatCut]] with each document TERMINATED by a separator
+    * token (the EOS id trainers reserve) before the stream is cut —
+    * the boundary-table rows then carry the separator inside its
+    * document's final fragment (last_id = sepId on the fragment that
+    * closes a document), so the trainer's attention mask and the
+    * provenance table stay consistent with the actual token stream.
+    * A document with an empty ids array still contributes its
+    * separator (one token). Same machinery, same scale shape: the
+    * append is a per-row column op before the stamped prefix sum.
+    */
+  def packConcatCutSep(encoded: DataFrame, budget: Int, sepId: Int): DataFrame = {
+    val elemT = encoded.schema("ids").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    packConcatCut(encoded.withColumn("ids",
+      concat(col("ids"), array(lit(sepId).cast(elemT)))), budget)
+  }
+
   def packConcatCut(encoded: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val spark = encoded.sparkSession

@@ -282,6 +282,31 @@ class SketchVocabPqSpec extends AnyFunSuite {
       (1L, 2L, 1L, 0L, 1L, 30L, 30L, 30L)))
   }
 
+  test("packConcatCutSep: every document's closing fragment ends in the separator") {
+    val enc = Seq(
+      (1L, Seq(10, 11, 12)), (2L, Seq(20)), (3L, Seq.empty[Int]),
+      (4L, Seq(40, 41, 42, 43, 44))).toDF("doc_id", "ids")
+    val sep = 99
+    val out = graft.operators.TextPrep.packConcatCutSep(enc, budget = 4, sepId = sep)
+      .collect()
+    // equivalence with manual append + plain pack
+    val ref = graft.operators.TextPrep.packConcatCut(
+      enc.withColumn("ids", concat(col("ids"), array(lit(sep)))), budget = 4)
+      .collect()
+    assert(out.map(_.toSeq).toSeq === ref.map(_.toSeq).toSeq)
+    // the fragment that closes each document carries the separator
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val closing = rows.maxBy(_.getAs[Long]("doc_off"))
+      assert(closing.getAs[Long]("last_id") === sep.toLong)
+    }
+    // the empty document still contributes exactly its separator
+    val d3 = out.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.length === 1 && d3.head.getAs[Long]("frag_len") === 1L
+      && d3.head.getAs[Long]("first_id") === sep.toLong)
+    // total stream length = tokens + one separator per doc
+    assert(out.map(_.getAs[Long]("frag_len")).sum === (3 + 1 + 0 + 5) + 4L)
+  }
+
   test("packTokenIds: a document with an empty ids array emits no chunk row") {
     // same guard as packConcatCut — without it an empty array yields a
     // degenerate (n_tokens = 0, null first/last) row
