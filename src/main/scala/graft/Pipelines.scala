@@ -194,11 +194,19 @@ object Pipelines {
     * recurring identical diff (doc edited A→B, reverted, edited A→B
     * again): the retry sees the same non-family bid set (the original
     * turn's own appends are family, excluded) so the stamp matches
-    * and the appends skip, while the recurrence necessarily follows
-    * an intervening inverse-edit turn whose appends changed the
-    * non-family set, so the stamp differs and the sums append
-    * normally. The at-least-once hole is closed by default; an
-    * explicit orchestrator date simply overrides the derived stamp.
+    * and the appends skip, while the recurrence's intervening
+    * inverse-edit turn — PROVIDED it also rode the DSIR tier and
+    * landed appends — changed the non-family set, so the stamp
+    * differs and the sums append normally. That proviso is the
+    * derived stamp's soundness assumption: runId-less stamps are
+    * sound only when the DSIR tier rides EVERY turn that touches the
+    * corpus. A revert turn run without `dsirStatePath` leaves the
+    * non-family bid set unchanged, so a later genuine recurrence
+    * derives the original stamp and is silently skipped — mixed
+    * deployments (some turns with the tier, some without) must pass
+    * explicit orchestrator runIds instead. With the assumption held,
+    * the at-least-once hole is closed by default; an explicit
+    * orchestrator date simply overrides the derived stamp.
     *
     * `maintain` (default ON) runs the cadence-gated compaction trio
     * AFTER the turn's state writes: each tier rewrites iff its
@@ -301,9 +309,10 @@ object Pipelines {
     // only when the DSIR tier rides the turn, digests the state's
     // existing NON-family batch ids. Excluding the family is what
     // keeps a retry's stamp identical (its own first delivery's
-    // appends are family) while a later identical diff — which can
-    // only recur after an intervening inverse-edit turn appended
-    // non-family bids — derives a different stamp and appends.
+    // appends are family) while a later identical diff — whose
+    // intervening inverse-edit turn appended non-family bids,
+    // assuming the DSIR tier rides every turn (see the method doc's
+    // soundness assumption) — derives a different stamp and appends.
     lazy val contentHash: String = {
       def lane(seed: String) = coalesce(sum(graft.functions.PortableHash.hash32(
         concat_ws("", lit(seed), col("doc_id"), col("status"),

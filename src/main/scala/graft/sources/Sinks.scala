@@ -302,9 +302,12 @@ object Sinks {
     * `raw − tombs` lower-bounds the true live count and the fraction
     * upper-bounds the true one — a cadence gate reading it can only
     * fire EARLY, and an early compaction is semantically free (state ≡
-    * fresh build either way). Use [[tombstoneStats]] when the exact
-    * live count matters (the run manifest); use this on the per-turn
-    * hot path where the decision is all that's needed.
+    * fresh build either way). This is the form the per-turn hot path
+    * AND the run manifest use BY DESIGN (the manifest's live counts
+    * are documented lower bounds — the audit row needs the turn's
+    * gate inputs, not a census, and the anti-join would double the
+    * turn's maintenance cost); callers that need the exact
+    * merge-on-read live count go to [[tombstoneStats]] directly.
     */
   def tombstoneStatsFast(spark: org.apache.spark.sql.SparkSession,
                          tablePath: String, tombstonePath: String): (Long, Long, Double) = {

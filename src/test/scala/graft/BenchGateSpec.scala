@@ -65,6 +65,37 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regressed.isEmpty && second.isEmpty)
   }
 
+  test("bench_baseline.json's stored total equals its per-query entry sum") {
+    // r14's verdict line overstated a 0.91x sweep as 1.24x because the
+    // baseline's scalar "total" field went stale across a partial
+    // per-query regeneration. bench_check.py now sums the entries; this
+    // pins the stored scalar to the same statistic so a regeneration
+    // that forgets the field is caught at test time, not judge time.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_baseline.json")), "UTF-8")
+    val j = JsonMethods.parse(txt)
+    val entrySum = (j \ "queries") match {
+      case JObject(fields) => fields.map {
+        case (_, JDouble(d)) => d
+        case (_, JInt(i)) => i.toDouble
+        case (_, JDecimal(d)) => d.toDouble
+        case (n, other) => fail(s"non-numeric baseline entry $n: $other")
+      }.sum
+      case other => fail(s"no queries object in baseline: $other")
+    }
+    val stored = (j \ "total") match {
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JInt(i) => i.toDouble
+      case other => fail(s"no numeric total field in baseline: $other")
+    }
+    assert(math.abs(stored - entrySum) < 0.5,
+      f"stored total $stored%.3f is stale vs entry sum $entrySum%.3f — " +
+        "regenerate it (tools/bench_check.py prints the entry sum either way)")
+  }
+
   test("the assembled artifact line carries the gate fields") {
     // Generate the line in-test via the JSON-assembly helper instead
     // of reading whatever tools/last_bench.json a checkout carries

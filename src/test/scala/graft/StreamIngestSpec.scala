@@ -41,6 +41,35 @@ class StreamIngestSpec extends AnyFunSuite {
       "a full replay must append no cells (bid stamps match)")
   }
 
+  test("two distinct feeds into one DSIR state path both land (content bids, not positions)") {
+    // the failure mode of positional batch ids: a second drain's
+    // checkpoint restarts foreachBatch ids at 0, so its batches would
+    // collide with the first drain's stamps and be silently skipped.
+    // Content-derived bids must keep the two feeds' batches distinct
+    // while still skipping a true replay of either feed.
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val ref = Files.createTempDirectory("graft_ds2_ref").toString + "/dsir"
+    TextAnalysis.persistDsirState(docs, "src0", ref)
+    val st = Files.createTempDirectory("graft_ds2_stream").toString
+    TextAnalysis.persistDsirState(docs.filter(bucket < 60), "src0", st + "/dsir")
+    docs.filter(bucket >= 60 && bucket < 80).repartition(2).write.parquet(st + "/feedA")
+    docs.filter(bucket >= 80).repartition(2).write.parquet(st + "/feedB")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feedA", "src0",
+      st + "/dsir", st + "/ckptA")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feedB", "src0",
+      st + "/dsir", st + "/ckptB")
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(sums(st + "/dsir") === sums(ref),
+      "feed B's batches must append despite feed A having drained first")
+    val before = spark.read.parquet(st + "/dsir/buckets").count()
+    streaming.DsirStream.incrementalCounts(spark, st + "/feedA", "src0",
+      st + "/dsir", st + "/ckptA2")
+    assert(spark.read.parquet(st + "/dsir/buckets").count() === before,
+      "a re-drain of feed A through a fresh checkpoint is still a no-op")
+  }
+
   test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
     val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
     val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
