@@ -2121,6 +2121,21 @@ object SparkEntry {
         budget = 100, sepId = 1000000)
     }),
 
+    // ---- The MATERIALIZED training shards: the concat-cut fragments
+    // assembled into full per-sequence array<bigint> token rows,
+    // written range-sharded by seq_idx next to the boundary table and
+    // read back — the last mile between the boundary table and "a
+    // trainer reads this". The readback's arrays must equal the
+    // oracle's own assembly from the shared cut CTEs, token by token ----
+    "q183_packed_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_shards_q183")
+      operators.TextPrep.writeTrainingShards(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        budget = 100, basePath = st)
+      operators.TextPrep.readTrainingShards(s, st)
+    }),
+
     // ---- The DELTA-FED daily turn: q164's scenario with the turn
     // consuming the delta DIRECTLY (as-persisted old rows of
     // changed/removed, current rows of added/changed) instead of
@@ -3558,11 +3573,13 @@ object SparkEntry {
        |${bpeEncodePrefixSql(merges, "doc_id IN (SELECT doc_id FROM pickids)")},
        |${concatCutTailSql(budget)}""".stripMargin
 
-  /** The concat-and-cut CTE tail over `$from(doc_id, ids)` — shared by
-    * q172 (doc-limit filter), q174 (curated-selection filter) and
-    * q182 (separator-terminated stream) so the cut arithmetic can
-    * never drift between them. */
-  private def concatCutTailSql(budget: Int, from: String = "denc"): String =
+  /** The concat-and-cut fragment CTEs over `$from(doc_id, ids)`,
+    * ending at `rows_(seq_idx, seq_off, doc_id, doc_off, frag_len,
+    * fr)` — the shared cut arithmetic both deliverable tails read:
+    * the boundary table ([[concatCutTailSql]]) and the assembled
+    * shards ([[packedShardsTailSql]]). One definition, so the two
+    * replays can never disagree on where a cut falls. */
+  private def concatCutRowsCtes(budget: Int, from: String = "denc"): String =
     s"""enc AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n
        |        FROM $from WHERE len(ids) >= 1),
        |g AS (SELECT doc_id, ids, n,
@@ -3582,7 +3599,13 @@ object SparkEntry {
        |            CAST(fs - gs AS BIGINT) AS doc_off,
        |            CAST(fe - fs AS BIGINT) AS frag_len,
        |            ids[CAST(fs - gs AS BIGINT) + 1 : CAST(fe - gs AS BIGINT)] AS fr
-       |          FROM calc),
+       |          FROM calc)""".stripMargin
+
+  /** The boundary-table tail over the shared cut CTEs — q172
+    * (doc-limit filter), q174 (curated-selection filter) and q182
+    * (separator-terminated stream). */
+  private def concatCutTailSql(budget: Int, from: String = "denc"): String =
+    s"""${concatCutRowsCtes(budget, from)},
        |ws AS (SELECT seq_idx, doc_id, CAST(SUM(x * (pos + 1)) AS BIGINT) AS ids_wsum
        |       FROM (SELECT seq_idx, doc_id, unnest(fr) AS x,
        |               unnest(range(0, len(fr))) AS pos FROM rows_)
@@ -3592,6 +3615,19 @@ object SparkEntry {
        |  w.ids_wsum
        |FROM rows_ r JOIN ws w ON w.seq_idx = r.seq_idx AND w.doc_id = r.doc_id
        |ORDER BY r.seq_idx, r.seq_off""".stripMargin
+
+  /** The assembled-shards tail (q183): each sequence's fragments
+    * concatenated in seq_off order into the full array<bigint> token
+    * row the trainer reads — same `rows_` the boundary table reads,
+    * so shards and boundaries replay one cut. */
+  private def packedShardsTailSql(budget: Int, from: String = "denc"): String =
+    s"""${concatCutRowsCtes(budget, from)},
+       |sh AS (SELECT seq_idx,
+       |         flatten(list(list_transform(fr, x -> CAST(x AS BIGINT))
+       |           ORDER BY seq_off)) AS ids
+       |       FROM rows_ GROUP BY seq_idx)
+       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens, ids
+       |FROM sh ORDER BY seq_idx""".stripMargin
 
   /** Tail of the oracle catalog — split out of the main literal so
     * [[pqOracleSql]] can sit between the two maps. */
@@ -4205,6 +4241,12 @@ object SparkEntry {
          |dencs AS (SELECT doc_id, list_append(ids, CAST(1000000 AS BIGINT)) AS ids
          |          FROM denc),
          |${concatCutTailSql(100, from = "dencs")}""".stripMargin,
+    // the materialized shards: the same encode prefix and the same
+    // cut CTEs as q172's boundary table, assembled to full
+    // per-sequence token arrays (q48 proves arrays hash-compare)
+    "q183_packed_shards" ->
+      s"""WITH ${bpeEncodePrefixSql(4, "doc_id < 50")},
+         |${packedShardsTailSql(100)}""".stripMargin,
     // the stream-fed encoded state over the full corpus must be
     // indistinguishable from the inline train+encode: q169's oracle
     // verbatim

@@ -203,14 +203,92 @@ object TextPrep {
     * separator (one token). Same machinery, same scale shape: the
     * append is a per-row column op before the stamped prefix sum.
     */
-  def packConcatCutSep(encoded: DataFrame, budget: Int, sepId: Int): DataFrame = {
+  def packConcatCutSep(encoded: DataFrame, budget: Int, sepId: Int): DataFrame =
+    packConcatCut(withSeparator(encoded, sepId), budget)
+
+  /** Append the reserved separator id to every document's ids — the
+    * per-row column op [[packConcatCutSep]] and the sep-terminated
+    * shard writer share. */
+  private def withSeparator(encoded: DataFrame, sepId: Int): DataFrame = {
     val elemT = encoded.schema("ids").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-    packConcatCut(encoded.withColumn("ids",
-      concat(col("ids"), array(lit(sepId).cast(elemT)))), budget)
+    encoded.withColumn("ids", concat(col("ids"), array(lit(sepId).cast(elemT))))
   }
 
-  def packConcatCut(encoded: DataFrame, budget: Int): DataFrame = {
+  def packConcatCut(encoded: DataFrame, budget: Int): DataFrame =
+    boundaryTable(concatCutFragments(encoded, budget))
+
+  /** The boundary-table projection over a fragment frame — split from
+    * [[concatCutFragments]] so the shard writer can derive BOTH
+    * deliverables from one fragment computation. */
+  private def boundaryTable(frags: DataFrame): DataFrame =
+    frags.select(
+      col("seq_idx"), col("seq_off"), col("doc_id"), col("doc_off"), col("frag_len"),
+      element_at(col("frag"), 1).cast("long").as("first_id"),
+      element_at(col("frag"), -1).cast("long").as("last_id"),
+      expr("aggregate(zip_with(frag, sequence(1, size(frag)), " +
+        "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)").as("ids_wsum"))
+      .orderBy(col("seq_idx"), col("seq_off"))
+
+  /** The MATERIALIZED training sequences: one row per `seq_idx` with
+    * the full `array<bigint>` of its `budget` token ids, assembled by
+    * concatenating the concat-cut fragments in `seq_off` order — the
+    * table a trainer actually reads (the boundary table tells it where
+    * documents sit INSIDE these rows; this is the rows themselves).
+    * Every sequence except the last carries exactly `budget` ids.
+    *
+    * Scale shape: the fragment machinery is [[packConcatCut]]'s
+    * (range-partitioned prefix sum, no global window); the assembly is
+    * one groupBy(seq_idx) whose groups are bounded at `budget` tokens
+    * BY CONSTRUCTION — no key can exceed the cut size, so the shuffle
+    * is skew-free regardless of document length distribution (a 10M-
+    * token document arrives as 10M/budget distinct keys, not one hot
+    * one).
+    */
+  def packShards(encoded: DataFrame, budget: Int): DataFrame =
+    shardTable(concatCutFragments(encoded, budget))
+
+  private def shardTable(frags: DataFrame): DataFrame =
+    frags
+      .select(col("seq_idx"), col("seq_off"),
+        expr("transform(frag, x -> cast(x as bigint))").as("fr"))
+      .groupBy(col("seq_idx"))
+      // array_sort on array<struct> orders by the first field (seq_off,
+      // unique within a sequence) — fragment order without a window
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
+        " s -> s.fr))").as("ids"))
+    .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
+      .orderBy(col("seq_idx"))
+
+  /** Write the trainer-facing pair — `basePath/shards` (the full
+    * per-sequence token arrays, range-sharded by `seq_idx` so a
+    * trainer's sequential read is a file-order scan and any seq range
+    * prunes to its shard files) and `basePath/boundaries` (the
+    * provenance/attention-mask table) — from ONE fragment computation.
+    * `sepId` opts into separator-terminated packing
+    * ([[packConcatCutSep]]'s stream shape). Both tables observe the
+    * same cut by construction: they project the same fragment frame,
+    * whose prefix sum is frozen (localCheckpoint) inside
+    * [[concatCutFragments]].
+    */
+  def writeTrainingShards(encoded: DataFrame, budget: Int, basePath: String,
+                          sepId: Option[Int] = None): Unit = {
+    val enc = sepId.map(withSeparator(encoded, _)).getOrElse(encoded)
+    val frags = concatCutFragments(enc, budget)
+    boundaryTable(frags).write.mode("overwrite")
+      .parquet(s"$basePath/boundaries")
+    shardTable(frags).repartitionByRange(col("seq_idx"))
+      .sortWithinPartitions(col("seq_idx"))
+      .write.mode("overwrite").parquet(s"$basePath/shards")
+  }
+
+  /** Read back a [[writeTrainingShards]] shard table in training
+    * order. */
+  def readTrainingShards(spark: org.apache.spark.sql.SparkSession,
+                         basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/shards").orderBy(col("seq_idx"))
+
+  private def concatCutFragments(encoded: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val spark = encoded.sparkSession
     val pre = encoded.select(col("doc_id"), col("ids"),
@@ -255,12 +333,5 @@ object TextPrep {
       .withColumn("seq_off", col("fs") - col("seq_idx") * budget)
       .withColumn("frag_len", col("fe") - col("fs"))
       .withColumn("frag", expr("slice(ids, cast(doc_off as int) + 1, cast(frag_len as int))"))
-      .select(
-        col("seq_idx"), col("seq_off"), col("doc_id"), col("doc_off"), col("frag_len"),
-        element_at(col("frag"), 1).cast("long").as("first_id"),
-        element_at(col("frag"), -1).cast("long").as("last_id"),
-        expr("aggregate(zip_with(frag, sequence(1, size(frag)), " +
-          "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)").as("ids_wsum"))
-      .orderBy(col("seq_idx"), col("seq_off"))
   }
 }

@@ -307,6 +307,59 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("frag_len")).sum === (3 + 1 + 0 + 5) + 4L)
   }
 
+  test("packShards: concatenated shard arrays equal the encoded stream; sep round-trips") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    val enc = TextAnalysis.bpeEncodeIds(docs, merges = 2)
+    // the encoded stream: every doc's ids in doc_id order, flattened
+    val stream = enc.filter(org.apache.spark.sql.functions.size(col("ids")) >= 1)
+      .orderBy(col("doc_id"))
+      .select(explode(col("ids")).as("x")).select(col("x").cast("long"))
+      .as[Long].collect().toSeq
+    val shards = graft.operators.TextPrep.packShards(enc, budget = 64)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    // shard concatenation in seq_idx order IS the stream
+    assert(shards.sortBy(_._1).flatMap(_._3) === stream)
+    // every shard except the last is exactly full; n_tokens = len(ids)
+    shards.foreach { case (s, n, ids) =>
+      assert(n === ids.length.toLong)
+      if (s != shards.map(_._1).max) assert(n === 64L, s"seq $s holds $n")
+    }
+    // write/readback path: sharded parquet round-trips the same rows,
+    // and the boundary table written beside it observes the same cut
+    val base = Scratch.dir("graft_shards_spec")
+    graft.operators.TextPrep.writeTrainingShards(enc, budget = 64, basePath = base)
+    val back = graft.operators.TextPrep.readTrainingShards(spark, base)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(back === shards)
+    val bounds = spark.read.parquet(base + "/boundaries")
+    assert(bounds.agg(sum(col("frag_len"))).as[Long].head() === stream.length.toLong)
+    // separator round-trip (q182's stream shape): each document's ids
+    // reappear between separators, in doc_id order
+    val sep = 1000000L
+    val sepBase = Scratch.dir("graft_shards_sep_spec")
+    graft.operators.TextPrep.writeTrainingShards(enc, budget = 64,
+      basePath = sepBase, sepId = Some(sep.toInt))
+    val sepStream = graft.operators.TextPrep.readTrainingShards(spark, sepBase)
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1).flatMap(_._3)
+    val docsBack = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sepStream.foreach { x =>
+        if (x == sep) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+        else cur += x
+      }
+      assert(cur.isEmpty, "stream must END on a separator")
+      out.toSeq
+    }
+    val encDocs = enc.orderBy(col("doc_id"))
+      .select(expr("transform(ids, x -> cast(x as bigint))")).as[Seq[Long]]
+      .collect().toSeq.filter(_.nonEmpty)
+    // packConcatCutSep keeps empty docs (their sep is one token), so
+    // splitting on sep yields one entry per INPUT doc; drop the empties
+    // on both sides to compare content docs positionally
+    assert(docsBack.filter(_.nonEmpty) === encDocs)
+  }
+
   test("packTokenIds: a document with an empty ids array emits no chunk row") {
     // same guard as packConcatCut — without it an empty array yields a
     // degenerate (n_tokens = 0, null first/last) row
