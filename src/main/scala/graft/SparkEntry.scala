@@ -2121,6 +2121,30 @@ object SparkEntry {
         budget = 100, sepId = 1000000)
     }),
 
+    // ---- The STREAM-FED daily turn: the per-tier stream fronts and
+    // the delta-fed turn composed into the actual CDC deployment —
+    // doc/embedding arrivals drain as micro-batch delta turns against
+    // the persisted state, each turn's pairs landing in a content-
+    // addressed batch directory. N micro-batch turns must be
+    // indistinguishable from one batch turn: q151's grow-only oracle
+    // verbatim ----
+    "q184_stream_daily_turn" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val st = Scratch.dir("graft_stream_daily_q184")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+      docs.filter(col("doc_id") % 5 === 0).repartition(4)
+        .write.parquet(st + "/docfeed")
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+        .write.parquet(st + "/embfeed")
+      streaming.TurnStream.dailyTurns(s, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+      streaming.TurnStream.emittedPairs(s, st + "/pairs")
+    }),
+
     // ---- The MATERIALIZED training shards: the concat-cut fragments
     // assembled into full per-sequence array<bigint> token rows,
     // written range-sharded by seq_idx next to the boundary table and
@@ -2549,7 +2573,10 @@ object SparkEntry {
       ("q179_stream_ivf_ingest" -> base("q121_ivf_persisted")) +
       ("q180_stream_pq_ingest" -> base("q132_pq_persisted")) +
       // the delta-fed turn is indistinguishable from the snapshot turn
-      ("q181_daily_delta_turn" -> base("q151_daily_incremental"))
+      ("q181_daily_delta_turn" -> base("q151_daily_incremental")) +
+      // and so is the stream of micro-batch delta turns: N turns over
+      // the arrival queue emit exactly the one batch turn's pairs
+      ("q184_stream_daily_turn" -> base("q151_daily_incremental"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

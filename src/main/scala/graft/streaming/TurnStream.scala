@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STREAM-FED daily turn — the actual CDC deployment the per-tier
+  * fronts (DsirStream/VectorStream/EncodeStream) and the delta-fed
+  * turn ([[graft.Pipelines.dailyIncrementalDelta]]) compose into:
+  * arrivals land on a queue directory, each micro-batch runs one
+  * delta turn against the persisted state tiers, and N micro-batch
+  * turns must be indistinguishable from one batch turn over the whole
+  * feed.
+  *
+  * WHY the composition is exact (grow-only): the signature tier's
+  * incremental dedup reads persisted state as history and appends the
+  * batch (today's micro-batch is the next micro-batch's history), so
+  * a cross-batch near-dup pair is emitted exactly once — by the turn
+  * of its LATER-arriving endpoint, the same turn that would emit it
+  * in the one-shot run. Within-batch pairs are emitted by their own
+  * turn. The IVF appends are per-vector rows against frozen
+  * centroids, order-independent by construction. Hence the union of
+  * the per-turn pair frames equals the one-shot turn's frame — q151's
+  * grow-only oracle verbatim (q184).
+  *
+  * EXACTLY-ONCE: state writes are the turn's own guards (signature
+  * appends content-filtered, IVF appends key-filtered — a re-delivered
+  * micro-batch turn is a state no-op, q167's property under streaming
+  * delivery). The emitted-pairs SINK needs its own guard: each turn
+  * writes its pairs to a per-batch directory named by the batch's
+  * content digest ([[StreamIds]] — checkpoint-independent), and a
+  * directory already carrying Spark's _SUCCESS marker is skipped, so
+  * a replay neither duplicates pairs nor — the subtler hazard —
+  * REWRITES an early batch's pairs against state that later batches
+  * have since grown (the pair computation is run-stable only against
+  * the state it originally saw). A torn first write (no _SUCCESS) is
+  * overwritten by the retry.
+  *
+  * Scale shape: each micro-batch turn pays O(|batch|) work against
+  * state reads (merge-on-read signature view, live IVF keys) exactly
+  * as the batch turn does; nothing here adds a corpus-sized term the
+  * batch path doesn't have. The pairs sink is a flat union of
+  * per-batch directories — readable as one parquet table via
+  * recursive lookup, no compaction needed at daily cadence.
+  */
+object TurnStream {
+
+  /** Drain `docFeedDir` then `embFeedDir` (parquet arrival queues) in
+    * `maxFilesPerTrigger`-file micro-batches, running one grow-only
+    * delta turn per batch against the signature/IVF state and writing
+    * each turn's emitted near-dup pairs under
+    * `pairsOut/batch_<content-digest>/`. Doc and embedding turns touch
+    * disjoint state tiers, so the two drains compose in either order.
+    */
+  def dailyTurns(spark: SparkSession, docFeedDir: String, embFeedDir: String,
+                 sigStatePath: String, ivfPath: String,
+                 pairsOut: String, checkpointBase: String,
+                 n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 minJ: Double = 0.5,
+                 maxFilesPerTrigger: Int = 1): Unit = {
+    val docSchema = spark.read.parquet(docFeedDir).schema
+    val embSchema = spark.read.parquet(embFeedDir).schema
+    def emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    def emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+
+    def pairsDone(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    }
+
+    val docStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
+    EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$pairsOut/batch_${StreamIds.docBid(batch)}")
+      if (!pairsDone(dir)) {
+        val turn = graft.Pipelines.dailyIncrementalDelta(spark,
+          emptyDocs, batch, emptyEmb, emptyEmb,
+          sigStatePath, ivfPath, n, numHashes, bands, minJ)
+        turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
+      }
+    }
+
+    val embStream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(embFeedDir)
+    EventStream.runForeachBatch(embStream, s"$checkpointBase/embs") { (batch, _) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$pairsOut/batch_${StreamIds.embBid(batch)}")
+      if (!pairsDone(dir)) {
+        val turn = graft.Pipelines.dailyIncrementalDelta(spark,
+          emptyDocs, emptyDocs, emptyEmb, batch,
+          sigStatePath, ivfPath, n, numHashes, bands, minJ)
+        // an embedding turn emits no pairs; the empty write is still
+        // the turn's exactly-once marker
+        turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
+      }
+    }
+  }
+
+  /** The accumulated pair emissions of a [[dailyTurns]] drain, in the
+    * oracle's (doc_a, doc_b) order. Schema is declared (the sink's
+    * contract) so all-empty batch directories can't break inference.
+    */
+  def emittedPairs(spark: SparkSession, pairsOut: String): DataFrame =
+    spark.read.schema("doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE")
+      .option("recursiveFileLookup", "true").parquet(pairsOut)
+      .orderBy(col("doc_a"), col("doc_b"))
+}

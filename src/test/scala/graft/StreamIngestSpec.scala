@@ -70,6 +70,49 @@ class StreamIngestSpec extends AnyFunSuite {
       "a re-drain of feed A through a fresh checkpoint is still a no-op")
   }
 
+  test("stream-fed daily turn: N micro-batch turns equal one batch turn; replay is a no-op") {
+    import spark.implicits._
+    val st = Files.createTempDirectory("graft_turnstream").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    // reference: ONE batch turn over the whole feed
+    val ref = Files.createTempDirectory("graft_turnstream_ref").toString
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, ref + "/mh")
+    operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = ref + "/ivf")
+    val refPairs = Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
+      ref + "/mh", ref + "/ivf")("dedup_pairs").collect().map(_.toSeq).toSeq
+    // streamed: the same feed as micro-batch delta turns
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    docs.filter(col("doc_id") % 5 === 0).repartition(4).write.parquet(st + "/docfeed")
+    embs.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+      .write.parquet(st + "/embfeed")
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+    val streamed = streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === refPairs,
+      "the union of per-micro-batch turn pairs must equal the one-shot turn's")
+    def ivfRows(p: String) = operators.Similarity.loadIvfIndex(spark, p)._2
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(ivfRows(st + "/ivf") === ivfRows(ref + "/ivf"))
+    // replay through a FRESH checkpoint: state + pairs both no-ops —
+    // q167's retry-idempotence under streaming delivery. The pairs
+    // guard matters doubly here: a re-run of an early batch would see
+    // state the later batches have since grown, so its recomputed
+    // pairs would differ — the content-addressed _SUCCESS skip keeps
+    // the original emission.
+    val sigCount = spark.read.parquet(st + "/mh/sigs").count()
+    val ivfBefore = spark.read.parquet(st + "/ivf/assignments").count()
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt2")
+    assert(spark.read.parquet(st + "/mh/sigs").count() === sigCount)
+    assert(spark.read.parquet(st + "/ivf/assignments").count() === ivfBefore)
+    val replayed = streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq
+    assert(replayed === streamed, "replay must not duplicate or rewrite pairs")
+  }
+
   test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
     val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
     val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
