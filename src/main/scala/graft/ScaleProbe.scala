@@ -536,10 +536,15 @@ object ScaleProbe {
     if (only.isEmpty || only.contains("budget_select")) {
       val TA = graft.operators.TextAnalysis
       val budget = 4000L * mult
+      // force the stamped plan: the production dispatch would route
+      // probe-scale corpora to the window plan, and this arm exists to
+      // price the stamped machinery itself
+      sys.props("graft.budget.windowMaxRows") = "0"
       val t0 = System.nanoTime()
       TA.dsirResampleBudget(docs, "src0", budget)
         .write.format("noop").mode("overwrite").save()
       val stampedSec = (System.nanoTime() - t0) / 1e9
+      sys.props.remove("graft.budget.windowMaxRows")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"avg_log_ratio".desc, $"doc_id")
       val t1 = System.nanoTime()
@@ -551,6 +556,30 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       val windowSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"budget_select","mult":$mult,"stamped_sec":$stampedSec%.2f,"window_sec":$windowSec%.2f,"ratio":${windowSec / stampedSec}%.2f}""")
+    }
+    // the tokenizer tier's scale wall: classic BPE pays one pair-count
+    // agg + one driver collect + one fold materialization PER MERGE —
+    // a 32k-merge production vocab is 32k sequential job waves. This
+    // prices the per-merge constant at realistic merge counts, and the
+    // batched variant (bpeTrainMergesBatched: up to `batch`
+    // token-disjoint merges per count) against it at the same merge
+    // budget. Run at mult=1 (the corpus only matters through the
+    // dedup'd word vocab).
+    if (only.contains("bpe_vocab")) {
+      val TA = graft.operators.TextAnalysis
+      for (m <- Seq(64, 256, 1024)) {
+        val t0 = System.nanoTime()
+        val n = TA.bpeTrainMerges(docs, m).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"bpe_vocab","form":"classic","merges":$m,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.3f}""")
+      }
+      for ((m, k) <- Seq((256, 16), (1024, 64))) {
+        val rounds = m / k
+        val t0 = System.nanoTime()
+        val n = TA.bpeTrainMergesBatched(docs, rounds, k).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"bpe_vocab","form":"batched","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.3f}""")
+      }
     }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti

@@ -736,6 +736,15 @@ object SparkEntry {
     // merge rounds replayed exactly by the oracle's list_reduce) ----
     "q130_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeTrainMerges(Tables.load(s, dir, "documents"), merges = 4)),
+    // ---- BATCHED BPE training: up to 3 token-disjoint merges
+    // committed per pair count — the vocab-scale variant (a 32k-merge
+    // vocab at one Spark job wave per merge is the tokenizer tier's
+    // scale killer; batching divides the wave count by ~batch). The
+    // oracle replays the same rank/group-min selection and the same
+    // folds, sub-stage by sub-stage ----
+    "q185_bpe_batched" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMergesBatched(Tables.load(s, dir, "documents"),
+        rounds = 4, batch = 3)),
     // ---- BPE encoding (the trained merges APPLIED): corpus-wide
     // token histogram after 4 merges — train + encode still touch the
     // corpus once (everything after the word count runs on the
@@ -3489,6 +3498,67 @@ object SparkEntry {
        |${(1 to merges).map(stage).mkString(",\n")}""".stripMargin
   }
 
+  /** DuckDB replay of q185 — BATCHED BPE training: `rounds` rounds,
+    * each ranking the pair counts once, selecting up to `batch`
+    * token-disjoint pairs (a pair is kept iff it holds the best rank
+    * within each of its three token groups: left symbol, right
+    * symbol, merged string), and applying them sequentially in rank
+    * order (token-disjointness makes the order immaterial — the
+    * engine applies them in one fold pass, provably equal). The
+    * per-merge fold is the classic oracle's `list_reduce` scan,
+    * unrolled `batch` times per round with an empty-selection
+    * null-guard.
+    */
+  private def bpeBatchedOracleSql(rounds: Int, batch: Int): String = {
+    val ws = """\s+"""
+    def stage(r: Int): String = {
+      val src = if (r == 1) "s0" else s"s${r - 1}"
+      val sel =
+        s"""p$r AS MATERIALIZED (SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS z
+           |    FROM $src WHERE len(seq) >= 2)
+           |  GROUP BY 1, 2),
+           |r$r AS MATERIALIZED (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+           |        FROM p$r),
+           |e$r AS MATERIALIZED (SELECT sym, min(rk) AS mrk FROM (
+           |    SELECT a AS sym, rk FROM r$r
+           |    UNION ALL SELECT b, rk FROM r$r
+           |    UNION ALL SELECT a || b, rk FROM r$r) GROUP BY sym),
+           |sel$r AS MATERIALIZED (SELECT * FROM (
+           |    SELECT x.a, x.b, x.cnt, row_number() OVER (ORDER BY x.rk) AS j
+           |    FROM r$r x, e$r ea, e$r eb, e$r em
+           |    WHERE ea.sym = x.a AND eb.sym = x.b AND em.sym = x.a || x.b
+           |      AND x.rk = ea.mrk AND x.rk = eb.mrk AND x.rk = em.mrk)
+           |  WHERE j <= $batch)""".stripMargin
+      if (r == rounds) sel
+      else sel + ",\n" + (1 to batch).map { j =>
+        val prev = if (j == 1) src else s"s${r}_${j - 1}"
+        s"""b${r}_$j AS MATERIALIZED (SELECT a, b FROM sel$r WHERE j = $j),
+           |s${r}_$j AS MATERIALIZED (SELECT s.freq,
+           |    CASE WHEN b.a IS NULL OR len(s.seq) < 2 THEN s.seq
+           |         ELSE string_split(list_reduce(s.seq,
+           |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
+           |                       THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+           |                       ELSE acc || ' ' || x END), ' ')
+           |    END AS seq
+           |  FROM $prev s LEFT JOIN b${r}_$j b ON TRUE)""".stripMargin
+      }.mkString(",\n") + s",\ns$r AS MATERIALIZED (SELECT * FROM s${r}_$batch)"
+    }
+    val allSel = (1 to rounds)
+      .map(r => s"SELECT $r AS rnd, a, b, cnt, j FROM sel$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+       |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
+       |${(1 to rounds).map(stage).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS iter,
+       |  a AS sym_a, b AS sym_b, a || b AS merged, cnt AS weighted_count
+       |FROM ($allSel)
+       |ORDER BY iter""".stripMargin
+  }
+
   private def bpeOracleSql(merges: Int, encode: Boolean): String = {
     val finalSelect =
       if (encode)
@@ -4242,6 +4312,7 @@ object SparkEntry {
     // BPE replays (shared generator): q130 emits the merge table,
     // q131 applies every merge and emits the token histogram.
     "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
+    "q185_bpe_batched" -> bpeBatchedOracleSql(rounds = 4, batch = 3),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
     "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
       docLimit = 50),

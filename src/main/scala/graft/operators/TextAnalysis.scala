@@ -661,6 +661,118 @@ object TextAnalysis {
     (learned.toSeq, seqs)
   }
 
+  /** BATCHED BPE training — the vocab-scale variant: `rounds` rounds,
+    * each selecting up to `batch` merges from ONE pair count and
+    * applying them in ONE fold pass. Classic BPE pays one corpus-wide
+    * (vocab-sized) pair-count agg + one driver round-trip + one fold
+    * materialization PER MERGE — a realistic 32k-merge vocabulary is
+    * 32k sequential Spark job waves (`tools/scaleprobe_r15_bpe.jsonl`
+    * prices the per-merge constant). Batching divides the wave count
+    * by ~`batch`.
+    *
+    * The batch rule (deterministic, oracle-replayable): rank the
+    * round's pairs by (count desc, a, b); a pair is SELECTED iff it
+    * holds the best rank within each of its three token groups — its
+    * left symbol, its right symbol, and its merged string — i.e. no
+    * better-ranked pair (selected or not) shares any of those tokens;
+    * keep the best `batch` selected pairs. Selected pairs are
+    * pairwise token-disjoint BY CONSTRUCTION (sharing a token means
+    * one of them loses that group), which is what makes the batch
+    * sound: applying one selected merge can neither create nor
+    * destroy instances of another (adjacency of (c,d) only changes
+    * where a fold rewrites a neighboring symbol, and the rewritten
+    * token — the merged string — is disjoint from every other
+    * selected pair's symbols), so one left-to-right pass checking all
+    * `batch` rules equals sequential application in any order. The
+    * rank-1 pair always selects, so every round makes progress.
+    *
+    * This is a documented VARIANT of classic BPE (classic recounts
+    * after every merge and may promote a pair formed by the previous
+    * merge; the batch commits up to `batch` from one count —
+    * `batch = 1` reproduces classic exactly, BpeBatchedSpec pins it).
+    * The selection is window-free (grouped struct-mins, combinable),
+    * so no stage sorts more than its partition.
+    *
+    * Output: (iter, sym_a, sym_b, merged, weighted_count) ordered by
+    * iter — iter numbers selected merges globally in (round, rank)
+    * order; weighted_count is the pair's count in ITS round's shared
+    * count.
+    */
+  def bpeTrainMergesBatched(docs: DataFrame, rounds: Int, batch: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    require(batch >= 1, s"batch must be >= 1 (got $batch)")
+    val base = docs
+      .select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
+      .persist()
+    var seqs = base
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val pairs = seqs.filter(size(col("seq")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            expr("slice(seq, 1, size(seq) - 1)"),
+            expr("slice(seq, 2, size(seq) - 1)"),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        // rank key without a global sort: struct orders lexicographically,
+        // so min(key) per token group IS "best (cnt desc, a, b) rank"
+        val keyed = pairs.withColumn("key",
+          struct((-col("cnt")).as("nc"), col("a"), col("b")))
+        val symMin = keyed
+          .select(explode(array(col("a"), col("b"),
+            concat(col("a"), col("b")))).as("sym"), col("key"))
+          .groupBy(col("sym")).agg(min(col("key")).as("mk"))
+        val selected = keyed
+          .join(symMin.as("ma"), col("a") === col("ma.sym"))
+          .join(symMin.as("mb"), col("b") === col("mb.sym"))
+          .join(symMin.as("mm"), concat(col("a"), col("b")) === col("mm.sym"))
+          .filter(col("key") === col("ma.mk") && col("key") === col("mb.mk") &&
+            col("key") === col("mm.mk"))
+          .select(col("a"), col("b"), col("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(batch)
+          .collect().map(row =>
+            (row.getString(0), row.getString(1), row.getLong(2)))
+        if (selected.isEmpty) exhausted = true
+        else {
+          val off = learned.length
+          learned ++= selected.zipWithIndex.map { case ((a, b, c), j) =>
+            ((off + j + 1).toLong, a, b, a + b, c) }
+          if (r < rounds) {
+            // ONE pass applying every selected rule: token-disjointness
+            // means at most one rule matches a position, so the when
+            // chain's order is immaterial
+            val folded = aggregate(
+              expr("slice(seq, 2, size(seq) - 1)"),
+              array(element_at(col("seq"), 1)),
+              (acc, x) => selected.foldRight(
+                concat(acc, array(x)): org.apache.spark.sql.Column) {
+                case ((a, b, _), els) =>
+                  when(x === lit(b) && element_at(acc, -1) === lit(a),
+                    concat(slice(acc, lit(1), size(acc) - lit(1)),
+                      array(lit(a + b)))).otherwise(els)
+              })
+            seqs = seqs.select(col("freq"),
+              when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
+              .localCheckpoint()
+          }
+        }
+        r += 1
+      }
+    } finally base.unpersist()
+    learned.toSeq
+      .toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .orderBy(col("iter"))
+  }
+
   /** Apply BPE end-to-end: train `merges` merges on the corpus, encode
     * every word with them, and return the corpus-wide token histogram
     * (token, n_tokens) ordered by (n_tokens desc, token) — the "what
@@ -828,7 +940,22 @@ object TextAnalysis {
     */
   def bpeEncodeIdsFromVocab(docs: DataFrame,
                             spark: org.apache.spark.sql.SparkSession,
-                            path: String): DataFrame = {
+                            path: String): DataFrame =
+    bpeEncodeIdsWith(docs, loadBpeVocabArtifact(spark, path))
+
+  /** The COLLECTED vocab artifact: the frozen merge list, the token→id
+    * table and the unk id, held driver-side. Loading it is three small
+    * driver jobs ([[loadBpeVocabArtifact]]); a caller that encodes many
+    * batches under one frozen vocab — the streaming drain above all —
+    * loads ONCE and encodes with [[bpeEncodeIdsWith]], instead of
+    * paying the three jobs per micro-batch
+    * (tools/scaleprobe_r15_encode.jsonl prices the difference).
+    */
+  final case class BpeVocabArtifact(mergeList: Seq[(String, String)],
+                                    vocabMap: Map[String, Int], unkId: Int)
+
+  def loadBpeVocabArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String): BpeVocabArtifact = {
     val mergeList = spark.read.parquet(s"$path/merges").orderBy(col("iter"))
       .select(col("sym_a"), col("sym_b")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -836,12 +963,18 @@ object TextAnalysis {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val unkId = spark.read.parquet(s"$path/meta")
       .select(col("unk_id")).head().getInt(0)
+    BpeVocabArtifact(mergeList, vocabMap, unkId)
+  }
+
+  /** Encode against an already-loaded artifact — the repeated-encode
+    * form of [[bpeEncodeIdsFromVocab]] (identical output). */
+  def bpeEncodeIdsWith(docs: DataFrame, art: BpeVocabArtifact): DataFrame = {
     val words = docs.select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0).distinct()
       .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
-    val idOf = typedLit(vocabMap)
-    val wordIds = applyMergeList(words, mergeList).select(col("w"),
-      transform(col("seq"), t => coalesce(element_at(idOf, t), lit(unkId))).as("ids"))
+    val idOf = typedLit(art.vocabMap)
+    val wordIds = applyMergeList(words, art.mergeList).select(col("w"),
+      transform(col("seq"), t => coalesce(element_at(idOf, t), lit(art.unkId))).as("ids"))
     assembleDocIds(docs, wordIds)
   }
 
@@ -879,11 +1012,37 @@ object TextAnalysis {
   /** Append a batch's encodings, key+content-filtered against the live
     * view so a retried turn appends nothing. */
   def appendEncodedDocs(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                        vocabPath: String, encPath: String): Unit = {
-    val fresh = withIdsFp(bpeEncodeIdsFromVocab(batch, spark, vocabPath))
+                        vocabPath: String, encPath: String): Unit =
+    appendEncodedDocsWith(batch, spark, loadBpeVocabArtifact(spark, vocabPath), encPath)
+
+  /** [[appendEncodedDocs]] with an already-loaded artifact — the
+    * per-micro-batch form the streaming drain uses (one artifact load
+    * per drain, not per batch). */
+  def appendEncodedDocsWith(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                            art: BpeVocabArtifact, encPath: String): Unit = {
+    val fresh = withIdsFp(bpeEncodeIdsWith(batch, art))
     fresh.join(loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
         Seq("doc_id", "fp"), "left_anti")
       .write.mode("append").parquet(s"$encPath/ids")
+  }
+
+  /** The DRAIN form of the guarded append: the replay filter runs
+    * against a caller-held (doc_id, fp) guard frame instead of
+    * re-listing and re-scanning the state parquet every micro-batch
+    * (measured the growing half of the per-batch constant,
+    * tools/scaleprobe_r15_encode.jsonl). Returns the appended keys,
+    * MATERIALIZED, so the caller extends its guard with them — sound
+    * exactly when the caller is the state's only writer for the
+    * guard's lifetime, which is the streaming drain's existing
+    * contract (one checkpointed stream per state path). */
+  def appendEncodedDocsGuarded(batch: DataFrame,
+                               art: BpeVocabArtifact, encPath: String,
+                               guard: DataFrame): DataFrame = {
+    val fresh = withIdsFp(bpeEncodeIdsWith(batch, art))
+    val toAppend = graft.operators.Dedup.materialize(
+      fresh.join(guard, Seq("doc_id", "fp"), "left_anti"))
+    toAppend.write.mode("append").parquet(s"$encPath/ids")
+    toAppend.select(col("doc_id"), col("fp"))
   }
 
   /** O(|edits|) heal: tombstone the live rows of changed/removed keys
@@ -1343,11 +1502,54 @@ object TextAnalysis {
     * Output: (rnk, doc_id, n_tokens, cum_tokens, avg_log_ratio)
     * ordered by rnk; cum_tokens is the inclusive running total.
     */
+  /** Corpus-size threshold below which [[dsirResampleBudget]] takes
+    * the plain global-window plan instead of the stamped
+    * range-partition prefix sum. The stamped machinery pays a fixed
+    * ~6-13s constant (Dataset→RDD conversion, a localCheckpoint, a
+    * subtotal collect) that the one-task window simply doesn't:
+    * `tools/scaleprobe_r14_budget.jsonl` + the r15 ×500 extension
+    * measure the window form faster through ~2.5M selection rows with
+    * the gap still open — while above ~1e8 rows the unpartitioned
+    * window's single-task sort stops completing at all. The default
+    * keeps a wide safety margin under that wall; override via the
+    * `graft.budget.windowMaxRows` system property (0 forces the
+    * stamped plan — how the spec pins both plans equal).
+    */
+  private def budgetWindowMaxRows: Long =
+    sys.props.get("graft.budget.windowMaxRows").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** The small-corpus plan: one global window over the scored frame.
+    * Identical output to the stamped plan (QuantLmSkewSpec pins it);
+    * cheaper below [[budgetWindowMaxRows]] because the corpus fits one
+    * sort task and the stamped constant dominates. */
+  private def dsirBudgetWindowPlan(weights: DataFrame,
+                                   tokenBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("avg_log_ratio").desc, col("doc_id"))
+    weights
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col("rnk"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("avg_log_ratio"))
+      .orderBy(col("rnk"))
+  }
+
   def dsirResampleBudget(docs: DataFrame, targetSource: String,
                          tokenBudget: Long, buckets: Int = 64,
                          ngram: Int = 1): DataFrame = {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1 (got $tokenBudget)")
     val spark = docs.sparkSession
+    // the dispatch count reads the INPUT (one column-pruned count job
+    // — parquet-backed corpora answer from footer stats), never the
+    // scored frame: counting weights would re-run the expensive half
+    val windowMax = budgetWindowMaxRows
+    if (windowMax > 0 && docs.count() <= windowMax)
+      return dsirBudgetWindowPlan(
+        dsirWeights(docs, targetSource, buckets, ngram)
+          .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio")),
+        tokenBudget)
     val pre = dsirWeights(docs, targetSource, buckets, ngram)
       .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
       .repartitionByRange(col("avg_log_ratio").desc, col("doc_id"))

@@ -24,9 +24,14 @@ import graft.operators.TextAnalysis
   *
   * Scale shape: each micro-batch costs |batch| word-dedup'd merge
   * folds + one broadcast vocab-map projection + one append — never a
-  * corpus re-read; the vocab artifact is merges+alphabet-sized and
-  * collected once per batch (the same bounded driver read the batch
-  * loop pays).
+  * corpus re-read. The vocab artifact is collected ONCE per drain
+  * (not per batch — it is frozen by contract, so the three driver
+  * jobs of the load amortize over every micro-batch;
+  * tools/scaleprobe_r15_encode.jsonl prices the change). The
+  * remaining per-batch term is the replay guard's narrow state
+  * anti-join, which is what makes re-deliveries no-ops and cannot be
+  * frozen across batches (each batch's append must be visible to the
+  * next batch's guard).
   */
 object EncodeStream {
 
@@ -41,11 +46,24 @@ object EncodeStream {
                         vocabPath: String, encPath: String, checkpoint: String,
                         maxFilesPerTrigger: Int = 1): DataFrame = {
     val schema = spark.read.parquet(feedDir).schema
+    // the artifact is frozen by contract: load once per drain, not per
+    // micro-batch (three driver jobs each, measured ~0.5-1s/batch)
+    val art = TextAnalysis.loadBpeVocabArtifact(spark, vocabPath)
+    // the replay guard is frozen ONCE and extended in memory with each
+    // batch's appended keys — the per-batch state re-scan was the
+    // growing half of the constant. Sound under the drain's one-
+    // checkpointed-stream-per-state-path contract: nothing else writes
+    // the state while the guard lives.
+    var guard = graft.operators.Dedup.materialize(
+      TextAnalysis.loadEncodedCorpus(spark, encPath)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("fp")))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
     EventStream.runForeachBatch(stream, checkpoint) { (batch, _) =>
-      TextAnalysis.appendEncodedDocs(batch, spark, vocabPath, encPath)
+      val appended = TextAnalysis.appendEncodedDocsGuarded(batch, art, encPath, guard)
+      guard = guard.unionByName(appended)
     }
     TextAnalysis.loadEncodedCorpus(spark, encPath)
   }

@@ -200,7 +200,13 @@ class QuantLmSkewSpec extends AnyFunSuite {
   test("dsirResampleBudget: prefix-start rule, window-reference equality, partition invariance") {
     import org.apache.spark.sql.expressions.Window
     val budget = 4000L
-    val out = TextAnalysis.dsirResampleBudget(docs, "src0", budget).collect()
+    // force the STAMPED plan: the size dispatch routes corpora this
+    // small to the window plan, which the reference below IS — the
+    // equality assertion must compare the two distinct plans
+    sys.props("graft.budget.windowMaxRows") = "0"
+    val out =
+      try TextAnalysis.dsirResampleBudget(docs, "src0", budget).collect()
+      finally sys.props.remove("graft.budget.windowMaxRows")
     // reference: one global window over the full weights frame
     val ref = TextAnalysis.dsirWeights(docs, "src0")
       .withColumn("rnk", row_number().over(
@@ -227,6 +233,12 @@ class QuantLmSkewSpec extends AnyFunSuite {
     // a budget smaller than the best doc still keeps exactly that doc
     val tiny = TextAnalysis.dsirResampleBudget(docs, "src0", 1L).collect()
     assert(tiny.length === 1 && tiny.head.getLong(0) === 1L)
+    // the DEFAULT dispatch (this corpus sits under the window
+    // threshold, so it takes the window plan) returns the same rows as
+    // the forced stamped plan above — the dispatch is plan-invisible
+    val dispatched = TextAnalysis.dsirResampleBudget(docs, "src0", budget).collect()
+    assert(dispatched.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq,
+      "size-gated dispatch must be output-invisible")
   }
 
   test("dsirMixtureBudget: per-source window equality, partition invariance, target guard") {

@@ -232,6 +232,29 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(enc2 === Seq((2L, Seq(3, 7, 9, 6, 4), 5L)))
   }
 
+  test("bpeTrainMergesBatched: batch=1 reproduces classic; a round commits only disjoint pairs") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    // batch=1 degenerates to classic BPE: the rank-1 pair is always
+    // selected, the fold is the same single-rule scan
+    val classic = TextAnalysis.bpeTrainMerges(docs, merges = 6)
+      .collect().map(_.toSeq).toSeq
+    val b1 = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 6, batch = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(b1 === classic,
+      "rounds=N, batch=1 must emit exactly classic BPE's merge table")
+    // constructed corpus: (x,y)=5 and (p,q)=4 are token-disjoint and
+    // both commit in round 1; (y,z)=3 shares y with the better (x,y)
+    // and must wait for round 2's recount
+    val tiny = Seq((1L, ("xy " * 5 + "pq " * 4 + "yz " * 3).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 2, batch = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "x", "y", "xy", 5L),
+      (2L, "p", "q", "pq", 4L),
+      (3L, "y", "z", "yz", 3L)))
+  }
+
   test("packConcatCut: exactly-full sequences, total coverage, fragment contiguity") {
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val enc = TextAnalysis.bpeEncodeIds(docs, merges = 2)
