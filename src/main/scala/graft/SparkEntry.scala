@@ -745,6 +745,21 @@ object SparkEntry {
     "q185_bpe_batched" -> ((s, dir) =>
       TextAnalysis.bpeTrainMergesBatched(Tables.load(s, dir, "documents"),
         rounds = 4, batch = 3)),
+    // ---- The tokenizer TIER under the batched trainer: the batched
+    // vocab persisted in the standard artifact layout, documents
+    // encoded FROM the artifact, the shared concat-cut pack on top —
+    // the scale-variant trainer slots into the unchanged downstream
+    // (within a round the committed merges are token-disjoint, so the
+    // encoder's sequential merge-list application reproduces the
+    // trainer's single-pass folds exactly) ----
+    "q186_bpe_batched_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val st = Scratch.dir("graft_bvocab_q186") + "/bpe"
+      TextAnalysis.persistBpeVocabBatched(docs, rounds = 4, batch = 3, st)
+      operators.TextPrep.packConcatCut(
+        TextAnalysis.bpeEncodeIdsFromVocab(docs.filter(col("doc_id") < 50), s, st),
+        budget = 100)
+    }),
     // ---- BPE encoding (the trained merges APPLIED): corpus-wide
     // token histogram after 4 merges — train + encode still touch the
     // corpus once (everything after the word count runs on the
@@ -3509,7 +3524,16 @@ object SparkEntry {
     * unrolled `batch` times per round with an empty-selection
     * null-guard.
     */
-  private def bpeBatchedOracleSql(rounds: Int, batch: Int): String = {
+  /** The batched-training CTE chain: w0/s0 (word vocab with `w`
+    * threaded through every stage, like [[bpeStagesSql]]) + per-round
+    * selection CTEs (p/r/e/sel) + per-round fold sub-stages. `encode`
+    * folds the final round too (the encode consumers need the final
+    * word states); the merge-table caller skips it. All CTEs are
+    * MATERIALIZED: default inlining expands the round chain ~5× per
+    * round and exhausts file handles on the re-opened parquet scan.
+    */
+  private def bpeBatchedStagesSql(rounds: Int, batch: Int,
+                                  encode: Boolean): String = {
     val ws = """\s+"""
     def stage(r: Int): String = {
       val src = if (r == 1) "s0" else s"s${r - 1}"
@@ -3530,11 +3554,11 @@ object SparkEntry {
            |    WHERE ea.sym = x.a AND eb.sym = x.b AND em.sym = x.a || x.b
            |      AND x.rk = ea.mrk AND x.rk = eb.mrk AND x.rk = em.mrk)
            |  WHERE j <= $batch)""".stripMargin
-      if (r == rounds) sel
+      if (r == rounds && !encode) sel
       else sel + ",\n" + (1 to batch).map { j =>
         val prev = if (j == 1) src else s"s${r}_${j - 1}"
         s"""b${r}_$j AS MATERIALIZED (SELECT a, b FROM sel$r WHERE j = $j),
-           |s${r}_$j AS MATERIALIZED (SELECT s.freq,
+           |s${r}_$j AS MATERIALIZED (SELECT s.w, s.freq,
            |    CASE WHEN b.a IS NULL OR len(s.seq) < 2 THEN s.seq
            |         ELSE string_split(list_reduce(s.seq,
            |           (acc, x) -> CASE WHEN x = b.b AND string_split(acc, ' ')[-1] = b.a
@@ -3544,19 +3568,59 @@ object SparkEntry {
            |  FROM $prev s LEFT JOIN b${r}_$j b ON TRUE)""".stripMargin
       }.mkString(",\n") + s",\ns$r AS MATERIALIZED (SELECT * FROM s${r}_$batch)"
     }
-    val allSel = (1 to rounds)
-      .map(r => s"SELECT $r AS rnd, a, b, cnt, j FROM sel$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+    s"""w0 AS (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '$ws')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
-       |s0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+       |s0 AS (SELECT w, CAST(freq AS BIGINT) AS freq,
        |         list_filter(string_split(w, ''), x -> x <> '') AS seq FROM w0),
-       |${(1 to rounds).map(stage).mkString(",\n")}
+       |${(1 to rounds).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  /** Global merge numbering over the batched rounds' selections: one
+    * row per committed merge in (round, within-round rank) order. */
+  private def bpeBatchedSelUnion(rounds: Int): String =
+    (1 to rounds)
+      .map(r => s"SELECT $r AS rnd, a, b, cnt, j FROM sel$r")
+      .mkString("\nUNION ALL ")
+
+  private def bpeBatchedOracleSql(rounds: Int, batch: Int): String =
+    s"""WITH ${bpeBatchedStagesSql(rounds, batch, encode = false)}
        |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS iter,
        |  a AS sym_a, b AS sym_b, a || b AS merged, cnt AS weighted_count
-       |FROM ($allSel)
+       |FROM (${bpeBatchedSelUnion(rounds)})
        |ORDER BY iter""".stripMargin
+
+  /** DuckDB replay of q186 — the tokenizer TIER under the batched
+    * trainer: the batched vocab persisted in the standard artifact
+    * layout (base alphabet sorted → ids 0..C-1, batched merge i → id
+    * C+i-1, first-id-wins), every document under the doc filter
+    * encoded from it, and the shared concat-cut tail packing the
+    * result — proving the scale-variant tokenizer composes with the
+    * unchanged downstream verbatim. */
+  private def bpeBatchedPipelineOracleSql(rounds: Int, batch: Int,
+                                          budget: Int,
+                                          docLimit: Int): String = {
+    val ws = """\s+"""
+    s"""WITH ${bpeBatchedStagesSql(rounds, batch, encode = true)},
+       |mt AS (SELECT row_number() OVER (ORDER BY rnd, j) AS iter, a || b AS t
+       |       FROM (${bpeBatchedSelUnion(rounds)})),
+       |chars AS (SELECT DISTINCT unnest(seq) AS t FROM s0),
+       |nb AS (SELECT count(*) AS c FROM chars),
+       |vocab AS (SELECT t, CAST(MIN(id) AS BIGINT) AS id FROM (
+       |    SELECT t, row_number() OVER (ORDER BY t) - 1 AS id FROM chars
+       |    UNION ALL
+       |    SELECT m.t, nb.c + m.iter - 1 AS id FROM mt m CROSS JOIN nb)
+       |  GROUP BY t),
+       |wt AS (SELECT w, unnest(seq) AS t, unnest(range(0, len(seq))) AS pos FROM s$rounds),
+       |wid AS (SELECT w, list(id ORDER BY pos) AS ids
+       |        FROM wt JOIN vocab USING (t) GROUP BY w),
+       |dt AS (SELECT doc_id, unnest(ws) AS w, unnest(range(0, len(ws))) AS wpos FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(trim(text)), '$ws'), x -> x <> '') AS ws
+       |    FROM documents WHERE doc_id < $docLimit)),
+       |denc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+       |         FROM dt JOIN wid USING (w) GROUP BY doc_id),
+       |${concatCutTailSql(budget)}""".stripMargin
   }
 
   private def bpeOracleSql(merges: Int, encode: Boolean): String = {
@@ -4313,6 +4377,8 @@ object SparkEntry {
     // q131 applies every merge and emits the token histogram.
     "q130_bpe_merges" -> bpeOracleSql(merges = 4, encode = false),
     "q185_bpe_batched" -> bpeBatchedOracleSql(rounds = 4, batch = 3),
+    "q186_bpe_batched_pipeline" -> bpeBatchedPipelineOracleSql(rounds = 4,
+      batch = 3, budget = 100, docLimit = 50),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
     "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
       docLimit = 50),

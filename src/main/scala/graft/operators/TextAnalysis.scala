@@ -773,6 +773,43 @@ object TextAnalysis {
       .orderBy(col("iter"))
   }
 
+  /** Persist a BATCHED-trained vocab as the standard artifact
+    * ([[persistBpeVocab]]'s exact layout: merges/vocab/meta tables,
+    * base alphabet sorted → ids 0..C-1, merge i → id C+i-1,
+    * first-id-wins), so every downstream consumer —
+    * [[bpeEncodeIdsFromVocab]], the encoded-corpus state, the packers,
+    * the streaming encode front — runs under the scale-variant
+    * tokenizer UNCHANGED. Sound because [[applyMergeList]]'s
+    * sequential in-iter-order application equals the batched
+    * training's per-round single-pass folds: within a round the
+    * selected pairs are token-disjoint, so any application order
+    * (including one pass) produces the same symbol sequences.
+    */
+  def persistBpeVocabBatched(docs: DataFrame, rounds: Int, batch: Int,
+                             path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val learned = bpeTrainMergesBatched(docs, rounds, batch)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val chars = docs.select(explode(tokens).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("t"))
+      .distinct().orderBy(col("t")).collect().map(_.getString(0))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    chars.zipWithIndex.foreach { case (c, i) => vocab(c) = i }
+    learned.foreach { case (iter, _, _, merged, _) =>
+      if (!vocab.contains(merged)) vocab(merged) = chars.length + iter.toInt - 1
+    }
+    learned.toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .write.mode("overwrite").parquet(s"$path/merges")
+    vocab.toSeq.toDF("token", "id")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    val unkId = if (vocab.isEmpty) 0 else vocab.values.max + 1
+    Seq((unkId, learned.length, chars.length))
+      .toDF("unk_id", "merges", "n_base")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Apply BPE end-to-end: train `merges` merges on the corpus, encode
     * every word with them, and return the corpus-wide token histogram
     * (token, n_tokens) ordered by (n_tokens desc, token) — the "what
@@ -1026,24 +1063,6 @@ object TextAnalysis {
       .write.mode("append").parquet(s"$encPath/ids")
   }
 
-  /** The DRAIN form of the guarded append: the replay filter runs
-    * against a caller-held (doc_id, fp) guard frame instead of
-    * re-listing and re-scanning the state parquet every micro-batch
-    * (measured the growing half of the per-batch constant,
-    * tools/scaleprobe_r15_encode.jsonl). Returns the appended keys,
-    * MATERIALIZED, so the caller extends its guard with them — sound
-    * exactly when the caller is the state's only writer for the
-    * guard's lifetime, which is the streaming drain's existing
-    * contract (one checkpointed stream per state path). */
-  def appendEncodedDocsGuarded(batch: DataFrame,
-                               art: BpeVocabArtifact, encPath: String,
-                               guard: DataFrame): DataFrame = {
-    val fresh = withIdsFp(bpeEncodeIdsWith(batch, art))
-    val toAppend = graft.operators.Dedup.materialize(
-      fresh.join(guard, Seq("doc_id", "fp"), "left_anti"))
-    toAppend.write.mode("append").parquet(s"$encPath/ids")
-    toAppend.select(col("doc_id"), col("fp"))
-  }
 
   /** O(|edits|) heal: tombstone the live rows of changed/removed keys
     * whose content no longer matches, append the changed docs' fresh

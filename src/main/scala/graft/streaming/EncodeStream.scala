@@ -49,21 +49,18 @@ object EncodeStream {
     // the artifact is frozen by contract: load once per drain, not per
     // micro-batch (three driver jobs each, measured ~0.5-1s/batch)
     val art = TextAnalysis.loadBpeVocabArtifact(spark, vocabPath)
-    // the replay guard is frozen ONCE and extended in memory with each
-    // batch's appended keys — the per-batch state re-scan was the
-    // growing half of the constant. Sound under the drain's one-
-    // checkpointed-stream-per-state-path contract: nothing else writes
-    // the state while the guard lives.
-    var guard = graft.operators.Dedup.materialize(
-      TextAnalysis.loadEncodedCorpus(spark, encPath)
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("fp")))
+    // The replay guard stays the per-batch state anti-join. A frozen
+    // in-memory guard extended with each batch's appended keys was
+    // BUILT AND BACKED OUT in round 15: both an eager-materialized and
+    // a lazily-persisted variant measured SLOWER at x10 AND x100
+    // (tools/scaleprobe_r15_encode.jsonl) — the growing union-join
+    // plan out-costs the narrow state re-scan it replaces, and unlike
+    // the scan it also weakens intra-drain duplicate-arrival dedup.
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
     EventStream.runForeachBatch(stream, checkpoint) { (batch, _) =>
-      val appended = TextAnalysis.appendEncodedDocsGuarded(batch, art, encPath, guard)
-      guard = guard.unionByName(appended)
+      TextAnalysis.appendEncodedDocsWith(batch, spark, art, encPath)
     }
     TextAnalysis.loadEncodedCorpus(spark, encPath)
   }

@@ -255,6 +255,29 @@ class SketchVocabPqSpec extends AnyFunSuite {
       (3L, "y", "z", "yz", 3L)))
   }
 
+  test("persistBpeVocabBatched: batch=1 artifact encodes like classic; artifact matches trainer") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    val c = Scratch.dir("graft_bv_classic") + "/bpe"
+    val b = Scratch.dir("graft_bv_b1") + "/bpe"
+    TextAnalysis.persistBpeVocab(docs, merges = 5, c)
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 5, batch = 1, b)
+    def enc(p: String) = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, p)
+      .collect().map(_.toSeq).toSeq
+    assert(enc(b) === enc(c),
+      "a batch=1 batched artifact must encode exactly like the classic artifact")
+    // a genuinely batched artifact: merges table equals the trainer's
+    // output verbatim, meta counts line up with the learned set
+    val b3 = Scratch.dir("graft_bv_b3") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 2, batch = 3, b3)
+    val merges = spark.read.parquet(b3 + "/merges").orderBy(col("iter"))
+      .collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 2, batch = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(merges === direct)
+    val meta = spark.read.parquet(b3 + "/meta").head()
+    assert(meta.getAs[Int]("merges") === merges.length)
+  }
+
   test("packConcatCut: exactly-full sequences, total coverage, fragment contiguity") {
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val enc = TextAnalysis.bpeEncodeIds(docs, merges = 2)
