@@ -2184,6 +2184,17 @@ object SparkEntry {
       operators.TextPrep.readTrainingShards(s, st)
     }),
 
+    // ---- SELF-CONTAINED shards: the q183 token rows with each
+    // sequence's document spans inline (off/doc_id/len structs in
+    // seq_off order) — the attention-mask shape a trainer reads
+    // without joining the boundary table ----
+    "q187_shards_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.TextPrep.packShardsWithSpans(
+        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        budget = 100)
+    }),
+
     // ---- The DELTA-FED daily turn: q164's scenario with the turn
     // consuming the delta DIRECTLY (as-persisted old rows of
     // changed/removed, current rows of added/changed) instead of
@@ -3790,6 +3801,20 @@ object SparkEntry {
        |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens, ids
        |FROM sh ORDER BY seq_idx""".stripMargin
 
+  /** The self-contained-shards tail (q187): q183's assembly plus each
+    * sequence's boundary slice inline as (off, doc_id, len) structs in
+    * seq_off order. */
+  private def shardsSpansTailSql(budget: Int, from: String = "denc"): String =
+    s"""${concatCutRowsCtes(budget, from)},
+       |sh AS (SELECT seq_idx,
+       |         flatten(list(list_transform(fr, x -> CAST(x AS BIGINT))
+       |           ORDER BY seq_off)) AS ids,
+       |         list(struct_pack(off := seq_off, doc_id := doc_id,
+       |           len := frag_len) ORDER BY seq_off) AS doc_spans
+       |       FROM rows_ GROUP BY seq_idx)
+       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens, ids, doc_spans
+       |FROM sh ORDER BY seq_idx""".stripMargin
+
   /** Tail of the oracle catalog — split out of the main literal so
     * [[pqOracleSql]] can sit between the two maps. */
   private def extraOracleSql: Map[String, String] = Map(
@@ -4411,6 +4436,10 @@ object SparkEntry {
     "q183_packed_shards" ->
       s"""WITH ${bpeEncodePrefixSql(4, "doc_id < 50")},
          |${packedShardsTailSql(100)}""".stripMargin,
+    // the self-contained shard rows: same cut, spans inline
+    "q187_shards_spans" ->
+      s"""WITH ${bpeEncodePrefixSql(4, "doc_id < 50")},
+         |${shardsSpansTailSql(100)}""".stripMargin,
     // the stream-fed encoded state over the full corpus must be
     // indistinguishable from the inline train+encode: q169's oracle
     // verbatim

@@ -260,6 +260,32 @@ object TextPrep {
     .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
       .orderBy(col("seq_idx"))
 
+  /** SELF-CONTAINED shards: [[packShards]]' token rows with the
+    * per-sequence document spans INLINE — `doc_spans` is the sequence's
+    * slice of the boundary table as an ordered `array<struct<off,
+    * doc_id, len>>`, so a trainer builds its cross-document attention
+    * mask from the shard row alone, no boundary-table join at read
+    * time. Same cut, same skew-free groupBy — the spans ride the same
+    * shuffle as the token fragments.
+    * Output: (seq_idx, n_tokens, ids, doc_spans) ordered by seq_idx.
+    */
+  def packShardsWithSpans(encoded: DataFrame, budget: Int): DataFrame = {
+    val frags = concatCutFragments(encoded, budget)
+    frags
+      .select(col("seq_idx"), col("seq_off"),
+        expr("transform(frag, x -> cast(x as bigint))").as("fr"),
+        struct(col("seq_off").as("off"), col("doc_id"),
+          col("frag_len").as("len")).as("sp"))
+      .groupBy(col("seq_idx"))
+      .agg(
+        expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
+          " s -> s.fr))").as("ids"),
+        array_sort(collect_list(col("sp"))).as("doc_spans"))
+      .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"),
+        col("ids"), col("doc_spans"))
+      .orderBy(col("seq_idx"))
+  }
+
   /** Write the trainer-facing pair — `basePath/shards` (the full
     * per-sequence token arrays, range-sharded by `seq_idx` so a
     * trainer's sequential read is a file-order scan and any seq range

@@ -379,6 +379,17 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(back === shards)
     val bounds = spark.read.parquet(base + "/boundaries")
     assert(bounds.agg(sum(col("frag_len"))).as[Long].head() === stream.length.toLong)
+    // self-contained spans (q187): per-sequence spans tile [0, n_tokens)
+    // with no gaps, so the attention mask derives from the row alone
+    graft.operators.TextPrep.packShardsWithSpans(enc, budget = 64)
+      .collect().foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+        val end = spans.foldLeft(0L) { (expect, sp) =>
+          assert(sp.getAs[Long]("off") === expect); expect + sp.getAs[Long]("len")
+        }
+        assert(end === n, "spans must cover the sequence exactly")
+      }
     // separator round-trip (q182's stream shape): each document's ids
     // reappear between separators, in doc_id order
     val sep = 1000000L
