@@ -557,6 +557,41 @@ object ScaleProbe {
       val windowSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"op":"budget_select","mult":$mult,"stamped_sec":$stampedSec%.2f,"window_sec":$windowSec%.2f,"ratio":${windowSec / stampedSec}%.2f}""")
     }
+    // q184's stream-fed daily turn vs the one-shot batch turn over the
+    // SAME grow-only feed: prices the per-micro-batch-turn premium
+    // (each turn pays the incremental dedup's state read + the
+    // content-digest job + the per-batch pair write) against the
+    // single turn that sees the whole feed at once. Correctness
+    // equality is q184's (shares q151's oracle verbatim;
+    // StreamIngestSpec pins pairs + IVF rows + replay idempotence).
+    if (only.isEmpty || only.contains("stream_turn")) {
+      val day1Docs = docs.filter($"doc_id" % 5 =!= 0)
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % 5 =!= 0)
+      val feedDocs = docs.filter($"doc_id" % 5 === 0)
+      val feedEmb = embs.filter($"vec_id" >= 16 && $"vec_id" % 5 === 0)
+      val b = Scratch.dir("graft_turn_batch")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$b/mh")
+      graft.operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$b/ivf")
+      val t0 = System.nanoTime()
+      graft.Pipelines.dailyIncremental(spark, day1Docs, docs, d1e, embs,
+          s"$b/mh", s"$b/ivf")("dedup_pairs")
+        .write.format("noop").mode("overwrite").save()
+      val batchSec = (System.nanoTime() - t0) / 1e9
+      for (files <- Seq(4, 16)) {
+        val st = Scratch.dir(s"graft_turn_stream_$files")
+        Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$st/mh")
+        graft.operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$st/ivf")
+        feedDocs.repartition(files).write.parquet(s"$st/docfeed")
+        feedEmb.repartition(math.max(files / 2, 1)).write.parquet(s"$st/embfeed")
+        val t1 = System.nanoTime()
+        graft.streaming.TurnStream.dailyTurns(spark, s"$st/docfeed", s"$st/embfeed",
+          s"$st/mh", s"$st/ivf", s"$st/pairs", s"$st/ckpt")
+        graft.streaming.TurnStream.emittedPairs(spark, s"$st/pairs")
+          .write.format("noop").mode("overwrite").save()
+        val streamSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"stream_turn","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
+      }
+    }
     // the tokenizer tier's scale wall: classic BPE pays one pair-count
     // agg + one driver collect + one fold materialization PER MERGE —
     // a 32k-merge production vocab is 32k sequential job waves. This

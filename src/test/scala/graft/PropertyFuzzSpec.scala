@@ -218,6 +218,46 @@ class PropertyFuzzSpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("packShards: concatenation equals the id stream, all but the last full, on random corpora") {
+    val corpora = for {
+      n <- Gen.chooseNum(1, 16)
+      budget <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(0, 25)
+        ids <- Gen.listOfN(len, Gen.chooseNum(0, 999))
+      } yield ids)
+    } yield (budget, rows.zipWithIndex.map { case (ids, i) => (i.toLong, ids) })
+    check(Prop.forAll(corpora) { case (budget, rows) =>
+      val enc = rows.toDF("doc_id", "ids")
+      // empty docs contribute no tokens on either side
+      val stream = rows.sortBy(_._1).flatMap(_._2.map(_.toLong))
+      val shards = graft.operators.TextPrep.packShards(enc.repartition(5), budget)
+        .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+      shards.flatMap(_._3) == stream &&
+        shards.dropRight(1).forall(_._2 == budget.toLong) &&
+        shards.forall(s => s._2 == s._3.length.toLong && s._2 <= budget.toLong)
+    }, n = 6)
+  }
+
+  test("batched BPE at batch=1 equals classic BPE on random corpora") {
+    val word = Gen.chooseNum(1, 5).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpora = for {
+      n <- Gen.chooseNum(1, 6)
+      docs <- Gen.listOfN(n, Gen.chooseNum(1, 8).flatMap(w =>
+        Gen.listOfN(w, word).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(corpora) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val classic = graft.operators.TextAnalysis.bpeTrainMerges(docs, merges = 4)
+        .collect().map(_.toSeq).toSeq
+      val batched = graft.operators.TextAnalysis
+        .bpeTrainMergesBatched(docs, rounds = 4, batch = 1)
+        .collect().map(_.toSeq).toSeq
+      batched == classic
+    }, n = 5)
+  }
+
   test("hash32 is deterministic and always lands in [0, 2^32)") {
     val strs = Gen.listOfN(200, Gen.asciiPrintableStr)
     check(Prop.forAll(strs) { ss =>
