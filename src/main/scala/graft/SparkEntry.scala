@@ -2169,6 +2169,31 @@ object SparkEntry {
       streaming.TurnStream.emittedPairs(s, st + "/pairs")
     }),
 
+    // ---- The stream-fed daily turn with the DSIR tier RIDING it:
+    // each doc micro-batch turn stamps its content digest as the run
+    // identity, so the sum-shaped state is exactly-once under any
+    // re-delivery — after the drain, state-fed weights over the
+    // current corpus equal the inline weights: q152's oracle verbatim
+    // (q163/q167's proof shape under streaming delivery) ----
+    "q188_stream_daily_dsir" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val st = Scratch.dir("graft_stream_daily_q188")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+      TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+      docs.filter(col("doc_id") % 5 === 0).repartition(4)
+        .write.parquet(st + "/docfeed")
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+        .write.parquet(st + "/embfeed")
+      streaming.TurnStream.dailyTurns(s, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt",
+        dsirStatePath = Some(st + "/dsir"))
+      TextAnalysis.dsirWeightsFromState(docs, s, st + "/dsir", "src0")
+    }),
+
     // ---- The MATERIALIZED training shards: the concat-cut fragments
     // assembled into full per-sequence array<bigint> token rows,
     // written range-sharded by seq_idx next to the boundary table and
@@ -2611,7 +2636,10 @@ object SparkEntry {
       ("q181_daily_delta_turn" -> base("q151_daily_incremental")) +
       // and so is the stream of micro-batch delta turns: N turns over
       // the arrival queue emit exactly the one batch turn's pairs
-      ("q184_stream_daily_turn" -> base("q151_daily_incremental"))
+      ("q184_stream_daily_turn" -> base("q151_daily_incremental")) +
+      // the DSIR tier riding the stream-fed turn still scores like the
+      // inline weights (content-digest runIds make replays skip)
+      ("q188_stream_daily_dsir" -> base("q152_dsir_weights"))
   }
 
   /** Oracle for q156: the compacted signature state must equal a

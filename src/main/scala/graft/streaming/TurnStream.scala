@@ -50,13 +50,28 @@ object TurnStream {
     * each turn's emitted near-dup pairs under
     * `pairsOut/batch_<content-digest>/`. Doc and embedding turns touch
     * disjoint state tiers, so the two drains compose in either order.
+    *
+    * `dsirStatePath` / the `bpeVocabPath`+`encodedPath` pair opt the
+    * DSIR and encoded-corpus tiers into each DOC turn, exactly as in
+    * the batch turn. Each turn's run identity is its batch's CONTENT
+    * digest — the explicit-runId lane, not the derived one, which
+    * matters specifically here: a derived stamp mixes the DSIR state's
+    * non-family bid context, so a micro-batch RE-DELIVERED after later
+    * batches appended would derive a DIFFERENT stamp and double-sum;
+    * the content digest is delivery-independent, so a replay skips no
+    * matter how much state grew in between (the stream shape closes
+    * the mixed-deployment hazard the batch path documents).
     */
   def dailyTurns(spark: SparkSession, docFeedDir: String, embFeedDir: String,
                  sigStatePath: String, ivfPath: String,
                  pairsOut: String, checkpointBase: String,
                  n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  minJ: Double = 0.5,
-                 maxFilesPerTrigger: Int = 1): Unit = {
+                 maxFilesPerTrigger: Int = 1,
+                 dsirStatePath: Option[String] = None,
+                 dsirTargetSource: String = "src0",
+                 bpeVocabPath: Option[String] = None,
+                 encodedPath: Option[String] = None): Unit = {
     val docSchema = spark.read.parquet(docFeedDir).schema
     val embSchema = spark.read.parquet(embFeedDir).schema
     def emptyDocs = spark.createDataFrame(
@@ -72,12 +87,19 @@ object TurnStream {
     val docStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
     EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
-      val dir = new org.apache.hadoop.fs.Path(
-        s"$pairsOut/batch_${StreamIds.docBid(batch)}")
+      val bid = StreamIds.docBid(batch)
+      val dir = new org.apache.hadoop.fs.Path(s"$pairsOut/batch_$bid")
+      // the DSIR tier's own bid-stamp replay guard makes the turn
+      // re-runnable even when the pairs marker says skip (a crash
+      // between state writes and the pairs write re-runs the turn:
+      // sig/IVF/encoded appends cancel by content/key, DSIR by stamp)
       if (!pairsDone(dir)) {
         val turn = graft.Pipelines.dailyIncrementalDelta(spark,
           emptyDocs, batch, emptyEmb, emptyEmb,
-          sigStatePath, ivfPath, n, numHashes, bands, minJ)
+          sigStatePath, ivfPath, n, numHashes, bands, minJ,
+          dsirStatePath = dsirStatePath, dsirTargetSource = dsirTargetSource,
+          runId = Some(s"stream:$bid"),
+          bpeVocabPath = bpeVocabPath, encodedPath = encodedPath)
         turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
       }
     }

@@ -113,6 +113,50 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(replayed === streamed, "replay must not duplicate or rewrite pairs")
   }
 
+  test("DSIR + encoded tiers ride the stream-fed turn; content-digest runIds survive late replay") {
+    import spark.implicits._
+    val st = Files.createTempDirectory("graft_turnfull").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    TextAnalysis.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    TextAnalysis.persistEncodedCorpus(day1Docs, spark, st + "/bpe", st + "/enc")
+    docs.filter(col("doc_id") % 5 === 0).repartition(4).write.parquet(st + "/docfeed")
+    embs.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+      .write.parquet(st + "/embfeed")
+    def drain(ckpt: String): Unit =
+      streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + s"/$ckpt",
+        dsirStatePath = Some(st + "/dsir"),
+        bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+    drain("ckpt")
+    // DSIR: drained state scores the full corpus like the inline form
+    val streamed = TextAnalysis.dsirWeightsFromState(docs, spark, st + "/dsir", "src0")
+      .collect().map(_.toSeq).toSeq
+    val inline = TextAnalysis.dsirWeights(docs, "src0").collect().map(_.toSeq).toSeq
+    assert(streamed === inline)
+    // encoded corpus: merge-on-read view equals the one-shot encode
+    def encRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("ids").cast("array<long>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(encRows(TextAnalysis.loadEncodedCorpus(spark, st + "/enc")) ===
+      encRows(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st + "/bpe")
+        .select(col("doc_id"), col("ids"))),
+      "the stream-fed turns' encoded appends must equal a one-shot encode")
+    // LATE replay through a fresh checkpoint: the state has grown
+    // since each batch's first delivery, which would flip a DERIVED
+    // DSIR stamp (non-family context changed) — the content-digest
+    // runId is delivery-independent, so every tier is a no-op
+    val dsirCells = spark.read.parquet(st + "/dsir/buckets").count()
+    val encCount = spark.read.parquet(st + "/enc/ids").count()
+    drain("ckpt2")
+    assert(spark.read.parquet(st + "/dsir/buckets").count() === dsirCells,
+      "a late replay must not double-sum the DSIR state")
+    assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
+  }
+
   test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
     val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
     val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
