@@ -246,8 +246,12 @@ object TextPrep {
     * one).
     */
   def packShards(encoded: DataFrame, budget: Int): DataFrame =
-    shardTable(concatCutFragments(encoded, budget))
+    shardTable(concatCutFragments(encoded, budget)).orderBy(col("seq_idx"))
 
+  /** Un-ordered shard assembly: the write path range-partitions the
+    * result itself, so the global order is left to each consumer
+    * ([[packShards]] adds it; [[writeTrainingShards]] replaces it with
+    * its own repartitionByRange — no double exchange). */
   private def shardTable(frags: DataFrame): DataFrame =
     frags
       .select(col("seq_idx"), col("seq_off"),
@@ -258,7 +262,6 @@ object TextPrep {
       .agg(expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
         " s -> s.fr))").as("ids"))
     .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
-      .orderBy(col("seq_idx"))
 
   /** SELF-CONTAINED shards: [[packShards]]' token rows with the
     * per-sequence document spans INLINE — `doc_spans` is the sequence's
