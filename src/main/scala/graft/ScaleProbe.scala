@@ -592,6 +592,29 @@ object ScaleProbe {
         println(f"""{"op":"stream_turn","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
       }
     }
+    // q183's shard assembly premium: the boundary table alone vs the
+    // assembled per-sequence token rows vs the write path emitting
+    // both from one fragment computation. The assembly adds one
+    // budget-bounded groupBy shuffle whose payload is the full token
+    // stream (the boundary table ships only scalars) — this prices
+    // that byte-volume term.
+    if (only.contains("pack_shards")) {
+      val TA = graft.operators.TextAnalysis
+      val enc = Dedup.materialize(TA.bpeEncodeIds(docs, merges = 4))
+      val t0 = System.nanoTime()
+      graft.operators.TextPrep.packConcatCut(enc, 512)
+        .write.format("noop").mode("overwrite").save()
+      val boundarySec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.operators.TextPrep.packShards(enc, 512)
+        .write.format("noop").mode("overwrite").save()
+      val shardsSec = (System.nanoTime() - t1) / 1e9
+      val outDir = Scratch.dir("graft_shards_probe")
+      val t2 = System.nanoTime()
+      graft.operators.TextPrep.writeTrainingShards(enc, 512, outDir)
+      val bothSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"op":"pack_shards","mult":$mult,"boundary_sec":$boundarySec%.2f,"shards_sec":$shardsSec%.2f,"write_both_sec":$bothSec%.2f,"ratio_shards":${shardsSec / boundarySec}%.2f}""")
+    }
     // the tokenizer tier's scale wall: classic BPE pays one pair-count
     // agg + one driver collect + one fold materialization PER MERGE —
     // a 32k-merge production vocab is 32k sequential job waves. This
