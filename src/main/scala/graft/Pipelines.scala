@@ -253,6 +253,7 @@ object Pipelines {
                        manifestPath: Option[String] = None,
                        bpeVocabPath: Option[String] = None,
                        encodedPath: Option[String] = None,
+                       bpeArtifact: Option[graft.operators.TextAnalysis.BpeVocabArtifact] = None,
                        compactionDocs: Option[org.apache.spark.sql.DataFrame] = None): Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "compact" || healVia == "tombstone",
       s"healVia must be 'compact' or 'tombstone' (got '$healVia')")
@@ -313,13 +314,13 @@ object Pipelines {
     // intervening inverse-edit turn appended non-family bids,
     // assuming the DSIR tier rides every turn (see the method doc's
     // soundness assumption) — derives a different stamp and appends.
-    lazy val contentHash: String = {
-      def lane(seed: String) = coalesce(sum(graft.functions.PortableHash.hash32(
-        concat_ws("", lit(seed), col("doc_id"), col("status"),
-          coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))), lit(0L))
-      val r = docChangesFp.agg(lane("l1"), lane("l2"), count(lit(1))).head()
-      f"${r.getLong(0)}%x-${r.getLong(1)}%x-${r.getLong(2)}%x"
-    }
+    // ONE digest implementation serves every content identity in the
+    // engine (graft.streaming.StreamIds -- the stream fronts' batch ids
+    // and this derived run identity), so the "same lane" claims in
+    // both scaladocs are true by construction, not by parallel copies
+    lazy val contentHash: String = graft.streaming.StreamIds.contentBid(
+      docChangesFp, Seq(col("doc_id").cast("string"), col("status"),
+        coalesce(col("nh"), lit("")), coalesce(col("oh"), lit(""))))
     // ONE bounded read serves the whole DSIR tier this turn: the
     // (nb, ng) param stamp, the derived-stamp context digest, and the
     // pre-turn bid snapshot the three appends answer their replay
@@ -378,7 +379,12 @@ object Pipelines {
           graft.operators.TextAnalysis.appendEncodedDocs(changedCur, spark, vp, ep)
         }
       }
-      graft.operators.TextAnalysis.appendEncodedDocs(addedDocs, spark, vp, ep)
+      // repeated-turn callers (the streaming drain) pass the collected
+      // artifact once; a daily batch turn loads it here — same cost,
+      // one call per turn either way
+      graft.operators.TextAnalysis.appendEncodedDocsWith(addedDocs, spark,
+        bpeArtifact.getOrElse(
+          graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp)), ep)
     }
     // LAZY on purpose: many turns never consume the pair frame, and
     // the expensive candidate join must not run eagerly for them. The
@@ -600,6 +606,7 @@ object Pipelines {
                             manifestPath: Option[String] = None,
                             bpeVocabPath: Option[String] = None,
                             encodedPath: Option[String] = None,
+                            bpeArtifact: Option[graft.operators.TextAnalysis.BpeVocabArtifact] = None,
                             currentDocs: Option[org.apache.spark.sql.DataFrame] = None)
       : Map[String, org.apache.spark.sql.DataFrame] = {
     require(healVia == "tombstone" || currentDocs.isDefined,
@@ -613,7 +620,7 @@ object Pipelines {
       sigStatePath, ivfPath, n, numHashes, bands, minJ, healEdits,
       dsirStatePath, dsirTargetSource, healVia, runId, pqPath, maintain,
       maxTombstoneFrac, manifestPath, bpeVocabPath, encodedPath,
-      compactionDocs = currentDocs)
+      bpeArtifact, compactionDocs = currentDocs)
   }
 
   /** EP6 (extension) — the end-to-end CURATION RUN: the three quality

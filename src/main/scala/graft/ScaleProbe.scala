@@ -541,10 +541,10 @@ object ScaleProbe {
       // price the stamped machinery itself
       sys.props("graft.budget.windowMaxRows") = "0"
       val t0 = System.nanoTime()
-      TA.dsirResampleBudget(docs, "src0", budget)
+      try TA.dsirResampleBudget(docs, "src0", budget)
         .write.format("noop").mode("overwrite").save()
+      finally sys.props.remove("graft.budget.windowMaxRows")
       val stampedSec = (System.nanoTime() - t0) / 1e9
-      sys.props.remove("graft.budget.windowMaxRows")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"avg_log_ratio".desc, $"doc_id")
       val t1 = System.nanoTime()

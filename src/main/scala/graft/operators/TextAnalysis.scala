@@ -791,15 +791,16 @@ object TextAnalysis {
     import spark.implicits._
     val learned = bpeTrainMergesBatched(docs, rounds, batch)
       .as[(Long, String, String, String, Long)].collect().toSeq
-    val chars = docs.select(explode(tokens).as("w"))
+    // the id layout comes from the ONE shared assembler
+    // (vocabFromTraining — base alphabet sorted, merge i → C+i-1,
+    // first-id-wins), so the batched artifact can never drift from the
+    // classic one. The alphabet depends only on the word SET, so the
+    // dedup'd word frame stands in for the trainer's word states (one
+    // extra tokenize+distinct pass — the same cost class as training's
+    // own first pass).
+    val words = docs.select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0).distinct()
-      .select(explode(expr("filter(split(w, ''), x -> x <> '')")).as("t"))
-      .distinct().orderBy(col("t")).collect().map(_.getString(0))
-    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    chars.zipWithIndex.foreach { case (c, i) => vocab(c) = i }
-    learned.foreach { case (iter, _, _, merged, _) =>
-      if (!vocab.contains(merged)) vocab(merged) = chars.length + iter.toInt - 1
-    }
+    val (chars, vocab) = vocabFromTraining(words, learned)
     learned.toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
       .write.mode("overwrite").parquet(s"$path/merges")
     vocab.toSeq.toDF("token", "id")

@@ -252,15 +252,22 @@ object TextPrep {
     * result itself, so the global order is left to each consumer
     * ([[packShards]] adds it; [[writeTrainingShards]] replaces it with
     * its own repartitionByRange — no double exchange). */
+  /** The one fragment-ordering rule both shard shapes aggregate with:
+    * array_sort on array<struct> orders by the first field (seq_off,
+    * unique within a sequence) — fragment order without a window. A
+    * single definition so q183's shards and q187's self-contained
+    * shards can never diverge on the same cut. Expects columns
+    * (seq_off, fr) in scope. */
+  private def shardIdsAgg: org.apache.spark.sql.Column =
+    expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
+      " s -> s.fr))")
+
   private def shardTable(frags: DataFrame): DataFrame =
     frags
       .select(col("seq_idx"), col("seq_off"),
         expr("transform(frag, x -> cast(x as bigint))").as("fr"))
       .groupBy(col("seq_idx"))
-      // array_sort on array<struct> orders by the first field (seq_off,
-      // unique within a sequence) — fragment order without a window
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
-        " s -> s.fr))").as("ids"))
+      .agg(shardIdsAgg.as("ids"))
     .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
 
   /** SELF-CONTAINED shards: [[packShards]]' token rows with the
@@ -281,8 +288,7 @@ object TextPrep {
           col("frag_len").as("len")).as("sp"))
       .groupBy(col("seq_idx"))
       .agg(
-        expr("flatten(transform(array_sort(collect_list(struct(seq_off, fr)))," +
-          " s -> s.fr))").as("ids"),
+        shardIdsAgg.as("ids"),
         array_sort(collect_list(col("sp"))).as("doc_spans"))
       .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"),
         col("ids"), col("doc_spans"))

@@ -33,6 +33,15 @@ import graft.operators.TextAnalysis
   * digest), not under multi-file grouping, where a regrouped re-drain
   * can split old content across new batch boundaries. Keep the default
   * when a state path outlives its checkpoint.
+  *
+  * MIGRATION NOTE: states drained by the pre-digest scheme carry
+  * POSITIONAL bids (`stream:0`, `stream:1`, …) that no content digest
+  * can ever match — a fresh-checkpoint re-drain of content those
+  * drains already ingested will re-append (double-sum) rather than
+  * skip. Such states keep growing correctly under NEW content; only
+  * replays of old-drained content lose the guard. Rebuild the state
+  * (or retract the affected batches) before relying on re-drain
+  * idempotence across the scheme change.
   */
 object DsirStream {
 

@@ -51,6 +51,17 @@ object TurnStream {
     * `pairsOut/batch_<content-digest>/`. Doc and embedding turns touch
     * disjoint state tiers, so the two drains compose in either order.
     *
+    * GROUPING CAVEAT (same as [[DsirStream]]'s): every exactly-once
+    * guard here is keyed on the micro-BATCH's content digest, so
+    * re-drains through a FRESH checkpoint are exact iff file-to-batch
+    * grouping is stable — guaranteed at `maxFilesPerTrigger = 1` (the
+    * default: one file, one batch, one digest), NOT under multi-file
+    * grouping, where a regrouped re-drain derives new digests that
+    * miss both the pairs markers (duplicate pair emission) and the
+    * DSIR bid stamps (double-summed counts). Keep the default whenever
+    * state or the pairs sink outlives its checkpoint; raise it only
+    * for latency tuning within one checkpoint's lifetime.
+    *
     * `dsirStatePath` / the `bpeVocabPath`+`encodedPath` pair opt the
     * DSIR and encoded-corpus tiers into each DOC turn, exactly as in
     * the batch turn. Each turn's run identity is its batch's CONTENT
@@ -84,6 +95,12 @@ object TurnStream {
       fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
     }
 
+    // the vocab artifact is frozen by contract: collect it once per
+    // drain (the same amortization EncodeStream does) and hand it to
+    // every turn, instead of three driver jobs per micro-batch
+    val bpeArt = bpeVocabPath.map(vp =>
+      graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp))
+
     val docStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
     EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
@@ -99,7 +116,8 @@ object TurnStream {
           sigStatePath, ivfPath, n, numHashes, bands, minJ,
           dsirStatePath = dsirStatePath, dsirTargetSource = dsirTargetSource,
           runId = Some(s"stream:$bid"),
-          bpeVocabPath = bpeVocabPath, encodedPath = encodedPath)
+          bpeVocabPath = bpeVocabPath, encodedPath = encodedPath,
+          bpeArtifact = bpeArt)
         turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
       }
     }

@@ -61,18 +61,22 @@ def main(path):
         print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){extra}")
         if flag:
             regressed.append(name)
-    # Sum the per-query entries rather than trusting a stored "total"
-    # field: a partial baseline regeneration (re-timing one query)
-    # leaves the stored scalar stale, and r14's verdict line overstated
-    # a 0.91x sweep as 1.24x exactly that way. The entry sum is the
-    # statistic the per-query gate above actually compares against.
+    # Sum the per-query entries ON BOTH SIDES rather than trusting a
+    # stored scalar: a partial regeneration (re-timing one query, a
+    # hand-patched line, a subset sweep) leaves a scalar stale, and
+    # r14's verdict line overstated a 0.91x sweep as 1.24x exactly
+    # that way on the baseline side. The entry sums are the statistic
+    # the per-query gate above actually compares against.
     base_total = sum(base["queries"].values())
-    stored = base.get("total", base.get("value"))
-    if stored is not None and abs(stored - base_total) > 0.5:
-        print(f"(baseline 'total' field {stored:.1f}s is stale; "
-              f"using entry sum {base_total:.1f}s)")
-    ratio = f" ({cur['value'] / base_total:.2f}x)" if base_total > 0 else ""
-    print(f"\ntotal: {cur['value']:.1f}s vs baseline {base_total:.1f}s{ratio}")
+    cur_total = sum(cur["queries"].values())
+    for label, stored, summed in (("baseline 'total'",
+                                   base.get("total", base.get("value")), base_total),
+                                  ("current 'value'", cur.get("value"), cur_total)):
+        if stored is not None and abs(stored - summed) > 0.5:
+            print(f"({label} field {stored:.1f}s is stale; "
+                  f"using entry sum {summed:.1f}s)")
+    ratio = f" ({cur_total / base_total:.2f}x)" if base_total > 0 else ""
+    print(f"\ntotal: {cur_total:.1f}s vs baseline {base_total:.1f}s{ratio}")
     if "gate_rc" in cur:  # Bench self-recorded verdict (graft.Bench.gateRegressed)
         print(f"recorded gate_rc={cur['gate_rc']}"
               f" gate_regressed={cur.get('gate_regressed', [])}")
