@@ -2199,7 +2199,11 @@ object SparkEntry {
     // written range-sharded by seq_idx next to the boundary table and
     // read back — the last mile between the boundary table and "a
     // trainer reads this". The readback's arrays must equal the
-    // oracle's own assembly from the shared cut CTEs, token by token ----
+    // oracle's own assembly from the shared cut CTEs, token by token.
+    // CATALOG projection joins the array to a ','-CSV string — the
+    // harness row-sorts result frames and cannot sort raw array
+    // columns; the join is injective over array<bigint>, so token-
+    // level fidelity is still fully hash-compared ----
     "q183_packed_shards" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val st = Scratch.dir("graft_shards_q183")
@@ -2207,17 +2211,26 @@ object SparkEntry {
         TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
         budget = 100, basePath = st)
       operators.TextPrep.readTrainingShards(s, st)
+        .select(col("seq_idx"), col("n_tokens"),
+          array_join(col("ids"), ",").as("ids_csv"))
     }),
 
     // ---- SELF-CONTAINED shards: the q183 token rows with each
     // sequence's document spans inline (off/doc_id/len structs in
     // seq_off order) — the attention-mask shape a trainer reads
-    // without joining the boundary table ----
+    // without joining the boundary table. Same harness-comparable
+    // projection: ids as CSV, spans as ';'-joined off:doc_id:len
+    // triples (injective over both the values and the order) ----
     "q187_shards_spans" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       operators.TextPrep.packShardsWithSpans(
         TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
         budget = 100)
+        .select(col("seq_idx"), col("n_tokens"),
+          array_join(col("ids"), ",").as("ids_csv"),
+          array_join(expr(
+            "transform(doc_spans, s -> concat_ws(':', s.off, s.doc_id, s.len))"),
+            ";").as("spans_str"))
     }),
 
     // ---- The DELTA-FED daily turn: q164's scenario with the turn
@@ -3819,19 +3832,24 @@ object SparkEntry {
   /** The assembled-shards tail (q183): each sequence's fragments
     * concatenated in seq_off order into the full array<bigint> token
     * row the trainer reads — same `rows_` the boundary table reads,
-    * so shards and boundaries replay one cut. */
+    * so shards and boundaries replay one cut. The final projection
+    * joins the array to a ','-CSV string (mirroring the catalog side)
+    * because the harness row-sort cannot factorize raw array columns;
+    * the join is injective, so the hash compare is still token-exact. */
   private def packedShardsTailSql(budget: Int, from: String = "denc"): String =
     s"""${concatCutRowsCtes(budget, from)},
        |sh AS (SELECT seq_idx,
        |         flatten(list(list_transform(fr, x -> CAST(x AS BIGINT))
        |           ORDER BY seq_off)) AS ids
        |       FROM rows_ GROUP BY seq_idx)
-       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens, ids
+       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |  array_to_string(ids, ',') AS ids_csv
        |FROM sh ORDER BY seq_idx""".stripMargin
 
   /** The self-contained-shards tail (q187): q183's assembly plus each
     * sequence's boundary slice inline as (off, doc_id, len) structs in
-    * seq_off order. */
+    * seq_off order — projected as ';'-joined off:doc_id:len triples
+    * (and ids as CSV) for the same harness-sortability reason. */
   private def shardsSpansTailSql(budget: Int, from: String = "denc"): String =
     s"""${concatCutRowsCtes(budget, from)},
        |sh AS (SELECT seq_idx,
@@ -3840,7 +3858,10 @@ object SparkEntry {
        |         list(struct_pack(off := seq_off, doc_id := doc_id,
        |           len := frag_len) ORDER BY seq_off) AS doc_spans
        |       FROM rows_ GROUP BY seq_idx)
-       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens, ids, doc_spans
+       |SELECT seq_idx, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |  array_to_string(ids, ',') AS ids_csv,
+       |  array_to_string(list_transform(doc_spans,
+       |    s -> concat(s.off, ':', s.doc_id, ':', s.len)), ';') AS spans_str
        |FROM sh ORDER BY seq_idx""".stripMargin
 
   /** Tail of the oracle catalog — split out of the main literal so
@@ -4460,7 +4481,9 @@ object SparkEntry {
          |${concatCutTailSql(100, from = "dencs")}""".stripMargin,
     // the materialized shards: the same encode prefix and the same
     // cut CTEs as q172's boundary table, assembled to full
-    // per-sequence token arrays (q48 proves arrays hash-compare)
+    // per-sequence token arrays, projected as CSV strings — the
+    // harness row-sort cannot factorize raw array columns, so both
+    // sides emit the injective string join instead
     "q183_packed_shards" ->
       s"""WITH ${bpeEncodePrefixSql(4, "doc_id < 50")},
          |${packedShardsTailSql(100)}""".stripMargin,

@@ -32,6 +32,19 @@ class QueriesSpec extends AnyFunSuite {
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sf)
+      // the driver's oracle harness row-sorts result frames with
+      // pandas, which cannot factorize array/map/struct columns
+      // (r15's q183/q187 `err`: "unhashable type: numpy.ndarray") —
+      // every catalog output column must be atomic; project nested
+      // shapes through an injective string join (array_join/concat_ws)
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nested.isEmpty,
+        s"$name emits non-atomic output columns the oracle harness cannot row-sort: ${nested.mkString(", ")}")
       assert(df.count() > 0, s"$name returned no rows")
     }
   }

@@ -36,6 +36,17 @@ def main(sf_dir, out_dir, only=()):
             n_bad += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_bad += 1; continue
+        # mirror the driver harness: it row-sorts both frames by all
+        # columns before hashing, and pandas sort_values CRASHES on
+        # array/struct columns (lexsort_indexer → factorize →
+        # "unhashable type: numpy.ndarray"). Any shape the driver
+        # cannot sort must fail HERE too, not pass by luck of order.
+        try:
+            got = got.sort_values(list(got.columns)).reset_index(drop=True)
+            want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        except Exception as e:
+            print(f"FAIL {name}: row-sort (driver harness would err): {e}")
+            n_bad += 1; continue
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
