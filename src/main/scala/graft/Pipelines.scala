@@ -208,6 +208,22 @@ object Pipelines {
     * the at-least-once hole is closed by default; an explicit
     * orchestrator date simply overrides the derived stamp.
     *
+    * MIGRATION NOTE (derived-stamp format): unifying the content lane
+    * onto [[graft.streaming.StreamIds.contentBid]] changed the
+    * fingerprint concatenation from the old inline `concat_ws("", …)`
+    * to `concat_ws(" ", …)` (the space closes field-boundary
+    * collisions like ("ab","c") vs ("a","bc")), so the SAME diff now
+    * derives a DIFFERENT `auto:…` stamp than the pre-unification
+    * scheme wrote. DSIR states stamped under the old scheme lose
+    * derived-stamp replay idempotence across the upgrade: a retried
+    * old turn re-derives a new stamp, misses the replay guard, and
+    * double-sums; the family-exclusion marker `:auto:<hash>:` likewise
+    * no longer matches old family bids. Old stamps cannot be
+    * recomputed (the original diffs are gone), so either rebuild the
+    * DSIR state or pass explicit orchestrator `runId`s for every turn
+    * that might retry across the upgrade boundary; states stamped
+    * exclusively with explicit runIds are unaffected.
+    *
     * `maintain` (default ON) runs the cadence-gated compaction trio
     * AFTER the turn's state writes: each tier rewrites iff its
     * measured tombstone fraction exceeds `maxTombstoneFrac`

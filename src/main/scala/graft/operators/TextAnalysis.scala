@@ -1556,22 +1556,44 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** @param knownRows caller-supplied corpus row count for the
+    *   window-vs-stamped plan dispatch, skipping the size probe
+    *   entirely — pass it when the count is already known (a manifest,
+    *   a prior count, a bounded feed). */
   def dsirResampleBudget(docs: DataFrame, targetSource: String,
                          tokenBudget: Long, buckets: Int = 64,
-                         ngram: Int = 1): DataFrame = {
+                         ngram: Int = 1,
+                         knownRows: Option[Long] = None): DataFrame = {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1 (got $tokenBudget)")
     val spark = docs.sparkSession
-    // the dispatch count reads the INPUT (one column-pruned count job
-    // — parquet-backed corpora answer from footer stats), never the
-    // scored frame: counting weights would re-run the expensive half
+    // the dispatch size: the caller's hint wins; absent one, a
+    // metadata-countable input (a bare scan, possibly projected —
+    // parquet answers count() from footer stats) pays one cheap count
+    // job. A DERIVED input (filters/joins upstream) must NOT pay a
+    // full extra upstream pass just to pick a plan: there the scored
+    // selection — needed by BOTH plans anyway — is materialized once
+    // and the count read off the (3-column, one-row-per-doc)
+    // materialization, so the probe's only cost is the narrow persist
+    // the stamped path would pay at `frozen` regardless.
+    def metadataCountable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          metadataCountable(pr.child)
+        case _ => false
+      }
     val windowMax = budgetWindowMaxRows
-    if (windowMax > 0 && docs.count() <= windowMax)
-      return dsirBudgetWindowPlan(
-        dsirWeights(docs, targetSource, buckets, ngram)
-          .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio")),
-        tokenBudget)
-    val pre = dsirWeights(docs, targetSource, buckets, ngram)
+    var sel = dsirWeights(docs, targetSource, buckets, ngram)
       .select(col("doc_id"), col("n_tokens"), col("avg_log_ratio"))
+    val useWindow = windowMax > 0 && {
+      val rows = knownRows.getOrElse {
+        if (metadataCountable(docs.queryExecution.optimizedPlan)) docs.count()
+        else { sel = graft.operators.Dedup.materialize(sel); sel.count() }
+      }
+      rows <= windowMax
+    }
+    if (useWindow) return dsirBudgetWindowPlan(sel, tokenBudget)
+    val pre = sel
       .repartitionByRange(col("avg_log_ratio").desc, col("doc_id"))
       .sortWithinPartitions(col("avg_log_ratio").desc, col("doc_id"))
     import org.apache.spark.sql.types._

@@ -62,6 +62,22 @@ object TurnStream {
     * state or the pairs sink outlives its checkpoint; raise it only
     * for latency tuning within one checkpoint's lifetime.
     *
+    * TIER CHANGES MID-FEED are safe: the replay skip is keyed PER
+    * TIER, not per turn. A batch whose pairs marker exists already ran
+    * its turn — but only over the tiers enabled THEN; if
+    * `dsirStatePath` or the `bpeVocabPath`+`encodedPath` pair was
+    * added between drains, each newly enabled tier answers "did I
+    * ingest this batch?" from its own state (the DSIR bid stamps, the
+    * encoded table's live keys) and a gap re-runs the turn for the
+    * gapped tiers — a fresh-checkpoint re-drain after enabling a tier
+    * therefore BACKFILLS it over the whole feed. The re-run is sound
+    * because every state append is replay-idempotent (signature
+    * content-filter, IVF key-filter, DSIR bid stamp, encoded
+    * key+content filter): already-ingested tiers cancel. The PAIRS
+    * write stays gated on the marker — pair emission is run-stable
+    * only against the state the first run saw, so the backfill turn's
+    * (lazy, never consumed) pair frame is discarded.
+    *
     * `dsirStatePath` / the `bpeVocabPath`+`encodedPath` pair opt the
     * DSIR and encoded-corpus tiers into each DOC turn, exactly as in
     * the batch turn. Each turn's run identity is its batch's CONTENT
@@ -106,11 +122,8 @@ object TurnStream {
     EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
       val bid = StreamIds.docBid(batch)
       val dir = new org.apache.hadoop.fs.Path(s"$pairsOut/batch_$bid")
-      // the DSIR tier's own bid-stamp replay guard makes the turn
-      // re-runnable even when the pairs marker says skip (a crash
-      // between state writes and the pairs write re-runs the turn:
-      // sig/IVF/encoded appends cancel by content/key, DSIR by stamp)
-      if (!pairsDone(dir)) {
+      val marked = pairsDone(dir)
+      if (!marked) {
         val turn = graft.Pipelines.dailyIncrementalDelta(spark,
           emptyDocs, batch, emptyEmb, emptyEmb,
           sigStatePath, ivfPath, n, numHashes, bands, minJ,
@@ -119,6 +132,43 @@ object TurnStream {
           bpeVocabPath = bpeVocabPath, encodedPath = encodedPath,
           bpeArtifact = bpeArt)
         turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
+      } else {
+        // the marker says this batch's turn ran — over the tiers
+        // enabled THEN. A tier enabled since (config change between
+        // drains) has never seen this content: each opt-in tier
+        // answers "did I ingest this batch?" from its own state, and
+        // any gap re-runs the turn FOR THE GAPPED TIERS ONLY (the
+        // always-on sig/IVF appends inside re-cancel by content/key —
+        // same property that makes a crash between state writes and
+        // the pairs write re-runnable). The DSIR check reads the bid
+        // stamps (one bounded summary read); the encoded check is a
+        // key anti-join of the batch against the live view (the
+        // batch's own column-pruned doc_id scan). Both fire only on
+        // already-marked batches, so a normal first drain pays zero.
+        val needDsir = dsirStatePath.exists { dp =>
+          !graft.operators.TextAnalysis.dsirStateSummary(spark, dp)._3
+            .exists(_.startsWith(s"stream:$bid:"))
+        }
+        val needEnc = encodedPath.exists { ep =>
+          !batch.select("doc_id").join(
+            graft.operators.TextAnalysis.loadEncodedCorpus(spark, ep)
+              .select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+        }
+        if (needDsir || needEnc) {
+          graft.Pipelines.dailyIncrementalDelta(spark,
+            emptyDocs, batch, emptyEmb, emptyEmb,
+            sigStatePath, ivfPath, n, numHashes, bands, minJ,
+            dsirStatePath = if (needDsir) dsirStatePath else None,
+            dsirTargetSource = dsirTargetSource,
+            runId = Some(s"stream:$bid"),
+            bpeVocabPath = if (needEnc) bpeVocabPath else None,
+            encodedPath = if (needEnc) encodedPath else None,
+            bpeArtifact = if (needEnc) bpeArt else None)
+          // no pairs write: the marker already holds the first run's
+          // emission, and the backfill's recomputed pair frame (lazy,
+          // unconsumed — only state writes are eager in the turn)
+          // would differ against the since-grown state
+        }
       }
     }
 

@@ -239,7 +239,31 @@ class QuantLmSkewSpec extends AnyFunSuite {
     val dispatched = TextAnalysis.dsirResampleBudget(docs, "src0", budget).collect()
     assert(dispatched.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq,
       "size-gated dispatch must be output-invisible")
+    // a DERIVED input (filter upstream — not metadata-countable) takes
+    // the materialize-and-count probe instead of re-running the
+    // upstream plan; a caller-supplied knownRows skips the probe
+    // entirely. All dispatch routes must stay output-identical.
+    val sub = docs.filter($"doc_id" % 2 === 0)
+    sys.props("graft.budget.windowMaxRows") = "0"
+    val subRef =
+      try TextAnalysis.dsirResampleBudget(sub, "src0", budget).collect()
+      finally sys.props.remove("graft.budget.windowMaxRows")
+    val subDisp = TextAnalysis.dsirResampleBudget(sub, "src0", budget).collect()
+    assert(subDisp.map(_.toSeq).toSeq === subRef.map(_.toSeq).toSeq,
+      "derived-input dispatch (materialized-selection probe) must be output-invisible")
+    val subHint = TextAnalysis.dsirResampleBudget(sub, "src0", budget,
+      knownRows = Some(sub.count())).collect()
+    assert(subHint.map(_.toSeq).toSeq === subRef.map(_.toSeq).toSeq,
+      "knownRows hint (window route) must be output-invisible")
+    val subBig = TextAnalysis.dsirResampleBudget(sub, "src0", budget,
+      knownRows = Some(budgetProbeForcedStampedRows)).collect()
+    assert(subBig.map(_.toSeq).toSeq === subRef.map(_.toSeq).toSeq,
+      "knownRows hint above the threshold (stamped route) must be output-invisible")
   }
+
+  // a hint far above the window threshold — forces the stamped plan
+  // with zero count jobs
+  private val budgetProbeForcedStampedRows = 5000000L
 
   test("dsirMixtureBudget: per-source window equality, partition invariance, target guard") {
     import org.apache.spark.sql.expressions.Window

@@ -157,6 +157,66 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
   }
 
+  test("tiers enabled mid-feed backfill on re-drain; pairs and prior tiers stay no-ops") {
+    // the round-15 hazard: the pairs marker gated the ENTIRE turn, so
+    // a feed drained before dsirStatePath/encodedPath were enabled
+    // could never deliver its content to the new tiers — every marked
+    // batch skipped wholesale. The skip is now keyed per tier: a
+    // re-drain after enabling tiers must backfill them over the whole
+    // feed while the pairs sink and the already-ingested sig/IVF
+    // tiers remain exact no-ops.
+    val st = Files.createTempDirectory("graft_turnbackfill").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    docs.filter(col("doc_id") % 5 === 0).repartition(4).write.parquet(st + "/docfeed")
+    embs.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+      .write.parquet(st + "/embfeed")
+    // drain 1: no opt-in tiers
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+    val pairs1 = streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq
+    val sigCount = spark.read.parquet(st + "/mh/sigs").count()
+    // tiers enabled between drains: day-0 builds over day-1 docs only —
+    // the feed's content exists in NO tier state yet
+    TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    TextAnalysis.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    TextAnalysis.persistEncodedCorpus(day1Docs, spark, st + "/bpe", st + "/enc")
+    // drain 2 (fresh checkpoint, tiers on): every batch is pairs-marked,
+    // so only the gapped tiers may act
+    def drain(ckpt: String): Unit =
+      streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + s"/$ckpt",
+        dsirStatePath = Some(st + "/dsir"),
+        bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+    drain("ckpt2")
+    val streamedW = TextAnalysis.dsirWeightsFromState(docs, spark, st + "/dsir", "src0")
+      .collect().map(_.toSeq).toSeq
+    val inlineW = TextAnalysis.dsirWeights(docs, "src0").collect().map(_.toSeq).toSeq
+    assert(streamedW === inlineW,
+      "the re-drain must backfill the DSIR tier over the already-marked feed")
+    def encRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("ids").cast("array<long>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(encRows(TextAnalysis.loadEncodedCorpus(spark, st + "/enc")) ===
+      encRows(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st + "/bpe")
+        .select(col("doc_id"), col("ids"))),
+      "the re-drain must backfill the encoded tier over the already-marked feed")
+    assert(streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq === pairs1,
+      "the backfill must not rewrite or duplicate the pairs sink")
+    assert(spark.read.parquet(st + "/mh/sigs").count() === sigCount,
+      "the backfill turns must not re-append signatures")
+    // drain 3: everything ingested everywhere — full no-op
+    val dsirCells = spark.read.parquet(st + "/dsir/buckets").count()
+    val encCount = spark.read.parquet(st + "/enc/ids").count()
+    drain("ckpt3")
+    assert(spark.read.parquet(st + "/dsir/buckets").count() === dsirCells)
+    assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
+  }
+
   test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
     val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
     val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
