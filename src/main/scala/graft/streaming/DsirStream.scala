@@ -39,11 +39,69 @@ import graft.operators.TextAnalysis
   * can ever match — a fresh-checkpoint re-drain of content those
   * drains already ingested will re-append (double-sum) rather than
   * skip. Such states keep growing correctly under NEW content; only
-  * replays of old-drained content lose the guard. Rebuild the state
-  * (or retract the affected batches) before relying on re-drain
-  * idempotence across the scheme change.
+  * replays of old-drained content lose the guard.
+  * [[migratePositionalBids]] rewrites the old stamps to content
+  * digests in one atomic pass, restoring re-drain idempotence without
+  * a state rebuild.
   */
 object DsirStream {
+
+  /** One-shot migration of a pre-digest state: rewrite every
+    * positional `persist:stream:<N>` bid to the content digest the
+    * current scheme would have stamped, so a fresh-checkpoint re-drain
+    * of the already-ingested feed skips instead of double-summing.
+    *
+    * The batch→content mapping is reconstructed from the feed itself:
+    * under the one-file-per-trigger default the old drain's batch N
+    * was the feed's N-th file in the file stream's delivery order
+    * (modification time, path-tiebroken), so the first K files — K =
+    * the number of positional bids, which is all of them for a
+    * completed drain and a prefix for a crashed one — are digested
+    * one file per batch and substituted positionally. Even a wrong
+    * positional pairing (two files sharing one mtime and sorting
+    * differently than the old listing) cannot double-sum: the replay
+    * guard is set MEMBERSHIP of the digest, not which rows carry it —
+    * the pairing only has to cover exactly the ingested files, which
+    * the (mtime, path) prefix does. Assumes the feed dir is the one
+    * the old drain read, unmodified since (the standard append-only
+    * arrival queue), and that the state was drained at
+    * `maxFilesPerTrigger = 1` (the documented default for any state
+    * outliving its checkpoint — a multi-file-grouped state cannot be
+    * migrated file-wise; rebuild it). Idempotent: a state with no
+    * positional bids returns without touching storage. The rewrite is
+    * atomic ([[graft.sources.Sinks.swapRewrite]]); a crash never
+    * strands a half-migrated table.
+    */
+  def migratePositionalBids(spark: SparkSession, feedDir: String,
+                            statePath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val bucketsDir = s"$statePath/buckets"
+    val positional = spark.read.parquet(bucketsDir)
+      .select(col("bid")).distinct().collect().map(_.getString(0))
+      .filter(_.matches("persist:stream:\\d+"))
+      .sortBy(_.substring("persist:stream:".length).toLong)
+    if (positional.isEmpty) return
+    val fd = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .sortBy(s => (s.getModificationTime, s.getPath.toString))
+    require(files.length >= positional.length,
+      s"state at $statePath carries ${positional.length} positional stream bids " +
+        s"but $feedDir holds only ${files.length} files — not the drained feed?")
+    val schema = spark.read.parquet(feedDir).schema
+    val mapping = positional.zipWithIndex.map { case (old, i) =>
+      val batch = spark.read.schema(schema).parquet(files(i).getPath.toString)
+      old -> s"persist:stream:${StreamIds.docBid(batch)}"
+    }.toMap
+    graft.sources.Sinks.swapRewrite(spark, bucketsDir) { tmp =>
+      val m = typedLit(mapping)
+      spark.read.parquet(bucketsDir)
+        .withColumn("bid", coalesce(element_at(m, col("bid")), col("bid")))
+        .write.parquet(tmp)
+    }
+  }
 
   /** Drain `feedDir` (a parquet directory of arriving documents) as a
     * file stream in `maxFilesPerTrigger`-file micro-batches, appending

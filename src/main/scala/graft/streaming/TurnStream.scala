@@ -145,9 +145,12 @@ object TurnStream {
         // key anti-join of the batch against the live view (the
         // batch's own column-pruned doc_id scan). Both fire only on
         // already-marked batches, so a normal first drain pays zero.
+        // stored bids carry the appendDsirCells operation qualifier:
+        // a grow-only stream turn's append lands as
+        // "persist:stream:<digest>:added"
         val needDsir = dsirStatePath.exists { dp =>
           !graft.operators.TextAnalysis.dsirStateSummary(spark, dp)._3
-            .exists(_.startsWith(s"stream:$bid:"))
+            .exists(_.startsWith(s"persist:stream:$bid:"))
         }
         val needEnc = encodedPath.exists { ep =>
           !batch.select("doc_id").join(

@@ -157,6 +157,95 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
   }
 
+  test("multi-file grouping caveat: a regrouped re-drain double-sums; the default is exact") {
+    // DsirStream's scaladoc pins the digest guard to the micro-BATCH:
+    // it is exact across fresh checkpoints iff file-to-batch grouping
+    // is stable. Demonstrate the documented failure mode — the same
+    // feed re-drained under a DIFFERENT maxFilesPerTrigger regroups
+    // content across batch boundaries, derives digests the state has
+    // never seen, and double-sums — and that the documented default
+    // (one file per trigger) re-drains as an exact no-op.
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val st = Files.createTempDirectory("graft_ds_regroup").toString
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    // grouped drain (4 feed files, 2 per batch)
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/grouped")
+    docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/grouped", st + "/g_ckpt", maxFilesPerTrigger = 2)
+    val groupedSums = sums(st + "/grouped")
+    // regrouped re-drain: 3 files per batch → new digests → re-append
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/grouped", st + "/g_ckpt2", maxFilesPerTrigger = 3)
+    assert(sums(st + "/grouped") !== groupedSums,
+      "a regrouped re-drain must double-sum — the documented multi-file hazard " +
+        "(if this starts passing, the guard grew stronger: update the scaladoc)")
+    // the default: one file per batch — regrouping is impossible, any
+    // re-drain (here through a fresh checkpoint) is a no-op
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/single")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/single", st + "/s_ckpt")
+    val singleSums = sums(st + "/single")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/single", st + "/s_ckpt2")
+    assert(sums(st + "/single") === singleSums,
+      "the one-file-per-trigger default must re-drain as an exact no-op")
+  }
+
+  test("migratePositionalBids: a pre-digest state regains re-drain idempotence") {
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val st = Files.createTempDirectory("graft_ds_migrate").toString
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/dsir")
+    docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+    // synthesize the PRE-DIGEST drain: one positional `stream:<N>`
+    // stamp per feed file, in the file stream's delivery order — the
+    // exact on-disk shape the old scheme left behind
+    val fd = new org.apache.hadoop.fs.Path(st + "/feed")
+    val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.toString))
+    files.zipWithIndex.foreach { case (f, i) =>
+      TextAnalysis.persistDsirState(spark.read.parquet(f.getPath.toString),
+        "src0", st + "/dsir", batchId = s"stream:$i")
+    }
+    val ref = Files.createTempDirectory("graft_ds_migrate_ref").toString + "/dsir"
+    TextAnalysis.persistDsirState(docs, "src0", ref)
+    assert(sums(st + "/dsir") === sums(ref))
+    // un-migrated, a fresh-checkpoint re-drain double-sums: content
+    // digests can never match positional stamps (the documented hole)
+    val unmigrated = st + "/unmigrated"
+    fs.rename(new org.apache.hadoop.fs.Path(st + "/dsir"),
+      new org.apache.hadoop.fs.Path(unmigrated))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(st + "/dsir"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(unmigrated + "/buckets"),
+      fs, new org.apache.hadoop.fs.Path(st + "/dsir/buckets"), false,
+      spark.sparkContext.hadoopConfiguration)
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      unmigrated, st + "/u_ckpt")
+    assert(sums(unmigrated) !== sums(ref),
+      "an unmigrated positional state must double-sum on re-drain (the hole the migration closes)")
+    // migrated: the positional stamps become the digests the re-drain
+    // derives, so the same re-drain is an exact no-op
+    streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
+    val bids = TextAnalysis.dsirStateSummary(spark, st + "/dsir")._3
+    assert(!bids.exists(_.matches("persist:stream:\\d+")),
+      s"no positional bids may survive the migration (got $bids)")
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/dsir", st + "/m_ckpt")
+    assert(sums(st + "/dsir") === sums(ref),
+      "a migrated state must skip the re-drain exactly")
+    // idempotent: a second migration pass touches nothing
+    val before = spark.read.parquet(st + "/dsir/buckets").collect().map(_.toSeq).toSet
+    streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
+    assert(spark.read.parquet(st + "/dsir/buckets").collect().map(_.toSeq).toSet === before)
+  }
+
   test("tiers enabled mid-feed backfill on re-drain; pairs and prior tiers stay no-ops") {
     // the round-15 hazard: the pairs marker gated the ENTIRE turn, so
     // a feed drained before dsirStatePath/encodedPath were enabled
@@ -209,6 +298,15 @@ class StreamIngestSpec extends AnyFunSuite {
       "the backfill must not rewrite or duplicate the pairs sink")
     assert(spark.read.parquet(st + "/mh/sigs").count() === sigCount,
       "the backfill turns must not re-append signatures")
+    // the per-tier skip reads the stored bid format — pin it: stream
+    // turns' DSIR appends land as "persist:stream:<digest>:added"
+    // (the appendDsirCells operation qualifier + the turn's explicit
+    // runId + the grow-only sub-batch suffix). If this format drifts,
+    // the needDsir probe re-runs every marked batch's turn on every
+    // re-drain — correct but no longer cheap.
+    val bids = TextAnalysis.dsirStateSummary(spark, st + "/dsir")._3
+    assert(bids.exists(_.startsWith("persist:stream:")),
+      s"stream-turn DSIR bids must carry the persist:stream: prefix the per-tier skip matches (got $bids)")
     // drain 3: everything ingested everywhere — full no-op
     val dsirCells = spark.read.parquet(st + "/dsir/buckets").count()
     val encCount = spark.read.parquet(st + "/enc/ids").count()
