@@ -626,6 +626,9 @@ object TextAnalysis {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
+        // driver collect of ONE row per merge (the winning pair) —
+        // bounded by the merge budget over the whole run, never by
+        // corpus or vocab size
         val bestRows = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
         if (bestRows.isEmpty) {
           // every word is a single symbol — nothing left to merge.
@@ -738,6 +741,10 @@ object TextAnalysis {
           .filter(col("key") === col("ma.mk") && col("key") === col("mb.mk") &&
             col("key") === col("mm.mk"))
           .select(col("a"), col("b"), col("cnt"))
+          // driver collect bounded by `batch` rows (≤ batch symbol
+          // pairs + a count each), NEVER by corpus or vocab size —
+          // the standard data-parallel BPE layout: rules live on the
+          // driver, word states stay distributed
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(batch)
           .collect().map(row =>
             (row.getString(0), row.getString(1), row.getLong(2)))
