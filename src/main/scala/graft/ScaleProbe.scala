@@ -601,19 +601,24 @@ object ScaleProbe {
     if (only.contains("pack_shards")) {
       val TA = graft.operators.TextAnalysis
       val enc = Dedup.materialize(TA.bpeEncodeIds(docs, merges = 4))
-      val t0 = System.nanoTime()
-      graft.operators.TextPrep.packConcatCut(enc, 512)
-        .write.format("noop").mode("overwrite").save()
-      val boundarySec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      graft.operators.TextPrep.packShards(enc, 512)
-        .write.format("noop").mode("overwrite").save()
-      val shardsSec = (System.nanoTime() - t1) / 1e9
-      val outDir = Scratch.dir("graft_shards_probe")
-      val t2 = System.nanoTime()
-      graft.operators.TextPrep.writeTrainingShards(enc, 512, outDir)
-      val bothSec = (System.nanoTime() - t2) / 1e9
-      println(f"""{"op":"pack_shards","mult":$mult,"boundary_sec":$boundarySec%.2f,"shards_sec":$shardsSec%.2f,"write_both_sec":$bothSec%.2f,"ratio_shards":${shardsSec / boundarySec}%.2f}""")
+      // budget axis: longer sequences concentrate the same token
+      // payload into fewer, heavier groups — the shard shuffle's
+      // byte-volume term at its lumpiest
+      for (budget <- Seq(512, 4096)) {
+        val t0 = System.nanoTime()
+        graft.operators.TextPrep.packConcatCut(enc, budget)
+          .write.format("noop").mode("overwrite").save()
+        val boundarySec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.TextPrep.packShards(enc, budget)
+          .write.format("noop").mode("overwrite").save()
+        val shardsSec = (System.nanoTime() - t1) / 1e9
+        val outDir = Scratch.dir(s"graft_shards_probe_$budget")
+        val t2 = System.nanoTime()
+        graft.operators.TextPrep.writeTrainingShards(enc, budget, outDir)
+        val bothSec = (System.nanoTime() - t2) / 1e9
+        println(f"""{"op":"pack_shards","mult":$mult,"budget":$budget,"boundary_sec":$boundarySec%.2f,"shards_sec":$shardsSec%.2f,"write_both_sec":$bothSec%.2f,"ratio_shards":${shardsSec / boundarySec}%.2f}""")
+      }
     }
     // the tokenizer tier's scale wall: classic BPE pays one pair-count
     // agg + one driver collect + one fold materialization PER MERGE —
@@ -637,6 +642,46 @@ object ScaleProbe {
         val n = TA.bpeTrainMergesBatched(docs, rounds, k).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"bpe_vocab","form":"batched","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.3f}""")
+      }
+    }
+    // the batched trainer at REALISTIC merge counts (8k-32k). The
+    // fixture's 31-word vocabulary exhausts every trainer at 89
+    // merges, so this section widens the WORD VOCABULARY instead of
+    // the row count: each staged copy prefixes every word with its
+    // copy tag (v<i>x), multiplying the distinct-word table — the
+    // only input axis the trainer sees after its first word-count
+    // pass. Run at CLI mult=1 (the shared staged tables are not
+    // used); the vocab multiplier is internal.
+    if (only.contains("bpe_vocab_big")) {
+      val TA = graft.operators.TextAnalysis
+      val vocabMult = 400
+      val wide = Dedup.materialize((0 until vocabMult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"v${i}x$$1").as("text")))
+        .reduce(_ unionAll _))
+      val vocabW = wide.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).agg(countDistinct(col("w"))).head().getLong(0)
+      println(s"""{"op":"bpe_vocab_big","vocab_mult":$vocabMult,"distinct_words":$vocabW}""")
+      // rounds chosen to chase 8k/16k/32k learned merges; early rounds
+      // commit fewer than `batch` (token-disjointness thins the
+      // selectable set while the symbol alphabet is small), so
+      // `learned` is the honest count
+      for ((rounds, k) <- Seq((48, 256), (96, 256), (384, 256))) {
+        val t0 = System.nanoTime()
+        val rules = TA.bpeTrainMergesBatched(wide, rounds, k)
+        val agg = rules.agg(count(lit(1)).as("n"),
+          sum(length(col("sym_a")) + length(col("sym_b")) + length(col("merged"))).as("chars")).head()
+        val n = agg.getLong(0)
+        val chars = agg.getLong(1)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the driver-memory ceiling of the COLLECTED merge table (the
+        // encode artifact collects all rules): 2 bytes/char in the
+        // three strings + ~48 bytes/row of object headers and the
+        // count field — the bound that says when the artifact itself
+        // stops fitting the driver
+        val driverMb = (chars * 2 + n * 48) / 1e6
+        println(f"""{"op":"bpe_vocab_big","form":"batched","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.4f,"driver_table_mb":$driverMb%.2f}""")
       }
     }
     // stale-key signature compaction vs re-signing the whole corpus:

@@ -246,6 +246,39 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/dsir/buckets").collect().map(_.toSeq).toSet === before)
   }
 
+  test("migratePositionalBids on a CRASHED old drain: the un-ingested suffix still lands") {
+    // a pre-digest drain that died mid-feed left positional stamps for
+    // only a PREFIX of the files (streams deliver in mtime order).
+    // The migration must digest exactly that prefix — marking the
+    // whole feed ingested would silently skip the tail forever.
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val st = Files.createTempDirectory("graft_ds_migrate_partial").toString
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/dsir")
+    docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+    val fd = new org.apache.hadoop.fs.Path(st + "/feed")
+    val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.toString))
+    // the old drain ingested only the first 2 of 4 files, positionally
+    files.take(2).zipWithIndex.foreach { case (f, i) =>
+      TextAnalysis.persistDsirState(spark.read.parquet(f.getPath.toString),
+        "src0", st + "/dsir", batchId = s"stream:$i")
+    }
+    streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
+    // resuming the drain (fresh checkpoint, whole feed) must skip the
+    // migrated prefix and append exactly the tail
+    streaming.DsirStream.incrementalCounts(spark, st + "/feed", "src0",
+      st + "/dsir", st + "/ckpt")
+    val ref = Files.createTempDirectory("graft_ds_migrate_partial_ref").toString + "/dsir"
+    TextAnalysis.persistDsirState(docs, "src0", ref)
+    assert(sums(st + "/dsir") === sums(ref),
+      "post-migration resume must ingest exactly the crashed drain's un-ingested tail")
+  }
+
   test("tiers enabled mid-feed backfill on re-drain; pairs and prior tiers stay no-ops") {
     // the round-15 hazard: the pairs marker gated the ENTIRE turn, so
     // a feed drained before dsirStatePath/encodedPath were enabled
