@@ -42,17 +42,39 @@ object ScaleProbe {
         .reduce(_ unionAll _)
     }
     val docs = staged("documents", "doc_id").cache()
-    val embs = staged("embeddings", "vec_id").cache()
+    println(s"""{"docs":${docs.count()},"mult":$mult}""")
+    // embeddings/events stage LAZILY: an `only`-restricted run must
+    // not pay (or OOM on) staging+caching tables its sections never
+    // touch — at mult=500 the events cache alone (50M deserialized
+    // rows) exceeds the default 8g probe heap while the docs-only
+    // sections need none of it. The hint sets below PREFETCH the
+    // lazies outside any timer for the ops that use them; a
+    // misclassified op still computes correctly (the lazy init runs
+    // on first touch), it just pays staging inside its own timer.
+    lazy val embs = {
+      val e = staged("embeddings", "vec_id").cache()
+      println(s"""{"embeddings":${e.count()},"mult":$mult}""")
+      e
+    }
     // events: remap user_id too, so per-user row counts stay constant
     // while TEMPORAL density grows with mult — the band join's worst case
-    val events = {
-      val base = Tables.load(spark, sfDir, "events")
-      (0 until mult).map(i => base
-        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
-        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
-        .reduce(_ unionAll _)
-    }.cache()
-    println(s"""{"docs":${docs.count()},"embeddings":${embs.count()},"events":${events.count()},"mult":$mult}""")
+    lazy val events = {
+      val e = {
+        val base = Tables.load(spark, sfDir, "events")
+        (0 until mult).map(i => base
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+          .reduce(_ unionAll _)
+      }.cache()
+      println(s"""{"events":${e.count()},"mult":$mult}""")
+      e
+    }
+    val embHints = Seq("cosine", "ivf", "pq", "knn", "sem", "recall",
+      "centroid", "vector", "emb", "ann", "int8", "stream", "turn", "daily")
+    val eventHints = Seq("band", "session", "event", "window", "asof",
+      "stream", "retention", "funnel")
+    if (only.isEmpty || only.exists(o => embHints.exists(o.contains))) embs
+    if (only.isEmpty || only.exists(o => eventHints.exists(o.contains))) events
 
     def time(name: String, df: => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(name)) return

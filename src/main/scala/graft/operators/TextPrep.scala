@@ -248,10 +248,17 @@ object TextPrep {
   def packShards(encoded: DataFrame, budget: Int): DataFrame =
     shardTable(concatCutFragments(encoded, budget)).orderBy(col("seq_idx"))
 
-  /** Un-ordered shard assembly: the write path range-partitions the
-    * result itself, so the global order is left to each consumer
-    * ([[packShards]] adds it; [[writeTrainingShards]] replaces it with
-    * its own repartitionByRange — no double exchange). */
+  /** Shard assembly, SINGLE payload exchange: the fragments are
+    * range-partitioned on seq_idx BEFORE the groupBy, so the
+    * aggregate reuses that partitioning (RangePartitioning satisfies
+    * the agg's ClusteredDistribution) and every downstream consumer
+    * of the seq_idx order — [[packShards]]' orderBy (RangePartitioning
+    * also satisfies its OrderedDistribution: the sort runs
+    * partition-local, no exchange) and [[writeTrainingShards]]' range
+    * layout — plans ZERO further exchanges. The pre-change shape
+    * (hash-agg then range re-exchange) shipped the token payload
+    * TWICE; at ×500/budget=4096 that second shuffle was ~half the
+    * assembly cost (`tools/scaleprobe_r16_shards.jsonl`). */
   /** The one fragment-ordering rule both shard shapes aggregate with:
     * array_sort on array<struct> orders by the first field (seq_off,
     * unique within a sequence) — fragment order without a window. A
@@ -266,6 +273,7 @@ object TextPrep {
     frags
       .select(col("seq_idx"), col("seq_off"),
         expr("transform(frag, x -> cast(x as bigint))").as("fr"))
+      .repartitionByRange(col("seq_idx"))
       .groupBy(col("seq_idx"))
       .agg(shardIdsAgg.as("ids"))
     .select(col("seq_idx"), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
@@ -286,6 +294,9 @@ object TextPrep {
         expr("transform(frag, x -> cast(x as bigint))").as("fr"),
         struct(col("seq_off").as("off"), col("doc_id"),
           col("frag_len").as("len")).as("sp"))
+      // single payload exchange — see [[shardTable]]'s note; the
+      // orderBy below then sorts partition-local
+      .repartitionByRange(col("seq_idx"))
       .groupBy(col("seq_idx"))
       .agg(
         shardIdsAgg.as("ids"),
@@ -312,7 +323,9 @@ object TextPrep {
     val frags = concatCutFragments(enc, budget)
     boundaryTable(frags).write.mode("overwrite")
       .parquet(s"$basePath/boundaries")
-    shardTable(frags).repartitionByRange(col("seq_idx"))
+    // shardTable is already range-partitioned on seq_idx (its single
+    // payload exchange); only the partition-local write order is added
+    shardTable(frags)
       .sortWithinPartitions(col("seq_idx"))
       .write.mode("overwrite").parquet(s"$basePath/shards")
   }
