@@ -915,6 +915,12 @@ object TextAnalysis {
     docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
       .join(wordIds, Seq("w"))
+      // single payload exchange (the graft.operators.TextPrep.shardTable
+      // discipline): range-partition the word rows on doc_id BEFORE the
+      // regroup, so the aggregate reuses the partitioning and the
+      // contract's orderBy below sorts partition-local instead of
+      // re-exchanging the assembled id arrays
+      .repartitionByRange(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("ids")))),
