@@ -911,22 +911,35 @@ object TextAnalysis {
     * posexplode + equi-join on the word + per-doc regroup in word
     * order. Shared by the inline and the persisted-vocab encoders so
     * the assembly rule can never drift between them. */
-  private def assembleDocIds(docs: DataFrame, wordIds: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+  private def assembleDocIds(docs: DataFrame, wordIds: DataFrame): DataFrame = {
+    val joined = docs
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
       .join(wordIds, Seq("w"))
-      // single payload exchange (the graft.operators.TextPrep.shardTable
-      // discipline): range-partition the word rows on doc_id BEFORE the
-      // regroup, so the aggregate reuses the partitioning and the
-      // contract's orderBy below sorts partition-local instead of
-      // re-exchanging the assembled id arrays
-      .repartitionByRange(col("doc_id"))
+    // single payload exchange by default (the
+    // graft.operators.TextPrep.shardTable discipline): range-partition
+    // the word rows on doc_id BEFORE the regroup, so the aggregate
+    // reuses the partitioning and the contract's orderBy below sorts
+    // partition-local instead of re-exchanging the assembled id
+    // arrays. The trade is RangePartitioning's sampling pass, which
+    // re-executes the tokenize+join child once (CPU, no shuffle) — on
+    // a cluster, halving the network payload wins; on one box with
+    // in-memory shuffle the extra CPU pass can cost more than the
+    // exchange it saves (priced in tools/scaleprobe_r16_encode.jsonl).
+    // `-Dgraft.encode.assemble=hash` selects the old two-exchange
+    // shape (hash-agg, then the orderBy range-exchanges the arrays)
+    // for single-box deployments that prefer that trade.
+    val pre =
+      if (sys.props.get("graft.encode.assemble").contains("hash")) joined
+      else joined.repartitionByRange(col("doc_id"))
+    pre
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("ids")))),
         x => x.getField("ids"))).as("ids"))
       .select(col("doc_id"), col("ids"), size(col("ids")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
 
   /** Apply a TRAINED merge list, in learning order, to a (w, seq)
     * words frame — [[bpeTrain]]'s greedy left-to-right fold minus the
