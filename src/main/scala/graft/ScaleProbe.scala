@@ -69,12 +69,30 @@ object ScaleProbe {
       println(s"""{"events":${e.count()},"mult":$mult}""")
       e
     }
-    val embHints = Seq("cosine", "ivf", "pq", "knn", "sem", "recall",
-      "centroid", "vector", "emb", "ann", "int8", "stream", "turn", "daily")
-    val eventHints = Seq("band", "session", "event", "window", "asof",
-      "stream", "retention", "funnel")
-    if (only.isEmpty || only.exists(o => embHints.exists(o.contains))) embs
-    if (only.isEmpty || only.exists(o => eventHints.exists(o.contains))) events
+    // EXACT op→table sets (extracted from this file's sections, not
+    // substring guesses): every op that touches the lazy table is
+    // listed, so an `only` run prefetches exactly what it needs and
+    // nothing else. If a future section is added without updating its
+    // set, the miss is DETECTABLE, not silent: the table's count
+    // banner prints inside the op's timer window, flagging the
+    // polluted measurement in the output itself.
+    val embOps = Set("bpe_encode", "cluster_purity", "cosine_topk_brute",
+      "cosine_topk_int8", "cosine_topk_ivf", "cosine_topk_lsh",
+      "daily_full", "daily_heal", "daily_incremental", "daily_split",
+      "embedding_outliers", "kmeans_assign", "kmeans_coarse_derivedk",
+      "kmeans_flat_derivedk", "knn_classify", "label_centroid_drift",
+      "neardups_lsh", "neardups_lsh_auto", "pq_indexed", "pq_topk",
+      "semantic_neardups_auto", "stream_turn", "toppairs_lsh")
+    val eventOps = Set("activity_histogram", "asof_join", "band_count",
+      "cc_chain", "cdf_quantiles", "cent_quantiles_rolling",
+      "cms_heavy_hitters", "cohort_retention",
+      "cohort_retention_reduce_first", "custom_topk", "funnel_latency",
+      "funnel_latency_cdf", "interval_overlap", "kmv_distinct",
+      "ltv_deciles", "rolling_dau_wau", "rolling_dau_wau_reduce_first",
+      "rolling_wau_kmv", "salted_join", "session_funnel",
+      "stream_cms_cells", "stream_session_close", "transition_matrix")
+    if (only.isEmpty || only.exists(embOps)) embs
+    if (only.isEmpty || only.exists(eventOps)) events
 
     def time(name: String, df: => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(name)) return

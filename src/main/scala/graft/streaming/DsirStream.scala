@@ -54,23 +54,31 @@ object DsirStream {
     * The batch→content mapping is reconstructed from the feed itself:
     * under the one-file-per-trigger default the old drain's batch N
     * was the feed's N-th file in the file stream's delivery order
-    * (modification time, path-tiebroken), so the first K files — K =
-    * the number of positional bids, which is all of them for a
-    * completed drain and a prefix for a crashed one — are digested
-    * one file per batch and substituted positionally. Even a wrong
-    * positional pairing (two files sharing one mtime and sorting
-    * differently than the old listing) cannot double-sum: the replay
-    * guard is set MEMBERSHIP of the digest, not which rows carry it —
-    * the pairing only has to cover exactly the ingested files, which
-    * the (mtime, path) prefix does. Assumes the feed dir is the one
-    * the old drain read, unmodified since (the standard append-only
-    * arrival queue), and that the state was drained at
+    * (modification time, path-tiebroken), so each positional bid's
+    * EMBEDDED batch number indexes its file directly — gaps in the
+    * numbering (a zero-row file appends no cells and stamps no bid)
+    * shift nothing. A wrong pairing WITHIN the ingested prefix (two
+    * ingested files sharing one mtime and sorting differently than
+    * the old listing) cannot corrupt: the replay guard is set
+    * MEMBERSHIP of the digest, not which rows carry it, so any
+    * permutation of the ingested files yields the same digest set.
+    * Only the INGESTED-PREFIX BOUNDARY of a crashed drain is
+    * order-sensitive — a tie straddling it could swap an ingested
+    * file for an un-ingested one — so that one case is REFUSED
+    * (rebuild the state) rather than guessed; a same-numbering
+    * non-empty file sitting inside the prefix without a stamp is
+    * likewise refused as numbering-inconsistent. Assumes the feed dir
+    * is the one the old drain read, unmodified since (the standard
+    * append-only arrival queue), and that the state was drained at
     * `maxFilesPerTrigger = 1` (the documented default for any state
     * outliving its checkpoint — a multi-file-grouped state cannot be
     * migrated file-wise; rebuild it). Idempotent: a state with no
-    * positional bids returns without touching storage. The rewrite is
-    * atomic ([[graft.sources.Sinks.swapRewrite]]); a crash never
-    * strands a half-migrated table.
+    * positional bids returns without touching storage. The rewrite
+    * goes through [[graft.sources.Sinks.swapRewrite]]: a crash
+    * between its two renames leaves the table recoverable at
+    * `buckets_precompact` (never silently half-migrated — see
+    * swapRewrite's recovery contract), and a re-run aborts on that
+    * leftover until the operator recovers it.
     */
   def migratePositionalBids(spark: SparkSession, feedDir: String,
                             statePath: String): Unit = {
@@ -79,7 +87,8 @@ object DsirStream {
     val positional = spark.read.parquet(bucketsDir)
       .select(col("bid")).distinct().collect().map(_.getString(0))
       .filter(_.matches("persist:stream:\\d+"))
-      .sortBy(_.substring("persist:stream:".length).toLong)
+      .map(b => b.substring("persist:stream:".length).toLong -> b)
+      .sortBy(_._1)
     if (positional.isEmpty) return
     val fd = new org.apache.hadoop.fs.Path(feedDir)
     val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,14 +96,38 @@ object DsirStream {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .sortBy(s => (s.getModificationTime, s.getPath.toString))
-    require(files.length >= positional.length,
-      s"state at $statePath carries ${positional.length} positional stream bids " +
+    val maxBatch = positional.last._1
+    require(files.length > maxBatch,
+      s"state at $statePath carries a positional bid for batch $maxBatch " +
         s"but $feedDir holds only ${files.length} files — not the drained feed?")
+    // crashed-drain boundary: files strictly past maxBatch were never
+    // ingested. If the boundary itself is mtime-ambiguous, the
+    // (mtime, path) order may disagree with the old delivery order
+    // exactly where it matters — refuse rather than risk stamping an
+    // un-ingested file (permanent skip) / leaving an ingested one
+    // unstamped (double-sum).
+    val boundary = maxBatch.toInt + 1
+    require(boundary >= files.length ||
+        files(boundary - 1).getModificationTime != files(boundary).getModificationTime,
+      s"cannot migrate $statePath: the crashed drain's ingested-prefix boundary " +
+        s"(file ${boundary - 1} -> ${boundary}) is modification-time-tied, so the " +
+        "delivery order there is unrecoverable — rebuild the state instead")
     val schema = spark.read.parquet(feedDir).schema
-    val mapping = positional.zipWithIndex.map { case (old, i) =>
-      val batch = spark.read.schema(schema).parquet(files(i).getPath.toString)
+    val stamped = positional.map(_._1).toSet
+    val mapping = positional.map { case (n, old) =>
+      val batch = spark.read.schema(schema).parquet(files(n.toInt).getPath.toString)
       old -> s"persist:stream:${StreamIds.docBid(batch)}"
     }.toMap
+    // numbering-consistency check: every UNSTAMPED file inside the
+    // ingested prefix must be empty (a zero-row batch is the only way
+    // a delivered batch leaves no bid) — a non-empty one means the
+    // batch<->file numbering assumption does not hold for this feed
+    (0L until maxBatch).filterNot(stamped).foreach { n =>
+      require(spark.read.schema(schema).parquet(files(n.toInt).getPath.toString).isEmpty,
+        s"cannot migrate $statePath: file $n (${files(n.toInt).getPath.getName}) is " +
+          "non-empty but the old drain stamped no bid for batch " +
+          s"$n — the batch-to-file numbering is inconsistent; rebuild the state instead")
+    }
     graft.sources.Sinks.swapRewrite(spark, bucketsDir) { tmp =>
       val m = typedLit(mapping)
       spark.read.parquet(bucketsDir)

@@ -116,6 +116,19 @@ object TurnStream {
     // every turn, instead of three driver jobs per micro-batch
     val bpeArt = bpeVocabPath.map(vp =>
       graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp))
+    // pre-drain DSIR bid snapshot for the per-tier gap probe — read
+    // ONCE per drain (lazily: a drain with no marked batches never
+    // pays it), not per marked batch; the buckets scan is bounded by
+    // state size, not batch size. Staleness is safe: a bid appended
+    // DURING this drain (a backfill, or a duplicate-content file whose
+    // first copy just ran) is missing from the snapshot, so the probe
+    // re-runs that batch's turn — whose own per-append bid check reads
+    // fresh state and skips. Cost of staleness is one wasted turn, never
+    // a double-sum.
+    lazy val preDrainDsirBids: Set[String] =
+      dsirStatePath.map(dp =>
+        graft.operators.TextAnalysis.dsirStateSummary(spark, dp)._3)
+        .getOrElse(Set.empty)
 
     val docStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
@@ -140,18 +153,17 @@ object TurnStream {
         // any gap re-runs the turn FOR THE GAPPED TIERS ONLY (the
         // always-on sig/IVF appends inside re-cancel by content/key —
         // same property that makes a crash between state writes and
-        // the pairs write re-runnable). The DSIR check reads the bid
-        // stamps (one bounded summary read); the encoded check is a
-        // key anti-join of the batch against the live view (the
-        // batch's own column-pruned doc_id scan). Both fire only on
-        // already-marked batches, so a normal first drain pays zero.
+        // the pairs write re-runnable). The DSIR check answers from
+        // the once-per-drain pre-drain bid snapshot (a set lookup
+        // here); the encoded check is a key anti-join of the batch
+        // against the live view (the batch's own column-pruned doc_id
+        // scan). Both fire only on already-marked batches, so a
+        // normal first drain pays zero.
         // stored bids carry the appendDsirCells operation qualifier:
         // a grow-only stream turn's append lands as
         // "persist:stream:<digest>:added"
-        val needDsir = dsirStatePath.exists { dp =>
-          !graft.operators.TextAnalysis.dsirStateSummary(spark, dp)._3
-            .exists(_.startsWith(s"persist:stream:$bid:"))
-        }
+        val needDsir = dsirStatePath.isDefined &&
+          !preDrainDsirBids.exists(_.startsWith(s"persist:stream:$bid:"))
         val needEnc = encodedPath.exists { ep =>
           !batch.select("doc_id").join(
             graft.operators.TextAnalysis.loadEncodedCorpus(spark, ep)

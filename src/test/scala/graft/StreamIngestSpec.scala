@@ -268,6 +268,22 @@ class StreamIngestSpec extends AnyFunSuite {
       TextAnalysis.persistDsirState(spark.read.parquet(f.getPath.toString),
         "src0", st + "/dsir", batchId = s"stream:$i")
     }
+    // force the 4 files onto ONE mtime (parallel write tasks usually
+    // land in the same second, but not deterministically): a crashed
+    // drain's ingested-prefix boundary is then order-ambiguous and the
+    // migration must REFUSE rather than guess which file was the
+    // second batch
+    val t0 = files.head.getModificationTime
+    files.foreach(f => fs.setTimes(f.getPath, t0, -1))
+    val tied = intercept[IllegalArgumentException] {
+      streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
+    }
+    assert(tied.getMessage.contains("modification-time-tied"))
+    // a real arrival queue's files carry distinct arrival mtimes —
+    // model that, in the same (mtime, path) order the drain saw
+    files.zipWithIndex.foreach { case (f, i) =>
+      fs.setTimes(f.getPath, t0 + i * 1000L, -1)
+    }
     streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
     // resuming the drain (fresh checkpoint, whole feed) must skip the
     // migrated prefix and append exactly the tail
