@@ -632,6 +632,41 @@ object ScaleProbe {
         println(f"""{"op":"stream_turn","mult":$mult,"files":$files,"batch_sec":$batchSec%.2f,"stream_sec":$streamSec%.2f,"ratio":${streamSec / batchSec}%.2f}""")
       }
     }
+    // round-16 per-tier backfill: a feed drained BEFORE dsirStatePath
+    // was enabled, then re-drained with the tier on — every batch is
+    // pairs-marked, so the re-drain runs only the gapped DSIR tier per
+    // batch. Priced against the alternative the scaladoc offers: a
+    // one-shot state rebuild over the full current corpus. The
+    // backfill pays per-batch turn re-runs (O(|feed|) work plus the
+    // per-batch job-wave constant); the rebuild pays one corpus pass —
+    // the crossover is the deployment rule this records.
+    if (only.contains("turn_backfill")) {
+      val day1Docs = docs.filter($"doc_id" % 5 =!= 0)
+      val d1e = embs.filter($"vec_id" < 16 || $"vec_id" % 5 =!= 0)
+      val feedDocs = docs.filter($"doc_id" % 5 === 0)
+      val feedEmb = embs.limit(0)
+      for (files <- Seq(8)) {
+        val st = Scratch.dir(s"graft_turn_backfill_$files")
+        Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$st/mh")
+        graft.operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$st/ivf")
+        feedDocs.repartition(files).write.parquet(s"$st/docfeed")
+        feedEmb.write.parquet(s"$st/embfeed")
+        // drain 1: no DSIR tier (marks every batch)
+        graft.streaming.TurnStream.dailyTurns(spark, s"$st/docfeed", s"$st/embfeed",
+          s"$st/mh", s"$st/ivf", s"$st/pairs", s"$st/ckpt")
+        // tier enabled between drains: day-0 over day-1 docs only
+        graft.operators.TextAnalysis.persistDsirState(day1Docs, "src0", s"$st/dsir")
+        val t0 = System.nanoTime()
+        graft.streaming.TurnStream.dailyTurns(spark, s"$st/docfeed", s"$st/embfeed",
+          s"$st/mh", s"$st/ivf", s"$st/pairs", s"$st/ckpt2",
+          dsirStatePath = Some(s"$st/dsir"))
+        val backfillSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.TextAnalysis.persistDsirState(docs, "src0", s"$st/dsir_rebuilt")
+        val rebuildSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"turn_backfill","mult":$mult,"files":$files,"backfill_sec":$backfillSec%.2f,"rebuild_sec":$rebuildSec%.2f,"ratio":${backfillSec / rebuildSec}%.2f}""")
+      }
+    }
     // q183's shard assembly premium: the boundary table alone vs the
     // assembled per-sequence token rows vs the write path emitting
     // both from one fragment computation. The assembly adds one

@@ -68,15 +68,15 @@ object TurnStream {
     * `dsirStatePath` or the `bpeVocabPath`+`encodedPath` pair was
     * added between drains, each newly enabled tier answers "did I
     * ingest this batch?" from its own state (the DSIR bid stamps, the
-    * encoded table's live keys) and a gap re-runs the turn for the
-    * gapped tiers — a fresh-checkpoint re-drain after enabling a tier
-    * therefore BACKFILLS it over the whole feed. The re-run is sound
-    * because every state append is replay-idempotent (signature
-    * content-filter, IVF key-filter, DSIR bid stamp, encoded
-    * key+content filter): already-ingested tiers cancel. The PAIRS
-    * write stays gated on the marker — pair emission is run-stable
-    * only against the state the first run saw, so the backfill turn's
-    * (lazy, never consumed) pair frame is discarded.
+    * encoded table's live keys) and a gap lands that tier's appends
+    * DIRECTLY — for a grow-only delta over empty history the turn's
+    * opt-in tier writes reduce to exactly those appends, and each is
+    * replay-idempotent (DSIR bid stamp, encoded key+content filter).
+    * A fresh-checkpoint re-drain after enabling a tier therefore
+    * BACKFILLS it over the whole feed at the tier's own cost, not the
+    * full turn's (tools/scaleprobe_r16_backfill.jsonl prices both).
+    * The PAIRS write stays gated on the marker — pair emission is
+    * run-stable only against the state the first run saw.
     *
     * `dsirStatePath` / the `bpeVocabPath`+`encodedPath` pair opt the
     * DSIR and encoded-corpus tiers into each DOC turn, exactly as in
@@ -116,19 +116,19 @@ object TurnStream {
     // every turn, instead of three driver jobs per micro-batch
     val bpeArt = bpeVocabPath.map(vp =>
       graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp))
-    // pre-drain DSIR bid snapshot for the per-tier gap probe — read
+    // pre-drain DSIR state summary for the per-tier gap probe — read
     // ONCE per drain (lazily: a drain with no marked batches never
     // pays it), not per marked batch; the buckets scan is bounded by
     // state size, not batch size. Staleness is safe: a bid appended
     // DURING this drain (a backfill, or a duplicate-content file whose
     // first copy just ran) is missing from the snapshot, so the probe
-    // re-runs that batch's turn — whose own per-append bid check reads
-    // fresh state and skips. Cost of staleness is one wasted turn, never
-    // a double-sum.
-    lazy val preDrainDsirBids: Set[String] =
+    // re-runs that batch's backfill — whose own per-append bid check
+    // reads fresh state and skips. Cost of staleness is one wasted
+    // append attempt, never a double-sum.
+    lazy val preDrainDsirSummary: (Int, Int, Set[String]) =
       dsirStatePath.map(dp =>
-        graft.operators.TextAnalysis.dsirStateSummary(spark, dp)._3)
-        .getOrElse(Set.empty)
+        graft.operators.TextAnalysis.dsirStateSummary(spark, dp))
+        .getOrElse((0, 0, Set.empty))
 
     val docStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
@@ -149,41 +149,39 @@ object TurnStream {
         // the marker says this batch's turn ran — over the tiers
         // enabled THEN. A tier enabled since (config change between
         // drains) has never seen this content: each opt-in tier
-        // answers "did I ingest this batch?" from its own state, and
-        // any gap re-runs the turn FOR THE GAPPED TIERS ONLY (the
-        // always-on sig/IVF appends inside re-cancel by content/key —
-        // same property that makes a crash between state writes and
-        // the pairs write re-runnable). The DSIR check answers from
-        // the once-per-drain pre-drain bid snapshot (a set lookup
-        // here); the encoded check is a key anti-join of the batch
-        // against the live view (the batch's own column-pruned doc_id
-        // scan). Both fire only on already-marked batches, so a
-        // normal first drain pays zero.
-        // stored bids carry the appendDsirCells operation qualifier:
+        // answers "did I ingest this batch?" from its own state (the
+        // DSIR check from the once-per-drain pre-drain bid snapshot, a
+        // set lookup here; the encoded check a key anti-join of the
+        // batch against the live view — the batch's own column-pruned
+        // doc_id scan), and a gap lands the GAPPED TIER'S APPENDS
+        // DIRECTLY. For a grow-only delta over empty history the
+        // turn's opt-in tier writes reduce to exactly these two
+        // appends — re-running the whole turn instead would drag the
+        // always-on sig/IVF machinery through per-batch work that
+        // cancels by content/key, measured 12.6× a one-shot state
+        // rebuild (tools/scaleprobe_r16_backfill.jsonl pre-fix arm).
+        // Both probes fire only on already-marked batches, so a
+        // normal first drain pays zero. No pairs write either way:
+        // the marker already holds the first run's emission.
+        // Stored bids carry the appendDsirCells operation qualifier:
         // a grow-only stream turn's append lands as
-        // "persist:stream:<digest>:added"
+        // "persist:stream:<digest>:added".
         val needDsir = dsirStatePath.isDefined &&
-          !preDrainDsirBids.exists(_.startsWith(s"persist:stream:$bid:"))
+          !preDrainDsirSummary._3.exists(_.startsWith(s"persist:stream:$bid:"))
+        if (needDsir) {
+          val (nb, ng, bids) = preDrainDsirSummary
+          graft.operators.TextAnalysis.persistDsirState(batch,
+            dsirTargetSource, dsirStatePath.get, nb, ng,
+            batchId = s"stream:$bid:added", knownBids = Some(bids))
+        }
         val needEnc = encodedPath.exists { ep =>
           !batch.select("doc_id").join(
             graft.operators.TextAnalysis.loadEncodedCorpus(spark, ep)
               .select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
         }
-        if (needDsir || needEnc) {
-          graft.Pipelines.dailyIncrementalDelta(spark,
-            emptyDocs, batch, emptyEmb, emptyEmb,
-            sigStatePath, ivfPath, n, numHashes, bands, minJ,
-            dsirStatePath = if (needDsir) dsirStatePath else None,
-            dsirTargetSource = dsirTargetSource,
-            runId = Some(s"stream:$bid"),
-            bpeVocabPath = if (needEnc) bpeVocabPath else None,
-            encodedPath = if (needEnc) encodedPath else None,
-            bpeArtifact = if (needEnc) bpeArt else None)
-          // no pairs write: the marker already holds the first run's
-          // emission, and the backfill's recomputed pair frame (lazy,
-          // unconsumed — only state writes are eager in the turn)
-          // would differ against the since-grown state
-        }
+        for (ep <- encodedPath if needEnc)
+          graft.operators.TextAnalysis.appendEncodedDocsWith(
+            batch, spark, bpeArt.get, ep)
       }
     }
 
