@@ -76,13 +76,14 @@ object ScaleProbe {
     // set, the miss is DETECTABLE, not silent: the table's count
     // banner prints inside the op's timer window, flagging the
     // polluted measurement in the output itself.
-    val embOps = Set("bpe_encode", "cluster_purity", "cosine_topk_brute",
+    val embOps = Set("cluster_purity", "cosine_topk_brute",
       "cosine_topk_int8", "cosine_topk_ivf", "cosine_topk_lsh",
       "daily_full", "daily_heal", "daily_incremental", "daily_split",
       "embedding_outliers", "kmeans_assign", "kmeans_coarse_derivedk",
       "kmeans_flat_derivedk", "knn_classify", "label_centroid_drift",
       "neardups_lsh", "neardups_lsh_auto", "pq_indexed", "pq_topk",
-      "semantic_neardups_auto", "stream_turn", "toppairs_lsh")
+      "semantic_neardups_auto", "stream_turn", "toppairs_lsh",
+      "turn_backfill")
     val eventOps = Set("activity_histogram", "asof_join", "band_count",
       "cc_chain", "cdf_quantiles", "cent_quantiles_rolling",
       "cms_heavy_hitters", "cohort_retention",

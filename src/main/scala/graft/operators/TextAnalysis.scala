@@ -1263,6 +1263,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Total n-gram count of a batch under the given (buckets, ngram)
+    * params — the cell-additive invariant
+    * [[graft.streaming.DsirStream.migratePositionalBids]] checks per
+    * positional bid before trusting the batch-to-file numbering: a
+    * bid's (tc+sc) state total must equal its presumed file's recount.
+    */
+  private[graft] def dsirBatchTotal(batch: DataFrame, buckets: Int, ngram: Int): Long =
+    dsirTf(batch, buckets, ngram)
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("t")).head().getLong(0)
+
   /** Persist a batch's DSIR bucket counts as ADDITIVE state: one
     * appended parquet table of (b, tc, sc) rows per batch. Counts are
     * pure sums, so state from any sequence of appends equals the

@@ -114,6 +114,38 @@ object DsirStream {
         "delivery order there is unrecoverable — rebuild the state instead")
     val schema = spark.read.parquet(feedDir).schema
     val stamped = positional.map(_._1).toSet
+    // COUNT-CONSISTENCY check: the whole reconstruction assumes the
+    // old drain ran at maxFilesPerTrigger = 1, and the operator cannot
+    // verify that from the outside — a state drained at a larger
+    // trigger stamps the same contiguous batch numbers 0..maxBatch, so
+    // the numbering check below passes VACUOUSLY while files
+    // maxBatch+1.. (ingested as parts of grouped batches) would be
+    // left unstamped to double-sum on re-drain. The state itself can
+    // refute the assumption: counts are cell-additive, so each
+    // positional bid's (tc+sc) total must equal its presumed file's
+    // recomputed n-gram total. Compared as MULTISETS, not
+    // per-position, preserving the documented tolerance for ingested-
+    // prefix permutations (set membership is what the replay guard
+    // reads). A grouped batch's bid sums over several files and
+    // cannot match any single file's count, so the mismatch refuses
+    // the migration instead of silently stamping a partial prefix.
+    val (nb, ng) = TextAnalysis.dsirStateParams(spark, statePath)
+    val positionalBidSet = positional.map(_._2).toSet
+    val stateTotals = spark.read.parquet(bucketsDir)
+      .filter(col("bid").isin(positionalBidSet.toSeq: _*))
+      .groupBy(col("bid"))
+      .agg((sum(col("tc")) + sum(col("sc"))).as("total"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val recounted = positional.map { case (n, _) =>
+      TextAnalysis.dsirBatchTotal(
+        spark.read.schema(schema).parquet(files(n.toInt).getPath.toString), nb, ng)
+    }.sorted.toSeq
+    require(stateTotals == recounted,
+      s"cannot migrate $statePath: the positional bids' state counts " +
+        s"[${stateTotals.mkString(",")}] do not match the presumed files' recomputed " +
+        s"totals [${recounted.mkString(",")}] — the state was likely drained at " +
+        "maxFilesPerTrigger > 1 (one bid spanning several files), which cannot be " +
+        "migrated file-wise; rebuild the state instead")
     val mapping = positional.map { case (n, old) =>
       val batch = spark.read.schema(schema).parquet(files(n.toInt).getPath.toString)
       old -> s"persist:stream:${StreamIds.docBid(batch)}"

@@ -99,6 +99,13 @@ object TurnStream {
                  dsirTargetSource: String = "src0",
                  bpeVocabPath: Option[String] = None,
                  encodedPath: Option[String] = None): Unit = {
+    // mirror dailyIncrementalDelta's pair-check BEFORE any state
+    // mutation: the backfill branch reaches for the vocab artifact
+    // directly, and an unpaired encodedPath would otherwise surface as
+    // a bare NoSuchElementException AFTER a DSIR append already landed
+    require(bpeVocabPath.isDefined == encodedPath.isDefined,
+      "bpeVocabPath and encodedPath come as a pair (the encoded state is " +
+        "meaningless without the artifact that defines its ids)")
     val docSchema = spark.read.parquet(docFeedDir).schema
     val embSchema = spark.read.parquet(embFeedDir).schema
     def emptyDocs = spark.createDataFrame(
@@ -169,10 +176,17 @@ object TurnStream {
         val needDsir = dsirStatePath.isDefined &&
           !preDrainDsirSummary._3.exists(_.startsWith(s"persist:stream:$bid:"))
         if (needDsir) {
-          val (nb, ng, bids) = preDrainDsirSummary
+          val (nb, ng, _) = preDrainDsirSummary
+          // knownBids deliberately NOT passed: the snapshot is pre-drain,
+          // so a bid appended DURING this drain (a duplicate-content
+          // file whose first copy's turn just ran, or an earlier
+          // backfill) is missing from it — handing it to the append as
+          // the replay authority would skip the fresh-state read and
+          // double-sum. The per-append guard's own small read is the
+          // intended cost of the probe's staleness.
           graft.operators.TextAnalysis.persistDsirState(batch,
             dsirTargetSource, dsirStatePath.get, nb, ng,
-            batchId = s"stream:$bid:added", knownBids = Some(bids))
+            batchId = s"stream:$bid:added")
         }
         val needEnc = encodedPath.exists { ep =>
           !batch.select("doc_id").join(

@@ -364,6 +364,108 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
   }
 
+  test("duplicate-content file mid-drain: the backfill's DSIR append reads fresh state, never double-sums") {
+    // the round-16 ADVICE hazard: the per-tier gap probe answers from
+    // a ONCE-per-drain pre-drain bid snapshot. A file whose content
+    // digest already carries a pairs marker lands in the backfill
+    // branch, and when the matching DSIR bid was appended DURING this
+    // drain (a duplicate-content file whose first copy's turn just
+    // ran), the bid is missing from the snapshot — the probe firing
+    // spuriously is the accepted cost, but the append itself must then
+    // read FRESH state: handing it the stale snapshot as the replay
+    // authority would double-sum the sum-shaped state permanently.
+    val st = Files.createTempDirectory("graft_turndup").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    val mu = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0)
+    val alpha = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(embs.filter(col("vec_id") < 16),
+      nlist = 16, path = st + "/ivf")
+    TextAnalysis.persistDsirState(day1Docs, "src0", st + "/dsir")
+    embs.limit(0).write.parquet(st + "/embfeed")
+    // drain 1: file M only, DSIR tier on → M pairs-marked AND stamped
+    mu.repartition(1).write.parquet(st + "/docfeed")
+    def drain(ckpt: String): Unit =
+      streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + s"/$ckpt",
+        dsirStatePath = Some(st + "/dsir"))
+    drain("ckpt1")
+    // two files with IDENTICAL content (one digest) arrive after M
+    val tmp = Files.createTempDirectory("graft_turndup_alpha").toString + "/alpha"
+    alpha.repartition(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def firstPart(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")).head
+    val src = firstPart(tmp).getPath
+    val t0 = firstPart(st + "/docfeed").getModificationTime
+    for ((name, off) <- Seq(("part-dupa.parquet", 10000L), ("part-dupb.parquet", 20000L))) {
+      val dst = new org.apache.hadoop.fs.Path(st + "/docfeed/" + name)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, t0 + off, -1)
+    }
+    // drain 2 (fresh checkpoint): M's marked batch forces the pre-drain
+    // snapshot BEFORE the first α copy's turn appends its bid; the
+    // second α copy is pairs-marked by the first, so its gap probe
+    // fires on the stale snapshot — only the append's own fresh-state
+    // guard stands between it and a double-sum
+    drain("ckpt2")
+    def sums(p: String) = spark.read.parquet(p + "/buckets")
+      .groupBy(col("b")).agg(sum(col("tc")).as("tc"), sum(col("sc")).as("sc"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    val ref = Files.createTempDirectory("graft_turndup_ref").toString + "/dsir"
+    TextAnalysis.persistDsirState(day1Docs.unionAll(mu).unionAll(alpha), "src0", ref)
+    assert(sums(st + "/dsir") === sums(ref),
+      "the duplicate-content file's backfill append must skip via fresh state — " +
+        "counting α twice is the ADVICE double-sum hazard")
+  }
+
+  test("dailyTurns rejects an unpaired encodedPath before touching any state") {
+    val st = Files.createTempDirectory("graft_turnpair").toString
+    docs.limit(5).write.parquet(st + "/docfeed")
+    embs.limit(0).write.parquet(st + "/embfeed")
+    val e = intercept[IllegalArgumentException] {
+      streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt",
+        encodedPath = Some(st + "/enc"))
+    }
+    assert(e.getMessage.contains("pair"))
+    assert(!new java.io.File(st + "/pairs").exists,
+      "the shape error must fire before any state mutation")
+  }
+
+  test("migratePositionalBids refuses a state drained at maxFilesPerTrigger > 1") {
+    // grouped batches stamp the same contiguous numbers 0..maxBatch the
+    // one-file form would, so the numbering-consistency check passes
+    // VACUOUSLY — the cell-additive count check is what must catch the
+    // unverifiable precondition instead of silently stamping per-file
+    // digests that leave the grouped tail to double-sum on re-drain.
+    val bucket = Sampling.hashBucket(col("doc_id").cast("string"))
+    val st = Files.createTempDirectory("graft_ds_migrate_grouped").toString
+    TextAnalysis.persistDsirState(docs.filter(bucket < 80), "src0", st + "/dsir")
+    docs.filter(bucket >= 80).repartition(4).write.parquet(st + "/feed")
+    val fd = new org.apache.hadoop.fs.Path(st + "/feed")
+    val fs = fd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fd).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.toString))
+    // distinct mtimes: the refusal must come from the count check, not
+    // the boundary-tie check
+    val t0 = files.head.getModificationTime
+    files.zipWithIndex.foreach { case (f, i) => fs.setTimes(f.getPath, t0 + i * 1000L, -1) }
+    // the old drain ran at maxFilesPerTrigger = 2: two files per batch
+    files.grouped(2).zipWithIndex.foreach { case (group, i) =>
+      TextAnalysis.persistDsirState(
+        group.map(f => spark.read.parquet(f.getPath.toString)).reduce(_ unionAll _),
+        "src0", st + "/dsir", batchId = s"stream:$i")
+    }
+    val e = intercept[IllegalArgumentException] {
+      streaming.DsirStream.migratePositionalBids(spark, st + "/feed", st + "/dsir")
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger"))
+  }
+
   test("IVF stream drain rebuilds the full-build assignments; replay appends nothing") {
     val bucket = Sampling.hashBucket(col("vec_id").cast("string"))
     val full = Files.createTempDirectory("graft_vs_full").toString + "/idx"
