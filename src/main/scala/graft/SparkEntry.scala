@@ -404,12 +404,14 @@ object SparkEntry {
     }),
 
     // ---- Duplicate-pair graph → connected components: cluster id =
-    // min reachable doc through any chain of near-dup pairs ----
+    // min reachable doc through any chain of near-dup pairs. The
+    // default dispatch (O(log d) large/small-star since r17) ----
     "q64_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
-    // pointer-jumping variant oracle-checked against the SAME
-    // connected-components semantics (component-min labels)
+    // the star variant pinned EXPLICITLY (independent of the dispatch
+    // default), oracle-checked against the SAME connected-components
+    // semantics (component-min labels)
     "q124_dup_clusters_star" -> ((s, dir) =>
       Dedup.duplicateClustersStar(
         Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),

@@ -705,23 +705,24 @@ object Dedup {
     * Two interchangeable distributed implementations (results
     * identical, asserted in DedupSpec):
     *
-    *  - min-label PROPAGATION (default): each round is one equi-join
-    *    (edge.dst → current label) plus one map-side-combinable
-    *    min-groupBy. Rounds needed = cluster DIAMETER — fine for
-    *    near-dup clusters (near-cliques: every member shares most
-    *    shingles with every other, so most pairs are direct edges),
-    *    but a crawl with chain-shaped dup families (boilerplate that
-    *    drifts a little per mirror) pays ~chain-length rounds of
-    *    full-edge joins at 100 TB.
-    *  - large-star/small-star POINTER JUMPING (`-Dgraft.cc=star`, or
-    *    call the variant directly): the Kiveris et al. "Connected
-    *    Components in MapReduce and Beyond" alternation, which
-    *    re-points whole neighborhoods at their minimum each round and
-    *    converges in O(log d) rounds — the 100 TB answer for
-    *    adversarial chains (measured in ScaleProbe: a 4096-node chain
-    *    converges to one component in 13 star rounds ≈ log₂ 4096,
-    *    where propagation at its 25-round cap still has 4071 of the
-    *    4096 labels unconverged).
+    *  - large-star/small-star POINTER JUMPING (DEFAULT): the Kiveris
+    *    et al. "Connected Components in MapReduce and Beyond"
+    *    alternation, which re-points whole neighborhoods at their
+    *    minimum each round and converges in O(log d) rounds — the
+    *    100 TB answer for adversarial chain-shaped dup families
+    *    (boilerplate that drifts a little per mirror). Measured in
+    *    ScaleProbe: a 4096-node chain converges to one component in
+    *    13 star rounds ≈ log₂ 4096, where propagation at its 25-round
+    *    cap still has 4071 of the 4096 labels unconverged.
+    *  - min-label PROPAGATION (`-Dgraft.cc=propagate`, or call the
+    *    variant directly): each round is one equi-join (edge.dst →
+    *    current label) plus one map-side-combinable min-groupBy.
+    *    Rounds needed = cluster DIAMETER — competitive only when
+    *    clusters are near-cliques (every member shares most shingles
+    *    with every other, so most pairs are direct edges) and the
+    *    diameter is known-small; on an unknown 100 TB near-dup graph
+    *    the diameter bound is exactly the risk, which is why star is
+    *    the shipped default.
     *
     * Both loops stop as soon as a round changes nothing (a limit-1
     * anti-join probe per round — a cheap scalar action on
@@ -732,8 +733,8 @@ object Dedup {
     * Output: (doc_id, cluster_id) ordered by doc_id.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
-    if (sys.props.get("graft.cc").contains("star")) duplicateClustersStar(pairs, maxIter)
-    else duplicateClustersPropagate(pairs, maxIter)
+    if (sys.props.get("graft.cc").contains("propagate")) duplicateClustersPropagate(pairs, maxIter)
+    else duplicateClustersStar(pairs, maxIter)
 
   /** Min-label propagation variant of [[duplicateClusters]]. */
   def duplicateClustersPropagate(pairs: DataFrame, maxIter: Int = 25): DataFrame =

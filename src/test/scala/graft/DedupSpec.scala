@@ -197,10 +197,19 @@ class DedupSpec extends AnyFunSuite {
     assert(propRounds == 50, "propagation hits the cap on a chain longer than maxIter")
   }
 
-  test("-Dgraft.cc=star flag routes duplicateClusters to the star variant") {
+  test("duplicateClusters defaults to star; -Dgraft.cc=propagate opts into propagation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
-    sys.props("graft.cc") = "star"
+    // default (no flag): the O(log d) star variant — a chain longer
+    // than the default maxIter must still fully converge, which only
+    // star does (propagation at maxIter=25 leaves a 40-hop chain
+    // unconverged; the equality suite above pins label-equality where
+    // both converge)
+    val chain = spark.range(100L, 141L).select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    assert(Dedup.duplicateClusters(chain).as[(Long, Long)].collect()
+      .forall(_._2 == 100L), "the default dispatch must converge a 41-hop chain (star)")
+    assert(Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSeq == expected)
+    sys.props("graft.cc") = "propagate"
     try {
       val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSeq
       assert(got == expected)
