@@ -30,8 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    name — `option("fetcher", ...)` — so the I/O boundary is swap-
   *    able: [[FixturePageFetcher]] replays recorded payloads offline
   *    (this sandbox is zero-egress), [[HttpPageFetcher]] is the live
-  *    OAuth client-credentials implementation (UNTESTABLE offline,
-  *    compile-checked only — the documented S1 boundary).
+  *    OAuth client-credentials implementation — driven end-to-end
+  *    through a real 127.0.0.1 HTTP server in LoopbackHttpSpec
+  *    (`api_base`/`accounts_base` options), so the real socket
+  *    exchange is tested without egress.
   *  - The scan emits RAW payload strings, one row per page:
   *    `(endpoint, request, page, payload)`. Parsing stays in the
   *    declared-schema `from_json` path ([[graft.sources.SpotifySchemas
@@ -104,13 +106,15 @@ private[spotify] case class SpotifyHttpResponse(
 
 /** Live HTTP fetcher: OAuth token management (reference
   * spotify_etl.py:46-60 client-credentials; new.py:51-81 the spotipy
-  * `.spotify_cache` user-token refresh) then paged GETs. The network
-  * exchange itself is UNTESTABLE in this zero-egress sandbox, but all
-  * protocol behavior around it (retry, refresh, caching) is scripted
-  * through [[exchange]] in HttpFetcherProtocolSpec. Swap-in point for
-  * a real deployment: `option("fetcher", classOf[HttpPageFetcher]
-  * .getName)` plus client_id/client_secret options (or env, per
-  * Config's S6 override -> env -> default rule).
+  * `.spotify_cache` user-token refresh) then paged GETs. Protocol
+  * behavior (retry, refresh, caching) is scripted through
+  * [[exchange]] in HttpFetcherProtocolSpec; the REAL network exchange
+  * — this client, real sockets — is driven end-to-end against a
+  * loopback `com.sun.net.httpserver` in LoopbackHttpSpec via the
+  * `api_base`/`accounts_base` options (zero egress needed). Swap-in
+  * point for a real deployment: `option("fetcher",
+  * classOf[HttpPageFetcher].getName)` plus client_id/client_secret
+  * options (or env, per Config's S6 override -> env -> default rule).
   *
   * Auth model per endpoint: search and top-tracks run on an app
   * (client-credentials) token; `/v1/me/player/recently-played` is a
@@ -234,6 +238,18 @@ class HttpPageFetcher extends PageFetcher {
   private def post(url: String, body: String, headers: Map[String, String]): String =
     send("POST", url, Some(body), headers, s"POST $url")
 
+  /** Base URLs for the data and token hosts, overridable per read
+    * (`option("api_base", ...)` / `option("accounts_base", ...)`) —
+    * the deployment knob for an egress proxy, and what lets the
+    * LoopbackHttpSpec drive this exact class (real sockets, real
+    * java.net.http client) against a 127.0.0.1 server instead of
+    * leaving the network exchange untested.
+    */
+  private def apiBase(options: Map[String, String]): String =
+    options.getOrElse("api_base", "https://api.spotify.com").stripSuffix("/")
+  private def accountsBase(options: Map[String, String]): String =
+    options.getOrElse("accounts_base", "https://accounts.spotify.com").stripSuffix("/")
+
   private def basicAuth(options: Map[String, String]): String = {
     val id = options.getOrElse("client_id", sys.env.getOrElse("SPOTIFY_CLIENT_ID", ""))
     val secret = options.getOrElse("client_secret", sys.env.getOrElse("SPOTIFY_CLIENT_SECRET", ""))
@@ -251,7 +267,7 @@ class HttpPageFetcher extends PageFetcher {
     * out of the same response).
     */
   private def tokenGrantRaw(options: Map[String, String], form: String): String =
-    post("https://accounts.spotify.com/api/token", form,
+    post(s"${accountsBase(options)}/api/token", form,
       Map("Authorization" -> s"Basic ${basicAuth(options)}",
         "Content-Type" -> "application/x-www-form-urlencoded"))
 
@@ -372,13 +388,13 @@ class HttpPageFetcher extends PageFetcher {
     // (url, current token, refresh-on-401 if the credential allows it)
     val (url, token, onUnauthorized) = endpoint match {
       case "search" =>
-        (s"https://api.spotify.com/v1/search?q=${java.net.URLEncoder.encode(request, "UTF-8")}&type=artist&limit=1",
+        (s"${apiBase(options)}/v1/search?q=${java.net.URLEncoder.encode(request, "UTF-8")}&type=artist&limit=1",
           appToken(options), Some(() => appToken(options, force = true)))
       case "top-tracks" =>
-        (s"https://api.spotify.com/v1/artists/$request/top-tracks?market=$market",
+        (s"${apiBase(options)}/v1/artists/$request/top-tracks?market=$market",
           appToken(options), Some(() => appToken(options, force = true)))
       case "recently-played" =>
-        val url = s"https://api.spotify.com/v1/me/player/recently-played?limit=50&after=$request"
+        val url = s"${apiBase(options)}/v1/me/player/recently-played?limit=50&after=$request"
         // credential resolution, spotipy-ordered: explicit refresh
         // token -> prior run's token-cache file (.spotify_cache model)
         // -> one-time authorization code (first run; writes the cache)
