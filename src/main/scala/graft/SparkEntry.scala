@@ -2171,6 +2171,29 @@ object SparkEntry {
       streaming.TurnStream.emittedPairs(s, st + "/pairs")
     }),
 
+    // ---- q184's drain with the pairs sink COMPACTED afterwards: the
+    // per-batch directories fold into one base table, the replay-skip
+    // digests move into the manifest, and the emissions must be
+    // byte-identical — q151's grow-only oracle a third time, now
+    // proving compaction is invisible to readers ----
+    "q189_compact_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+      val d1e = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+      val st = Scratch.dir("graft_stream_daily_q189")
+      Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+      Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+      docs.filter(col("doc_id") % 5 === 0).repartition(4)
+        .write.parquet(st + "/docfeed")
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+        .write.parquet(st + "/embfeed")
+      streaming.TurnStream.dailyTurns(s, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+      streaming.TurnStream.compactPairs(s, st + "/pairs")
+      streaming.TurnStream.emittedPairs(s, st + "/pairs")
+    }),
+
     // ---- The stream-fed daily turn with the DSIR tier RIDING it:
     // each doc micro-batch turn stamps its content digest as the run
     // identity, so the sum-shaped state is exactly-once under any
@@ -2652,6 +2675,9 @@ object SparkEntry {
       // and so is the stream of micro-batch delta turns: N turns over
       // the arrival queue emit exactly the one batch turn's pairs
       ("q184_stream_daily_turn" -> base("q151_daily_incremental")) +
+      // folding the per-batch pair directories into the compacted base
+      // must not change a single emitted pair
+      ("q189_compact_pairs" -> base("q151_daily_incremental")) +
       // the DSIR tier riding the stream-fed turn still scores like the
       // inline weights (content-digest runIds make replays skip)
       ("q188_stream_daily_dsir" -> base("q152_dsir_weights"))

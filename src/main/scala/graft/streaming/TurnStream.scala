@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * delivery). The emitted-pairs SINK needs its own guard: each turn
   * writes its pairs to a per-batch directory named by the batch's
   * content digest ([[StreamIds]] — checkpoint-independent), and a
-  * directory already carrying Spark's _SUCCESS marker is skipped, so
+  * directory already carrying Spark's _SUCCESS marker — or a digest
+  * [[compactPairs]] has folded into the manifest — is skipped, so
   * a replay neither duplicates pairs nor — the subtler hazard —
   * REWRITES an early batch's pairs against state that later batches
   * have since grown (the pair computation is run-stable only against
@@ -39,8 +40,11 @@ import org.apache.spark.sql.functions._
   * state reads (merge-on-read signature view, live IVF keys) exactly
   * as the batch turn does; nothing here adds a corpus-sized term the
   * batch path doesn't have. The pairs sink is a flat union of
-  * per-batch directories — readable as one parquet table via
-  * recursive lookup, no compaction needed at daily cadence.
+  * per-batch directories; at drain cadences that accumulate thousands
+  * of them, [[compactPairs]] folds the batch directories into one
+  * versioned base table WITHOUT losing the replay-skip markers (the
+  * folded digests move into a manifest the skip consults), so listing
+  * cost stays flat across arbitrarily many drains.
   */
 object TurnStream {
 
@@ -113,9 +117,17 @@ object TurnStream {
     def emptyEmb = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
 
+    // replay-skip marker, two lanes: a live batch directory's _SUCCESS,
+    // or (after compactPairs folded the directory away) the digest in
+    // the manifest. The manifest is read once per drain — compaction
+    // never runs mid-drain (single writer per pairs sink, as everywhere
+    // in this tier) and digests only ever move INTO it, so the
+    // snapshot cannot un-mark a batch.
+    lazy val compactedBids: Set[String] = latestPairsManifest(spark, pairsOut).bids
     def pairsDone(dir: org.apache.hadoop.fs.Path): Boolean = {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) ||
+        compactedBids.contains(dir.getName.stripPrefix("batch_"))
     }
 
     // the vocab artifact is frozen by contract: collect it once per
@@ -215,12 +227,145 @@ object TurnStream {
     }
   }
 
-  /** The accumulated pair emissions of a [[dailyTurns]] drain, in the
-    * oracle's (doc_a, doc_b) order. Schema is declared (the sink's
-    * contract) so all-empty batch directories can't break inference.
+  /** The pairs sink's declared schema — the contract every batch
+    * directory and the compacted base share, so all-empty directories
+    * can't break inference.
     */
-  def emittedPairs(spark: SparkSession, pairsOut: String): DataFrame =
-    spark.read.schema("doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE")
-      .option("recursiveFileLookup", "true").parquet(pairsOut)
-      .orderBy(col("doc_a"), col("doc_b"))
+  private val PairsSchema = "doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE"
+
+  /** The pairs sink's compaction state: `version` of the newest
+    * manifest (0 = never compacted), the compacted `base` table's
+    * path if any, and the batch digests whose directories were folded
+    * into it — the digests [[dailyTurns]]' replay skip consults when
+    * the per-directory _SUCCESS marker is gone.
+    */
+  private[streaming] case class PairsManifest(
+      version: Long, base: Option[String], bids: Set[String])
+
+  /** Newest manifest under `pairsOut/_pairs_manifest` (readers pick
+    * the max version, so base-table swap and digest handoff are one
+    * atomic step: the single manifest-file rename). Never-compacted
+    * sinks return the empty manifest and everything behaves as before
+    * compaction existed.
+    */
+  private[streaming] def latestPairsManifest(spark: SparkSession,
+                                             pairsOut: String): PairsManifest = {
+    val dir = new org.apache.hadoop.fs.Path(s"$pairsOut/_pairs_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return PairsManifest(0L, None, Set.empty)
+    val versions = fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.matches("v\\d+\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (versions.isEmpty) return PairsManifest(0L, None, Set.empty)
+    val v = versions.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"v$v.manifest"))
+    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+    finally in.close()
+    PairsManifest(v, Some(s"$pairsOut/${lines.head}"),
+      lines.tail.filter(_.nonEmpty).toSet)
+  }
+
+  /** Fold the accumulated per-batch pair directories into ONE
+    * compacted base table without losing the replay-skip markers —
+    * the small-file/listing fix for feeds whose drain cadence
+    * accumulates thousands of `batch_*` directories (the same problem
+    * [[graft.sources.Sinks.compact]] solves for the state tiers, with
+    * one extra constraint: each directory's _SUCCESS doubles as its
+    * batch's exactly-once marker, so deleting it must move the
+    * batch's digest into a manifest the skip still consults).
+    *
+    * Protocol (single writer per pairs sink, crash-safe at every
+    * step): write the new base `_pairs_base/v<N+1>` = old base ∪ the
+    * foldable directories (those carrying _SUCCESS — a torn write's
+    * directory has no marker and is left for its turn's retry); then
+    * atomically rename `_pairs_manifest/v<N+1>.manifest` into place
+    * (first line the base's relative path, one folded digest per
+    * line); then garbage-collect the folded directories, the old
+    * base, and older manifests. Readers pick the newest manifest, so
+    * every crash window shows a consistent view: before the rename
+    * they see the old base + all live directories; after it they see
+    * the new base and IGNORE still-undeleted folded directories
+    * (their digests are in the manifest) — never both copies of a
+    * pair, never a lost marker. A re-run after any crash converges:
+    * leftover bases are overwritten, leftover directories re-GC'd.
+    *
+    * Idempotent: with nothing new to fold it only re-runs the GC.
+    */
+  def compactPairs(spark: SparkSession, pairsOut: String,
+                   targetFileMb: Int = 256): Unit = {
+    val root = new org.apache.hadoop.fs.Path(pairsOut)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"pairs sink $pairsOut does not exist")
+    val m = latestPairsManifest(spark, pairsOut)
+    def batchDirs() = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+    val fold = batchDirs()
+      .filter(s => !m.bids.contains(s.getPath.getName.stripPrefix("batch_")))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+    if (fold.nonEmpty) {
+      val next = m.version + 1
+      val newBaseRel = s"_pairs_base/v$next"
+      val newBase = new org.apache.hadoop.fs.Path(s"$pairsOut/$newBaseRel")
+      fs.delete(newBase, true) // a prior crash's leftover
+      val srcs = m.base.toSeq ++ fold.map(_.getPath.toString)
+      val bytes = srcs.map(p =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength).sum
+      val n = math.max(1,
+        math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
+      spark.read.schema(PairsSchema).parquet(srcs: _*)
+        .repartition(n).write.parquet(newBase.toString)
+      val bids = m.bids ++ fold.map(_.getPath.getName.stripPrefix("batch_"))
+      val mdir = new org.apache.hadoop.fs.Path(s"$pairsOut/_pairs_manifest")
+      fs.mkdirs(mdir)
+      val tmp = new org.apache.hadoop.fs.Path(mdir, s"v$next.manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        (newBaseRel +: bids.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, s"v$next.manifest")),
+        s"manifest rename failed for $pairsOut v$next")
+    }
+    // GC against the NOW-current manifest (idempotent: a crashed prior
+    // compaction's debris is re-collected here)
+    val cur = latestPairsManifest(spark, pairsOut)
+    for (d <- batchDirs()
+         if cur.bids.contains(d.getPath.getName.stripPrefix("batch_")))
+      fs.delete(d.getPath, true)
+    val baseRoot = new org.apache.hadoop.fs.Path(s"$pairsOut/_pairs_base")
+    if (fs.exists(baseRoot))
+      for (b <- fs.listStatus(baseRoot)
+           if !cur.base.contains(s"$pairsOut/_pairs_base/${b.getPath.getName}"))
+        fs.delete(b.getPath, true)
+    val mdir = new org.apache.hadoop.fs.Path(s"$pairsOut/_pairs_manifest")
+    if (fs.exists(mdir))
+      for (f <- fs.listStatus(mdir); name = f.getPath.getName
+           if name != s"v${cur.version}.manifest")
+        fs.delete(f.getPath, true)
+  }
+
+  /** The accumulated pair emissions of a [[dailyTurns]] drain, in the
+    * oracle's (doc_a, doc_b) order: the compacted base (if
+    * [[compactPairs]] ever ran) plus every live batch directory whose
+    * digest the manifest hasn't folded. Schema is declared (the
+    * sink's contract) so all-empty batch directories can't break
+    * inference.
+    */
+  def emittedPairs(spark: SparkSession, pairsOut: String): DataFrame = {
+    val m = latestPairsManifest(spark, pairsOut)
+    val root = new org.apache.hadoop.fs.Path(pairsOut)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .filter(s => !m.bids.contains(s.getPath.getName.stripPrefix("batch_")))
+        .map(_.getPath.toString)
+    val paths = m.base.toSeq ++ live
+    val df =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(PairsSchema))
+      else spark.read.schema(PairsSchema).parquet(paths: _*)
+    df.orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -364,6 +364,57 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
   }
 
+  test("compactPairs: batch dirs fold into one base; replay-skip markers survive; emissions unchanged") {
+    val st = Files.createTempDirectory("graft_pairscompact").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    val d1e = embs.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(d1e, nlist = 16, path = st + "/ivf")
+    docs.filter(col("doc_id") % 5 === 0).repartition(4).write.parquet(st + "/docfeed")
+    embs.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0).repartition(2)
+      .write.parquet(st + "/embfeed")
+    def drain(ckpt: String): Unit =
+      streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+        st + "/mh", st + "/ivf", st + "/pairs", st + s"/$ckpt")
+    def pairs() = streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def entries = fs.listStatus(new org.apache.hadoop.fs.Path(st + "/pairs"))
+      .toSeq.map(_.getPath.getName).sorted
+    drain("ckpt")
+    val before = pairs()
+    assert(entries.count(_.startsWith("batch_")) === 6, "4 doc + 2 emb batch dirs pre-compaction")
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(entries === Seq("_pairs_base", "_pairs_manifest"),
+      s"every batch dir must fold into the base (got $entries)")
+    assert(pairs() === before, "compaction must not change the emissions")
+    // replay through a FRESH checkpoint: the manifest IS the marker now
+    // — no turn re-runs, no batch dirs reappear, state untouched
+    val sigCount = spark.read.parquet(st + "/mh/sigs").count()
+    drain("ckpt2")
+    assert(spark.read.parquet(st + "/mh/sigs").count() === sigCount,
+      "replayed batches must skip via the manifest digests")
+    assert(!entries.exists(_.startsWith("batch_")),
+      "a replayed batch must not rewrite its folded pairs directory")
+    assert(pairs() === before)
+    // NEW content after compaction lands as a fresh batch dir (one per
+    // new file); the next compaction folds it into base v2 — listing
+    // cost stays flat no matter how many drains accumulate
+    docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 0)
+      .repartition(1).write.mode("append").parquet(st + "/docfeed")
+    drain("ckpt3")
+    assert(entries.count(_.startsWith("batch_")) === 1,
+      "only the genuinely new file may produce a live batch dir")
+    val withNew = pairs()
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(entries === Seq("_pairs_base", "_pairs_manifest"))
+    assert(pairs() === withNew, "the second fold must preserve old base + new batch")
+    // idempotent: a compaction with nothing to fold only re-runs GC
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(pairs() === withNew)
+  }
+
   test("duplicate-content file mid-drain: the backfill's DSIR append reads fresh state, never double-sums") {
     // the round-16 ADVICE hazard: the per-tier gap probe answers from
     // a ONCE-per-drain pre-drain bid snapshot. A file whose content
