@@ -64,4 +64,42 @@ class CoverageClaimSpec extends AnyFunSuite {
         s"${newest.getName} holds $green/$total — " +
         "run `python3 tools/coverage_report.py`")
   }
+
+  test("COVERAGE.md bench claim matches the newest BENCH_r*.json artifact") {
+    // the r16 verdict's drift class: commits/docs quoting a LOCAL
+    // sweep while the landed driver artifact says otherwise. The bench
+    // headline is machine-written from the newest BENCH_r*.json;
+    // forgetting to regenerate it is a test failure.
+    val artRe = "BENCH_r(\\d+)\\.json".r
+    val arts = root.listFiles().toSeq
+      .flatMap(f => f.getName match {
+        case artRe(n) => Some((n.toInt, f))
+        case _        => None
+      })
+    assert(arts.nonEmpty, "no BENCH_r*.json artifact in repo root")
+    val (round, newest) = arts.maxBy(_._1)
+    val body = new String(Files.readAllBytes(newest.toPath), "UTF-8")
+    // `total` is the bench line's FINAL key, so it survives the
+    // driver's tail truncation; take the last occurrence (the escaped
+    // JSON inside "tail"/"parsed" both end with it)
+    val totalRe = "\\\\?\"total\\\\?\":([0-9.]+)".r
+    val totals = totalRe.findAllMatchIn(body).map(_.group(1).toDouble).toSeq
+    assert(totals.nonEmpty, s"no total parseable from ${newest.getName}")
+    val total = totals.last
+
+    val cov = new String(
+      Files.readAllBytes(Paths.get(root.getPath, "COVERAGE.md")), "UTF-8")
+    val claimRe =
+      ("""Bench headline — driver artifact \(round (\d+)\): total\s*\n""" +
+        """\*\*([0-9.]+) s\*\*""").r
+    val m = claimRe.findFirstMatchIn(cov).getOrElse(
+      fail("COVERAGE.md bench claim paragraph not found — run tools/coverage_report.py"))
+    assert(m.group(1).toInt == round,
+      s"COVERAGE.md bench claim cites round ${m.group(1)} but the newest " +
+        s"artifact is round $round (${newest.getName}) — " +
+        "run `python3 tools/coverage_report.py`")
+    assert(math.abs(m.group(2).toDouble - total) < 0.05 + 1e-9,
+      s"COVERAGE.md bench claim says ${m.group(2)} s but ${newest.getName} " +
+        s"holds $total s — run `python3 tools/coverage_report.py`")
+  }
 }

@@ -1,22 +1,26 @@
 #!/usr/bin/env python3
-"""Dev-only: regenerate the correctness claim from the newest driver
-artifact (CORRECTNESS_r*.json) so doc claims can never drift from what
-the driver actually measured.
+"""Dev-only: regenerate the correctness AND bench claims from the
+newest driver artifacts (CORRECTNESS_r*.json / BENCH_r*.json) so doc
+claims can never drift from what the driver actually measured —
+in-repo headlines must cite the LANDED artifact, not a local sweep.
 
 Usage: python3 tools/coverage_report.py
-Prints the one-line claim and rewrites the claim paragraph in
-COVERAGE.md in place (between the CLAIM markers), so the doc cannot go
-stale when a new driver artifact lands. Exits 1 if any row is red so
-CI-ish use works.
+Prints the one-line claims and rewrites the claim paragraphs in
+COVERAGE.md in place (between the fixed lead-ins), so the doc cannot
+go stale when a new driver artifact lands. Exits 1 if any correctness
+row is red or the bench gate rc is nonzero, so CI-ish use works.
 """
 import glob, json, os, re, sys
 
-def main():
-    arts = sorted(glob.glob("CORRECTNESS_r*.json"),
+def newest(pattern):
+    arts = sorted(glob.glob(pattern),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-    if not arts:
-        print("no CORRECTNESS_r*.json found"); return 1
-    latest = arts[-1]
+    return arts[-1] if arts else None
+
+def correctness_claim():
+    latest = newest("CORRECTNESS_r*.json")
+    if not latest:
+        print("no CORRECTNESS_r*.json found"); return None, 1
     rows = json.load(open(latest))
     red = sorted(n for n, r in rows.items()
                  if not (r.get("rows_match") and r.get("schema_match")
@@ -27,7 +31,6 @@ def main():
     if red:
         claim += " (red: " + ", ".join(red) + ")"
     print(claim)
-
     art = os.path.basename(latest)
     rnd = re.search(r"r(\d+)", art).group(1).lstrip("0")
     para = (
@@ -39,17 +42,83 @@ def main():
         f"Regenerate this claim with `python3 tools/coverage_report.py` —\n"
         f"never hand-edit it.\n"
     )
-    cov = open("COVERAGE.md").read()
-    # Replace the paragraph between the fixed lead-in and the first section.
-    new_cov, n = re.subn(
-        r"Catalog queries are hash-compared.*?never hand-edit it\.\n",
-        para, cov, count=1, flags=re.S)
+    return para, (1 if red else 0)
+
+def bench_claim():
+    """Headline from the newest landed BENCH_r*.json. The driver
+    artifact wraps the bench stdout: `parsed` carries the full JSON
+    line when it fit, `tail` the line's end otherwise — `total` is the
+    final key, so it survives any truncation. The ratio is against
+    tools/bench_baseline.json's recorded per-query baseline sum.
+    """
+    latest = newest("BENCH_r*.json")
+    if not latest:
+        print("no BENCH_r*.json found"); return None, 1
+    d = json.load(open(latest))
+    parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else {}
+    tail = d.get("tail") or ""
+    total = parsed.get("total")
+    if total is None:
+        m = re.findall(r'"total":([0-9.]+)', tail)
+        total = float(m[-1]) if m else None
+    gate_rc = parsed.get("gate_rc")
+    if gate_rc is None:
+        m = re.findall(r'"gate_rc":(\d+)', tail)
+        gate_rc = int(m[-1]) if m else d.get("rc")
+    if total is None:
+        print(f"no total parseable from {latest}"); return None, 1
+    base = json.load(open("tools/bench_baseline.json"))
+    bsum = float(base["total"])
+    ratio = total / bsum
+    art = os.path.basename(latest)
+    rnd = re.search(r"r(\d+)", art).group(1).lstrip("0")
+    claim = (f"bench {total:.1f} s = {ratio:.2f}x baseline sum "
+             f"({bsum:.1f} s), gate rc {gate_rc}, {art}")
+    print(claim)
+    para = (
+        f"Bench headline — driver artifact (round {rnd}): total\n"
+        f"**{total:.1f} s** at sf0.1 = **{ratio:.2f}×** the recorded\n"
+        f"per-query baseline sum ({bsum:.1f} s; `{art}` vs\n"
+        f"`tools/bench_baseline.json`), gate rc {gate_rc}.\n"
+        f"Regenerate this bench claim with `python3 tools/coverage_report.py` —\n"
+        f"never hand-edit it either.\n"
+    )
+    return para, (1 if gate_rc else 0)
+
+def rewrite(cov, lead_re, para, insert_after=None):
+    new_cov, n = re.subn(lead_re, para, cov, count=1, flags=re.S)
     if n:
-        open("COVERAGE.md", "w").write(new_cov)
-        print("COVERAGE.md claim rewritten")
-    else:
-        print("WARNING: COVERAGE.md claim block not found; not rewritten")
-    return 1 if red else 0
+        return new_cov, True
+    if insert_after:
+        i = cov.find(insert_after)
+        if i >= 0:
+            j = i + len(insert_after)
+            return cov[:j] + "\n" + para + cov[j:], True
+    return cov, False
+
+def main():
+    cpara, crc = correctness_claim()
+    bpara, brc = bench_claim()
+    cov = open("COVERAGE.md").read()
+    changed = False
+    if cpara:
+        cov, ok = rewrite(
+            cov, r"Catalog queries are hash-compared.*?never hand-edit it\.\n",
+            cpara)
+        changed |= ok
+        if not ok:
+            print("WARNING: COVERAGE.md correctness claim block not found")
+    if bpara:
+        cov, ok = rewrite(
+            cov, r"Bench headline — driver artifact.*?never hand-edit it either\.\n",
+            bpara, insert_after="never hand-edit it.\n")
+        changed |= ok
+        if not ok:
+            print("WARNING: COVERAGE.md bench claim block not found/insertable")
+    if changed:
+        open("COVERAGE.md", "w").write(cov)
+        print("COVERAGE.md claims rewritten")
+    return crc or brc
 
 if __name__ == "__main__":
     sys.exit(main())
