@@ -300,24 +300,46 @@ object Pipelines {
     // compaction is newDocs MINUS the added batch: the batch enters
     // through the incremental append below, and compacting it in first
     // would double-persist its signatures.
+    // current rows of the CHANGED documents — like the added batch, a
+    // delta-sized corpus join with up to three healEdits consumers
+    // (signature heal, DSIR changed-persist, encoded heal): pin it
+    // once when a second consumer exists
+    lazy val changedDocKeys = docChanges.filter(col("status") === "changed").select("doc_id")
+    lazy val changedCur = {
+      val c = newDocs.join(changedDocKeys, Seq("doc_id"))
+      if (dsirStatePath.isDefined || bpeVocabPath.isDefined)
+        graft.operators.Dedup.materialize(c)
+      else c
+    }
     if (healEdits) {
-      val changedKeys = docChanges.filter(col("status") === "changed").select("doc_id")
       if (healVia == "tombstone")
         // O(|edits|): content-addressed tombstones + fresh re-signs,
         // no state rewrite in the turn — the daily cadence mode; the
         // rewrite is deferred to scheduled compactSignatures
         graft.operators.Dedup.tombstoneSignatures(
-          newDocs.join(changedKeys, Seq("doc_id")), n, numHashes, bands,
+          changedCur, n, numHashes, bands,
           sigStatePath,
           docChanges.filter(col("status") === "removed").select("doc_id"))
       else {
         val histDocs = compactionDocs.getOrElse(newDocs)
           .join(addedDocKeys, Seq("doc_id"), "left_anti")
         graft.operators.Dedup.compactSignatures(histDocs, n, numHashes, bands,
-          sigStatePath, changedKeys)
+          sigStatePath, changedDocKeys)
       }
     }
-    val addedDocs = newDocs.join(addedDocKeys, Seq("doc_id"))
+    // the added batch is DELTA-sized but derives from a corpus-wide
+    // join; with the DSIR and/or encoded tiers riding the turn it has
+    // up to three consumers (DSIR persist, encoded append, the pair
+    // frame) — materialize ONCE so each consumer reads the pinned
+    // delta rows instead of re-running the corpus join (the job-wave
+    // constant is what dominates the micro-batched turn queries).
+    // Without an eager tier consumer the join stays lazy, preserving
+    // the pair frame's lazy-by-design contract below.
+    val addedDocsRaw = newDocs.join(addedDocKeys, Seq("doc_id"))
+    val addedDocs =
+      if (dsirStatePath.isDefined || bpeVocabPath.isDefined)
+        graft.operators.Dedup.materialize(addedDocsRaw)
+      else addedDocsRaw
     // ---- the turn's RUN IDENTITY, shared by the DSIR stamp and the
     // manifest audit row. Explicit runId wins. Derived form: lane 1 is
     // an order-independent content digest of the materialized diff
@@ -366,13 +388,15 @@ object Pipelines {
           oldDocs.join(editKeys, Seq("doc_id")), dsirTargetSource, dp, nb, ng,
           batchId = if (rid.isEmpty) "" else s"$rid:edits", knownBids = kb)
         graft.operators.TextAnalysis.persistDsirState(
-          newDocs.join(docChanges.filter(col("status") === "changed")
-            .select("doc_id"), Seq("doc_id")), dsirTargetSource, dp, nb, ng,
+          changedCur, dsirTargetSource, dp, nb, ng,
           batchId = if (rid.isEmpty) "" else s"$rid:changed", knownBids = kb)
       }
-      graft.operators.TextAnalysis.persistDsirState(
-        addedDocs, dsirTargetSource, dp, nb, ng,
-        batchId = if (rid.isEmpty) "" else s"$rid:added", knownBids = kb)
+      // a provably-empty added batch appends zero rows either way (no
+      // cells, so no bid stamp lands) — skip the job entirely
+      if (!graft.operators.Dedup.staticallyEmpty(addedDocs))
+        graft.operators.TextAnalysis.persistDsirState(
+          addedDocs, dsirTargetSource, dp, nb, ng,
+          batchId = if (rid.isEmpty) "" else s"$rid:added", knownBids = kb)
     }
     // ENCODED-CORPUS tier: the frozen tokenizer's (doc_id, ids) rows
     // ride the same turn — added docs append their encodings
@@ -384,8 +408,6 @@ object Pipelines {
     // any state mutation.
     for (vp <- bpeVocabPath; ep <- encodedPath) {
       if (healEdits) {
-        val changedCur = newDocs.join(
-          docChanges.filter(col("status") === "changed").select("doc_id"), Seq("doc_id"))
         val removed = docChanges.filter(col("status") === "removed").select("doc_id")
         if (healVia == "tombstone")
           graft.operators.TextAnalysis.tombstoneEncodedDocs(changedCur, spark, vp, ep, removed)
@@ -397,10 +419,12 @@ object Pipelines {
       }
       // repeated-turn callers (the streaming drain) pass the collected
       // artifact once; a daily batch turn loads it here — same cost,
-      // one call per turn either way
-      graft.operators.TextAnalysis.appendEncodedDocsWith(addedDocs, spark,
-        bpeArtifact.getOrElse(
-          graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp)), ep)
+      // one call per turn either way. Skip the append job when the
+      // added batch is provably empty (zero rows land either way).
+      if (!graft.operators.Dedup.staticallyEmpty(addedDocs))
+        graft.operators.TextAnalysis.appendEncodedDocsWith(addedDocs, spark,
+          bpeArtifact.getOrElse(
+            graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp)), ep)
     }
     // LAZY on purpose: many turns never consume the pair frame, and
     // the expensive candidate join must not run eagerly for them. The
@@ -440,7 +464,12 @@ object Pipelines {
       embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
       .join(graft.operators.Similarity.loadIvfIndex(spark, ivfPath)._2
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
-    graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
+    // doc-only turns (the stream drain's shape) carry a provably-empty
+    // embedding delta: appending it writes zero assignment rows but
+    // still costs a job and leaves an empty file in the index dir per
+    // turn — skip both
+    if (!graft.operators.Dedup.staticallyEmpty(addedEmb))
+      graft.operators.Similarity.appendToIvfIndex(addedEmb, spark, ivfPath)
     // optional PQ tier: same change-routing as IVF — added vectors
     // encode against the persisted codebooks (key-filtered, so a
     // retried turn appends nothing), edits heal by the selected mode;
@@ -462,7 +491,8 @@ object Pipelines {
         embChanges.filter(col("status") === "added").select("vec_id"), Seq("vec_id"))
         .join(graft.operators.Similarity.loadPqIndex(spark, pp)._2
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
-      graft.operators.Similarity.appendToPqIndex(addedPq, spark, pp)
+      if (!graft.operators.Dedup.staticallyEmpty(addedPq))
+        graft.operators.Similarity.appendToPqIndex(addedPq, spark, pp)
     }
     // ---- post-turn cadence-gated maintenance: the tombstone mode's
     // read-side tax (measured ~2x a clean drain at 1% edits) is only

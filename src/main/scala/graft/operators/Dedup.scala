@@ -60,8 +60,24 @@ object Dedup {
     */
   private val persistedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** True iff the optimizer can prove the frame empty (a LocalRelation
+    * with no rows — e.g. a turn fed a statically-empty delta side).
+    * Driver-only plan inspection, no job. Used to skip materialization
+    * and state-append jobs whose input is provably zero rows: the
+    * append of an empty frame writes no data rows either way, so the
+    * skip is semantics-preserving — it only removes the empty-file
+    * write and its job-launch constant (the dominant cost of the
+    * micro-batched turn queries, VERDICT r16 item 4).
+    */
+  private[graft] def staticallyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+      case _ => false
+    }
+
   private[graft] def materialize(df: DataFrame): DataFrame =
-    if (sys.props.get("graft.materialize").contains("persist")) {
+    if (staticallyEmpty(df)) df // nothing to pin; skip the checkpoint job
+    else if (sys.props.get("graft.materialize").contains("persist")) {
       val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       p.count() // force eager materialization, matching localCheckpoint
       persistedFrames.synchronized { persistedFrames += p }

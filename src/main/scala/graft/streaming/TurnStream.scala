@@ -112,10 +112,18 @@ object TurnStream {
         "meaningless without the artifact that defines its ids)")
     val docSchema = spark.read.parquet(docFeedDir).schema
     val embSchema = spark.read.parquet(embFeedDir).schema
+    // LocalRelation empties, NOT emptyRDD-backed frames: the optimizer
+    // can PROVE a LocalRelation empty (PropagateEmptyRelation), which
+    // collapses the turn's snapshot-diff full-outer join against the
+    // absent delta side into a projection of the present side and lets
+    // the turn skip the absent tiers' zero-row append jobs outright —
+    // the micro-batch job-wave constant is the dominant cost here. An
+    // emptyRDD frame is runtime-empty but statically opaque, so every
+    // one of those jobs would still launch.
     def emptyDocs = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), docSchema)
     def emptyEmb = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), embSchema)
 
     // replay-skip marker, two lanes: a live batch directory's _SUCCESS,
     // or (after compactPairs folded the directory away) the digest in

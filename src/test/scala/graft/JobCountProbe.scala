@@ -1,0 +1,32 @@
+package graft
+
+/** Dev probe (test scope, not shipped): count Spark jobs launched by
+  * one catalog query — the measurement behind the loop-query job-wave
+  * work (VERDICT r16 item 4: their sf0.1 wall time is dominated by
+  * per-micro-batch job-launch constants, so the fix target is the JOB
+  * COUNT, not bytes).
+  *
+  * Usage: sbt "Test/runMain graft.JobCountProbe q184_stream_daily_turn [sfDir]"
+  */
+object JobCountProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobCountProbe <queryName>... [sfDir last]")
+    val (names, sf) =
+      if (args.last.startsWith("/")) (args.init.toSeq, args.last)
+      else (args.toSeq, "/root/testdata/sf0.001")
+    val spark = SparkTestSession.spark
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    })
+    for (name <- names) {
+      counter.set(0)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[jobcount] $name jobs=${counter.get} sec=$sec%.2f")
+    }
+  }
+}
