@@ -701,11 +701,33 @@ object TextAnalysis {
     * order; weighted_count is the pair's count in ITS round's shared
     * count.
     */
-  def bpeTrainMergesBatched(docs: DataFrame, rounds: Int, batch: Int): DataFrame = {
+  /** `greedyPool > 0` switches the per-round selection to the GREEDY
+    * CASCADE (round-17 wave-count variant, opt-in): collect the
+    * round's top `batch * greedyPool` pairs by (count desc, a, b) to
+    * the driver and select greedily in rank order, skipping any pair
+    * sharing a token (left / right / merged string) with an
+    * already-selected one, up to `batch`. The default best-in-3-groups
+    * rule drops a pair beaten in ANY group even when the beating pair
+    * was itself dropped — the cascade re-admits those, packing more
+    * merges per wave toward the disjointness capacity (early rounds
+    * are alphabet-bound either way: each merge consumes ≥2 live
+    * symbols). SOUNDNESS IS UNCHANGED: selected pairs are pairwise
+    * token-disjoint (the one-pass fold needs nothing else), and each
+    * selected pair's count is EXACT at application time — a merge
+    * cannot create or destroy adjacencies of a pair disjoint from its
+    * {a, b, ab}, so deeper-cascade counts are invariant under the
+    * earlier merges in the same wave. The driver collect is bounded by
+    * `batch * greedyPool` rows, never corpus or vocab size. Divergence
+    * vs the default rule is measured, not assumed
+    * (tools/scaleprobe_r17_bpe.jsonl; ScaleProbe `bpe_approx`).
+    */
+  def bpeTrainMergesBatched(docs: DataFrame, rounds: Int, batch: Int,
+                            greedyPool: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     require(batch >= 1, s"batch must be >= 1 (got $batch)")
+    require(greedyPool >= 0, s"greedyPool must be >= 0 (got $greedyPool)")
     val base = docs
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
@@ -726,28 +748,49 @@ object TextAnalysis {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
-        // rank key without a global sort: struct orders lexicographically,
-        // so min(key) per token group IS "best (cnt desc, a, b) rank"
-        val keyed = pairs.withColumn("key",
-          struct((-col("cnt")).as("nc"), col("a"), col("b")))
-        val symMin = keyed
-          .select(explode(array(col("a"), col("b"),
-            concat(col("a"), col("b")))).as("sym"), col("key"))
-          .groupBy(col("sym")).agg(min(col("key")).as("mk"))
-        val selected = keyed
-          .join(symMin.as("ma"), col("a") === col("ma.sym"))
-          .join(symMin.as("mb"), col("b") === col("mb.sym"))
-          .join(symMin.as("mm"), concat(col("a"), col("b")) === col("mm.sym"))
-          .filter(col("key") === col("ma.mk") && col("key") === col("mb.mk") &&
-            col("key") === col("mm.mk"))
-          .select(col("a"), col("b"), col("cnt"))
-          // driver collect bounded by `batch` rows (≤ batch symbol
-          // pairs + a count each), NEVER by corpus or vocab size —
-          // the standard data-parallel BPE layout: rules live on the
-          // driver, word states stay distributed
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(batch)
-          .collect().map(row =>
-            (row.getString(0), row.getString(1), row.getLong(2)))
+        val selected: Array[(String, String, Long)] = if (greedyPool > 0) {
+          // greedy cascade (opt-in, scaladoc above): rank order is the
+          // same (cnt desc, a, b); disjointness enforced driver-side
+          val top = pairs
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(batch * greedyPool)
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          var j = 0
+          while (j < top.length && sel.length < batch) {
+            val (a, b, c) = top(j)
+            val m = a + b
+            if (!used(a) && !used(b) && !used(m)) {
+              sel += ((a, b, c)); used += a; used += b; used += m
+            }
+            j += 1
+          }
+          sel.toArray
+        } else {
+          // rank key without a global sort: struct orders lexicographically,
+          // so min(key) per token group IS "best (cnt desc, a, b) rank"
+          val keyed = pairs.withColumn("key",
+            struct((-col("cnt")).as("nc"), col("a"), col("b")))
+          val symMin = keyed
+            .select(explode(array(col("a"), col("b"),
+              concat(col("a"), col("b")))).as("sym"), col("key"))
+            .groupBy(col("sym")).agg(min(col("key")).as("mk"))
+          keyed
+            .join(symMin.as("ma"), col("a") === col("ma.sym"))
+            .join(symMin.as("mb"), col("b") === col("mb.sym"))
+            .join(symMin.as("mm"), concat(col("a"), col("b")) === col("mm.sym"))
+            .filter(col("key") === col("ma.mk") && col("key") === col("mb.mk") &&
+              col("key") === col("mm.mk"))
+            .select(col("a"), col("b"), col("cnt"))
+            // driver collect bounded by `batch` rows (≤ batch symbol
+            // pairs + a count each), NEVER by corpus or vocab size —
+            // the standard data-parallel BPE layout: rules live on the
+            // driver, word states stay distributed
+            .orderBy(col("cnt").desc, col("a"), col("b")).limit(batch)
+            .collect().map(row =>
+              (row.getString(0), row.getString(1), row.getLong(2)))
+        }
         if (selected.isEmpty) exhausted = true
         else {
           val off = learned.length
@@ -793,10 +836,10 @@ object TextAnalysis {
     * (including one pass) produces the same symbol sequences.
     */
   def persistBpeVocabBatched(docs: DataFrame, rounds: Int, batch: Int,
-                             path: String): Unit = {
+                             path: String, greedyPool: Int = 0): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val learned = bpeTrainMergesBatched(docs, rounds, batch)
+    val learned = bpeTrainMergesBatched(docs, rounds, batch, greedyPool)
       .as[(Long, String, String, String, Long)].collect().toSeq
     // the id layout comes from the ONE shared assembler
     // (vocabFromTraining — base alphabet sorted, merge i → C+i-1,

@@ -255,6 +255,63 @@ class SketchVocabPqSpec extends AnyFunSuite {
       (3L, "y", "z", "yz", 3L)))
   }
 
+  test("greedy cascade: batch=1 is classic; re-admits pairs whose beaters were dropped; artifact consistent") {
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
+    // batch=1: the cascade's first pick is the rank-1 pair — classic,
+    // exactly like the default rule
+    val classic = TextAnalysis.bpeTrainMerges(docs, merges = 6)
+      .collect().map(_.toSeq).toSeq
+    val g1 = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 6, batch = 1,
+      greedyPool = 8).collect().map(_.toSeq).toSeq
+    assert(g1 === classic)
+    // the cascade's whole point: (x,y)=5 beats (y,z)=4 in group y, and
+    // (y,z) beats (z,w)=3 in group z — the default rule drops BOTH
+    // losers (only (x,y) commits in round 1), while the cascade
+    // re-admits (z,w) because its beater (y,z) was itself dropped.
+    // Both stay token-disjoint; (z,w)'s count is exact (invariant
+    // under the disjoint (x,y) merge).
+    val tiny = Seq((1L, ("xy " * 5 + "yz " * 4 + "zw " * 3).trim))
+      .toDF("doc_id", "text")
+    val viaDefault = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1, batch = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(viaDefault === Seq((1L, "x", "y", "xy", 5L)),
+      "the default rule commits only the all-groups winner in round 1")
+    val viaGreedy = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1, batch = 3,
+      greedyPool = 8).as[(Long, String, String, String, Long)].collect().toSeq
+    assert(viaGreedy === Seq(
+      (1L, "x", "y", "xy", 5L),
+      (2L, "z", "w", "zw", 3L)),
+      "the cascade must pack the re-admitted disjoint pair into round 1")
+    // at matched (rounds, batch) the cascade never packs FEWER merges
+    val nDefault = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 3, batch = 8).count()
+    val nGreedy = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 3, batch = 8,
+      greedyPool = 8).count()
+    assert(nGreedy >= nDefault,
+      s"greedy packed $nGreedy merges vs the default's $nDefault at matched rounds")
+    // the greedy artifact goes through the same assembler and encodes
+    // through the unchanged downstream (character conservation proves
+    // the fold/apply agreement, same shape as the classic pin)
+    val gv = Scratch.dir("graft_bv_greedy") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 3, batch = 8, gv, greedyPool = 8)
+    val merges = spark.read.parquet(gv + "/merges").orderBy(col("iter"))
+      .collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.bpeTrainMergesBatched(docs, rounds = 3, batch = 8,
+      greedyPool = 8).collect().map(_.toSeq).toSeq
+    assert(merges === direct)
+    // the trainer tokenizes by whitespace-splitting lower(trim(text)),
+    // so conserved characters = everything but the whitespace
+    val nChars = docs.select(sum(length(regexp_replace(
+      lower(trim(col("text"))), "\\s+", "")))).head().getLong(0)
+    val vocab = spark.read.parquet(gv + "/vocab")
+      .as[(String, Int)].collect().toMap
+    val idToTok = vocab.map(_.swap)
+    val encChars = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, gv)
+      .select(col("doc_id"), col("ids")).as[(Long, Seq[Int])].collect()
+      .map(_._2.map(id => idToTok.getOrElse(id, "").length.toLong).sum).sum
+    assert(encChars === nChars,
+      "greedy-vocab encoding must conserve every character of the tokenized text")
+  }
+
   test("persistBpeVocabBatched: batch=1 artifact encodes like classic; artifact matches trainer") {
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val c = Scratch.dir("graft_bv_classic") + "/bpe"
