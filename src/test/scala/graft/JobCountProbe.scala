@@ -16,17 +16,35 @@ object JobCountProbe {
       else (args.toSeq, "/root/testdata/sf0.001")
     val spark = SparkTestSession.spark
     val counter = new java.util.concurrent.atomic.AtomicInteger
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+        counter.incrementAndGet()
+        // one entry per SQL execution id = one driver-side action; the
+        // job-to-execution ratio is AQE stage fan-out
+        val site = Option(j.properties).flatMap(p =>
+          Option(p.getProperty("spark.sql.execution.id")).map("exec " + _)
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
+        sites.merge(site, 1, (a, b) => a + b)
+        ()
       }
     })
+    val showSites = sys.env.get("JOBCOUNT_SITES").exists(_.nonEmpty)
     for (name <- names) {
       counter.set(0)
+      sites.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[jobcount] $name jobs=${counter.get} sec=$sec%.2f")
+      if (showSites) {
+        import scala.jdk.CollectionConverters._
+        val tallies = sites.asScala.toSeq
+        val execs = tallies.count(_._1.startsWith("exec "))
+        println(s"[jobcount]   $execs sql executions (driver actions); " +
+          s"top job fan-outs: " + tallies.sortBy(-_._2).take(5)
+            .map { case (s, n) => s"$s=$n" }.mkString(", "))
+      }
     }
   }
 }
