@@ -307,9 +307,16 @@ object Pipelines {
     lazy val changedDocKeys = docChanges.filter(col("status") === "changed").select("doc_id")
     lazy val changedCur = {
       val c = newDocs.join(changedDocKeys, Seq("doc_id"))
-      if (dsirStatePath.isDefined || bpeVocabPath.isDefined)
-        graft.operators.Dedup.materialize(c)
-      else c
+      // every consumer lives under healEdits: the signature heal
+      // (tombstone mode only — compact heals from changedDocKeys), the
+      // DSIR changed-persist, the encoded heal. Pin only when a SECOND
+      // consumer exists; a single reader re-running the delta join
+      // once is cheaper than the checkpoint job it would replace.
+      val consumers =
+        (if (healEdits && healVia == "tombstone") 1 else 0) +
+          (if (healEdits && dsirStatePath.isDefined) 1 else 0) +
+          (if (healEdits && bpeVocabPath.isDefined) 1 else 0)
+      if (consumers >= 2) graft.operators.Dedup.materialize(c) else c
     }
     if (healEdits) {
       if (healVia == "tombstone")

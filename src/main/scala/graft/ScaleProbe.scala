@@ -706,20 +706,15 @@ object ScaleProbe {
       import spark.implicits._
       for ((rounds, batch) <- Seq((12, 512))) {
         val st = Scratch.dir("graft_bpe_approx")
-        def train(pool: Int): (Seq[String], Double) = {
-          val t0 = System.nanoTime()
-          val learned = TextAnalysis.bpeTrainMergesBatched(docs, rounds, batch, pool)
-            .select($"merged").as[String].collect().toSeq
-          (learned, (System.nanoTime() - t0) / 1e9)
-        }
-        def trainAt(pool: Int, r: Int): (Seq[String], Double) = {
+        def trainAt(pool: Int, r: Int): (Seq[(String, Long)], Double) = {
           val t0 = System.nanoTime()
           val learned = TextAnalysis.bpeTrainMergesBatched(docs, r, batch, pool)
-            .select($"merged").as[String].collect().toSeq
+            .select($"merged", $"iter").as[(String, Long)].collect().toSeq
           (learned, (System.nanoTime() - t0) / 1e9)
         }
-        val (mE, sE) = trainAt(0, rounds)
-        val (mG, sG) = trainAt(8, rounds)
+        val (mEI, sE) = trainAt(0, rounds)
+        val (mGI, sG) = trainAt(8, rounds)
+        val (mE, mG) = (mEI.map(_._1), mGI.map(_._1))
         val k = math.min(mE.length, mG.length)
         val overlap =
           if (k == 0) 0.0
@@ -733,12 +728,19 @@ object ScaleProbe {
         // compress as well? (Overshoot within the final wave is
         // reported, not hidden.)
         val target = mE.length
-        val rMatch = (1 to rounds).find(r => trainAt(8, r)._1.length >= target)
+        // the trainer is incremental and deterministic: training for r
+        // waves yields exactly the first r waves of the rounds-wave
+        // run, so the matched wave count reads off the ONE greedy
+        // training already done (its rows carry iter) — no per-
+        // candidate retraining
+        val rMatch = (1 to rounds).find(r => mGI.count(_._2 <= r) >= target)
         rMatch match {
           case Some(rG2) =>
-            val (mG2, sG2) = trainAt(8, rG2)
-            TextAnalysis.persistBpeVocabBatched(docs, rounds, batch, s"$st/vx")
+            val mG2 = mGI.filter(_._2 <= rG2).map(_._1)
+            val t0 = System.nanoTime()
             TextAnalysis.persistBpeVocabBatched(docs, rG2, batch, s"$st/vg", greedyPool = 8)
+            val sG2 = (System.nanoTime() - t0) / 1e9
+            TextAnalysis.persistBpeVocabBatched(docs, rounds, batch, s"$st/vx")
             def toks(p: String): Long = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, p)
               .agg(sum(size($"ids"))).head().getLong(0)
             val (tE, tG) = (toks(s"$st/vx"), toks(s"$st/vg"))

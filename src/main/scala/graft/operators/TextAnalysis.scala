@@ -1105,9 +1105,27 @@ object TextAnalysis {
 
   /** Merge-on-read view: stored rows minus outstanding tombstones
     * (broadcast anti-join on (doc_id, fp) — |tombstones| scalar rows,
-    * zero cost when the table is clean). */
+    * zero cost when the table is clean). A missing ids dir IS the
+    * empty table: appends are skipped for provably-empty batches, so
+    * a feed whose files were all zero-row never creates the dir, yet
+    * re-drain probes still need to read the (empty) live view. */
   def loadEncodedCorpus(spark: org.apache.spark.sql.SparkSession,
                         encPath: String): DataFrame = {
+    val idsP = new org.apache.hadoop.fs.Path(s"$encPath/ids")
+    val idsFs = idsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!idsFs.exists(idsP))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ids",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType))))
     val raw = spark.read.parquet(s"$encPath/ids")
     val t = new org.apache.hadoop.fs.Path(s"$encPath/tombstones")
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1166,6 +1184,12 @@ object TextAnalysis {
     * current corpus. */
   def compactEncodedCorpus(spark: org.apache.spark.sql.SparkSession,
                            encPath: String, staleKeys: DataFrame): Unit = {
+    // a table that was never created (born-empty tier: every append so
+    // far was skipped as provably empty) has nothing to rewrite — and
+    // swapRewrite's rename would fail on the absent dir
+    val idsP = new org.apache.hadoop.fs.Path(s"$encPath/ids")
+    if (!idsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idsP))
+      return
     graft.sources.Sinks.swapRewrite(spark, s"$encPath/ids") { tmp =>
       loadEncodedCorpus(spark, encPath)
         .join(staleKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")

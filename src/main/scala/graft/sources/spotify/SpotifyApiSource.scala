@@ -518,9 +518,10 @@ private[spotify] object HttpPageFetcher {
     */
   def authorizeUrl(clientId: String,
                    redirectUri: String = "http://localhost:8080/callback",
-                   scope: String = "user-read-recently-played"): String = {
+                   scope: String = "user-read-recently-played",
+                   accountsBase: String = "https://accounts.spotify.com"): String = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    s"https://accounts.spotify.com/authorize?client_id=${enc(clientId)}" +
+    s"${accountsBase.stripSuffix("/")}/authorize?client_id=${enc(clientId)}" +
       s"&response_type=code&redirect_uri=${enc(redirectUri)}&scope=${enc(scope)}"
   }
 

@@ -794,6 +794,30 @@ class StateCompactionSpec extends AnyFunSuite {
       "compact mode leaves no tombstones")
   }
 
+  test("the encoded tier can be BORN by a compact-mode heal turn (no day-0 build)") {
+    // round-17 hazard pair: a never-created table must read as empty
+    // (loadEncodedCorpus) and compact as a no-op (compactEncodedCorpus
+    // would otherwise hand swapRewrite an absent dir to rename)
+    val st = Files.createTempDirectory("graft_enc_born_compact").toString
+    val TA = graft.operators.TextAnalysis
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    TA.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    graft.operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    Pipelines.dailyIncremental(spark, day1Docs, docs, embs, embs,
+      st + "/mh", st + "/ivf", healEdits = true, healVia = "compact",
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+      .values.foreach(_.write.format("noop").mode("overwrite").save())
+    val fresh = Files.createTempDirectory("graft_enc_born_fresh").toString
+    TA.persistEncodedCorpus(docs.filter(col("doc_id") % 5 === 0), spark,
+      st + "/bpe", fresh + "/enc")
+    def rows(p: String) = TA.loadEncodedCorpus(spark, p)
+      .select(col("doc_id"), col("fp"), col("ids").cast("string"), col("n_tokens"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(rows(st + "/enc") === rows(fresh + "/enc"),
+      "the turn must create the table holding exactly the added batch's encodings")
+  }
+
   test("a recurring identical diff appends; only an immediate retry skips (runId-less DSIR)") {
     // the adversarial shape for a pure content-hash stamp: doc edited
     // A->B (day 1), reverted B->A (day 2), edited A->B AGAIN (day 3).

@@ -364,6 +364,48 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
   }
 
+  test("encoded tier born EMPTY mid-feed: the backfill probe reads the missing table as empty and creates it") {
+    // like the mid-feed-enable test above, but the encoded tier has NO
+    // day-0 build: the table is born by the backfill's first append.
+    // Before round 17's fix the needEnc probe crashed on the missing
+    // ids dir (loadEncodedCorpus read it unconditionally); a missing
+    // dir IS the empty table.
+    val st = Files.createTempDirectory("graft_turnborn").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    val fed = docs.filter(col("doc_id") % 5 === 0)
+    fed.repartition(2).write.parquet(st + "/docfeed")
+    embs.limit(0).write.parquet(st + "/embfeed")
+    // drain 1: no opt-in tiers — every batch gets pairs-marked
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+    // the pair is enabled between drains against a FRESH encoded path
+    TextAnalysis.persistBpeVocab(docs, merges = 3, st + "/bpe")
+    val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(st + "/enc/ids")),
+      "precondition: the encoded table must not exist yet")
+    // drain 2 (fresh checkpoint): marked batches hit the needEnc probe
+    // against the absent table — must read as empty, then backfill
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt2",
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+    def encRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("ids").cast("array<long>"))
+      .collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(encRows(TextAnalysis.loadEncodedCorpus(spark, st + "/enc")) ===
+      encRows(TextAnalysis.bpeEncodeIdsFromVocab(fed, spark, st + "/bpe")
+        .select(col("doc_id"), col("ids"))),
+      "the backfill must create the table and encode exactly the fed docs")
+    // drain 3: ingested everywhere — a no-op, and the view stays stable
+    val encCount = spark.read.parquet(st + "/enc/ids").count()
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt3",
+      bpeVocabPath = Some(st + "/bpe"), encodedPath = Some(st + "/enc"))
+    assert(spark.read.parquet(st + "/enc/ids").count() === encCount)
+  }
+
   test("compactPairs: batch dirs fold into one base; replay-skip markers survive; emissions unchanged") {
     val st = Files.createTempDirectory("graft_pairscompact").toString
     val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)

@@ -258,6 +258,11 @@ class HttpFetcherProtocolSpec extends AnyFunSuite {
     assert(u.contains("response_type=code"))
     assert(u.contains("redirect_uri=http%3A%2F%2Flocalhost%3A8080%2Fcallback"))
     assert(u.contains("scope=user-read-recently-played"))
+    // the accounts host honors the same override the token grants do
+    // (the egress-proxy knob) — no hardcoded endpoint left behind
+    val p = HttpPageFetcher.authorizeUrl("id", "http://cb",
+      accountsBase = "http://127.0.0.1:9/")
+    assert(p.startsWith("http://127.0.0.1:9/authorize?"), p)
   }
 
   test("app token is cached per JVM: a second request issues no second grant") {

@@ -47,10 +47,14 @@ class LoopbackHttpSpec extends AnyFunSuite {
   private def withServer[T](register: HttpServer => Unit)(f: String => T): T = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     register(server)
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
     try f(s"http://127.0.0.1:${server.getAddress.getPort}")
-    finally server.stop(0)
+    finally {
+      server.stop(0)
+      pool.shutdown() // stop(0) does not shut down a user-supplied executor
+    }
   }
 
   // q114's top-tracks payload shapes, one page per artist (the live

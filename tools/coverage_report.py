@@ -67,11 +67,25 @@ def bench_claim():
         gate_rc = int(m[-1]) if m else d.get("rc")
     if total is None:
         print(f"no total parseable from {latest}"); return None, 1
+    if gate_rc is None:
+        # an artifact whose gate outcome is unknown must not publish a
+        # passing claim — unknown is a failure, not a None in the text
+        print(f"no gate_rc/rc parseable from {latest}"); return None, 1
     base = json.load(open("tools/bench_baseline.json"))
-    bsum = float(base["total"])
-    ratio = total / bsum
     art = os.path.basename(latest)
     rnd = re.search(r"r(\d+)", art).group(1).lstrip("0")
+    # the artifact ran the catalog AS OF ITS ROUND: exclude baselines
+    # of queries added later (added_round map) and roll re-recorded
+    # baselines back to their value at that round (rerecords list), or
+    # the ratio silently shifts every time the baseline file moves
+    # after the artifact landed
+    late = {e["query"] for e in base.get("added_round", [])
+            if e["round"] > int(rnd)}
+    bsum = float(base["total"]) - sum(base["queries"][q] for q in late)
+    for rr in base.get("rerecords", []):
+        if rr["round"] > int(rnd) and rr["query"] not in late:
+            bsum += rr["prev"] - base["queries"][rr["query"]]
+    ratio = total / bsum
     claim = (f"bench {total:.1f} s = {ratio:.2f}x baseline sum "
              f"({bsum:.1f} s), gate rc {gate_rc}, {art}")
     print(claim)
