@@ -934,7 +934,9 @@ object ScaleProbe {
     // a staged-table op — the fixture IS the worst case, so it runs
     // at a fixed size and reports ROUNDS, the scale-determining number.
     if (only.isEmpty || only.contains("cc_chain")) {
-      val chainN = 4096L
+      // -Dgraft.probe.chainN sizes the worst case (default the r8/r12
+      // record's 4096; the round-17 star-default record runs ×100)
+      val chainN = sys.props.get("graft.probe.chainN").map(_.toLong).getOrElse(4096L)
       val chain = spark.range(1L, chainN)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       def ccProbe(name: String, f: => (DataFrame, Int), maxIter: Int): Unit = {
