@@ -768,6 +768,12 @@ object SparkEntry {
     // dedup'd vocab) ----
     "q131_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeCounts(Tables.load(s, dir, "documents"), merges = 4)),
+    // ---- Tokenizer fertility: tokens-per-char by language under the
+    // trained vocab — the standard "does this vocab over-segment the
+    // minority languages" evaluation table; one encode pass + a
+    // map-side-combinable per-lang rollup ----
+    "q190_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.load(s, dir, "documents"), merges = 4)),
 
     // ---- KMV distinct sketch (the engine-portable sketch tier next
     // to the HLL pair in ApproxDistinct): per-day k-min hashes +
@@ -4482,6 +4488,20 @@ object SparkEntry {
     "q186_bpe_batched_pipeline" -> bpeBatchedPipelineOracleSql(rounds = 4,
       batch = 3, budget = 100, docLimit = 50),
     "q131_bpe_encode" -> bpeOracleSql(merges = 4, encode = true),
+    // same train+encode prefix; docs whose text tokenizes to nothing
+    // still count toward n_docs (LEFT JOIN + COALESCE on both engines)
+    "q190_tokenizer_fertility" ->
+      s"""WITH RECURSIVE ${bpeEncodePrefixSql(4, "TRUE")},
+         |tok AS (SELECT dt.doc_id, CAST(SUM(len(wid.ids)) AS BIGINT) AS n_tokens
+         |        FROM dt JOIN wid USING (w) GROUP BY dt.doc_id)
+         |SELECT d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(t.n_tokens, 0)) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(COALESCE(t.n_tokens, 0)) AS DOUBLE)
+         |    / CAST(SUM(d.n_chars) AS DOUBLE) AS tokens_per_char
+         |FROM documents d LEFT JOIN tok t USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q169_tokenize_pack" -> bpeIdsOracleSql(merges = 4, size = 40, budget = 100,
       docLimit = 50),
     // encode-from-persisted-vocab must be indistinguishable from the

@@ -931,6 +931,36 @@ object TextAnalysis {
   def bpeEncodeIds(docs: DataFrame, merges: Int): DataFrame =
     bpeEncodeIdsWithVocab(docs, merges)._1
 
+  /** Tokenizer FERTILITY by language: tokens-per-char under the
+    * trained vocab, the standard tokenizer-evaluation metric (a vocab
+    * trained on one language mix over-segments the under-represented
+    * languages — this is the table that shows it). One encode pass
+    * (word-distinct fold, the [[bpeEncodeIds]] path) then a pure
+    * column aggregation; docs whose text tokenizes to nothing still
+    * count toward n_docs with zero tokens (left join + coalesce —
+    * the encode's doc assembly drops them). Division is two exact
+    * BIGINTs cast to double, so the IEEE result is engine-portable.
+    *
+    * Scale shape: the encode is the cost; the per-lang rollup is a
+    * map-side-combinable agg over |langs| groups. At 100 TB this is
+    * the encode pass you were already paying plus one tiny shuffle.
+    * Output: (lang, n_docs, bpe_tokens, n_chars, tokens_per_char)
+    * ordered by lang.
+    */
+  def tokenizerFertility(docs: DataFrame, merges: Int): DataFrame = {
+    val enc = bpeEncodeIds(docs, merges).select(col("doc_id"), col("n_tokens"))
+    docs.join(enc, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("n_tokens"), lit(0L)).as("nt"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        (sum(col("nt")).cast("double") / sum(col("n_chars")).cast("double"))
+          .as("tokens_per_char"))
+      .orderBy(col("lang"))
+  }
+
   /** The reference id layout off a finished training pass: base
     * alphabet (distinct pre-merge characters of the dedup'd words,
     * sorted) takes ids 0..C-1, merge round i takes C+i-1, first id

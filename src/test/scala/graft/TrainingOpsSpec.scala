@@ -26,6 +26,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     (4L, Array(0.0f, 0.95f, 0.1f), 2)
   ).toDF("vec_id", "embedding", "label")
 
+  test("tokenizerFertility: per-lang token/char sums; a zero-token doc still counts toward n_docs") {
+    val TA = graft.operators.TextAnalysis
+    val tiny = Seq(
+      (1L, "aa aa", "xx", 5L),   // 2 words of "aa"
+      (2L, "  ",    "xx", 2L),   // tokenizes to NOTHING
+      (3L, "aa b",  "yy", 4L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = TA.tokenizerFertility(tiny, merges = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // one merge folds a+a -> "aa": each "aa" word is ONE token, "b" one
+    val xx = out.find(_._1 == "xx").get
+    assert(xx._2 === 2L, "the empty doc must count toward n_docs")
+    assert(xx._3 === 2L, "two aa words = two folded tokens, empty doc adds 0")
+    assert(xx._4 === 7L)
+    assert(math.abs(xx._5 - 2.0 / 7.0) < 1e-15)
+    val yy = out.find(_._1 == "yy").get
+    assert((yy._2, yy._3, yy._4) === ((1L, 2L, 4L)))
+    // rollup consistency on real data: lang sums equal the doc sums
+    val full = TA.tokenizerFertility(docs, merges = 2)
+    val fromDocs = TA.bpeEncodeIds(docs, merges = 2)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(full.agg(sum(col("bpe_tokens"))).head().getLong(0) === fromDocs)
+  }
+
   test("knnClassify predicts the label of the geometric neighbours, not the query's own") {
     val out = Similarity.knnClassify(tinyEmbs, nQueries = 3, k = 2)
       .as[(Long, Long, Long, Long)].collect()
