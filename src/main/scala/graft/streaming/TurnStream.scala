@@ -367,6 +367,10 @@ object TurnStream {
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
         .filter(s => !m.bids.contains(s.getPath.getName.stripPrefix("batch_")))
+        // a dir without _SUCCESS is a TORN write (its turn crashed
+        // mid-write and will re-run it): unreadable-partial at worst,
+        // and the same filter the fold applies — never read it
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
     val paths = m.base.toSeq ++ live
     val df =

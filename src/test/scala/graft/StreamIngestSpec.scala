@@ -457,6 +457,68 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(pairs() === withNew)
   }
 
+  test("compactPairs crash windows: leftover base, undeleted folded dirs, and torn writes all converge") {
+    val st = Files.createTempDirectory("graft_pairscrash").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 =!= 0)
+    operators.Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, st + "/mh")
+    operators.Similarity.buildIvfIndex(embs, nlist = 16, path = st + "/ivf")
+    docs.filter(col("doc_id") % 5 === 0).repartition(3).write.parquet(st + "/docfeed")
+    embs.limit(0).write.parquet(st + "/embfeed")
+    streaming.TurnStream.dailyTurns(spark, st + "/docfeed", st + "/embfeed",
+      st + "/mh", st + "/ivf", st + "/pairs", st + "/ckpt")
+    def pairs() = streaming.TurnStream.emittedPairs(spark, st + "/pairs")
+      .collect().map(_.toSeq).toSeq
+    val before = pairs()
+    val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // WINDOW 1 — crash after the new base was written but BEFORE the
+    // manifest rename: fabricate the debris (a garbage v1 base + a
+    // stale manifest tmp). Readers must still see the pre-compaction
+    // view; the re-run must overwrite the leftover and converge.
+    val junk = new org.apache.hadoop.fs.Path(st + "/pairs/_pairs_base/v1")
+    docs.limit(3).select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+      col("doc_id").cast("double").as("est_jaccard")).write.parquet(junk.toString)
+    val mdir = new org.apache.hadoop.fs.Path(st + "/pairs/_pairs_manifest")
+    fs.mkdirs(mdir)
+    fs.create(new org.apache.hadoop.fs.Path(mdir, "v1.manifest.tmp"), true).close()
+    assert(pairs() === before,
+      "a crashed compaction's unreferenced base must be invisible to readers")
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(pairs() === before, "the re-run must overwrite the leftover base")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mdir, "v1.manifest.tmp")),
+      "GC must collect the stale manifest tmp")
+    // WINDOW 2 — crash after the manifest rename but BEFORE GC:
+    // resurrect a folded batch dir (its digest IS in the manifest).
+    // Readers must not double-count it; the re-run GCs it.
+    val bid = {
+      val mf = fs.listStatus(mdir).map(_.getPath)
+        .filter(_.getName.endsWith(".manifest")).head
+      val in = fs.open(mf)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").tail
+        .filter(_.nonEmpty).head
+      finally in.close()
+    }
+    val zombie = new org.apache.hadoop.fs.Path(s"$st/pairs/batch_$bid")
+    spark.read.schema("doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE")
+      .parquet(st + "/pairs/_pairs_base/v1")
+      .write.parquet(zombie.toString)
+    assert(pairs() === before,
+      "an undeleted folded dir must be ignored (its digest is in the manifest)")
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(!fs.exists(zombie), "the re-run must GC the folded dir")
+    assert(pairs() === before)
+    // TORN WRITE — a batch dir without _SUCCESS (its turn crashed
+    // mid-write): never folded, never read; the view is unchanged.
+    val torn = new org.apache.hadoop.fs.Path(st + "/pairs/batch_torn")
+    fs.mkdirs(torn)
+    fs.create(new org.apache.hadoop.fs.Path(torn, "part-00000.parquet"), true)
+      .close() // zero-byte "parquet": unreadable if anything touches it
+    assert(pairs() === before, "a torn write must not reach readers")
+    streaming.TurnStream.compactPairs(spark, st + "/pairs")
+    assert(fs.exists(torn), "a torn dir is left for its turn's retry, not folded")
+    assert(pairs() === before)
+  }
+
   test("duplicate-content file mid-drain: the backfill's DSIR append reads fresh state, never double-sums") {
     // the round-16 ADVICE hazard: the per-tier gap probe answers from
     // a ONCE-per-drain pre-drain bid snapshot. A file whose content
