@@ -825,10 +825,13 @@ object ScaleProbe {
       // rounds chosen to chase 8k/16k/32k learned merges; early rounds
       // commit fewer than `batch` (token-disjointness thins the
       // selectable set while the symbol alphabet is small), so
-      // `learned` is the honest count
-      for ((rounds, k) <- Seq((48, 256), (96, 256), (384, 256))) {
+      // `learned` is the honest count. pool > 0 arms run the greedy
+      // cascade (round-17): fuller waves, same exact-count soundness —
+      // the vocab-scale counterpart of the sf0.1 bpe_approx probe
+      for ((rounds, k, pool) <- Seq((48, 256, 0), (96, 256, 0), (384, 256, 0),
+        (48, 256, 8), (96, 256, 8), (192, 256, 8))) {
         val t0 = System.nanoTime()
-        val rules = TA.bpeTrainMergesBatched(wide, rounds, k)
+        val rules = TA.bpeTrainMergesBatched(wide, rounds, k, greedyPool = pool)
         val agg = rules.agg(count(lit(1)).as("n"),
           sum(length(col("sym_a")) + length(col("sym_b")) + length(col("merged"))).as("chars")).head()
         val n = agg.getLong(0)
@@ -840,7 +843,8 @@ object ScaleProbe {
         // count field — the bound that says when the artifact itself
         // stops fitting the driver
         val driverMb = (chars * 2 + n * 48) / 1e6
-        println(f"""{"op":"bpe_vocab_big","form":"batched","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.4f,"driver_table_mb":$driverMb%.2f}""")
+        val form = if (pool > 0) s"cascade$pool" else "batched"
+        println(f"""{"op":"bpe_vocab_big","form":"$form","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.4f,"driver_table_mb":$driverMb%.2f}""")
       }
     }
     // stale-key signature compaction vs re-signing the whole corpus:
