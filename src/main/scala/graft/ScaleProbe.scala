@@ -811,6 +811,31 @@ object ScaleProbe {
     // only input axis the trainer sees after its first word-count
     // pass. Run at CLI mult=1 (the shared staged tables are not
     // used); the vocab multiplier is internal.
+    // round-17 encode shape: the loaded artifact groups its merge list
+    // into token-disjoint runs and encode folds once per RUN. This
+    // prices the compression (runs vs merges) and the resulting encode
+    // wall on a vocab-scale artifact — the number that says a 32k-merge
+    // vocab is applicable at all (32k sequential folds are not).
+    if (only.contains("encode_waves")) {
+      val TA = graft.operators.TextAnalysis
+      val vocabMult = 400
+      val wide = Dedup.materialize((0 until vocabMult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"v${i}x$$1").as("text")))
+        .reduce(_ unionAll _))
+      for ((rounds, k, pool) <- Seq((48, 256, 8), (192, 256, 8))) {
+        val vp = Scratch.dir(s"graft_encwaves_$rounds") + "/bpe"
+        TA.persistBpeVocabBatched(wide, rounds, k, vp, greedyPool = pool)
+        val art = TA.loadBpeVocabArtifact(spark, vp)
+        val merges = art.mergeWaves.map(_.size).sum
+        val t0 = System.nanoTime()
+        val toks = TA.bpeEncodeIdsWith(wide, art)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"encode_waves","rounds":$rounds,"merges":$merges,"waves":${art.mergeWaves.length},"fold_compression":${merges.toDouble / art.mergeWaves.length}%.1f,"encode_sec":$sec%.1f,"tokens":$toks}""")
+      }
+    }
     if (only.contains("bpe_vocab_big")) {
       val TA = graft.operators.TextAnalysis
       val vocabMult = 400

@@ -829,11 +829,11 @@ object TextAnalysis {
     * first-id-wins), so every downstream consumer —
     * [[bpeEncodeIdsFromVocab]], the encoded-corpus state, the packers,
     * the streaming encode front — runs under the scale-variant
-    * tokenizer UNCHANGED. Sound because [[applyMergeList]]'s
-    * sequential in-iter-order application equals the batched
-    * training's per-round single-pass folds: within a round the
-    * selected pairs are token-disjoint, so any application order
-    * (including one pass) produces the same symbol sequences.
+    * tokenizer UNCHANGED. Sound because [[applyMergeWaves]] re-runs
+    * exactly the batched training's per-round single-pass folds:
+    * within a round the selected pairs are token-disjoint, so any
+    * application order (including one pass) produces the same symbol
+    * sequences.
     */
   def persistBpeVocabBatched(docs: DataFrame, rounds: Int, batch: Int,
                              path: String, greedyPool: Int = 0): Unit = {
@@ -1014,20 +1014,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Apply a TRAINED merge list, in learning order, to a (w, seq)
-    * words frame — [[bpeTrain]]'s greedy left-to-right fold minus the
-    * counting (the merges are already decided). Same per-round
-    * localCheckpoint discipline (without it the fold expression grows
-    * ~5^rounds under project-collapse). */
-  private def applyMergeList(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** Apply a TRAINED merge list to a (w, seq) words frame, one fold
+    * pass per token-disjoint WAVE — [[bpeTrain]]'s greedy
+    * left-to-right fold minus the counting (the merges are already
+    * decided). Merges within a wave are pairwise token-disjoint
+    * ([[loadBpeVocabArtifact]] groups them), so the single when-chain
+    * pass applies them all at once with a result identical to
+    * sequential application — which is why this is the 100 TB encode
+    * shape: a 32k-merge vocab applies in a few hundred disjoint runs,
+    * not 32k sequential column folds. Singleton waves degenerate to
+    * the per-merge fold unchanged. Same per-wave localCheckpoint
+    * discipline (without it the fold expression grows ~5^waves under
+    * project-collapse). */
+  private def applyMergeWaves(words: DataFrame,
+                              waves: Seq[Seq[(String, String)]]): DataFrame = {
     var seqs = words
-    merges.foreach { case (a, b) =>
+    waves.foreach { wave =>
       val folded = aggregate(
         expr("slice(seq, 2, size(seq) - 1)"),
         array(element_at(col("seq"), 1)),
-        (acc, x) => when(x === lit(b) && element_at(acc, -1) === lit(a),
-          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+        (acc, x) => wave.foldRight(
+          concat(acc, array(x)): org.apache.spark.sql.Column) {
+          case ((a, b), els) =>
+            when(x === lit(b) && element_at(acc, -1) === lit(a),
+              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+              .otherwise(els)
+        })
       seqs = seqs.select(col("w"),
         when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
         .localCheckpoint()
@@ -1088,19 +1100,37 @@ object TextAnalysis {
     * paying the three jobs per micro-batch
     * (tools/scaleprobe_r15_encode.jsonl prices the difference).
     */
-  final case class BpeVocabArtifact(mergeList: Seq[(String, String)],
+  final case class BpeVocabArtifact(mergeWaves: Seq[Seq[(String, String)]],
                                     vocabMap: Map[String, Int], unkId: Int)
 
   def loadBpeVocabArtifact(spark: org.apache.spark.sql.SparkSession,
                            path: String): BpeVocabArtifact = {
-    val mergeList = spark.read.parquet(s"$path/merges").orderBy(col("iter"))
+    // group the ordered merge list into maximal TOKEN-DISJOINT runs:
+    // merges whose {a, b, ab} symbol sets don't intersect apply in one
+    // fold pass with a result identical to sequential application (a
+    // merge cannot create or destroy adjacencies of a pair disjoint
+    // from its own symbols — the batched trainer's own soundness
+    // argument, applied at load time). This is what keeps encode at
+    // O(waves) column folds instead of O(merges): a 32k-merge vocab is
+    // a few hundred disjoint runs, not 32k sequential localCheckpoints.
+    val flat = spark.read.parquet(s"$path/merges").orderBy(col("iter"))
       .select(col("sym_a"), col("sym_b")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    val waves = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, String)]]
+    var used = Set.empty[String]
+    flat.foreach { case (a, b) =>
+      val syms = Set(a, b, a + b)
+      if (waves.nonEmpty && (used & syms).isEmpty) {
+        waves(waves.length - 1) = waves.last :+ ((a, b)); used ++= syms
+      } else {
+        waves += Vector((a, b)); used = syms
+      }
+    }
     val vocabMap = spark.read.parquet(s"$path/vocab").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val unkId = spark.read.parquet(s"$path/meta")
       .select(col("unk_id")).head().getInt(0)
-    BpeVocabArtifact(mergeList, vocabMap, unkId)
+    BpeVocabArtifact(waves.map(_.toSeq).toSeq, vocabMap, unkId)
   }
 
   /** Encode against an already-loaded artifact — the repeated-encode
@@ -1110,7 +1140,7 @@ object TextAnalysis {
       .filter(length(col("w")) > 0).distinct()
       .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("seq"))
     val idOf = typedLit(art.vocabMap)
-    val wordIds = applyMergeList(words, art.mergeList).select(col("w"),
+    val wordIds = applyMergeWaves(words, art.mergeWaves).select(col("w"),
       transform(col("seq"), t => coalesce(element_at(idOf, t), lit(art.unkId))).as("ids"))
     assembleDocIds(docs, wordIds)
   }

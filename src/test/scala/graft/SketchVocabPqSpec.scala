@@ -335,6 +335,41 @@ class SketchVocabPqSpec extends AnyFunSuite {
     assert(meta.getAs[Int]("merges") === merges.length)
   }
 
+  test("wave-grouped encode equals singleton sequential application on a multi-merge-wave vocab") {
+    // the round-17 encode-scale change: the loaded artifact groups the
+    // ordered merge list into maximal token-disjoint runs and
+    // bpeEncodeIdsWith folds once per RUN instead of once per merge.
+    // Pin the equivalence directly: the same artifact with its waves
+    // exploded to singletons must encode identically.
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 60)
+    def enc(a: TextAnalysis.BpeVocabArtifact) =
+      TextAnalysis.bpeEncodeIdsWith(docs, a).collect().map(_.toSeq).toSeq
+    def singleton(a: TextAnalysis.BpeVocabArtifact) =
+      a.copy(mergeWaves = a.mergeWaves.flatten.map(Seq(_)))
+    // a corpus BUILT for full waves: four token-disjoint pairs with
+    // distinct frequencies, so wave 1 commits all four under any rule
+    // — the arm that actually exercises the multi-rule one-pass fold
+    val wide = Seq(
+      (1L, "ab ab ab ab cd cd cd ef ef gh"),
+      (2L, "ab cd ef gh ab cd ef"),
+      (3L, "gh ef cd ab")).toDF("doc_id", "text")
+    val g = Scratch.dir("graft_bv_waves_g") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(wide, rounds = 2, batch = 4, g)
+    val gart = TextAnalysis.loadBpeVocabArtifact(spark, g)
+    assert(gart.mergeWaves.exists(_.size > 1),
+      "fixture must produce at least one multi-merge wave or this test pins nothing")
+    def encW(a: TextAnalysis.BpeVocabArtifact) =
+      TextAnalysis.bpeEncodeIdsWith(wide, a).collect().map(_.toSeq).toSeq
+    assert(encW(gart) === encW(singleton(gart)),
+      "per-wave one-pass fold must equal the per-merge sequential fold")
+    // the default rule's early waves are alphabet-bound (often
+    // singletons here) — the equivalence must hold regardless
+    val p = Scratch.dir("graft_bv_waves") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 3, batch = 4, p)
+    val art = TextAnalysis.loadBpeVocabArtifact(spark, p)
+    assert(enc(art) === enc(singleton(art)))
+  }
+
   test("packConcatCut: exactly-full sequences, total coverage, fragment contiguity") {
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val enc = TextAnalysis.bpeEncodeIds(docs, merges = 2)
