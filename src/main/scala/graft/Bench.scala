@@ -59,8 +59,14 @@ object Bench {
     *
     * 3-decimal rounding keeps the one-line JSON small enough that the
     * driver's tail capture retains the whole object; the headline
-    * total appears both first (for head-anchored parsers) and last
-    * (tail capture keeps line ends). Locale.ROOT because the f
+    * total appears both first (for head-anchored parsers, as `value`)
+    * and near the end (tail capture keeps line ends). The GATE fields
+    * sit AFTER `total`, with `gate_rc` the very last key: round 17's
+    * driver artifact kept only the line's tail, and with the gate
+    * fields head-anchored the artifact of record silently lost its
+    * red verdict (coverage_report fell back to the process rc of 0).
+    * Tail-anchoring makes `gate_rc` the key most likely to survive
+    * any truncation. Locale.ROOT because the f
     * interpolator is locale-dependent — a de_DE default JVM locale
     * would render 1,234 and break every JSON number.
     */
@@ -81,13 +87,13 @@ object Bench {
       "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val gateJson =
-      s""""gate_rc":$gateRc,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"gate_second_pass":$secondJson"""
+      s""""gate_second_pass":$secondJson,"gate_regressed":[${regressed.map("\"" + _ + "\"").mkString(",")}],"gate_rc":$gateRc"""
     val samplesJson =
       if (!withSamples) ""
       else "\"samples\":" + results.map { case (k, _, ss) =>
         "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
       }.mkString("{", ",", "}") + ","
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,$gateJson,"queries":$qs,$samplesJson"total":${fmt(total)}}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,$samplesJson"total":${fmt(total)},$gateJson}"""
   }
 
   def main(args: Array[String]): Unit = {

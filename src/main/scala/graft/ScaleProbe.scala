@@ -706,10 +706,15 @@ object ScaleProbe {
       import spark.implicits._
       for ((rounds, batch) <- Seq((12, 512))) {
         val st = Scratch.dir("graft_bpe_approx")
+        // (merged, round) — the trainer's round column, NOT the global
+        // merge ordinal `iter` (ADVICE r17: counting iter <= r equals
+        // min(r, totalMerges), so the matched-merges arm could never
+        // find the wave where the cumulative commit count crosses the
+        // target once target > rounds)
         def trainAt(pool: Int, r: Int): (Seq[(String, Long)], Double) = {
           val t0 = System.nanoTime()
-          val learned = TextAnalysis.bpeTrainMergesBatched(docs, r, batch, pool)
-            .select($"merged", $"iter").as[(String, Long)].collect().toSeq
+          val learned = TextAnalysis.bpeTrainMergesBatchedByRound(docs, r, batch, pool)
+            .select($"merged", $"round").as[(String, Long)].collect().toSeq
           (learned, (System.nanoTime() - t0) / 1e9)
         }
         val (mEI, sE) = trainAt(0, rounds)
@@ -731,21 +736,28 @@ object ScaleProbe {
         // the trainer is incremental and deterministic: training for r
         // waves yields exactly the first r waves of the rounds-wave
         // run, so the matched wave count reads off the ONE greedy
-        // training already done (its rows carry iter) — no per-
-        // candidate retraining
+        // training already done (its rows carry round) — smallest r
+        // whose CUMULATIVE commit count reaches the target
         val rMatch = (1 to rounds).find(r => mGI.count(_._2 <= r) >= target)
         rMatch match {
           case Some(rG2) =>
             val mG2 = mGI.filter(_._2 <= rG2).map(_._1)
+            // SYMMETRIC timing (ADVICE r17): both arms go through
+            // persistBpeVocabBatched — train + wave application +
+            // artifact write — so sec_exact/sec_greedy price the same
+            // work (the old arm compared greedy persist vs exact
+            // train-only)
             val t0 = System.nanoTime()
             TextAnalysis.persistBpeVocabBatched(docs, rG2, batch, s"$st/vg", greedyPool = 8)
             val sG2 = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
             TextAnalysis.persistBpeVocabBatched(docs, rounds, batch, s"$st/vx")
+            val sE2 = (System.nanoTime() - t1) / 1e9
             def toks(p: String): Long = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, p)
               .agg(sum(size($"ids"))).head().getLong(0)
             val (tE, tG) = (toks(s"$st/vx"), toks(s"$st/vg"))
             val ov2 = mE.toSet.intersect(mG2.toSet).size.toDouble / math.max(1, target)
-            println(f"""{"op":"bpe_approx","arm":"matched_merges","batch":$batch,"target":$target,"waves_exact":$rounds,"waves_greedy":$rG2,"merges_greedy":${mG2.length},"sec_exact":$sE%.2f,"sec_greedy":$sG2%.2f,"merge_set_overlap":$ov2%.3f,"tokens_exact":$tE,"tokens_greedy":$tG,"compression_ratio":${tG.toDouble / tE}%.4f}""")
+            println(f"""{"op":"bpe_approx","arm":"matched_merges","batch":$batch,"target":$target,"waves_exact":$rounds,"waves_greedy":$rG2,"merges_greedy":${mG2.length},"sec_exact":$sE2%.2f,"sec_greedy":$sG2%.2f,"merge_set_overlap":$ov2%.3f,"tokens_exact":$tE,"tokens_greedy":$tG,"compression_ratio":${tG.toDouble / tE}%.4f}""")
           case None =>
             println(s"""{"op":"bpe_approx","arm":"matched_merges","batch":$batch,"target":$target,"waves_greedy":"not reached in $rounds rounds"}""")
         }

@@ -722,7 +722,21 @@ object TextAnalysis {
     * (tools/scaleprobe_r17_bpe.jsonl; ScaleProbe `bpe_approx`).
     */
   def bpeTrainMergesBatched(docs: DataFrame, rounds: Int, batch: Int,
-                            greedyPool: Int = 0): DataFrame = {
+                            greedyPool: Int = 0): DataFrame =
+    bpeTrainMergesBatchedByRound(docs, rounds, batch, greedyPool)
+      .select(col("iter"), col("sym_a"), col("sym_b"), col("merged"),
+        col("weighted_count"))
+
+  /** [[bpeTrainMergesBatched]] plus a leading `round` column — which
+    * pair-count wave committed each merge. `iter` is a GLOBAL merge
+    * ordinal in (round, rank) order, so it can NOT recover the wave
+    * boundaries (ADVICE r17: a probe that treated iter as a round
+    * index silently compared the wrong waves). The round column is
+    * what "train for r waves yields exactly the first r waves"
+    * reads off: filter(round <= r) IS the r-wave training.
+    */
+  def bpeTrainMergesBatchedByRound(docs: DataFrame, rounds: Int, batch: Int,
+                                   greedyPool: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
@@ -736,7 +750,7 @@ object TextAnalysis {
       .persist()
     var seqs = base
     val learned = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, String, Long)]
+      .empty[(Long, Long, String, String, String, Long)]
     try {
       var r = 1
       var exhausted = false
@@ -795,7 +809,7 @@ object TextAnalysis {
         else {
           val off = learned.length
           learned ++= selected.zipWithIndex.map { case ((a, b, c), j) =>
-            ((off + j + 1).toLong, a, b, a + b, c) }
+            (r.toLong, (off + j + 1).toLong, a, b, a + b, c) }
           if (r < rounds) {
             // ONE pass applying every selected rule: token-disjointness
             // means at most one rule matches a position, so the when
@@ -819,7 +833,7 @@ object TextAnalysis {
       }
     } finally base.unpersist()
     learned.toSeq
-      .toDF("iter", "sym_a", "sym_b", "merged", "weighted_count")
+      .toDF("round", "iter", "sym_a", "sym_b", "merged", "weighted_count")
       .orderBy(col("iter"))
   }
 

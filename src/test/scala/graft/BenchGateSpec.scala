@@ -121,4 +121,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(errLine.contains("\"gate_rc\":1"), errLine)
     assert(!errLine.contains("\"samples\""), errLine)
   }
+
+  test("gate fields are tail-anchored: gate_rc is the final key, after total") {
+    // Round 17's driver artifact kept only the tail of the bench line;
+    // the gate fields were head-anchored and the artifact of record
+    // silently lost its red verdict. The gate must be the part of the
+    // line MOST likely to survive truncation-from-the-front.
+    val line = Bench.benchJson(
+      results = Seq(("q_a", 1.0, Seq(1.0))),
+      errors = Map.empty[String, String],
+      sfDir = "/tmp/sf", regressed = Seq("q_a"), secondPass = Map.empty,
+      withSamples = false)
+    assert(line.endsWith("\"gate_rc\":1}"), line)
+    assert(line.indexOf("\"total\":") < line.indexOf("\"gate_second_pass\""), line)
+    assert(line.indexOf("\"gate_regressed\"") < line.indexOf("\"gate_rc\""), line)
+  }
 }

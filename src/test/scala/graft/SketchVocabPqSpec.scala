@@ -253,6 +253,19 @@ class SketchVocabPqSpec extends AnyFunSuite {
       (1L, "x", "y", "xy", 5L),
       (2L, "p", "q", "pq", 4L),
       (3L, "y", "z", "yz", 3L)))
+    // the by-round variant exposes the wave boundary iter cannot
+    // recover (iter is a global ordinal): (x,y) and (p,q) commit in
+    // wave 1, (y,z) waits for wave 2's recount. filter(round <= 1)
+    // IS the 1-round training.
+    val byRound = TextAnalysis.bpeTrainMergesBatchedByRound(tiny, rounds = 2, batch = 3)
+      .select(col("round"), col("iter"), col("merged"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(byRound === Seq((1L, 1L, "xy"), (1L, 2L, "pq"), (2L, 3L, "yz")))
+    val oneRound = TextAnalysis.bpeTrainMergesBatchedByRound(tiny, rounds = 1, batch = 3)
+      .select(col("round"), col("iter"), col("merged"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(oneRound === byRound.filter(_._1 <= 1L),
+      "training for r waves must equal the first r waves of a longer run")
   }
 
   test("greedy cascade: batch=1 is classic; re-admits pairs whose beaters were dropped; artifact consistent") {

@@ -64,7 +64,22 @@ def bench_claim():
     gate_rc = parsed.get("gate_rc")
     if gate_rc is None:
         m = re.findall(r'"gate_rc":(\d+)', tail)
-        gate_rc = int(m[-1]) if m else d.get("rc")
+        gate_rc = int(m[-1]) if m else None
+    if gate_rc is None:
+        # Pre-r18 Bench emitted the gate fields at the HEAD of the JSON
+        # line; a tail-truncated artifact (round 17) lost them. The same
+        # Bench run also wrote the full line to tools/last_bench.json —
+        # trust its gate verdict ONLY when its total matches the
+        # artifact's (same sweep), never a stale file from another run.
+        try:
+            lb = json.load(open("tools/last_bench.json"))
+            if (total is not None and lb.get("gate_rc") is not None
+                    and abs(float(lb.get("total", -1)) - total) < 0.01):
+                gate_rc = lb["gate_rc"]
+        except Exception:
+            pass
+    if gate_rc is None:
+        gate_rc = d.get("rc")
     if total is None:
         print(f"no total parseable from {latest}"); return None, 1
     if gate_rc is None:
@@ -82,9 +97,19 @@ def bench_claim():
     late = {e["query"] for e in base.get("added_round", [])
             if e["round"] > int(rnd)}
     bsum = float(base["total"]) - sum(base["queries"][q] for q in late)
+    # Roll each re-recorded baseline back to its value AS OF the
+    # artifact's round: group rerecords per query and apply exactly one
+    # correction — to the `prev` of the EARLIEST entry after the
+    # artifact round (ADVICE r17: the old additive loop over-corrected
+    # a query re-recorded in two different rounds).
+    by_query = {}
     for rr in base.get("rerecords", []):
         if rr["round"] > int(rnd) and rr["query"] not in late:
-            bsum += rr["prev"] - base["queries"][rr["query"]]
+            cur = by_query.get(rr["query"])
+            if cur is None or rr["round"] < cur["round"]:
+                by_query[rr["query"]] = rr
+    for q, rr in by_query.items():
+        bsum += rr["prev"] - base["queries"][q]
     ratio = total / bsum
     claim = (f"bench {total:.1f} s = {ratio:.2f}x baseline sum "
              f"({bsum:.1f} s), gate rc {gate_rc}, {art}")
