@@ -75,7 +75,8 @@ object Bench {
                 sfDir: String,
                 regressed: Seq[String],
                 secondPass: Map[String, Seq[Double]],
-                withSamples: Boolean): String = {
+                withSamples: Boolean,
+                gauges: collection.Map[String, Int] = Map.empty): String = {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -92,7 +93,11 @@ object Bench {
       if (!withSamples) ""
       else "\"samples\":" + results.map { case (k, _, ss) =>
         "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
-      }.mkString("{", ",", "}") + ","
+      }.mkString("{", ",", "}") + "," +
+        (if (gauges.isEmpty) ""
+         else "\"cached_rdds\":" + gauges.map { case (k, n) =>
+           "\"" + k + "\":" + n
+         }.mkString("{", ",", "}") + ",")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,$samplesJson"total":${fmt(total)},$gateJson}"""
   }
 
@@ -133,7 +138,7 @@ object Bench {
     def timeOneChecked(name: String,
                        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
+      val res = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
@@ -145,6 +150,17 @@ object Bench {
           .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(160)
         None
       }
+      // Drop every engine-tracked checkpoint/persist block between
+      // samples, OUTSIDE the timer (the recorded baselines predate
+      // this hook). Without it the block store accumulates dead
+      // checkpoint blocks across the 190-query sweep — ContextCleaner
+      // only reclaims them after a driver GC that a quiet large heap
+      // may never run — and late-sweep queries pay the eviction churn
+      // (round 17: q23 samples rising 1.4→5.6 s, 33–42 s second-pass
+      // blowups). Safe here because the sweep is sequential and every
+      // sample rebuilds its frames from fn(spark, sfDir).
+      graft.operators.Dedup.releaseMaterialized()
+      res
     }
     // main-sweep form: keeps the fail-fast elapsed as the sample so an
     // errored query still carries a number in the artifact (it is
@@ -172,12 +188,19 @@ object Bench {
     // regressions get it), so a gate that reads only the min is biased
     // downward — bench_check can instead gate on the median of the
     // recorded samples, a symmetric statistic.
+    // block-lifetime gauge (VERDICT r17 item 2): the count of RDDs
+    // still holding blocks after each query's samples + release. Flat
+    // across the sweep = no accumulation; a rising series pinpoints
+    // the query whose blocks escape the release hook. Rides the
+    // samples artifact as `cached_rdds`.
+    val gauges = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = Seq(timeOne(name, fn), timeOne(name, fn))
       val samples = baseline.get(name) match {
         case Some(b) if first.min > 1.5 * b => first :+ timeOne(name, fn)
         case _ => first
       }
+      gauges(name) = spark.sparkContext.getPersistentRDDs.size
       (name, samples.min, samples)
     }
     // the gate verdict rides the artifact itself (VERDICT r10 item 7):
@@ -209,7 +232,7 @@ object Bench {
     // stdout line stays min-per-query (compact, driver-parseable); the
     // persisted artifact additionally carries every raw sample
     val fileLine = benchJson(merged, finalErrors, sfDir, regressed, secondPass,
-      withSamples = true)
+      withSamples = true, gauges = gauges)
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -42,6 +42,9 @@ object BenchOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // same between-sample block release as Bench (outside the
+        // timer): reps stay independent of accumulated checkpoint state
+        graft.operators.Dedup.releaseMaterialized()
         println(f"[benchone] $name rep$i: $dt%.3f s")
         dt
       }.sorted

@@ -717,7 +717,10 @@ object ScaleProbe {
             .select($"merged", $"round").as[(String, Long)].collect().toSeq
           (learned, (System.nanoTime() - t0) / 1e9)
         }
-        val (mEI, sE) = trainAt(0, rounds)
+        // -1 forces the GROUPED rule for the exact arm: under the
+        // round-18 size gate, pool 0 means auto and batch 512 would
+        // silently select via the cascade, destroying the A/B
+        val (mEI, sE) = trainAt(-1, rounds)
         val (mGI, sG) = trainAt(8, rounds)
         val (mE, mG) = (mEI.map(_._1), mGI.map(_._1))
         val k = math.min(mE.length, mG.length)
@@ -864,8 +867,10 @@ object ScaleProbe {
       // selectable set while the symbol alphabet is small), so
       // `learned` is the honest count. pool > 0 arms run the greedy
       // cascade (round-17): fuller waves, same exact-count soundness —
-      // the vocab-scale counterpart of the sf0.1 bpe_approx probe
-      for ((rounds, k, pool) <- Seq((48, 256, 0), (96, 256, 0), (384, 256, 0),
+      // the vocab-scale counterpart of the sf0.1 bpe_approx probe.
+      // pool -1 forces the grouped rule (the round-18 auto gate would
+      // otherwise cascade at batch 256 and erase the A/B).
+      for ((rounds, k, pool) <- Seq((48, 256, -1), (96, 256, -1), (384, 256, -1),
         (48, 256, 8), (96, 256, 8), (192, 256, 8))) {
         val t0 = System.nanoTime()
         val rules = TA.bpeTrainMergesBatched(wide, rounds, k, greedyPool = pool)
@@ -883,6 +888,39 @@ object ScaleProbe {
         val form = if (pool > 0) s"cascade$pool" else "batched"
         println(f"""{"op":"bpe_vocab_big","form":"$form","rounds":$rounds,"batch":$k,"learned":$n,"sec":$sec%.2f,"per_merge_sec":${sec / n}%.4f,"driver_table_mb":$driverMb%.2f}""")
       }
+    }
+    // round-18 (VERDICT r17 item 5): the 32k-merge END-TO-END run —
+    // every earlier BPE claim topped out at 9,554 merges. One pass:
+    // cascade-train (the shipped auto gate: batch 256 ≥ GreedyBatchGate)
+    // to a true 32k vocab on the ×400 word-vocabulary fixture, persist
+    // the standard artifact, then encode the corpus through
+    // loadBpeVocabArtifact's wave grouping — the measured numbers the
+    // SCALING.md "production 32k" projections previously extrapolated.
+    // The fixture's word vocabulary supports ~Σ(len-1) ≈ 100k merges,
+    // so 32k is reachable; the trainer stops early if it saturates and
+    // `learned` reports the honest count either way.
+    if (only.contains("bpe32k")) {
+      val TA = graft.operators.TextAnalysis
+      val vocabMult = 400
+      val wide = Dedup.materialize((0 until vocabMult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"v${i}x$$1").as("text")))
+        .reduce(_ unionAll _))
+      val vp = Scratch.dir("graft_bpe32k") + "/bpe"
+      val t0 = System.nanoTime()
+      // rounds sized for 32k at the observed ~50 commits/wave slope
+      // (commits/wave rise as the symbol alphabet grows, so 800 is a
+      // ceiling, not a target); batch 256 matches the r16/r17 probes
+      TA.persistBpeVocabBatched(wide, rounds = 800, batch = 256, vp)
+      val trainPersistSec = (System.nanoTime() - t0) / 1e9
+      val art = TA.loadBpeVocabArtifact(spark, vp)
+      val merges = art.mergeWaves.map(_.size).sum
+      val t1 = System.nanoTime()
+      val toks = TA.bpeEncodeIdsWith(wide, art)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+      val encodeSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"bpe32k","vocab_mult":$vocabMult,"batch":256,"merges":$merges,"waves":${art.mergeWaves.length},"fold_compression":${merges.toDouble / math.max(1, art.mergeWaves.length)}%.1f,"train_persist_sec":$trainPersistSec%.1f,"encode_sec":$encodeSec%.1f,"tokens":$toks}""")
     }
     // stale-key signature compaction vs re-signing the whole corpus:
     // compaction's cost model is |state| narrow rows (two semi/anti

@@ -1112,6 +1112,45 @@ object SparkEntry {
         .orderBy($"day")
     }),
 
+    // ---- The reference's daily-cadence overlap quirk at EP2 fidelity
+    // (VERDICT r17 item 8): each daily pull re-fetches the previous
+    // 24 hours (the reference's after-cursor is now() − 24h, so
+    // consecutive pulls OVERLAP by a day), and the watermarked
+    // cross-batch dropDuplicates heals the re-pulled rows exactly —
+    // daily counts equal the clean batch answer. Pure composition of
+    // existing operators: staged per-day pull files (one micro-batch
+    // each), EventStream.source, the q110 watermark+dedup+window agg.
+    // Capped to the first 8 event days so the drain is 8 micro-batches,
+    // not one per corpus day ----
+    "q191_overlap_repull_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      val t0 = ev.agg(min($"ts")).head().getTimestamp(0)
+      def plusDays(d: Int) = new java.sql.Timestamp(t0.getTime + d.toLong * 86400000L)
+      // pin the capped window ONCE: the 8 pull writes below filter the
+      // pinned rows instead of re-scanning the events table per pull
+      val capped = operators.Dedup.materialize(ev.filter($"ts" < lit(plusDays(8))))
+      val feed = Scratch.dir("graft_overlap_q191") + "/feed"
+      // pull d covers [day d−1, day d+1) ∩ [t0, t0+8d): every interior
+      // day's rows arrive TWICE, in consecutive pulls — the reference's
+      // overlap shape, deterministic instead of wall-clock-dependent
+      for (d <- 0 until 8)
+        capped.filter($"ts" >= lit(plusDays(d - 1)) && $"ts" < lit(plusDays(d + 1)))
+          .repartition(1).write.mode(if (d == 0) "overwrite" else "append")
+          .parquet(feed)
+      val src = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val agg = src
+        .withWatermark("ts", "7 days")
+        .dropDuplicates("event_id")
+        .groupBy(window($"ts", "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      EventStream.withStatePartitions(s, 8)(EventStream.runToCompletion(s, agg))
+        .select($"w.start".as("day"), $"n_events")
+        .orderBy($"day")
+    }),
+
     // ---- Streaming session windows (built-in session_window, the
     // third ST6 window type in the catalog next to tumbling q27 and
     // sliding q86): AvailableNow drain equals gap-based islands SQL ----
@@ -4467,6 +4506,16 @@ object SparkEntry {
     "q110_stream_dedup_daily" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // q191: the overlapping daily pulls re-deliver interior days' rows
+    // twice; healed output must equal the clean batch daily counts over
+    // the same capped window — the q110 oracle restricted to the first
+    // 8 event days
+    "q191_overlap_repull_dedup" ->
+      """WITH lo AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM events)
+        |SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n_events
+        |FROM events, lo WHERE CAST(ts AS TIMESTAMP) < t0 + INTERVAL 8 DAY
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q111_next_event_examples" ->
       """SELECT user_id, event_id,

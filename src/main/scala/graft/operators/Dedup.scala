@@ -60,6 +60,32 @@ object Dedup {
     */
   private val persistedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** Weak registry of every frame the engine `localCheckpoint()`s.
+    * Checkpoint blocks outlive their query: ContextCleaner only
+    * reclaims them after a DRIVER GC collects the frame, and a large
+    * quiet heap may not GC for the whole life of a 190-query sweep —
+    * measured as the round-17 end-of-sweep degradation (q23's samples
+    * rising monotonically 1.4→5.6 s; 33–42 s second-pass blowups on
+    * q186/q187): the memory store fills with dead checkpoint blocks
+    * and later queries pay the eviction churn. [[releaseMaterialized]]
+    * drops every tracked frame's blocks deterministically; weak
+    * references keep the registry itself from pinning frames a caller
+    * never releases (the GC/ContextCleaner path still works).
+    */
+  private val trackedCheckpoints = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[DataFrame]]
+
+  /** Register an engine-created checkpoint frame for deterministic
+    * release; returns the frame. No-op cost when release is never
+    * called (weak refs — the registry never extends block lifetime).
+    */
+  private[graft] def trackCheckpoint(df: DataFrame): DataFrame = {
+    trackedCheckpoints.synchronized {
+      trackedCheckpoints += new java.lang.ref.WeakReference(df)
+    }
+    df
+  }
+
   /** True iff the optimizer can prove the frame empty (a LocalRelation
     * with no rows — e.g. a turn fed a statically-empty delta side).
     * Driver-only plan inspection, no job. Used to skip materialization
@@ -82,7 +108,7 @@ object Dedup {
       p.count() // force eager materialization, matching localCheckpoint
       persistedFrames.synchronized { persistedFrames += p }
       p
-    } else df.localCheckpoint()
+    } else trackCheckpoint(df.localCheckpoint())
 
   /** Unpersist every DISK_ONLY frame pinned by persist-mode
     * [[materialize]] calls since the last release (no-op in the
@@ -91,9 +117,22 @@ object Dedup {
     * blocks, and the retained lineage recomputes them if a consumer
     * re-executes.
     */
-  def releaseMaterialized(): Unit = persistedFrames.synchronized {
-    persistedFrames.foreach(_.unpersist(blocking = false))
-    persistedFrames.clear()
+  def releaseMaterialized(): Unit = {
+    persistedFrames.synchronized {
+      persistedFrames.foreach(_.unpersist(blocking = false))
+      persistedFrames.clear()
+    }
+    // checkpoint-mode frames: drop the blocks of every tracked frame
+    // still reachable. ONLY safe between queries — a released frame
+    // cannot be re-executed (lineage was truncated). Sequential
+    // drivers (Bench, batch jobs between pipeline stages) call this;
+    // concurrent ones (Verify's thread pool) must not.
+    trackedCheckpoints.synchronized {
+      trackedCheckpoints.foreach { ref =>
+        Option(ref.get()).foreach(releaseCheckpoint)
+      }
+      trackedCheckpoints.clear()
+    }
   }
 
   /** Drop the executor blocks of a `localCheckpoint()`-ed frame once a
@@ -767,23 +806,23 @@ object Dedup {
     * convergence measurements.
     */
   private[graft] def propagateWithRounds(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
-    val edges = pairs
+    val edges = trackCheckpoint(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint())
+    var labels = trackCheckpoint(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint())
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
-      val next = edges
+      val next = trackCheckpoint(edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nbr")).as("nbr_min"))
         .join(labels, Seq("doc_id"))
         .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint())
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).limit(1).count() > 0
       // the change probe above was the last consumer of the old round's
@@ -815,20 +854,20 @@ object Dedup {
     // checkpointing each from `pairs` directly would run the whole
     // shingle/cap/bucket-join pipeline twice (measured ~2x the round-11
     // pair-gen share of q124)
-    val canon = pairs
+    val canon = trackCheckpoint(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
-      .localCheckpoint()
-    val nodes = canon.select(col("src").as("doc_id"))
+      .localCheckpoint())
+    val nodes = trackCheckpoint(canon.select(col("src").as("doc_id"))
       .union(canon.select(col("dst").as("doc_id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     // canonical larger→smaller edges; the invariant src > dst holds
     // for every edge both halves emit, so no re-canonicalization per round
-    var edges = canon
+    var edges = trackCheckpoint(canon
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     releaseCheckpoint(canon) // nodes+edges were its only consumers
     var edgeCount = edges.count()
     var changed = true
@@ -844,21 +883,21 @@ object Dedup {
       // small-star min groupBy and the re-point join below — without
       // materialization the two consumers recompute it (measured ~14%
       // slower without this checkpoint)
-      val afterLarge = sym.join(largeMin, Seq("src"))
+      val afterLarge = trackCheckpoint(sym.join(largeMin, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint())
       // small-star on the directed form: all of u's neighbors are < u,
       // so m(u) = min nbr; emit (u, m(u)) and (v, m(u)) for v ≠ m(u)
       val smallMin = afterLarge.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val withM = afterLarge.join(smallMin, Seq("src"))
-      val next = withM.filter(col("dst") =!= col("m"))
+      val next = trackCheckpoint(withM.filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(withM.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint())
       val nextCount = next.count()
       changed = nextCount != edgeCount ||
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() > 0

@@ -653,9 +653,15 @@ object TextAnalysis {
             // expression grows ~5^rounds — measured 135 s for the
             // 4-merge encode at sf0.1 vs ~1 s materialized. The frame
             // is vocab-sized, so each round's materialization is tiny.
-            seqs = seqs.select(col("w"), col("freq"),
+            val next = Dedup.trackCheckpoint(seqs.select(col("w"), col("freq"),
               when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
-              .localCheckpoint()
+              .localCheckpoint())
+            // the new checkpoint materialized eagerly off the old one —
+            // drop the superseded round's blocks now (CC-loop
+            // discipline; the first `seqs` is the persisted base, on
+            // which releaseCheckpoint is a no-op)
+            Dedup.releaseCheckpoint(seqs)
+            seqs = next
           }
         }
         i += 1
@@ -702,7 +708,7 @@ object TextAnalysis {
     * count.
     */
   /** `greedyPool > 0` switches the per-round selection to the GREEDY
-    * CASCADE (round-17 wave-count variant, opt-in): collect the
+    * CASCADE (round-17 wave-count variant): collect the
     * round's top `batch * greedyPool` pairs by (count desc, a, b) to
     * the driver and select greedily in rank order, skipping any pair
     * sharing a token (left / right / merged string) with an
@@ -711,7 +717,22 @@ object TextAnalysis {
     * was itself dropped — the cascade re-admits those, packing more
     * merges per wave toward the disjointness capacity (early rounds
     * are alphabet-bound either way: each merge consumes ≥2 live
-    * symbols). SOUNDNESS IS UNCHANGED: selected pairs are pairwise
+    * symbols).
+    *
+    * `greedyPool = 0` (the default) SIZE-GATES the choice (VERDICT r17
+    * item 4, the dsirResampleBudget pattern): batches of
+    * [[GreedyBatchGate]] or more select via the cascade with pool
+    * [[GreedyDefaultPool]] — at vocab-scale batches the grouped rule
+    * leaves most of each wave's disjointness capacity unused (probe:
+    * 5.8× fuller waves, ~4× wall cut to a matched vocab at
+    * compression parity 0.9996, `tools/scaleprobe_r17_bpe_big.jsonl`)
+    * — while small batches keep the grouped rule (its selections are
+    * what the catalog oracles replay; at batch ≤ a handful the
+    * capacity gap is nil). `greedyPool < 0` forces the grouped rule
+    * regardless of batch (A/B probes; `-Dgraft.bpe.select=grouped`
+    * forces it process-wide).
+    *
+    * SOUNDNESS IS UNCHANGED either way: selected pairs are pairwise
     * token-disjoint (the one-pass fold needs nothing else), and each
     * selected pair's count is EXACT at application time — a merge
     * cannot create or destroy adjacencies of a pair disjoint from its
@@ -721,6 +742,22 @@ object TextAnalysis {
     * vs the default rule is measured, not assumed
     * (tools/scaleprobe_r17_bpe.jsonl; ScaleProbe `bpe_approx`).
     */
+  /** Batch size at or above which `greedyPool = 0` (auto) selects via
+    * the greedy cascade: at vocab-scale batches the grouped rule fills
+    * a small fraction of each wave's disjointness capacity (measured
+    * 5.8× fuller cascade waves at batch 512,
+    * `tools/scaleprobe_r17_bpe_big.jsonl`), while at catalog-scale
+    * batches (≤ a handful) the two rules coincide or nearly so and the
+    * grouped rule stays — it is what the DuckDB oracles replay.
+    */
+  val GreedyBatchGate = 64
+
+  /** Cascade candidate-pool multiplier under the auto gate — the pool
+    * the round-17/18 probes measured (driver collect bounded by
+    * `batch * pool` rows, never vocab/corpus size).
+    */
+  val GreedyDefaultPool = 8
+
   def bpeTrainMergesBatched(docs: DataFrame, rounds: Int, batch: Int,
                             greedyPool: Int = 0): DataFrame =
     bpeTrainMergesBatchedByRound(docs, rounds, batch, greedyPool)
@@ -741,7 +778,14 @@ object TextAnalysis {
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     require(batch >= 1, s"batch must be >= 1 (got $batch)")
-    require(greedyPool >= 0, s"greedyPool must be >= 0 (got $greedyPool)")
+    // resolve the size gate once (scaladoc above): explicit pool wins,
+    // 0 = auto (cascade at vocab-scale batches unless the process-wide
+    // prop forces grouped), negative = force grouped
+    val effPool =
+      if (greedyPool > 0) greedyPool
+      else if (greedyPool == 0 && batch >= GreedyBatchGate &&
+        !sys.props.get("graft.bpe.select").contains("grouped")) GreedyDefaultPool
+      else 0
     val base = docs
       .select(explode(tokens).as("w"))
       .filter(length(col("w")) > 0)
@@ -762,12 +806,12 @@ object TextAnalysis {
             (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
-        val selected: Array[(String, String, Long)] = if (greedyPool > 0) {
-          // greedy cascade (opt-in, scaladoc above): rank order is the
+        val selected: Array[(String, String, Long)] = if (effPool > 0) {
+          // greedy cascade (scaladoc above): rank order is the
           // same (cnt desc, a, b); disjointness enforced driver-side
           val top = pairs
             .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(batch * greedyPool)
+            .limit(batch * effPool)
             .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           val used = scala.collection.mutable.HashSet.empty[String]
           val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -824,9 +868,11 @@ object TextAnalysis {
                     concat(slice(acc, lit(1), size(acc) - lit(1)),
                       array(lit(a + b)))).otherwise(els)
               })
-            seqs = seqs.select(col("freq"),
+            val next = Dedup.trackCheckpoint(seqs.select(col("freq"),
               when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
-              .localCheckpoint()
+              .localCheckpoint())
+            Dedup.releaseCheckpoint(seqs) // superseded round's blocks
+            seqs = next
           }
         }
         r += 1
@@ -1043,6 +1089,12 @@ object TextAnalysis {
   private def applyMergeWaves(words: DataFrame,
                               waves: Seq[Seq[(String, String)]]): DataFrame = {
     var seqs = words
+    // only frames THIS loop checkpointed may be released here — the
+    // caller owns `words` (round-17 leak: a 192-wave encode pinned 192
+    // superseded checkpoint copies until an eventual driver GC let
+    // ContextCleaner at them; across a 190-query sweep that turns into
+    // block-store eviction churn for every later query)
+    var owned = false
     waves.foreach { wave =>
       val folded = aggregate(
         expr("slice(seq, 2, size(seq) - 1)"),
@@ -1054,9 +1106,12 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
               .otherwise(els)
         })
-      seqs = seqs.select(col("w"),
+      val next = Dedup.trackCheckpoint(seqs.select(col("w"),
         when(size(col("seq")) < 2, col("seq")).otherwise(folded).as("seq"))
-        .localCheckpoint()
+        .localCheckpoint())
+      if (owned) Dedup.releaseCheckpoint(seqs)
+      seqs = next
+      owned = true
     }
     seqs
   }

@@ -96,6 +96,34 @@ class BenchGateSpec extends AnyFunSuite {
         "regenerate it (tools/bench_check.py prints the entry sum either way)")
   }
 
+  test("every baseline re-record carries provenance (commit + reason)") {
+    // VERDICT r17 item 6: the gate is only as honest as its baselines.
+    // A re-recorded entry without a committed reason is
+    // indistinguishable from a ratchet — require both fields on every
+    // rerecords entry so a reviewer can audit each one.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_baseline.json")), "UTF-8")
+    val j = JsonMethods.parse(txt)
+    (j \ "rerecords") match {
+      case JArray(entries) =>
+        entries.foreach { e =>
+          val q = (e \ "query") match { case JString(s) => s; case _ => fail(s"rerecord without query: $e") }
+          (e \ "commit") match {
+            case JString(c) if c.trim.nonEmpty => ()
+            case other => fail(s"rerecord $q lacks a commit: $other")
+          }
+          (e \ "reason") match {
+            case JString(r) if r.trim.length > 10 => ()
+            case other => fail(s"rerecord $q lacks a substantive reason: $other")
+          }
+        }
+      case JNothing => () // no rerecords yet is fine
+      case other => fail(s"rerecords is not an array: $other")
+    }
+  }
+
   test("the assembled artifact line carries the gate fields") {
     // Generate the line in-test via the JSON-assembly helper instead
     // of reading whatever tools/last_bench.json a checkout carries

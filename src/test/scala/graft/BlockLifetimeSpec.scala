@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint-block lifetime (VERDICT r17 item 2): every frame the
+  * engine `localCheckpoint()`s must be droppable deterministically.
+  * ContextCleaner only reclaims checkpoint blocks after a driver GC
+  * collects the frame — on a quiet large heap that can be never, and
+  * round 17's driver sweep showed the cost: the block store fills
+  * with dead blocks across 190 queries and late-sweep queries pay the
+  * eviction churn (q23 samples rising monotonically, 33–42 s
+  * second-pass blowups). The contract under test:
+  *
+  *  - iterative operators release each superseded round's blocks
+  *    inline (the CC loops always did; the BPE fold loops now do);
+  *  - every surviving engine checkpoint is registered in Dedup's weak
+  *    tracker, so `releaseMaterialized()` between queries returns the
+  *    persistent-RDD census to its pre-query level;
+  *  - released results recompute nothing wrong: the NEXT invocation
+  *    rebuilds its frames from source (Bench's per-sample pattern).
+  */
+class BlockLifetimeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def census: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("BPE train+persist+encode checkpoints all release; census returns to baseline") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+    Dedup.releaseMaterialized() // drop anything earlier suites pinned
+    val before = census
+    val st = Scratch.dir("graft_blocklife_bpe") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 3, batch = 4, st)
+    val enc = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st)
+    val rows = enc.count()
+    assert(rows > 0)
+    Dedup.releaseMaterialized()
+    assert(census <= before,
+      s"census grew $before -> $census: an engine checkpoint escaped the tracker")
+    // the released state must not poison a fresh run (Bench re-invokes
+    // the same query fn per sample)
+    assert(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count() === rows)
+  }
+
+  test("connected-components checkpoints all release") {
+    // a chain forces several pointer-jumping rounds, so the loop
+    // checkpoints multiple generations of edges + intermediates
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    Dedup.releaseMaterialized()
+    val before = census
+    val labels = Dedup.duplicateClusters(pairs)
+    assert(labels.select(countDistinct(col("cluster_id"))).head().getLong(0) === 1L)
+    Dedup.releaseMaterialized()
+    assert(census <= before,
+      s"census grew $before -> $census after the CC query + release")
+  }
+
+  test("superseded BPE fold rounds release inline, before the query ends") {
+    // applyMergeWaves discipline: with W waves only O(1) checkpoints
+    // may be live at once, not O(W). Train enough merges at batch=1 to
+    // force many singleton waves through the encode path, then check
+    // the census mid-stream is far below the wave count.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40)
+    Dedup.releaseMaterialized()
+    val before = census
+    val st = Scratch.dir("graft_blocklife_waves") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 12, batch = 1, st)
+    TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count()
+    val during = census
+    // 12 training rounds + 12 singleton encode waves would pin ~24
+    // generations without the inline release; the retained set is the
+    // handful of per-call survivors the tracker frees below
+    assert(during - before < 12,
+      s"census $before -> $during: superseded fold rounds are not released inline")
+    Dedup.releaseMaterialized()
+    assert(census <= before)
+  }
+}

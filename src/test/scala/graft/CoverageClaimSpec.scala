@@ -102,4 +102,47 @@ class CoverageClaimSpec extends AnyFunSuite {
       s"COVERAGE.md bench claim says ${m.group(2)} s but ${newest.getName} " +
         s"holds $total s — run `python3 tools/coverage_report.py`")
   }
+
+  test("README driver-claims block cites the newest artifacts (round + counts + gate)") {
+    // VERDICT r17 item 7: the README round summary said "gate clean"
+    // about a LOCAL sweep while the landed artifact was gate-red. The
+    // delimited block is machine-written from the newest artifacts;
+    // this pins it against going stale (older round, wrong counts, or
+    // a missing gate verdict).
+    def newestRound(prefix: String): Int = {
+      val re = (prefix + "_r(\\d+)\\.json").r
+      val ns = root.listFiles().toSeq.flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt)
+        case _     => None
+      })
+      assert(ns.nonEmpty, s"no ${prefix}_r*.json artifacts")
+      ns.max
+    }
+    val md = new String(
+      Files.readAllBytes(Paths.get(root.getPath, "README.md")), "UTF-8")
+    val blockRe =
+      ("""<!-- driver-claims:begin[\s\S]*?round (\d+)\): correctness \*\*(\d+)/(\d+) green\*\*\s*\n""" +
+        """\(`CORRECTNESS_r(\d+)\.json`\);[\s\S]*?\*\*gate rc (\d+)\*\*\s*\n""" +
+        """\(`BENCH_r(\d+)\.json`\)\.[\s\S]*?driver-claims:end -->""").r
+    val m = blockRe.findFirstMatchIn(md).getOrElse(
+      fail("README.md driver-claims block not found/parsable — run tools/coverage_report.py"))
+    val cRound = newestRound("CORRECTNESS")
+    val bRound = newestRound("BENCH")
+    assert(m.group(4).toInt == cRound && m.group(6).toInt == bRound,
+      s"README driver-claims cites rounds ${m.group(4)}/${m.group(6)} but the newest " +
+        s"artifacts are $cRound/$bRound — run `python3 tools/coverage_report.py`")
+    // counts must match the cited correctness artifact (same green rule
+    // as the COVERAGE.md test above)
+    val body = new String(Files.readAllBytes(
+      Paths.get(root.getPath, s"CORRECTNESS_r$cRound.json")), "UTF-8")
+    val rowRe = ("\"(q[0-9]+[a-z0-9_]*)\"\\s*:\\s*\\{([^}]*)\\}").r
+    val rows = rowRe.findAllMatchIn(body).map { mm =>
+      val fields = mm.group(2)
+      def flag(k: String) = s""""$k"\\s*:\\s*true""".r.findFirstIn(fields).isDefined
+      flag("rows_match") && flag("schema_match") && flag("hash_match")
+    }.toSeq
+    assert(m.group(2).toInt == rows.count(identity) && m.group(3).toInt == rows.size,
+      s"README driver-claims says ${m.group(2)}/${m.group(3)} but the artifact holds " +
+        s"${rows.count(identity)}/${rows.size} — run `python3 tools/coverage_report.py`")
+  }
 }

@@ -325,6 +325,34 @@ class SketchVocabPqSpec extends AnyFunSuite {
       "greedy-vocab encoding must conserve every character of the tokenized text")
   }
 
+  test("size-gated cascade default: vocab-scale batches auto-cascade, small batches and -1 stay grouped") {
+    // same corpus as the cascade test: the grouped rule commits only
+    // (x,y) in round 1; the cascade also re-admits the disjoint (z,w)
+    val tiny = Seq((1L, ("xy " * 5 + "yz " * 4 + "zw " * 3).trim))
+      .toDF("doc_id", "text")
+    val gate = TextAnalysis.GreedyBatchGate
+    // auto at a vocab-scale batch IS the cascade (equal to an explicit pool)
+    val auto = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1, batch = gate)
+      .collect().map(_.toSeq).toSeq
+    val explicitPool = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1,
+      batch = gate, greedyPool = TextAnalysis.GreedyDefaultPool)
+      .collect().map(_.toSeq).toSeq
+    assert(auto === explicitPool,
+      "auto at batch >= GreedyBatchGate must equal the explicit cascade")
+    assert(auto.map(_(3)) === Seq("xy", "zw"),
+      "the auto cascade must pack the re-admitted disjoint pair")
+    // -1 forces the grouped rule at the same batch
+    val forced = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1,
+      batch = gate, greedyPool = -1).collect().map(_.toSeq).toSeq
+    assert(forced.map(_(3)) === Seq("xy"),
+      "greedyPool = -1 must force the grouped rule regardless of batch")
+    // small batches keep the grouped rule (what the catalog oracles replay)
+    val small = TextAnalysis.bpeTrainMergesBatched(tiny, rounds = 1, batch = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(small.map(_(3)) === Seq("xy"),
+      "auto below the gate must stay on the grouped rule")
+  }
+
   test("persistBpeVocabBatched: batch=1 artifact encodes like classic; artifact matches trainer") {
     val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 40)
     val c = Scratch.dir("graft_bv_classic") + "/bpe"

@@ -12,6 +12,9 @@ row is red or the bench gate rc is nonzero, so CI-ish use works.
 """
 import glob, json, os, re, sys
 
+_cfacts = None  # (round, green, total) from the newest CORRECTNESS artifact
+_bfacts = None  # (round, total_s, ratio, gate_rc) from the newest BENCH artifact
+
 def newest(pattern):
     arts = sorted(glob.glob(pattern),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
@@ -42,6 +45,8 @@ def correctness_claim():
         f"Regenerate this claim with `python3 tools/coverage_report.py` —\n"
         f"never hand-edit it.\n"
     )
+    global _cfacts
+    _cfacts = (rnd, green, total)
     return para, (1 if red else 0)
 
 def bench_claim():
@@ -122,6 +127,8 @@ def bench_claim():
         f"Regenerate this bench claim with `python3 tools/coverage_report.py` —\n"
         f"never hand-edit it either.\n"
     )
+    global _bfacts
+    _bfacts = (rnd, total, ratio, gate_rc)
     return para, (1 if gate_rc else 0)
 
 def rewrite(cov, lead_re, para, insert_after=None):
@@ -134,6 +141,35 @@ def rewrite(cov, lead_re, para, insert_after=None):
             j = i + len(insert_after)
             return cov[:j] + "\n" + para + cov[j:], True
     return cov, False
+
+def readme_claim(cpara_ok, bench_bits):
+    """Rewrite the delimited driver-claims block in README.md from the
+    same artifact-derived facts as the COVERAGE.md paragraphs (VERDICT
+    r17 item 7: the round summary claimed 'gate clean' from a local
+    sweep while the landed artifact said otherwise — the README block
+    now regenerates from the artifact verbatim, gate_rc included).
+    """
+    if not (cpara_ok and bench_bits):
+        return False
+    (crnd, green, total) = cpara_ok
+    (brnd, btotal, ratio, gate_rc) = bench_bits
+    block = (
+        "<!-- driver-claims:begin — machine-written by tools/coverage_report.py; never hand-edit -->\n"
+        f"Driver artifacts (round {brnd}): correctness **{green}/{total} green**\n"
+        f"(`CORRECTNESS_r{crnd}.json`); bench **{btotal:.1f} s** at sf0.1 =\n"
+        f"**{ratio:.2f}×** the recorded per-query baseline sum, **gate rc {gate_rc}**\n"
+        f"(`BENCH_r{brnd}.json`).\n"
+        "<!-- driver-claims:end -->")
+    md = open("README.md").read()
+    new_md, n = re.subn(
+        r"<!-- driver-claims:begin.*?driver-claims:end -->", block, md,
+        count=1, flags=re.S)
+    if n and new_md != md:
+        open("README.md", "w").write(new_md)
+        print("README.md driver-claims block rewritten")
+    elif not n:
+        print("WARNING: README.md driver-claims block not found")
+    return bool(n)
 
 def main():
     cpara, crc = correctness_claim()
@@ -157,6 +193,7 @@ def main():
     if changed:
         open("COVERAGE.md", "w").write(cov)
         print("COVERAGE.md claims rewritten")
+    readme_claim(_cfacts, _bfacts)
     return crc or brc
 
 if __name__ == "__main__":
