@@ -439,7 +439,10 @@ object Pipelines {
     // swapRewrites the dir this frame's lazy scan has file-listed) —
     // so the maintenance block materializes the frame FIRST iff it is
     // actually about to rewrite.
-    var pairs = graft.operators.Dedup.incrementalMinhashEstimated(
+    // the unordered core: the ordered catalog frame is derived lazily
+    // at the return (sorting only executes if THAT frame is consumed);
+    // sinks write `dedup_pairs_raw` and skip the per-batch range sort
+    var pairs = graft.operators.Dedup.incrementalMinhashEstimatedUnordered(
       addedDocs, n, numHashes, bands, minJ, sigStatePath)
     // embeddings diff fingerprints the vector bytes via the canonical
     // string form (stable for a given array, engine-portable)
@@ -609,7 +612,8 @@ object Pipelines {
     Map(
       "doc_changes" -> docChanges,
       "emb_changes" -> embChanges,
-      "dedup_pairs" -> pairs)
+      "dedup_pairs" -> pairs.orderBy(col("doc_a"), col("doc_b")),
+      "dedup_pairs_raw" -> pairs)
   }
 
   /** The DELTA-FED daily turn — for deployments whose arrivals come AS

@@ -350,6 +350,16 @@ object Dedup {
   /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
     * shared by the inline LSH front half and the persisted-state paths.
     */
+  /** Max delta rows the incremental state joins BROADCAST (doc rows;
+    * the widest broadcast payload is the signature frame at
+    * ~numHashes×8 B/row ≈ 15 MB at the default 100k — inside any
+    * sane driver/executor budget). Above it (a backfill-sized
+    * "delta") the joins keep the shuffle plan. Tunable per deployment
+    * via -Dgraft.deltaBroadcastRows.
+    */
+  private[graft] def DeltaBroadcastRows: Long =
+    sys.props.get("graft.deltaBroadcastRows").map(_.toLong).getOrElse(100000L)
+
   private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { band =>
@@ -372,7 +382,20 @@ object Dedup {
     * Output: (doc_a, doc_b, est_jaccard) ordered, ≥1 endpoint new.
     */
   def incrementalMinhashEstimated(newDocs: DataFrame, n: Int, numHashes: Int,
-                                  bands: Int, minJ: Double, path: String): DataFrame = {
+                                  bands: Int, minJ: Double, path: String): DataFrame =
+    incrementalMinhashEstimatedUnordered(newDocs, n, numHashes, bands, minJ, path)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[incrementalMinhashEstimated]] WITHOUT the final global sort —
+    * for sinks (the micro-batched turn writes each batch's pairs to
+    * parquet, where row order is dead weight): the range sort costs a
+    * sampling job + an exchange PER MICRO-BATCH, the loop queries'
+    * dominant cost class. The ordered form stays the public contract
+    * (catalog/oracle comparisons are row-order sensitive).
+    */
+  private[graft] def incrementalMinhashEstimatedUnordered(
+      newDocs: DataFrame, n: Int, numHashes: Int,
+      bands: Int, minJ: Double, path: String): DataFrame = {
     val spark = newDocs.sparkSession
     val (_, rawNewSigs, _) = minhashCandidates(newDocs, n, numHashes, bands)
     // one materialization: the new batch's shingle+signature plan
@@ -380,6 +403,20 @@ object Dedup {
     // returned result — without this it would re-shingle the batch
     // three times, in the operator whose point is never re-shingling
     val newSigs = materialize(rawNewSigs)
+    // DELTA-BROADCAST gate (VERDICT r17 item 3 + the at-scale plan):
+    // every state-vs-delta join below has the bounded DAILY DELTA as
+    // its small side. Left to the planner, the delta's checkpointed
+    // stats are opaque, so both sides shuffle — per micro-batch that
+    // is ~4 extra AQE stage-jobs (the loop queries' dominant cost),
+    // and at 100 TB it re-exchanges the whole signature STATE every
+    // turn. When the delta is provably small (one count over the
+    // already-pinned rows), broadcast it: the state table is then
+    // never shuffled — history flows map-side through every join.
+    // Oversized deltas (backfills) keep the shuffle plan.
+    val deltaRows = newSigs.count()
+    val bcastDelta = deltaRows <= DeltaBroadcastRows
+    def deltaSide(df: DataFrame): DataFrame =
+      if (bcastDelta) broadcast(df) else df
     val newBuckets = bandBuckets(newSigs, numHashes, bands)
     // history buckets are derived from the one state table (see
     // persistMinhashSignatures: no second table to tear on append),
@@ -391,10 +428,11 @@ object Dedup {
     // flaw, spotify_dag.py retries) it keeps each doc single-rowed, so
     // the emitted pairs are IDENTICAL to the first run's.
     val state = loadSignatures(spark, path)
-    val histSigs = state.join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val histSigs = state.join(deltaSide(newSigs.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
     val allBuckets = bandBuckets(histSigs, numHashes, bands).unionByName(newBuckets)
     val allSigs = histSigs.unionByName(newSigs)
-    val cand = allBuckets.as("x").join(newBuckets.as("y"), Seq("band", "bucket"))
+    val cand = allBuckets.as("x").join(deltaSide(newBuckets).as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
@@ -408,7 +446,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJ)
-      .orderBy(col("doc_a"), col("doc_b"))
     // ingest: today's batch becomes tomorrow's history — ONE append to
     // the single state table, so there is no window in which a doc is
     // half-ingested. The append is CONTENT-FILTERED against the rows
@@ -420,7 +457,7 @@ object Dedup {
     // (InMemoryFileIndex snapshots at read time), so consuming `result`
     // after this append still sees history ∪ new exactly once.
     newSigs.except(
-      state.join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      state.join(deltaSide(newSigs.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
       .write.mode("append").parquet(s"$path/sigs")
     result
   }

@@ -65,7 +65,10 @@ object DedupStream {
     EventStream.runForeachBatch(stream, checkpoint) { (batch, id) =>
       // per-batch-id dynamic partition overwrite: a replayed batch
       // replaces its own output instead of appending a duplicate
-      Dedup.incrementalMinhashEstimated(batch, n, numHashes, bands, minJ, sigPath)
+      // unordered core: this writes to a parquet sink and the final
+      // read below re-sorts globally — a per-micro-batch range sort
+      // would be pure job-wave overhead
+      Dedup.incrementalMinhashEstimatedUnordered(batch, n, numHashes, bands, minJ, sigPath)
         .withColumn("batch", lit(id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

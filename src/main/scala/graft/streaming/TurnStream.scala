@@ -171,7 +171,7 @@ object TurnStream {
           runId = Some(s"stream:$bid"),
           bpeVocabPath = bpeVocabPath, encodedPath = encodedPath,
           bpeArtifact = bpeArt)
-        turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
+        turn("dedup_pairs_raw").write.mode("overwrite").parquet(dir.toString)
       } else {
         // the marker says this batch's turn ran — over the tiers
         // enabled THEN. A tier enabled since (config change between
@@ -230,7 +230,7 @@ object TurnStream {
           sigStatePath, ivfPath, n, numHashes, bands, minJ)
         // an embedding turn emits no pairs; the empty write is still
         // the turn's exactly-once marker
-        turn("dedup_pairs").write.mode("overwrite").parquet(dir.toString)
+        turn("dedup_pairs_raw").write.mode("overwrite").parquet(dir.toString)
       }
     }
   }

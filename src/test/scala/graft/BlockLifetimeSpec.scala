@@ -27,19 +27,34 @@ class BlockLifetimeSpec extends AnyFunSuite {
 
   private def census: Int = spark.sparkContext.getPersistentRDDs.size
 
+  /** releaseMaterialized unpersists with blocking = false, so the
+    * census may lag the release by an async beat (observed as an
+    * order-dependent flake when this suite runs after heavy ones).
+    * Poll until the count settles at or under the target.
+    */
+  private def settledCensus(target: Int, timeoutMs: Long = 15000): Int = {
+    val t0 = System.currentTimeMillis
+    var c = census
+    while (c > target && System.currentTimeMillis - t0 < timeoutMs) {
+      Thread.sleep(100); c = census
+    }
+    c
+  }
+
   test("BPE train+persist+encode checkpoints all release; census returns to baseline") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 60)
     Dedup.releaseMaterialized() // drop anything earlier suites pinned
-    val before = census
+    val before = settledCensus(0)
     val st = Scratch.dir("graft_blocklife_bpe") + "/bpe"
     TextAnalysis.persistBpeVocabBatched(docs, rounds = 3, batch = 4, st)
     val enc = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st)
     val rows = enc.count()
     assert(rows > 0)
     Dedup.releaseMaterialized()
-    assert(census <= before,
-      s"census grew $before -> $census: an engine checkpoint escaped the tracker")
+    val after = settledCensus(before)
+    assert(after <= before,
+      s"census grew $before -> $after: an engine checkpoint escaped the tracker")
     // the released state must not poison a fresh run (Bench re-invokes
     // the same query fn per sample)
     assert(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count() === rows)
@@ -50,12 +65,13 @@ class BlockLifetimeSpec extends AnyFunSuite {
     // checkpoints multiple generations of edges + intermediates
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     Dedup.releaseMaterialized()
-    val before = census
+    val before = settledCensus(0)
     val labels = Dedup.duplicateClusters(pairs)
     assert(labels.select(countDistinct(col("cluster_id"))).head().getLong(0) === 1L)
     Dedup.releaseMaterialized()
-    assert(census <= before,
-      s"census grew $before -> $census after the CC query + release")
+    val after = settledCensus(before)
+    assert(after <= before,
+      s"census grew $before -> $after after the CC query + release")
   }
 
   test("superseded BPE fold rounds release inline, before the query ends") {
@@ -66,7 +82,7 @@ class BlockLifetimeSpec extends AnyFunSuite {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 40)
     Dedup.releaseMaterialized()
-    val before = census
+    val before = settledCensus(0)
     val st = Scratch.dir("graft_blocklife_waves") + "/bpe"
     TextAnalysis.persistBpeVocabBatched(docs, rounds = 12, batch = 1, st)
     TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count()
@@ -77,6 +93,6 @@ class BlockLifetimeSpec extends AnyFunSuite {
     assert(during - before < 12,
       s"census $before -> $during: superseded fold rounds are not released inline")
     Dedup.releaseMaterialized()
-    assert(census <= before)
+    assert(settledCensus(before) <= before)
   }
 }

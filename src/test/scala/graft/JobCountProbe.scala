@@ -17,7 +17,13 @@ object JobCountProbe {
     val spark = SparkTestSession.spark
     val counter = new java.util.concurrent.atomic.AtomicInteger
     val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId, s.description); ()
+        case _ => ()
+      }
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         counter.incrementAndGet()
         // one entry per SQL execution id = one driver-side action; the
@@ -33,6 +39,7 @@ object JobCountProbe {
     for (name <- names) {
       counter.set(0)
       sites.clear()
+      execDesc.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -44,6 +51,15 @@ object JobCountProbe {
         println(s"[jobcount]   $execs sql executions (driver actions); " +
           s"top job fan-outs: " + tallies.sortBy(-_._2).take(5)
             .map { case (s, n) => s"$s=$n" }.mkString(", "))
+        // name the heavy executions: the SQLExecutionStart description
+        // says WHICH driver action fanned out (AQE stage count) —
+        // "exec 33=11" alone doesn't
+        tallies.filter(_._1.startsWith("exec ")).sortBy(-_._2).take(5)
+          .foreach { case (s, n) =>
+            val id = s.stripPrefix("exec ").toLong
+            execDesc.asScala.get(id).foreach(d =>
+              println(s"[jobcount]     $s ($n jobs): ${d.linesIterator.next().take(140)}"))
+          }
       }
     }
   }
