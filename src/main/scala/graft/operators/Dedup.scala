@@ -143,12 +143,21 @@ object Dedup {
     * evicts blocks other queries need. `Dataset.unpersist` cannot do
     * it (it only releases CacheManager entries, not checkpoint
     * blocks), so the checkpointed RDD is unpersisted directly.
+    *
+    * ROOT-match only, never a tree search: the frame must BE a
+    * checkpoint (its logical plan root is the LogicalRDD), not merely
+    * derive from one. A collectFirst over the whole plan found the
+    * CALLER'S materialized input as a leaf — the round-18 bpe32k probe
+    * crashed with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND minutes later when
+    * the encode re-read the corpus frame the trainer's first round had
+    * silently released. A loop may only release what it checkpointed.
     */
   private[operators] def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.collectFirst {
+    df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false); ()
-    }.getOrElse(())
+      case _ => ()
+    }
 
   /** Word n-gram shingle set per document: (doc_id, shingle), distinct. */
   def shingles(docs: DataFrame, n: Int): DataFrame =

@@ -74,6 +74,26 @@ class BlockLifetimeSpec extends AnyFunSuite {
       s"census grew $before -> $after after the CC query + release")
   }
 
+  test("a loop releases only what IT checkpointed: a materialized input survives training") {
+    // regression (round-18 bpe32k probe): releaseCheckpoint used to
+    // tree-search the plan for ANY LogicalRDD, so releasing round-1's
+    // `seqs` (a derived plan over the caller's corpus) found the
+    // CALLER'S materialized input as a leaf and unpersisted it — the
+    // encode crashed minutes later with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    val docs = Dedup.materialize(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 40))
+    val expect = docs.count()
+    val st = Scratch.dir("graft_blocklife_input") + "/bpe"
+    TextAnalysis.persistBpeVocabBatched(docs, rounds = 4, batch = 2, st)
+    // the input's checkpoint blocks must still be readable AFTER the
+    // trainer's per-round releases (lineage is truncated — a released
+    // block cannot be recomputed, so this count would throw)
+    assert(docs.count() === expect)
+    assert(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count() === expect)
+    Dedup.releaseMaterialized()
+  }
+
   test("superseded BPE fold rounds release inline, before the query ends") {
     // applyMergeWaves discipline: with W waves only O(1) checkpoints
     // may be live at once, not O(W). Train enough merges at batch=1 to
