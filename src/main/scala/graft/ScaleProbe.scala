@@ -901,7 +901,10 @@ object ScaleProbe {
     // `learned` reports the honest count either way.
     if (only.contains("bpe32k")) {
       val TA = graft.operators.TextAnalysis
-      val vocabMult = 400
+      // word-vocabulary multiplier rides the CLI mult: ×400 (12,400
+      // distinct words) SATURATES at 13,312 merges — every word fully
+      // merged — so a true 32k artifact needs ×1000+ (≈31k words)
+      val vocabMult = if (mult > 1) mult else 400
       val wide = Dedup.materialize((0 until vocabMult).map(i =>
         Tables.load(spark, sfDir, "documents")
           .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -909,10 +912,9 @@ object ScaleProbe {
         .reduce(_ unionAll _))
       val vp = Scratch.dir("graft_bpe32k") + "/bpe"
       val t0 = System.nanoTime()
-      // rounds sized for 32k at the observed ~50 commits/wave slope
-      // (commits/wave rise as the symbol alphabet grows, so 800 is a
-      // ceiling, not a target); batch 256 matches the r16/r17 probes
-      TA.persistBpeVocabBatched(wide, rounds = 800, batch = 256, vp)
+      // rounds is a CEILING, not a target (the trainer stops early at
+      // saturation); batch 256 matches the r16/r17 probes
+      TA.persistBpeVocabBatched(wide, rounds = 1600, batch = 256, vp)
       val trainPersistSec = (System.nanoTime() - t0) / 1e9
       val art = TA.loadBpeVocabArtifact(spark, vp)
       val merges = art.mergeWaves.map(_.size).sum
