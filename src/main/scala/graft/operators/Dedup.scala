@@ -73,15 +73,27 @@ object Dedup {
     * never releases (the GC/ContextCleaner path still works).
     */
   private val trackedCheckpoints = scala.collection.mutable.ArrayBuffer
-    .empty[java.lang.ref.WeakReference[DataFrame]]
+    .empty[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
   /** Register an engine-created checkpoint frame for deterministic
-    * release; returns the frame. No-op cost when release is never
+    * release; returns the frame. The registry weak-refs the
+    * checkpoint's RDD, NOT the DataFrame: a consumer plan keeps the
+    * RDD strongly reachable long after the wrapper Dataset the loop
+    * built is garbage — with a DataFrame weakref, a GC between query
+    * and release left the RDD unreleasable by anyone (our ref dead,
+    * ContextCleaner blocked by the live plan reference; observed as a
+    * flaky one-RDD census leak). The RDD weakref has the dual
+    * lifetime: reachable-by-a-plan → we can release it; collected →
+    * ContextCleaner already has it. No-op cost when release is never
     * called (weak refs — the registry never extends block lifetime).
     */
   private[graft] def trackCheckpoint(df: DataFrame): DataFrame = {
-    trackedCheckpoints.synchronized {
-      trackedCheckpoints += new java.lang.ref.WeakReference(df)
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        trackedCheckpoints.synchronized {
+          trackedCheckpoints += new java.lang.ref.WeakReference(l.rdd)
+        }
+      case _ => ()
     }
     df
   }
@@ -129,7 +141,7 @@ object Dedup {
     // concurrent ones (Verify's thread pool) must not.
     trackedCheckpoints.synchronized {
       trackedCheckpoints.foreach { ref =>
-        Option(ref.get()).foreach(releaseCheckpoint)
+        Option(ref.get()).foreach(_.unpersist(blocking = false))
       }
       trackedCheckpoints.clear()
     }

@@ -27,34 +27,46 @@ class BlockLifetimeSpec extends AnyFunSuite {
 
   private def census: Int = spark.sparkContext.getPersistentRDDs.size
 
-  /** releaseMaterialized unpersists with blocking = false, so the
-    * census may lag the release by an async beat (observed as an
-    * order-dependent flake when this suite runs after heavy ones).
-    * Poll until the count settles at or under the target.
+  private def censusIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def describe(ids: Set[Int]): String =
+    ids.toSeq.sorted.map { id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .map(r => s"$id=${r.name}@${r.getStorageLevel.description}(${r.getClass.getSimpleName})")
+        .getOrElse(s"$id=<gone>")
+    }.mkString("[", ", ", "]")
+
+  /** The assertions are ID-SCOPED: only RDDs first seen DURING the
+    * test must vanish after release. A shared test session carries
+    * unrelated async pinning (a prior suite's stream finishing late,
+    * ContextCleaner beats) that a bare size comparison false-flags —
+    * observed as order-dependent failures in the full suite that never
+    * reproduce solo. releaseMaterialized also unpersists with
+    * blocking = false, so poll until the tracked set settles.
     */
-  private def settledCensus(target: Int, timeoutMs: Long = 15000): Int = {
+  private def settledLeftover(beforeIds: Set[Int], timeoutMs: Long = 15000): Set[Int] = {
     val t0 = System.currentTimeMillis
-    var c = census
-    while (c > target && System.currentTimeMillis - t0 < timeoutMs) {
-      Thread.sleep(100); c = census
+    var left = censusIds -- beforeIds
+    while (left.nonEmpty && System.currentTimeMillis - t0 < timeoutMs) {
+      Thread.sleep(100); left = censusIds -- beforeIds
     }
-    c
+    left
   }
 
   test("BPE train+persist+encode checkpoints all release; census returns to baseline") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 60)
     Dedup.releaseMaterialized() // drop anything earlier suites pinned
-    val before = settledCensus(0)
+    val before = censusIds
     val st = Scratch.dir("graft_blocklife_bpe") + "/bpe"
     TextAnalysis.persistBpeVocabBatched(docs, rounds = 3, batch = 4, st)
     val enc = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st)
     val rows = enc.count()
     assert(rows > 0)
     Dedup.releaseMaterialized()
-    val after = settledCensus(before)
-    assert(after <= before,
-      s"census grew $before -> $after: an engine checkpoint escaped the tracker")
+    val leftover = settledLeftover(before)
+    assert(leftover.isEmpty,
+      s"RDDs ${describe(leftover)} created by the query survived release: an engine checkpoint escaped the tracker")
     // the released state must not poison a fresh run (Bench re-invokes
     // the same query fn per sample)
     assert(TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count() === rows)
@@ -65,13 +77,13 @@ class BlockLifetimeSpec extends AnyFunSuite {
     // checkpoints multiple generations of edges + intermediates
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     Dedup.releaseMaterialized()
-    val before = settledCensus(0)
+    val before = censusIds
     val labels = Dedup.duplicateClusters(pairs)
     assert(labels.select(countDistinct(col("cluster_id"))).head().getLong(0) === 1L)
     Dedup.releaseMaterialized()
-    val after = settledCensus(before)
-    assert(after <= before,
-      s"census grew $before -> $after after the CC query + release")
+    val leftover = settledLeftover(before)
+    assert(leftover.isEmpty,
+      s"RDDs $leftover created by the CC query survived release")
   }
 
   test("a loop releases only what IT checkpointed: a materialized input survives training") {
@@ -102,17 +114,17 @@ class BlockLifetimeSpec extends AnyFunSuite {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 40)
     Dedup.releaseMaterialized()
-    val before = settledCensus(0)
+    val before = censusIds
     val st = Scratch.dir("graft_blocklife_waves") + "/bpe"
     TextAnalysis.persistBpeVocabBatched(docs, rounds = 12, batch = 1, st)
     TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, st).count()
-    val during = census
+    val during = (censusIds -- before).size
     // 12 training rounds + 12 singleton encode waves would pin ~24
     // generations without the inline release; the retained set is the
     // handful of per-call survivors the tracker frees below
-    assert(during - before < 12,
-      s"census $before -> $during: superseded fold rounds are not released inline")
+    assert(during < 12,
+      s"$during new RDDs pinned: superseded fold rounds are not released inline")
     Dedup.releaseMaterialized()
-    assert(settledCensus(before) <= before)
+    assert(settledLeftover(before).isEmpty)
   }
 }
