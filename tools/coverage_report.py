@@ -84,6 +84,15 @@ def bench_claim():
         except Exception:
             pass
     if gate_rc is None:
+        # pre-r18 artifacts whose gate verdict survives only in git
+        # history (the value-matched last_bench.json at the round's
+        # driver commit): BENCH_r17's full line at commit 76645f1 says
+        # gate_rc 1, gate_regressed [q187_shards_spans, q23_json_props].
+        # Without this record, a later local sweep overwriting
+        # last_bench.json would silently revert the claim to the
+        # process rc of 0 — the exact drift this script exists to stop.
+        gate_rc = {"BENCH_r17.json": 1}.get(os.path.basename(latest))
+    if gate_rc is None:
         gate_rc = d.get("rc")
     if total is None:
         print(f"no total parseable from {latest}"); return None, 1
