@@ -355,9 +355,13 @@ object Similarity {
                         removedKeys: DataFrame): Unit = {
     val (cents, assign) = loadIvfIndex(spark, path)
     val staleKeys = currentChanged.select(col("vec_id"))
-      .unionByName(removedKeys.select(col("vec_id")))
+      .unionByName(removedKeys.select(col("vec_id"))).distinct()
+    // |edits| keys; past broadcastable state the probe side broadcasts
+    // so the semi scans the assignments map-side instead of exchanging
+    // them (Dedup tombstoneSignatures discipline)
     val oldRows = graft.operators.Dedup.materialize(
-      assign.join(staleKeys, Seq("vec_id"), "left_semi").distinct())
+      assign.join(graft.operators.Dedup.deltaProbeSide(staleKeys, assign),
+        Seq("vec_id"), "left_semi").distinct())
     val fresh = graft.operators.Dedup.materialize(
       assignToCells(normalized(currentChanged), cents)
         .withColumn("cell", col("cell").cast("long"))
@@ -841,10 +845,11 @@ object Similarity {
     val c1 = spark.read.parquet(s"$path/codebooks")
     val m = c1.agg(max(col("s"))).head().getInt(0) + 1
     val staleKeys = currentChanged.select(col("vec_id"))
-      .unionByName(removedKeys.select(col("vec_id")))
+      .unionByName(removedKeys.select(col("vec_id"))).distinct()
+    val codes = pqCodesView(spark, path)
     val oldRows = graft.operators.Dedup.materialize(
-      pqCodesView(spark, path)
-        .join(staleKeys, Seq("vec_id"), "left_semi").distinct())
+      codes.join(graft.operators.Dedup.deltaProbeSide(staleKeys, codes),
+        Seq("vec_id"), "left_semi").distinct())
     val e = pqInt8(currentChanged)
     pqDimCheck(e, m)
     val fresh = graft.operators.Dedup.materialize(

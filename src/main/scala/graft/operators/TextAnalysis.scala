@@ -1274,9 +1274,15 @@ object TextAnalysis {
     * per drain, not per batch). */
   def appendEncodedDocsWith(batch: DataFrame, spark: org.apache.spark.sql.SparkSession,
                             art: BpeVocabArtifact, encPath: String): Unit = {
-    val fresh = withIdsFp(bpeEncodeIdsWith(batch, art))
-    fresh.join(loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
-        Seq("doc_id", "fp"), "left_anti")
+    // deltaAntiState keeps the STATE un-shuffled past broadcast size:
+    // an anti join can only build right, so the plain form exchanged
+    // the full live-key table every append once it outgrew broadcast
+    // (per micro-batch in the stream front; per turn in the daily
+    // loop). Below broadcast size it IS the plain anti — no extra jobs.
+    graft.operators.Dedup.deltaAntiState(
+        withIdsFp(bpeEncodeIdsWith(batch, art)),
+        loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
+        Seq("doc_id", "fp"))
       .write.mode("append").parquet(s"$encPath/ids")
   }
 
@@ -1295,15 +1301,21 @@ object TextAnalysis {
     val fresh = graft.operators.Dedup.materialize(
       withIdsFp(bpeEncodeIdsFromVocab(changedDocs, spark, vocabPath)))
     val live = loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp"))
+    // |edits|-sized probes ride deltaProbeSide: past broadcastable
+    // state they pin+broadcast so the live table is scanned map-side,
+    // never exchanged, by either tombstone branch
     val staleOfChanged = live
-      .join(fresh.select(col("doc_id"), col("fp").as("nfp")), Seq("doc_id"))
+      .join(graft.operators.Dedup.deltaProbeSide(
+        fresh.select(col("doc_id"), col("fp").as("nfp")), live), Seq("doc_id"))
       .filter(col("fp") =!= col("nfp")).select(col("doc_id"), col("fp"))
-    val ofRemoved = live.join(removedKeys.select(col("doc_id")), Seq("doc_id"))
+    val ofRemoved = live.join(graft.operators.Dedup.deltaProbeSide(
+        removedKeys.select(col("doc_id")), live), Seq("doc_id"))
       .select(col("doc_id"), col("fp"))
     staleOfChanged.unionByName(ofRemoved).distinct()
       .write.mode("append").parquet(s"$encPath/tombstones")
-    fresh.join(loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
-        Seq("doc_id", "fp"), "left_anti")
+    graft.operators.Dedup.deltaAntiState(fresh,
+        loadEncodedCorpus(spark, encPath).select(col("doc_id"), col("fp")),
+        Seq("doc_id", "fp"))
       .write.mode("append").parquet(s"$encPath/ids")
   }
 

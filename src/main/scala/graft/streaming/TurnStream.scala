@@ -209,9 +209,13 @@ object TurnStream {
             batchId = s"stream:$bid:added")
         }
         val needEnc = encodedPath.exists { ep =>
-          !batch.select("doc_id").join(
+          // gap probe through deltaAntiState: past broadcastable state
+          // the plain anti built on the state side and exchanged the
+          // full encoded-key table just to ask "is anything missing"
+          !graft.operators.Dedup.deltaAntiState(
+            batch.select("doc_id").distinct(),
             graft.operators.TextAnalysis.loadEncodedCorpus(spark, ep)
-              .select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+              .select("doc_id"), Seq("doc_id")).isEmpty
         }
         for (ep <- encodedPath if needEnc)
           graft.operators.TextAnalysis.appendEncodedDocsWith(

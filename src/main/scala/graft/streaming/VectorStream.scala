@@ -37,9 +37,13 @@ object VectorStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
     EventStream.runForeachBatch(stream, checkpoint) { (batch, _) =>
-      val fresh = batch.join(
+      // replay filter via Dedup.deltaAntiState: once the assignment-key
+      // table outgrows broadcast, an anti join can only exchange it
+      // (build-right) — the semi shape keeps the state un-shuffled;
+      // below broadcast size this IS the old plain anti
+      val fresh = graft.operators.Dedup.deltaAntiState(batch,
         Similarity.loadIvfIndex(spark, ivfPath)._2.select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
+        Seq("vec_id"))
       Similarity.appendToIvfIndex(fresh, spark, ivfPath)
     }
   }
@@ -56,9 +60,9 @@ object VectorStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
     EventStream.runForeachBatch(stream, checkpoint) { (batch, _) =>
-      val fresh = batch.join(
+      val fresh = graft.operators.Dedup.deltaAntiState(batch,
         Similarity.loadPqIndex(spark, pqPath)._2.select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_anti")
+        Seq("vec_id"))
       Similarity.appendToPqIndex(fresh, spark, pqPath)
     }
   }

@@ -106,6 +106,29 @@ class BlockLifetimeSpec extends AnyFunSuite {
     Dedup.releaseMaterialized()
   }
 
+  test("deltaAntiState equals the plain anti join in BOTH gate branches") {
+    // the replay/append filter's broadcast-semi shape must be
+    // algebraically invisible: delta ▷ K ≡ delta ▷ (K ⋉ delta). The
+    // state-size gate picks the branch off the planner's broadcast
+    // threshold — force each branch via the threshold conf and compare
+    // against the reference anti join.
+    val delta = (0L until 50L).map(i => (i, s"fp$i")).toDF("doc_id", "fp")
+    val state = (25L until 500L).map(i => (i, s"fp$i")).toDF("doc_id", "fp")
+    val expect = delta.join(state, Seq("doc_id", "fp"), "left_anti")
+      .orderBy(col("doc_id")).collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      for (thresh <- Seq("10MB", "-1")) { // small-state branch, big-state branch
+        spark.conf.set(key, thresh)
+        val got = Dedup.deltaAntiState(delta, state, Seq("doc_id", "fp"))
+          .orderBy(col("doc_id")).collect().toSeq
+        assert(got === expect, s"deltaAntiState diverged at threshold $thresh")
+      }
+    } finally spark.conf.set(key, saved)
+    Dedup.releaseMaterialized()
+  }
+
   test("superseded BPE fold rounds release inline, before the query ends") {
     // applyMergeWaves discipline: with W waves only O(1) checkpoints
     // may be live at once, not O(W). Train enough merges at batch=1 to
