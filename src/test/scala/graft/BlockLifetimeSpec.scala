@@ -121,9 +121,18 @@ class BlockLifetimeSpec extends AnyFunSuite {
     try {
       for (thresh <- Seq("10MB", "-1")) { // small-state branch, big-state branch
         spark.conf.set(key, thresh)
-        val got = Dedup.deltaAntiState(delta, state, Seq("doc_id", "fp"))
-          .orderBy(col("doc_id")).collect().toSeq
+        val out = Dedup.deltaAntiState(delta, state, Seq("doc_id", "fp"))
+        val got = out.orderBy(col("doc_id")).collect().toSeq
         assert(got === expect, s"deltaAntiState diverged at threshold $thresh")
+        if (thresh == "-1") {
+          // the scale property itself, plan-pinned: with broadcast
+          // disabled the plain anti would sort-merge (exchanging the
+          // state); the semi shape must never sort-merge — its only
+          // exchanges sit inside delta-sized broadcast builds
+          val plan = out.queryExecution.executedPlan.toString
+          assert(!plan.contains("SortMergeJoin"),
+            s"big-state branch sort-merged (state exchanged):\n$plan")
+        }
       }
     } finally spark.conf.set(key, saved)
     Dedup.releaseMaterialized()
