@@ -70,13 +70,55 @@ object Bench {
     * interpolator is locale-dependent — a de_DE default JVM locale
     * would render 1,234 and break every JSON number.
     */
+  /** One compact environment sample, taken OUTSIDE any timer: JVM heap
+    * in use (MB), cumulative GC wall (ms), 1-minute loadavg, tmpdir
+    * free space (GB), on-disk bytes of Spark's shuffle/broadcast
+    * scratch (blockmgr-* / spark-* under java.io.tmpdir, MB), and the
+    * engine's own Scratch state dirs (graft_*, MB). These are exactly
+    * the quantities the `cached_rdds` census CANNOT see (VERDICT r18
+    * item 1): shuffle files awaiting ContextCleaner GC, broadcast
+    * blocks, scratch-dir disk pressure, and box co-tenancy — recorded
+    * per query so a future gate-red artifact self-adjudicates
+    * (VERDICT r18 item 7) instead of forcing another BenchOne round.
+    */
+  def envGauge(): String = {
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory - rt.freeMemory) / (1L << 20)
+    val gcMs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val load1 =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    val freeGb = tmp.getUsableSpace / 1e9
+    def treeMb(prefixes: Seq[String]): Long = {
+      var bytes = 0L
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => prefixes.exists(f.getName.startsWith)).foreach { d =>
+          try java.nio.file.Files.walk(d.toPath).forEach { p =>
+            try if (java.nio.file.Files.isRegularFile(p)) bytes += java.nio.file.Files.size(p)
+            catch { case _: Throwable => () } // files vanish mid-walk (cleaner races)
+          } catch { case _: Throwable => () }
+        }
+      bytes / (1L << 20)
+    }
+    s"[$heapMb,$gcMs,${fmt(load1)},${fmt(freeGb)},${treeMb(Seq("blockmgr-", "spark-"))},${treeMb(Seq("graft_"))}]"
+  }
+
   def benchJson(results: Seq[(String, Double, Seq[Double])],
                 errors: collection.Map[String, String],
                 sfDir: String,
                 regressed: Seq[String],
                 secondPass: Map[String, Seq[Double]],
                 withSamples: Boolean,
-                gauges: collection.Map[String, Int] = Map.empty): String = {
+                gauges: collection.Map[String, Int] = Map.empty,
+                envs: collection.Map[String, String] = Map.empty,
+                gateEnv: collection.Map[String, String] = Map.empty): String = {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -97,6 +139,17 @@ object Bench {
         (if (gauges.isEmpty) ""
          else "\"cached_rdds\":" + gauges.map { case (k, n) =>
            "\"" + k + "\":" + n
+         }.mkString("{", ",", "}") + ",") +
+        // env arrays are pre-rendered JSON ([heapMb,gcMs,load1,
+        // freeGb,sparkLocalMb,scratchMb] from envGauge) — emitted
+        // verbatim, no quoting
+        (if (envs.isEmpty) ""
+         else "\"env\":" + envs.map { case (k, v) =>
+           "\"" + k + "\":" + v
+         }.mkString("{", ",", "}") + ",") +
+        (if (gateEnv.isEmpty) ""
+         else "\"gate_env\":" + gateEnv.map { case (k, v) =>
+           "\"" + k + "\":" + v
          }.mkString("{", ",", "}") + ",")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errored":${errors.size},"errors":$errJson,"queries":$qs,$samplesJson"total":${fmt(total)},$gateJson}"""
   }
@@ -109,8 +162,32 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner's periodic GC defaults to 30min — the r18 sweep
+      // ran 30:01, so the FIRST full GC of the whole sweep (and the
+      // cleanup avalanche of ~190 queries' dead shuffle/broadcast
+      // blocks it releases) landed exactly inside the end-of-sweep
+      // second pass, where the un-reproducible 46–146 s blowups live.
+      // The sweep instead calls System.gc() itself every GcEveryN
+      // queries BETWEEN timers (below), so cleanup is incremental and
+      // every pause is deterministically placed outside a sample;
+      // pushing the periodic interval out makes those the only full
+      // GCs. Weak-ref processing still happens on every young GC, so
+      // nothing is lost for shorter runs.
+      .config("spark.cleaner.periodicGC.interval", "6h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic cleanup cadence: a full GC between queries (never
+    // inside a timer) drives ContextCleaner's reference queue, so the
+    // shuffle files and broadcast blocks of finished queries are
+    // reclaimed within GcEveryN queries instead of accumulating for
+    // the whole sweep on a quiet 128 GiB heap (the r17/r18 end-of-
+    // sweep churn mechanism, now instrumented by envGauge).
+    val GcEveryN = 10
+    var sinceGc = 0
+    def maybeGc(force: Boolean = false): Unit = {
+      sinceGc += 1
+      if (force || sinceGc >= GcEveryN) { sinceGc = 0; System.gc() }
+    }
     // untimed warm-up: absorb JVM/codegen/parquet-reader init so the
     // per-query numbers measure the queries, not session startup; one
     // representative per table family (relational / text-HOF / vector)
@@ -194,6 +271,11 @@ object Bench {
     // the query whose blocks escape the release hook. Rides the
     // samples artifact as `cached_rdds`.
     val gauges = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // per-query environment series (heap/GC/loadavg/disk/shuffle-dir/
+    // scratch-dir — envGauge's array), taken after each query's
+    // samples, outside the timers. Rides the samples artifact as
+    // `env`; bench_check.py prints it for gate-flagged queries.
+    val envs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = Seq(timeOne(name, fn), timeOne(name, fn))
       val samples = baseline.get(name) match {
@@ -201,6 +283,8 @@ object Bench {
         case _ => first
       }
       gauges(name) = spark.sparkContext.getPersistentRDDs.size
+      envs(name) = envGauge()
+      maybeGc()
       (name, samples.min, samples)
     }
     // the gate verdict rides the artifact itself (VERDICT r10 item 7):
@@ -216,12 +300,23 @@ object Bench {
     // later. The gate and the reported per-query min both use the min
     // across passes; the artifact records the second-pass samples.
     val fns = SparkEntry.queries
+    // the second pass starts from a freshly-collected heap (the
+    // r17/r18 blowups were concentrated HERE), and each suspect's
+    // re-times are bracketed by an env sample so the artifact shows
+    // the box state at the exact moment a blowup reproduces
+    maybeGc(force = true)
+    val gateEnv = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val (regressed, secondPass) = secondPassGate(
       results.collect { case (n, sec, _) if !errors.contains(n) => (n, sec) },
       baseline,
       // checked re-times: an errored second-pass run contributes NO
       // sample (the error still lands in `errors`, failing the gate)
-      name => (1 to 2).flatMap(_ => timeOneChecked(name, fns(name))).toSeq)
+      name => {
+        val ss = (1 to 2).flatMap(_ => timeOneChecked(name, fns(name))).toSeq
+        gateEnv(name) = envGauge()
+        maybeGc(force = true)
+        ss
+      })
     val merged = results.map { case (n, m, ss) =>
       val all = ss ++ secondPass.getOrElse(n, Seq.empty)
       (n, all.min, all)
@@ -232,7 +327,7 @@ object Bench {
     // stdout line stays min-per-query (compact, driver-parseable); the
     // persisted artifact additionally carries every raw sample
     val fileLine = benchJson(merged, finalErrors, sfDir, regressed, secondPass,
-      withSamples = true, gauges = gauges)
+      withSamples = true, gauges = gauges, envs = envs, gateEnv = gateEnv)
     try {
       val p = java.nio.file.Paths.get("tools/last_bench.json")
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -754,7 +754,12 @@ object ScaleProbe {
             TextAnalysis.persistBpeVocabBatched(docs, rG2, batch, s"$st/vg", greedyPool = 8)
             val sG2 = (System.nanoTime() - t0) / 1e9
             val t1 = System.nanoTime()
-            TextAnalysis.persistBpeVocabBatched(docs, rounds, batch, s"$st/vx")
+            // greedyPool = -1 forces the grouped exact rule: the
+            // size-gated default (batch >= GreedyBatchGate) would
+            // otherwise train this "exact" arm via the greedy cascade
+            // at batch=512, turning the A/B into greedy-vs-greedy
+            // (driver ADVICE r18) — same pin as trainAt(-1, rounds)
+            TextAnalysis.persistBpeVocabBatched(docs, rounds, batch, s"$st/vx", greedyPool = -1)
             val sE2 = (System.nanoTime() - t1) / 1e9
             def toks(p: String): Long = TextAnalysis.bpeEncodeIdsFromVocab(docs, spark, p)
               .agg(sum(size($"ids"))).head().getLong(0)

@@ -1466,28 +1466,30 @@ object SparkEntry {
     // Oracle = the equivalent direct projection. ----
     "q59_toptracks_flatten" -> ((s, dir) => {
       import s.implicits._
-      val raw = Tables.load(s, dir, "events")
-        .filter($"event_id" < 2000)
-        .select(to_json(struct(array(struct(
-          lpad($"event_id".cast("string"), 6, "0").as("id"),
-          when($"event_type" =!= "error", $"event_type").as("name"),
-          $"user_id".cast("int").as("popularity"),
-          pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
-          ($"event_id" % 2 === 0).as("explicit"),
-          when($"value".isNotNull,
-            concat(lit("https://p/"), lpad($"event_id".cast("string"), 6, "0"))).as("preview_url"),
-          struct(concat(lit("https://open/"),
-            lpad($"event_id".cast("string"), 6, "0")).as("spotify")).as("external_urls"),
-          struct(
-            concat(lit("al"), $"user_id").as("id"),
-            concat(lit("Album "), $"user_id").as("name"),
-            date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
-          array(struct(
-            concat(lit("ar"), $"user_id").as("id"),
-            when($"event_type" =!= "signup", concat(lit("Artist "), $"user_id")).as("name"))).as("artists")
-        )).as("tracks"))).as("json"))
-      SpotifyFlatten.topTracks(SpotifySchemas.parse(raw.as[String], SpotifySchemas.topTracksPayload))
-        .orderBy($"track_id")
+      flattenedTopTracks(s, dir).orderBy($"track_id")
+    }),
+
+    // ---- EP1 grouped-by-artist catalog stats (SURVEY §2.5's natural
+    // extension — the per-artist aggregation the reference's flat CSV
+    // never computes): top-tracks flatten → per-artist track count +
+    // exact avg popularity, joined to each artist's top-2 tracks by
+    // duration via the custom TopKPerGroup physical operator (q81's
+    // plan: partial per-partition heaps, one hash exchange). The
+    // stats side is one row per artist, so the planner broadcasts it
+    // into the join. ----
+    "q192_artist_track_stats" -> ((s, dir) => {
+      import s.implicits._
+      val flat = flattenedTopTracks(s, dir)
+      val stats = flat.groupBy($"artist_name")
+        .agg(count(lit(1)).as("n_tracks"),
+          (sum($"popularity").cast("double") / count($"popularity")).as("avg_popularity"))
+      val top = plans.TopK.perGroup(
+        flat.select($"artist_name", $"duration_ms", $"track_id"),
+        Seq($"artist_name"), Seq($"duration_ms".desc, $"track_id".asc), k = 2)
+      top.join(stats, Seq("artist_name"))
+        .select($"artist_name", $"n_tracks", $"avg_popularity",
+          $"track_id", $"duration_ms")
+        .orderBy($"artist_name", $"duration_ms".desc, $"track_id")
     }),
 
     // ---- EP3 13-col ranked projection (P3) on testdata: recently-
@@ -2440,6 +2442,36 @@ object SparkEntry {
     * view→click prefix converts, the chain does not);
     * 9000004 converts in-order (latency 1800 s).
     */
+  /** q59's synthesized EP1 top-tracks payload (events → JSON → parse →
+    * SpotifyFlatten.topTracks) — shared by the flatten query and the
+    * grouped-by-artist composition (q192).
+    */
+  private def flattenedTopTracks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "events")
+      .filter($"event_id" < 2000)
+      .select(to_json(struct(array(struct(
+        lpad($"event_id".cast("string"), 6, "0").as("id"),
+        when($"event_type" =!= "error", $"event_type").as("name"),
+        $"user_id".cast("int").as("popularity"),
+        pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
+        ($"event_id" % 2 === 0).as("explicit"),
+        when($"value".isNotNull,
+          concat(lit("https://p/"), lpad($"event_id".cast("string"), 6, "0"))).as("preview_url"),
+        struct(concat(lit("https://open/"),
+          lpad($"event_id".cast("string"), 6, "0")).as("spotify")).as("external_urls"),
+        struct(
+          concat(lit("al"), $"user_id").as("id"),
+          concat(lit("Album "), $"user_id").as("name"),
+          date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
+        array(struct(
+          concat(lit("ar"), $"user_id").as("id"),
+          when($"event_type" =!= "signup", concat(lit("Artist "), $"user_id")).as("name"))).as("artists")
+      )).as("tracks"))).as("json"))
+    SpotifyFlatten.topTracks(
+      SpotifySchemas.parse(raw.as[String], SpotifySchemas.topTracksPayload))
+  }
+
   private val funnelSeedRows: Seq[(Long, Long, String, String)] = Seq(
     (9000001L, 9100001L, "view", "2030-01-01 10:00:00"),
     (9000001L, 9100002L, "click", "2030-01-01 10:05:00"),
@@ -5202,6 +5234,27 @@ object SparkEntry {
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS release_date,
         |  lpad(CAST(event_id AS VARCHAR), 6, '0') AS track_id
         |FROM events WHERE event_id < 2000 ORDER BY track_id""".stripMargin,
+
+    "q192_artist_track_stats" ->
+      """WITH flat AS (
+        |  SELECT
+        |    CASE WHEN event_type <> 'signup' THEN 'Artist ' || CAST(user_id AS VARCHAR) ELSE 'Unknown' END AS artist_name,
+        |    CAST(user_id AS INTEGER) AS popularity,
+        |    (event_id * 7919) % 400000 AS duration_ms,
+        |    lpad(CAST(event_id AS VARCHAR), 6, '0') AS track_id
+        |  FROM events WHERE event_id < 2000),
+        |stats AS (
+        |  SELECT artist_name, CAST(COUNT(*) AS BIGINT) AS n_tracks,
+        |         CAST(SUM(popularity) AS DOUBLE) / COUNT(popularity) AS avg_popularity
+        |  FROM flat GROUP BY artist_name),
+        |top2 AS (
+        |  SELECT artist_name, duration_ms, track_id,
+        |         ROW_NUMBER() OVER (PARTITION BY artist_name ORDER BY duration_ms DESC, track_id) AS rn
+        |  FROM flat)
+        |SELECT t.artist_name, s.n_tracks, s.avg_popularity, t.track_id, t.duration_ms
+        |FROM top2 t JOIN stats s USING (artist_name)
+        |WHERE t.rn <= 2
+        |ORDER BY t.artist_name, t.duration_ms DESC, t.track_id""".stripMargin,
 
     "q60_ranked_flatten" ->
       """WITH base AS (

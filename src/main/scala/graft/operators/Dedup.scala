@@ -368,9 +368,6 @@ object Dedup {
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
   }
 
-  /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
-    * shared by the inline LSH front half and the persisted-state paths.
-    */
   /** Max delta rows the incremental state joins BROADCAST (doc rows;
     * the widest broadcast payload is the signature frame at
     * ~numHashes×8 B/row ≈ 15 MB at the default 100k — inside any
@@ -389,6 +386,25 @@ object Dedup {
     */
   private[graft] def gatedBroadcast(df: DataFrame, rows: Long): DataFrame =
     if (rows <= DeltaBroadcastRows) broadcast(df) else df
+
+  /** Delta side of a state-vs-delta SEMI/INNER join (tombstone heals,
+    * stale-row probes): broadcast-hint it only when the STATE side is
+    * past the planner's own broadcast threshold — below it the planner
+    * broadcasts the state keys itself and the hint's materialize+count
+    * would add jobs for nothing — and the measured delta fits
+    * [[DeltaBroadcastRows]]. Same asymptotics as [[deltaAntiState]]
+    * for the join kinds that CAN build on the delta side.
+    */
+  private[graft] def deltaProbeSide(delta: DataFrame, state: DataFrame): DataFrame = {
+    val bcastBytes = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val stateSmall = bcastBytes > 0 &&
+      state.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bcastBytes)
+    if (stateSmall) delta
+    else {
+      val pinned = materialize(delta)
+      gatedBroadcast(pinned, pinned.count())
+    }
+  }
 
   /** Replay/append filter — rows of `delta` whose `cols` tuple is
     * absent from `stateKeys` — WITHOUT shuffling the state once the
@@ -414,25 +430,6 @@ object Dedup {
     *  3. big state AND oversized delta (a backfill) → the plain anti
     *     (genuinely exchange-worthy on both sides).
     */
-  /** Delta side of a state-vs-delta SEMI/INNER join (tombstone heals,
-    * stale-row probes): broadcast-hint it only when the STATE side is
-    * past the planner's own broadcast threshold — below it the planner
-    * broadcasts the state keys itself and the hint's materialize+count
-    * would add jobs for nothing — and the measured delta fits
-    * [[DeltaBroadcastRows]]. Same asymptotics as [[deltaAntiState]]
-    * for the join kinds that CAN build on the delta side.
-    */
-  private[graft] def deltaProbeSide(delta: DataFrame, state: DataFrame): DataFrame = {
-    val bcastBytes = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val stateSmall = bcastBytes > 0 &&
-      state.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bcastBytes)
-    if (stateSmall) delta
-    else {
-      val pinned = materialize(delta)
-      gatedBroadcast(pinned, pinned.count())
-    }
-  }
-
   private[graft] def deltaAntiState(delta: DataFrame, stateKeys: DataFrame,
                                     cols: Seq[String]): DataFrame = {
     val bcastBytes = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
@@ -449,6 +446,9 @@ object Dedup {
     }
   }
 
+  /** Band-bucket rows (doc_id, band, bucket) from a signature frame —
+    * shared by the inline LSH front half and the persisted-state paths.
+    */
   private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { band =>
@@ -506,6 +506,14 @@ object Dedup {
     val bcastDelta = deltaRows <= DeltaBroadcastRows
     def deltaSide(df: DataFrame): DataFrame =
       if (bcastDelta) broadcast(df) else df
+    // the band-bucket frame carries bands× as many rows as the
+    // signature frame, so ITS broadcast is gated on the bucket-row
+    // count — an explicit hint bypasses the planner's size check, and
+    // gating buckets on doc rows alone would broadcast bands× the
+    // documented worst case under a wide banding config (ADVICE r18)
+    val bcastBuckets = deltaRows * bands <= DeltaBroadcastRows
+    def bucketSide(df: DataFrame): DataFrame =
+      if (bcastBuckets) broadcast(df) else df
     val newBuckets = bandBuckets(newSigs, numHashes, bands)
     // history buckets are derived from the one state table (see
     // persistMinhashSignatures: no second table to tear on append),
@@ -521,7 +529,7 @@ object Dedup {
       Seq("doc_id"), "left_anti")
     val allBuckets = bandBuckets(histSigs, numHashes, bands).unionByName(newBuckets)
     val allSigs = histSigs.unionByName(newSigs)
-    val cand = allBuckets.as("x").join(deltaSide(newBuckets).as("y"), Seq("band", "bucket"))
+    val cand = allBuckets.as("x").join(bucketSide(newBuckets).as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))

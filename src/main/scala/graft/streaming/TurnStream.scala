@@ -324,8 +324,16 @@ object TurnStream {
         fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength).sum
       val n = math.max(1,
         math.ceil(bytes.toDouble / (targetFileMb * 1024.0 * 1024.0)).toInt)
+      // coalesce, not repartition: the fold's only job is fewer/bigger
+      // files, and `n` is already sized from the measured source bytes
+      // (~targetFileMb each), so merging read partitions in place
+      // writes the same layout WITHOUT exchanging every pair byte —
+      // at scale the repartition re-shuffled the full accumulated
+      // sink on every compaction, and readers never see row order
+      // anyway (emittedPairs re-sorts). n > source partitions is a
+      // no-op coalesce, which is still the right write.
       spark.read.schema(PairsSchema).parquet(srcs: _*)
-        .repartition(n).write.parquet(newBase.toString)
+        .coalesce(n).write.parquet(newBase.toString)
       val bids = m.bids ++ fold.map(_.getPath.getName.stripPrefix("batch_"))
       val mdir = new org.apache.hadoop.fs.Path(s"$pairsOut/_pairs_manifest")
       fs.mkdirs(mdir)

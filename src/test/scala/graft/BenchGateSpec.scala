@@ -150,6 +150,32 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!errLine.contains("\"samples\""), errLine)
   }
 
+  test("env gauges ride the samples artifact and stay off the stdout line") {
+    // envGauge emits a 6-number JSON array: [heapMb, gcMs, load1,
+    // freeGb, sparkLocalMb, scratchMb] — the quantities the
+    // cached_rdds census cannot see (VERDICT r18 item 1/7)
+    val g = Bench.envGauge()
+    val nums = g.stripPrefix("[").stripSuffix("]").split(",")
+    assert(g.startsWith("[") && g.endsWith("]"), g)
+    assert(nums.length == 6, g)
+    nums.foreach(n => assert(n.toDouble >= -1.0, g)) // loadavg is -1 off-Linux
+    val line = Bench.benchJson(
+      results = Seq(("q_a", 1.0, Seq(1.0))),
+      errors = Map.empty[String, String],
+      sfDir = "/tmp/sf", regressed = Seq.empty, secondPass = Map.empty,
+      withSamples = true, gauges = Map("q_a" -> 0),
+      envs = Map("q_a" -> "[1,2,0.10,3.00,4,5]"),
+      gateEnv = Map("q_a" -> "[6,7,0.20,8.00,9,10]"))
+    assert(line.contains("\"env\":{\"q_a\":[1,2,0.10,3.00,4,5]}"), line)
+    assert(line.contains("\"gate_env\":{\"q_a\":[6,7,0.20,8.00,9,10]}"), line)
+    val stdoutLine = Bench.benchJson(
+      results = Seq(("q_a", 1.0, Seq(1.0))),
+      errors = Map.empty[String, String],
+      sfDir = "/tmp/sf", regressed = Seq.empty, secondPass = Map.empty,
+      withSamples = false, envs = Map("q_a" -> "[1,2,0.10,3.00,4,5]"))
+    assert(!stdoutLine.contains("\"env\""), stdoutLine)
+  }
+
   test("gate fields are tail-anchored: gate_rc is the final key, after total") {
     // Round 17's driver artifact kept only the tail of the bench line;
     // the gate fields were head-anchored and the artifact of record

@@ -46,6 +46,20 @@ def main(path):
     def spread(name):
         ss = sorted(samples.get(name, []))
         return " samples=[" + ",".join(f"{s:.2f}" for s in ss) + "]" if ss else ""
+    # env arrays (graft.Bench.envGauge: [heapMb, gcMs, load1, freeGb,
+    # sparkLocalMb, scratchMb]) ride the samples artifact; printing
+    # them for flagged queries makes a gate-red artifact
+    # self-adjudicating (contention/disk/GC vs a real plan change)
+    envs, gate_envs = cur.get("env", {}), cur.get("gate_env", {})
+    def envline(name):
+        parts = []
+        for label, src in (("env", envs), ("gate_env", gate_envs)):
+            v = src.get(name)
+            if v:
+                heap, gc, load1, free, blk, scr = (v + [0] * 6)[:6]
+                parts.append(f"{label}=[heap {heap}MB, gc {gc}ms, load {load1},"
+                             f" free {free}GB, shuffle-dir {blk}MB, scratch {scr}MB]")
+        return ("\n          " + " ".join(parts)) if parts else ""
     regressed = []
     for name, sec in sorted(cur["queries"].items()):
         if name in errors:
@@ -57,7 +71,7 @@ def main(path):
         ratio = sec / b if b > 0 else float("inf")
         flag = ratio > REGRESSION_X and max(sec, b) > ABS_FLOOR_SEC
         mark = "REGRESSED" if flag else ("faster" if ratio < 0.8 else "ok")
-        extra = spread(name) if flag else ""
+        extra = (spread(name) + envline(name)) if flag else ""
         print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){extra}")
         if flag:
             regressed.append(name)

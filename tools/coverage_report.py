@@ -84,15 +84,29 @@ def bench_claim():
         except Exception:
             pass
     if gate_rc is None:
-        # pre-r18 artifacts whose gate verdict survives only in git
-        # history (the value-matched last_bench.json at the round's
-        # driver commit): BENCH_r17's full line at commit 76645f1 says
-        # gate_rc 1, gate_regressed [q187_shards_spans, q23_json_props].
-        # Without this record, a later local sweep overwriting
-        # last_bench.json would silently revert the claim to the
-        # process rc of 0 — the exact drift this script exists to stop.
-        gate_rc = {"BENCH_r17.json": 1}.get(os.path.basename(latest))
+        # artifacts whose gate verdict survives only in git history
+        # (e.g. BENCH_r17's tail-truncated line; the full line at the
+        # round's driver commit 76645f1 says gate_rc 1). Recovered
+        # verdicts live in the committed tools/gate_verdicts.json
+        # sidecar — a data edit, not a code edit, per driver ADVICE
+        # r18: an in-code map was one forgotten extension away from
+        # silently falling through to the process rc of 0.
+        try:
+            side = json.load(open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "gate_verdicts.json")))
+            ent = side.get(os.path.basename(latest))
+            if isinstance(ent, dict):
+                gate_rc = ent.get("gate_rc")
+        except Exception:
+            pass
     if gate_rc is None:
+        # an artifact with gate fields that SHOULD be parseable (r18+)
+        # but aren't, and no recovered sidecar entry: refuse rather
+        # than fall through to the process rc — unknown is a failure.
+        m = re.search(r"r(\d+)", os.path.basename(latest))
+        if m and int(m.group(1)) >= 18:
+            print(f"gate_rc unparseable from {latest} and no "
+                  f"tools/gate_verdicts.json entry"); return None, 1
         gate_rc = d.get("rc")
     if total is None:
         print(f"no total parseable from {latest}"); return None, 1
