@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen JIT-compiles thousands of generated classes
+  // across a 192-query sweep; the JVM's default 240 MB code cache
+  // then silently flushes cold compiled methods (UseCodeCacheFlushing)
+  // and the recompile churn shows up as a broad ~1.15× sweep-wide
+  // slowdown that grew with the catalog (r15→r18 bench totals rose
+  // 288→415 s with no per-plan cause; fresh-JVM minima were flat).
+  "-XX:ReservedCodeCacheSize=1g",
 )

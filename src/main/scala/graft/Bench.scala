@@ -237,6 +237,13 @@ object Bench {
       // blowups). Safe here because the sweep is sequential and every
       // sample rebuilds its frames from fn(spark, sfDir).
       graft.operators.Dedup.releaseMaterialized()
+      // Unload the streaming state-store providers the sample's
+      // drained streams left cached (also outside the timer): the
+      // shared maintenance task otherwise snapshots/lists every
+      // provider of every PRIOR stream each interval, and the
+      // accumulated storm degrades late-sweep stateful queries ~2×
+      // (r19: q191 in-sweep 15-31 s vs 8.4 s fresh; q110 4.0 vs 2.4).
+      org.apache.spark.sql.GraftSqlBridge.unloadStreamingState()
       res
     }
     // main-sweep form: keeps the fail-fast elapsed as the sample so an

@@ -42,9 +42,12 @@ object BenchOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        // same between-sample block release as Bench (outside the
-        // timer): reps stay independent of accumulated checkpoint state
+        // same between-sample block + state-store release as Bench
+        // (outside the timer): reps stay independent of accumulated
+        // checkpoint blocks AND of prior streams' state-store
+        // providers (whose maintenance task otherwise grows with reps)
         graft.operators.Dedup.releaseMaterialized()
+        org.apache.spark.sql.GraftSqlBridge.unloadStreamingState()
         println(f"[benchone] $name rep$i: $dt%.3f s")
         dt
       }.sorted

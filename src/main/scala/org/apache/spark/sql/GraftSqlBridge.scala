@@ -18,4 +18,18 @@ object GraftSqlBridge {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Unload every cached streaming state-store provider and stop the
+    * shared maintenance task (both re-initialize lazily on the next
+    * stateful stream). Every drained stream leaves its providers in
+    * the executor-side cache — numPartitions × stateful-operators per
+    * run — and the periodic maintenance task then snapshots/lists ALL
+    * of them every interval, forever: across a many-query session the
+    * accumulated maintenance storm degrades later stateful queries
+    * ~2× (measured round 19: q191 8.4 → 9.8 → 16.7 s across three
+    * back-to-back runs in one JVM; flat after this call). Harness
+    * use (Bench/BenchOne between samples) — never inside a query.
+    */
+  def unloadStreamingState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
