@@ -1500,32 +1500,31 @@ object SparkEntry {
     // reference's ≤50-item API contract (SURVEY.md W1). ----
     "q60_ranked_flatten" -> ((s, dir) => {
       import s.implicits._
-      val id6 = lpad($"event_id".cast("string"), 6, "0")
-      val raw = Tables.load(s, dir, "events")
-        .filter($"event_id" < 1000)
-        .select(to_json(struct(array(struct(
-          date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("played_at"),
-          when($"event_type" =!= "error", struct(
-            id6.as("id"),
-            when($"event_type" =!= "view", $"event_type").as("name"),
-            $"user_id".cast("int").as("popularity"),
-            pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
-            ($"event_id" % 3 === 0).as("explicit"),
-            when($"value".isNotNull, concat(lit("https://p/"), id6)).as("preview_url"),
-            struct(concat(lit("https://open/"), id6).as("spotify")).as("external_urls"),
-            struct(
-              concat(lit("al"), $"user_id").as("id"),
-              concat(lit("Album "), $"user_id").as("name"),
-              date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
-            array(struct(
-              concat(lit("ar"), $"user_id").as("id"),
-              concat(lit("Artist "), $"user_id").as("name"))).as("artists")
-          )).as("track")
-        )).as("items"))).as("json"))
-      SpotifyFlatten.rankedRecentlyPlayed(
-          SpotifySchemas.parse(raw.as[String], SpotifySchemas.recentlyPlayedPayload))
+      SpotifyFlatten.rankedRecentlyPlayed(parsedRecentlyPlayed(s, dir))
         .withColumn("rank", $"rank".cast("long"))
         .orderBy($"rank")
+    }),
+
+    // ---- EP2 grouped-by-artist listening report (SURVEY §2.5's
+    // grouped extension over the recently-played flatten): plays per
+    // artist, total listening time rendered m:ss by the same exact
+    // formatter as the reference's console display (Ops.msToMinSec,
+    // new.py:170), and the most recent played_at. P2 semantics ride
+    // through: an item with a missing track is KEPT as an
+    // all-defaults row (artist "Unknown", duration 0), so the
+    // 'Unknown' group aggregates the malformed tail instead of
+    // silently dropping it. ----
+    "q193_artist_listening" -> ((s, dir) => {
+      import s.implicits._
+      SpotifyFlatten.recentlyPlayed(parsedRecentlyPlayed(s, dir))
+        .groupBy($"artist_name")
+        .agg(count(lit(1)).as("n_plays"),
+          sum($"duration_ms").as("total_ms"),
+          max($"played_at").as("last_played"))
+        .select($"artist_name", $"n_plays",
+          Ops.msToMinSec($"total_ms").as("listen_time"),
+          $"total_ms", $"last_played")
+        .orderBy($"artist_name")
     }),
 
     // ---- Ranking-function family over one window ----
@@ -2470,6 +2469,39 @@ object SparkEntry {
       )).as("tracks"))).as("json"))
     SpotifyFlatten.topTracks(
       SpotifySchemas.parse(raw.as[String], SpotifySchemas.topTracksPayload))
+  }
+
+  /** q60's synthesized EP2 recently-played payload (events → JSON →
+    * parse) — shared by the ranked flatten (q60) and the
+    * grouped-by-artist listening report (q193). Error events carry a
+    * NULL track (the reference's malformed-item shape); played_at is
+    * present at item level for every row.
+    */
+  private def parsedRecentlyPlayed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id6 = lpad($"event_id".cast("string"), 6, "0")
+    val raw = Tables.load(s, dir, "events")
+      .filter($"event_id" < 1000)
+      .select(to_json(struct(array(struct(
+        date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("played_at"),
+        when($"event_type" =!= "error", struct(
+          id6.as("id"),
+          when($"event_type" =!= "view", $"event_type").as("name"),
+          $"user_id".cast("int").as("popularity"),
+          pmod($"event_id" * 7919L, lit(400000L)).as("duration_ms"),
+          ($"event_id" % 3 === 0).as("explicit"),
+          when($"value".isNotNull, concat(lit("https://p/"), id6)).as("preview_url"),
+          struct(concat(lit("https://open/"), id6).as("spotify")).as("external_urls"),
+          struct(
+            concat(lit("al"), $"user_id").as("id"),
+            concat(lit("Album "), $"user_id").as("name"),
+            date_format($"ts", "yyyy-MM-dd").as("release_date")).as("album"),
+          array(struct(
+            concat(lit("ar"), $"user_id").as("id"),
+            concat(lit("Artist "), $"user_id").as("name"))).as("artists")
+        )).as("track")
+      )).as("items"))).as("json"))
+    SpotifySchemas.parse(raw.as[String], SpotifySchemas.recentlyPlayedPayload)
   }
 
   private val funnelSeedRows: Seq[(Long, Long, String, String)] = Seq(
@@ -5255,6 +5287,19 @@ object SparkEntry {
         |FROM top2 t JOIN stats s USING (artist_name)
         |WHERE t.rn <= 2
         |ORDER BY t.artist_name, t.duration_ms DESC, t.track_id""".stripMargin,
+
+    "q193_artist_listening" ->
+      """WITH flat AS (
+        |  SELECT
+        |    CASE WHEN event_type <> 'error' THEN 'Artist ' || CAST(user_id AS VARCHAR) ELSE 'Unknown' END AS artist_name,
+        |    CASE WHEN event_type <> 'error' THEN (event_id * 7919) % 400000 ELSE 0 END AS duration_ms,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS played_at
+        |  FROM events WHERE event_id < 1000)
+        |SELECT artist_name, CAST(COUNT(*) AS BIGINT) AS n_plays,
+        |  printf('%d:%02d', CAST(SUM(duration_ms) // 60000 AS BIGINT), CAST((SUM(duration_ms) % 60000) // 1000 AS BIGINT)) AS listen_time,
+        |  CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+        |  MAX(played_at) AS last_played
+        |FROM flat GROUP BY artist_name ORDER BY artist_name""".stripMargin,
 
     "q60_ranked_flatten" ->
       """WITH base AS (
