@@ -89,6 +89,15 @@ object Pipelines {
                     trainPct: Int = 80): Map[String, () => org.apache.spark.sql.DataFrame] = {
     graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf)
       .write.mode("overwrite").parquet(pairsPath)
+    nearDupFamilyFromPairs(spark, docs, pairsPath, trainPct)
+  }
+
+  /** The consumer half of [[nearDupFamily]]: the family views over an
+    * ALREADY-persisted pair table — the lake deployment shape (build
+    * once, on a schedule or via [[nearDupFamily]]; consume many). */
+  def nearDupFamilyFromPairs(spark: SparkSession,
+                             docs: org.apache.spark.sql.DataFrame, pairsPath: String,
+                             trainPct: Int = 80): Map[String, () => org.apache.spark.sql.DataFrame] = {
     val pairs = spark.read.parquet(pairsPath)
     Map(
       "clusters" -> (() => graft.operators.Dedup.duplicateClusters(pairs)),
@@ -280,6 +289,64 @@ object Pipelines {
       "bpeVocabPath and encodedPath come as a pair (the encoded state is " +
         "meaningless without the artifact that defines its ids)")
     import org.apache.spark.sql.functions._
+    // ---- turn-completion LEDGER: an explicit runId names the WHOLE
+    // turn, so a completed turn's retry (the reference DAG's
+    // retries=2 re-enters with the same execution date; a stream
+    // checkpoint replay re-enters with the same content digest) is
+    // decided by one filesystem probe instead of re-running every
+    // tier's replay-guarded job waves — the guards already made the
+    // retry a state NO-OP, but a no-op that still paid the full
+    // turn's diff + heal + append jobs (the dominant cost at daily
+    // cadence; q167 measured ~2× a single turn). The marker lands
+    // strictly AFTER every state write, so a turn that crashed
+    // mid-state leaves no marker and its retry takes the per-tier
+    // crash-resume path below, healing exactly the sub-batches that
+    // never landed. Skipped when a manifest rides the turn: the
+    // manifest is the audit trail that must RECORD each retry
+    // (StateCompactionSpec pins one row per delivery), and an audited
+    // deployment wants that row more than the skip. Single writer per
+    // state root, as everywhere in this tier.
+    val turnMarker =
+      if (manifestPath.isDefined) None
+      else runId.map(r => new org.apache.hadoop.fs.Path(
+        s"$sigStatePath/_turns/${java.net.URLEncoder.encode(r, "UTF-8")}"))
+    if (turnMarker.exists(m =>
+          m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m))) {
+      // state already reflects this turn — hand back the same views,
+      // LAZY (no materialization, no state mutation, no jobs unless a
+      // consumer actually reads them; the pair frame recomputes
+      // against post-turn state, which the retry spec pins as
+      // emission-identical)
+      val docChanges = graft.operators.Snapshot
+        .diffFp(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+        .filter(col("status") =!= "unchanged").drop("oh", "nh")
+      def fpL(e: org.apache.spark.sql.DataFrame) =
+        e.withColumn("_fp", col("embedding").cast("string"))
+      val embChanges = graft.operators.Snapshot
+        .diff(fpL(oldEmb), fpL(newEmb), "vec_id", Seq("_fp"))
+        .filter(col("status") =!= "unchanged")
+      val addedDocs = newDocs.join(
+        docChanges.filter(col("status") === "added").select("doc_id"), Seq("doc_id"))
+      val pairs = graft.operators.Dedup.incrementalMinhashEstimatedUnordered(
+        addedDocs, n, numHashes, bands, minJ, sigStatePath)
+      return Map(
+        "doc_changes" -> docChanges,
+        "emb_changes" -> embChanges,
+        "dedup_pairs" -> pairs.orderBy(col("doc_a"), col("doc_b")),
+        "dedup_pairs_raw" -> pairs)
+    }
+    // SAME-FRAME shortcut: a caller that passes the identical frame
+    // for old and new (the doc-only turn's `emb, emb`, the
+    // vector-only turn's `docs, docs` — q163/q167/q168/q170/q173's
+    // shapes) has declared that side UNCHANGED by identity, so its
+    // diff is empty WITHOUT any data pass. limit(0) folds to a static
+    // LocalRelation, every downstream join/append over it collapses
+    // in the optimizer (PropagateEmptyRelation), materialize skips
+    // the checkpoint job, and the heal blocks are gated off — at
+    // sf0.1 the inert side otherwise cost a two-scan fingerprint
+    // diff + an empty heal + an empty append write per turn.
+    val docsUnchanged = oldDocs eq newDocs
+    val embUnchanged = oldEmb eq newEmb
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
     // materialized, and both its consumers (the returned change frame
@@ -287,9 +354,11 @@ object Pipelines {
     // diffFp keeps both sides' md5 fingerprints in the materialized
     // delta — the content identity the DSIR run stamp needs, already
     // paid for by the diff's own scan (no second corpus pass)
-    val docChangesFp = graft.operators.Dedup.materialize(
-      graft.operators.Snapshot.diffFp(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
-        .filter(col("status") =!= "unchanged"))
+    val docChangesFp = graft.operators.Dedup.materialize {
+      val d = graft.operators.Snapshot.diffFp(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
+        .filter(col("status") =!= "unchanged")
+      if (docsUnchanged) d.limit(0) else d
+    }
     val docChanges = docChangesFp.drop("oh", "nh")
     val addedDocKeys = docChanges.filter(col("status") === "added").select("doc_id")
     // `healEdits`: run the compaction tier IN the loop turn, BEFORE the
@@ -318,7 +387,7 @@ object Pipelines {
           (if (healEdits && bpeVocabPath.isDefined) 1 else 0)
       if (consumers >= 2) graft.operators.Dedup.materialize(c) else c
     }
-    if (healEdits) {
+    if (healEdits && !docsUnchanged) {
       if (healVia == "tombstone")
         // O(|edits|): content-addressed tombstones + fresh re-signs,
         // no state rewrite in the turn — the daily cadence mode; the
@@ -388,7 +457,7 @@ object Pipelines {
     dsirStatePath.foreach { dp =>
       val (nb, ng, bids) = dsirSummary.get
       val kb = Some(bids)
-      if (healEdits) {
+      if (healEdits && !docsUnchanged) {
         val editKeys = docChanges
           .filter(col("status").isin("changed", "removed")).select("doc_id")
         graft.operators.TextAnalysis.retractDsirState(
@@ -414,7 +483,7 @@ object Pipelines {
     // vocab/encoded pair-check fires at the top of the method, before
     // any state mutation.
     for (vp <- bpeVocabPath; ep <- encodedPath) {
-      if (healEdits) {
+      if (healEdits && !docsUnchanged) {
         val removed = docChanges.filter(col("status") === "removed").select("doc_id")
         if (healVia == "tombstone")
           graft.operators.TextAnalysis.tombstoneEncodedDocs(changedCur, spark, vp, ep, removed)
@@ -448,10 +517,12 @@ object Pipelines {
     // string form (stable for a given array, engine-portable)
     def fp(e: org.apache.spark.sql.DataFrame) =
       e.withColumn("_fp", col("embedding").cast("string"))
-    val embChanges = graft.operators.Dedup.materialize(
-      graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
-        .filter(col("status") =!= "unchanged"))
-    if (healEdits) {
+    val embChanges = graft.operators.Dedup.materialize {
+      val d = graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
+        .filter(col("status") =!= "unchanged")
+      if (embUnchanged) d.limit(0) else d
+    }
+    if (healEdits && !embUnchanged) {
       val changedEmb = newEmb.join(
         embChanges.filter(col("status") === "changed").select("vec_id"), Seq("vec_id"))
       if (healVia == "tombstone")
@@ -485,7 +556,7 @@ object Pipelines {
     // retried turn appends nothing), edits heal by the selected mode;
     // codebook retraining stays the periodic event (retrainPqIndex)
     pqPath.foreach { pp =>
-      if (healEdits) {
+      if (healEdits && !embUnchanged) {
         val changedEmb = newEmb.join(
           embChanges.filter(col("status") === "changed").select("vec_id"), Seq("vec_id"))
         if (healVia == "tombstone")
@@ -608,6 +679,11 @@ object Pipelines {
       spark.createDataFrame(
           java.util.Collections.singletonList(row), manifestSchema)
         .write.mode("append").parquet(mp)
+    }
+    // the completion marker is the LAST write of the turn: its
+    // existence certifies every state mutation above committed
+    turnMarker.foreach { m =>
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(m); ()
     }
     Map(
       "doc_changes" -> docChanges,

@@ -32,4 +32,19 @@ object GraftSqlBridge {
     */
   def unloadStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+  /** THIS app's Spark scratch directories: the block-manager local
+    * dirs (`blockmgr-*` — shuffle files, disk-spilled blocks) plus
+    * the driver's own `spark-*` temp root when set. The bench's disk
+    * gauge walks exactly these instead of prefix-globbing every
+    * `spark-*`/`blockmgr-*` under the SHARED java.io.tmpdir, where a
+    * co-tenant process's Spark scratch would be misattributed to this
+    * sweep (driver ADVICE r19). Empty when no SparkEnv is live.
+    */
+  def sparkLocalDirs(): Seq[String] = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) Seq.empty
+    else env.blockManager.diskBlockManager.localDirs
+      .map(_.getAbsolutePath).toSeq ++ env.driverTmpDir
+  }
 }

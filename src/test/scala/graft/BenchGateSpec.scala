@@ -34,35 +34,89 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gateRegressed(Seq("q_zero" -> 1.5), baseline) === Seq("q_zero"))
   }
 
-  test("second pass clears a first-pass contention stall (gate_rc 0)") {
-    // r11's false flag: a load window inflated a contiguous run of
-    // queries 2.7-4.3x; the quiet re-run put them all near baseline.
-    // The second pass re-times suspects after the sweep; the gate
-    // takes the min across both passes.
-    var reTimed = List.empty[String]
-    val (regressed, second) = Bench.secondPassGate(
-      Seq("q_slow" -> 6.0, "q_fast" -> 0.2),
-      baseline,
-      name => { reTimed ::= name; Seq(2.1, 2.05) })
-    assert(regressed.isEmpty)
-    assert(reTimed === List("q_slow")) // only the suspect is re-timed
-    assert(second === Map("q_slow" -> Seq(2.1, 2.05)))
+  test("median: odd middle, even mean-of-middle-two, empty is +inf") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0)) === 2.5)
+    assert(Bench.median(Seq(7.5)) === 7.5)
+    assert(Bench.median(Seq.empty).isPosInfinity)
   }
 
-  test("second pass confirms a genuine regression (still flagged)") {
-    val (regressed, _) = Bench.secondPassGate(
-      Seq("q_slow" -> 6.0),
+  test("median gate: second pass clears a first-pass contention stall (gate_rc 0)") {
+    // r11/r19's false-flag shape: a load window inflated EVERY
+    // first-pass sample of a contiguous band; the quiet re-run put
+    // them near baseline. The gate statistic is min-across-passes of
+    // per-pass medians, so one quiet pass clears the flag.
+    var reTimed = List.empty[String]
+    val (regressed, second) = Bench.medianGate(
+      Seq("q_slow" -> Seq(6.0, 6.2, 5.9), "q_fast" -> Seq(0.2, 0.21)),
       baseline,
-      _ => Seq(5.9, 6.1)) // quiet re-run is just as slow
+      name => { reTimed ::= name; Seq(2.1, 2.05, 2.2) })
+    assert(regressed.isEmpty)
+    assert(reTimed === List("q_slow")) // only the suspect is re-timed
+    assert(second === Map("q_slow" -> Seq(2.1, 2.05, 2.2)))
+  }
+
+  test("median gate: a single first-pass spike does not even trigger the second pass") {
+    // the one-sided bias the min rule had is gone symmetric: one
+    // 6 s straggler among quiet samples leaves the median quiet
+    val (regressed, second) = Bench.medianGate(
+      Seq("q_slow" -> Seq(2.1, 6.0, 2.0)),
+      baseline,
+      _ => fail("median of (2.0, 2.1, 6.0) is 2.1 — no suspect"))
+    assert(regressed.isEmpty && second.isEmpty)
+  }
+
+  test("median gate: a genuine regression is slow in both passes (still flagged)") {
+    val (regressed, _) = Bench.medianGate(
+      Seq("q_slow" -> Seq(6.0, 6.1)),
+      baseline,
+      _ => Seq(5.9, 6.1, 6.0)) // quiet re-run is just as slow
+    assert(regressed === Seq("q_slow"))
+  }
+
+  test("median gate: an all-errored second pass cannot clear the flag") {
+    // timeOneChecked contributes no sample on error; an empty pass-2
+    // median is +inf, so the verdict rests on the slow first pass
+    val (regressed, _) = Bench.medianGate(
+      Seq("q_slow" -> Seq(6.0, 6.1)),
+      baseline,
+      _ => Seq.empty)
     assert(regressed === Seq("q_slow"))
   }
 
   test("no suspects means no second pass at all") {
-    val (regressed, second) = Bench.secondPassGate(
-      Seq("q_slow" -> 2.2, "q_fast" -> 0.3),
+    val (regressed, second) = Bench.medianGate(
+      Seq("q_slow" -> Seq(2.2, 2.3), "q_fast" -> Seq(0.3)),
       baseline,
       _ => fail("reTime must not be called when nothing is flagged"))
     assert(regressed.isEmpty && second.isEmpty)
+  }
+
+  test("sweep-mechanism pins: stream warm-up, GC cadence, periodic-GC override") {
+    // r19's two end-of-sweep blowup mechanisms stay fixed by
+    // construction (VERDICT r19 item 4): (1) the untimed warm-up list
+    // must include a stateful STREAM (cold microbatch + state-store
+    // init otherwise lands in the first stream query's samples) and
+    // every warm-up name must exist in the catalog; (2) the
+    // between-queries GC cadence must be small against the ~190-query
+    // sweep so ContextCleaner cleanup stays incremental, with the
+    // 30-min periodic GC pushed far past any sweep length.
+    val qs = SparkEntry.queries
+    assert(Bench.WarmupQueries.forall(qs.contains),
+      s"warm-up names missing from catalog: ${Bench.WarmupQueries.filterNot(qs.contains)}")
+    assert(Bench.WarmupQueries.exists(_.contains("stream")),
+      "warm-up list lost its stateful stream (commit 0818436's fix)")
+    assert(Bench.GcEveryN >= 1 && Bench.GcEveryN <= 20,
+      s"GcEveryN=${Bench.GcEveryN} — between-queries GC no longer incremental")
+    assert(Bench.PeriodicGcInterval == "6h")
+    var fired = 0
+    val c = new Bench.GcCadence(3, () => fired += 1)
+    (1 to 9).foreach(_ => c.tick())
+    assert(fired === 3 && c.fired === 3) // every 3rd tick, deterministic
+    c.tick(force = true)
+    assert(fired === 4) // forced fire resets the counter
+    (1 to 2).foreach(_ => c.tick())
+    assert(fired === 4)
   }
 
   test("bench_baseline.json's stored total equals its per-query entry sum") {

@@ -6,10 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Mechanical staleness gate for the COVERAGE.md correctness claim:
   * the claim paragraph (round number, green/total counts, artifact
-  * name) must match the NEWEST `CORRECTNESS_r*.json` driver artifact
-  * in the repo root. The claim is machine-written by
-  * `tools/coverage_report.py`; this spec makes forgetting to run it a
-  * test failure rather than a third consecutive stale header.
+  * name) must match the newest CITABLE `CORRECTNESS_r*.json` driver
+  * artifact in the repo root — citable meaning committed no later
+  * than the claim file's own last commit, because a round's driver
+  * artifacts land AFTER the builder's final commit and can only be
+  * cited by the next round's header regeneration (VERDICT r19 item
+  * 3). The claim is machine-written by `tools/coverage_report.py`;
+  * this spec makes forgetting to run it a test failure rather than a
+  * third consecutive stale header.
   *
   * Deliberately dumb parsing: the claim format is owned by
   * coverage_report.py — if the format changes there, change it here.
@@ -25,15 +29,49 @@ class CoverageClaimSpec extends AnyFunSuite {
     d
   }
 
-  test("COVERAGE.md claim matches the newest CORRECTNESS_r*.json artifact") {
-    val artRe = "CORRECTNESS_r(\\d+)\\.json".r
-    val arts = root.listFiles().toSeq
-      .flatMap(f => f.getName match {
-        case artRe(n) => Some((n.toInt, f))
-        case _        => None
-      })
-    assert(arts.nonEmpty, "no CORRECTNESS_r*.json artifact in repo root")
-    val (round, newest) = arts.maxBy(_._1)
+  /** Last-commit epoch (committer time) of a repo-relative path; None
+    * when the file is untracked or git is unavailable. */
+  private def commitEpoch(rel: String): Option[Long] =
+    try {
+      val out = new String(
+        new ProcessBuilder("git", "-C", root.getPath, "log", "-1",
+          "--format=%ct", "--", rel)
+          .redirectErrorStream(false).start().getInputStream.readAllBytes(),
+        "UTF-8").trim
+      if (out.isEmpty) None else Some(out.toLong)
+    } catch { case _: Throwable => None }
+
+  /** The newest artifact the claim file could have CITED: a round's
+    * driver artifacts land in a commit AFTER the builder's last header
+    * regeneration, so the post-round tree always carries artifacts
+    * newer than the headers — by construction, not by staleness
+    * (VERDICT r19 item 3: the old plain-newest rule failed three tests
+    * on every post-round judge run, forever). Artifacts committed
+    * after the claim file's last commit (or never committed) are
+    * therefore excluded; plain newest when git is unavailable (fresh
+    * export, no history — the strict rule still applies in the repo).
+    */
+  private def citableNewest(prefix: String, claimRel: String): (Int, File) = {
+    val artRe = (prefix + "_r(\\d+)\\.json").r
+    val arts = root.listFiles().toSeq.flatMap(f => f.getName match {
+      case artRe(n) => Some((n.toInt, f))
+      case _        => None
+    })
+    assert(arts.nonEmpty, s"no ${prefix}_r*.json artifact in repo root")
+    commitEpoch(claimRel) match {
+      case None => arts.maxBy(_._1)
+      case Some(claimT) =>
+        val citable = arts.filter { case (_, f) =>
+          commitEpoch(f.getName).exists(_ <= claimT) }
+        if (citable.isEmpty)
+          cancel(s"every ${prefix}_r*.json artifact postdates $claimRel's " +
+            "last commit — run `python3 tools/coverage_report.py` to cite them")
+        citable.maxBy(_._1)
+    }
+  }
+
+  test("COVERAGE.md claim matches the newest citable CORRECTNESS_r*.json artifact") {
+    val (round, newest) = citableNewest("CORRECTNESS", "COVERAGE.md")
 
     // count green rows exactly like tools/coverage_report.py: a row is
     // green iff rows_match, schema_match and hash_match are all true
@@ -65,19 +103,12 @@ class CoverageClaimSpec extends AnyFunSuite {
         "run `python3 tools/coverage_report.py`")
   }
 
-  test("COVERAGE.md bench claim matches the newest BENCH_r*.json artifact") {
+  test("COVERAGE.md bench claim matches the newest citable BENCH_r*.json artifact") {
     // the r16 verdict's drift class: commits/docs quoting a LOCAL
     // sweep while the landed driver artifact says otherwise. The bench
-    // headline is machine-written from the newest BENCH_r*.json;
-    // forgetting to regenerate it is a test failure.
-    val artRe = "BENCH_r(\\d+)\\.json".r
-    val arts = root.listFiles().toSeq
-      .flatMap(f => f.getName match {
-        case artRe(n) => Some((n.toInt, f))
-        case _        => None
-      })
-    assert(arts.nonEmpty, "no BENCH_r*.json artifact in repo root")
-    val (round, newest) = arts.maxBy(_._1)
+    // headline is machine-written from the newest citable
+    // BENCH_r*.json; forgetting to regenerate it is a test failure.
+    val (round, newest) = citableNewest("BENCH", "COVERAGE.md")
     val body = new String(Files.readAllBytes(newest.toPath), "UTF-8")
     // `total` is the bench line's FINAL key, so it survives the
     // driver's tail truncation; take the last occurrence (the escaped
@@ -109,15 +140,8 @@ class CoverageClaimSpec extends AnyFunSuite {
     // delimited block is machine-written from the newest artifacts;
     // this pins it against going stale (older round, wrong counts, or
     // a missing gate verdict).
-    def newestRound(prefix: String): Int = {
-      val re = (prefix + "_r(\\d+)\\.json").r
-      val ns = root.listFiles().toSeq.flatMap(f => f.getName match {
-        case re(n) => Some(n.toInt)
-        case _     => None
-      })
-      assert(ns.nonEmpty, s"no ${prefix}_r*.json artifacts")
-      ns.max
-    }
+    def newestRound(prefix: String): Int =
+      citableNewest(prefix, "README.md")._1
     val md = new String(
       Files.readAllBytes(Paths.get(root.getPath, "README.md")), "UTF-8")
     val blockRe =

@@ -29,14 +29,32 @@ def main(path):
         return 2
     cur = json.loads(m.group(0))
     base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
-    # The GATE stays min-vs-min: baselines were recorded as minimums,
-    # so gating the current MEDIAN against a min baseline would flag
-    # ordinary run-to-run noise as drift (mismatched statistics).
-    # Raw samples, when present (tools/last_bench.json carries them;
-    # the stdout line does not), are surfaced per query so a human
-    # adjudicating a flag sees the symmetric spread, not just the
-    # one-sided min the adaptive third sample biases.
+    # The GATE is the median rule (graft.Bench.medianGate, VERDICT r19
+    # item 1): per query, min over passes of median(pass samples) —
+    # symmetric WITHIN a pass (the old min-of-samples read only the
+    # low tail, and the one-sided adaptive third sample biased it),
+    # min ACROSS the temporally-separated passes (a contention stall
+    # cannot span both). The artifact's `samples` array is pass-1
+    # followed by the second-pass re-times; `gate_second_pass` carries
+    # the second pass alone, so pass 1 is samples minus that suffix.
+    # When no samples ride the line (the stdout form), fall back to
+    # the reported min — the two agree on any quiet box.
     samples = cur.get("samples", {})
+    second_pass = cur.get("gate_second_pass", {})
+    def med(ss):
+        ss = sorted(ss)
+        n = len(ss)
+        return ss[n // 2] if n % 2 else (ss[n // 2 - 1] + ss[n // 2]) / 2
+    def gate_stat(name, reported_min):
+        ss = samples.get(name)
+        if not ss:
+            return reported_min
+        p2 = second_pass.get(name, [])
+        p1 = ss[:len(ss) - len(p2)] if p2 and len(ss) > len(p2) else ss
+        stat = med(p1)
+        if p2:
+            stat = min(stat, med(p2))
+        return stat
     # Errored queries carry a near-zero fail-fast sample; comparing that
     # against a baseline would print "faster" and pass the gate. Report
     # them loudly, skip them in the ratio loop, and fail the run.
@@ -68,11 +86,13 @@ def main(path):
         if b is None:
             print(f"new  {name}: {sec:.2f}s (no baseline)")
             continue
-        ratio = sec / b if b > 0 else float("inf")
-        flag = ratio > REGRESSION_X and max(sec, b) > ABS_FLOOR_SEC
-        mark = "REGRESSED" if flag else ("faster" if ratio < 0.8 else "ok")
+        stat = gate_stat(name, sec)
+        ratio = stat / b if b > 0 else float("inf")
+        flag = ratio > REGRESSION_X and max(stat, b) > ABS_FLOOR_SEC
+        mark = "REGRESSED" if flag else ("faster" if (sec / b if b > 0 else 9) < 0.8 else "ok")
         extra = (spread(name) + envline(name)) if flag else ""
-        print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){extra}")
+        stat_note = f" [gate stat {stat:.2f}s]" if abs(stat - sec) > 0.005 and flag else ""
+        print(f"{mark:9s} {name}: {sec:.2f}s vs baseline {b:.2f}s ({ratio:.2f}x){stat_note}{extra}")
         if flag:
             regressed.append(name)
     # Sum the per-query entries ON BOTH SIDES rather than trusting a

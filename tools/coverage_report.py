@@ -100,14 +100,14 @@ def bench_claim():
         except Exception:
             pass
     if gate_rc is None:
-        # an artifact with gate fields that SHOULD be parseable (r18+)
-        # but aren't, and no recovered sidecar entry: refuse rather
-        # than fall through to the process rc — unknown is a failure.
-        m = re.search(r"r(\d+)", os.path.basename(latest))
-        if m and int(m.group(1)) >= 18:
-            print(f"gate_rc unparseable from {latest} and no "
-                  f"tools/gate_verdicts.json entry"); return None, 1
-        gate_rc = d.get("rc")
+        # gate fields unparseable from the artifact AND no recovered
+        # sidecar entry: refuse, whatever the artifact is named —
+        # keying the refusal on the filename's round number (the old
+        # rule) let any artifact outside the rNN convention fall
+        # through to the process rc of 0, the exact drift this script
+        # exists to stop (driver ADVICE r19).
+        print(f"gate_rc unparseable from {latest} and no "
+              f"tools/gate_verdicts.json entry"); return None, 1
     if total is None:
         print(f"no total parseable from {latest}"); return None, 1
     if gate_rc is None:
