@@ -1528,6 +1528,43 @@ object SparkEntry {
         .orderBy($"artist_name")
     }),
 
+    // ---- EP1 END-TO-END in ONE plan (SURVEY §3's last trace as a
+    // single catalog entry — VERDICT r19 item 7): artist SEARCH
+    // payloads (every 7th candidate's query hits; the rest return
+    // empty items and drop at firstArtistMatch, the reference's
+    // items[0] miss path, spotify_etl.py:117-121) → matched-artist
+    // tracks via the broadcast FK chain
+    // (SpotifySearch.tracksForMatchedArtists — the reference's two
+    // sequential HTTP calls as one plan) → q192's grouped stats +
+    // top-2-by-duration via the custom TopKPerGroup physical
+    // operator, over exactly the matched slice. No new operator code;
+    // the oracle recomposes the existing CTE fragments. ----
+    "q194_search_chain_stats" -> ((s, dir) => {
+      import s.implicits._
+      val flat = flattenedTopTracks(s, dir)
+      val raw = Tables.load(s, dir, "events").filter($"event_id" < 2000)
+        .select($"user_id").distinct()
+        .select(to_json(struct(struct(
+          when($"user_id" % 7 === 0, array(struct(
+            concat(lit("ar"), $"user_id").as("id"),
+            concat(lit("Artist "), $"user_id").as("name"))))
+            .as("items")).as("artists"))).as("json"))
+      val matched = operators.SpotifySearch.firstArtistMatch(
+        SpotifySchemas.parse(raw.as[String], SpotifySchemas.artistSearchPayload))
+        .select($"artist_name")
+      val sel = operators.SpotifySearch.tracksForMatchedArtists(flat, matched)
+      val stats = sel.groupBy($"artist_name")
+        .agg(count(lit(1)).as("n_tracks"),
+          (sum($"popularity").cast("double") / count($"popularity")).as("avg_popularity"))
+      val top = plans.TopK.perGroup(
+        sel.select($"artist_name", $"duration_ms", $"track_id"),
+        Seq($"artist_name"), Seq($"duration_ms".desc, $"track_id".asc), k = 2)
+      top.join(stats, Seq("artist_name"))
+        .select($"artist_name", $"n_tracks", $"avg_popularity",
+          $"track_id", $"duration_ms")
+        .orderBy($"artist_name", $"duration_ms".desc, $"track_id")
+    }),
+
     // ---- Ranking-function family over one window ----
     "q45_price_ranks" -> ((s, dir) => {
       import s.implicits._
@@ -5359,6 +5396,31 @@ object SparkEntry {
         |  CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
         |  MAX(played_at) AS last_played
         |FROM flat GROUP BY artist_name ORDER BY artist_name""".stripMargin,
+
+    "q194_search_chain_stats" ->
+      """WITH flat AS (
+        |  SELECT
+        |    CASE WHEN event_type <> 'signup' THEN 'Artist ' || CAST(user_id AS VARCHAR) ELSE 'Unknown' END AS artist_name,
+        |    CAST(user_id AS INTEGER) AS popularity,
+        |    (event_id * 7919) % 400000 AS duration_ms,
+        |    lpad(CAST(event_id AS VARCHAR), 6, '0') AS track_id
+        |  FROM events WHERE event_id < 2000),
+        |matched AS (
+        |  SELECT DISTINCT 'Artist ' || CAST(user_id AS VARCHAR) AS artist_name
+        |  FROM events WHERE event_id < 2000 AND user_id % 7 = 0),
+        |sel AS (SELECT f.* FROM flat f JOIN matched m USING (artist_name)),
+        |stats AS (
+        |  SELECT artist_name, CAST(COUNT(*) AS BIGINT) AS n_tracks,
+        |         CAST(SUM(popularity) AS DOUBLE) / COUNT(popularity) AS avg_popularity
+        |  FROM sel GROUP BY artist_name),
+        |top2 AS (
+        |  SELECT artist_name, duration_ms, track_id,
+        |         ROW_NUMBER() OVER (PARTITION BY artist_name ORDER BY duration_ms DESC, track_id) AS rn
+        |  FROM sel)
+        |SELECT t.artist_name, s.n_tracks, s.avg_popularity, t.track_id, t.duration_ms
+        |FROM top2 t JOIN stats s USING (artist_name)
+        |WHERE t.rn <= 2
+        |ORDER BY t.artist_name, t.duration_ms DESC, t.track_id""".stripMargin,
 
     "q60_ranked_flatten" ->
       """WITH base AS (
