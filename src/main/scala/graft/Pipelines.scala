@@ -794,23 +794,21 @@ object Pipelines {
     import org.apache.spark.sql.functions._
     val pairTable = pairs.getOrElse(
       graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf))
-    // Each stage's output is PINNED once (localCheckpoint via
-    // materialize): `reps` feeds the survivor join whose result is
-    // itself read twice (the quality features and the keep join), and
-    // `kept` feeds the DSIR pass, which consumes its doc-bucket
-    // frame in two subtrees (distribution build + score join). Left
-    // lazy, each consumer re-executed the full upstream join/agg
-    // lineage — measured as the dominant share of q154's wall time.
-    // At production scale the inter-stage curated corpus is exactly
-    // what a deployment would persist between stages anyway;
-    // executor-local checkpoint keeps it off the lake.
-    val reps = graft.operators.Dedup.materialize(
-      graft.operators.Dedup.keepBestPerCluster(docs, pairTable, "n_chars")
-        .select(col("rep_doc_id").as("doc_id")))
+    // Deliberately LAZY end to end: the whole chain resolves into ONE
+    // SQL execution at the consumer, so Catalyst's ReusedExchange
+    // already deduplicates the shared subtrees (`reps` under both the
+    // survivor join and the quality features; `kept`'s doc-bucket
+    // frame under the DSIR distribution build and score join) —
+    // measured: pinning these with materialize SPLIT the fused plan
+    // into extra checkpoint actions and made q154 slower, exactly the
+    // q152 single-execution profile in reverse. The CC labels inside
+    // keepBestPerCluster are checkpoint-backed already.
+    val reps = graft.operators.Dedup.keepBestPerCluster(docs, pairTable, "n_chars")
+      .select(col("rep_doc_id").as("doc_id"))
     val survivors = docs.join(reps, Seq("doc_id"))
-    val kept = graft.operators.Dedup.materialize(survivors.join(
+    val kept = survivors.join(
       graft.operators.TextAnalysis.qualityLogit(survivors)
-        .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id")))
+        .filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
     graft.operators.TextAnalysis.dsirResample(kept, targetSource, k)
   }
 }
