@@ -459,6 +459,22 @@ class StateCompactionSpec extends AnyFunSuite {
     assert(pqView() === p1, "PQ codes must be unchanged by the retry")
     assert(dsirCells() === d1, "DSIR cells must be unchanged by the retry (no double-count)")
     assert(encView() === e1, "encoded-corpus state must be unchanged by the retry")
+    // the explicit-runId retry above was answered by the turn-
+    // completion LEDGER (one filesystem probe). The per-tier replay
+    // guards must ALSO still hold on their own — they are the
+    // crash-resume path, taken when a turn dies before its marker
+    // lands. Simulate exactly that: delete the marker and re-run;
+    // every tier must again be a state no-op.
+    val marker = new java.io.File(st + "/mh/_turns")
+    assert(marker.isDirectory && marker.listFiles().nonEmpty,
+      "a completed explicit-runId turn must leave its ledger marker")
+    marker.listFiles().foreach(f => assert(f.delete()))
+    turn()("dedup_pairs").write.format("noop").mode("overwrite").save()
+    assert(sigView() === s1, "per-tier guards: signature state unchanged without the marker")
+    assert(ivfView() === i1, "per-tier guards: IVF state unchanged without the marker")
+    assert(pqView() === p1, "per-tier guards: PQ codes unchanged without the marker")
+    assert(dsirCells() === d1, "per-tier guards: DSIR cells unchanged without the marker")
+    assert(encView() === e1, "per-tier guards: encoded corpus unchanged without the marker")
     // and the loop-fed PQ tier equals a one-shot encode of the current
     // corpus against the same codebooks
     val ref = Files.createTempDirectory("graft_daily_retry_pqref").toString + "/idx"
