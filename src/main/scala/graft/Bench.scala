@@ -39,26 +39,34 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
 
-  /** The MEDIAN-OF-SAMPLES gate (VERDICT r19 item 1): per query, the
-    * gate statistic is `min over passes of median(pass samples)` —
-    * median WITHIN a pass because it is symmetric (the old min-of-
-    * samples rule read only the low tail, and the adaptive third
-    * sample made that one-sided — this file's own r18 comment called
-    * the bias out); min ACROSS the two passes because they are
-    * separated in time by the rest of the sweep, so a transient load
-    * stall (r11's and r19's contiguous false-flag bands) cannot span
-    * both. Flagging now requires the MAJORITY of samples in BOTH
-    * passes to sit over RegressionX — strictly harder to trip by
-    * contention than min-of-all (one quiet pass clears it) and
-    * strictly harder to pass with a real regression (a genuinely
-    * slower plan is slow in every sample of every pass, and no number
-    * of re-timings moves its medians).
+  /** The MEDIAN-TRIGGERED gate (VERDICT r19 item 1, corrected this
+    * round): the per-pass MEDIAN selects suspects — symmetric, so one
+    * first-pass straggler does not trigger a re-time, and a first
+    * pass whose samples are MOSTLY elevated does even when a single
+    * lucky dip would have cleared the old min-trigger — and every
+    * suspect is re-timed minutes later (median-of-3, after the rest
+    * of the sweep) so a transient load stall spanning its first pass
+    * cannot decide the verdict alone.
     *
-    * Baselines stay recorded minima: a 2-sample first-pass median is
-    * biased slightly high against a min baseline, but that bias only
-    * TRIGGERS the second pass — the verdict then rests on the quiet
-    * pass's median-of-3. Returns (regressed names, second-pass samples
-    * per suspect) so the artifact records both passes.
+    * The VERDICT statistic, however, is the MIN over every sample of
+    * both passes — the SAME order statistic the baselines were
+    * recorded in. The round's first committed form gated on
+    * min-across-passes-of-medians, and its very first live sweep
+    * false-flagged two no-regression queries (q91/q158): at the 1-2 s
+    * scale a query's legitimate run-to-run dispersion (GC placement,
+    * localCheckpoint timing, JIT warm-in) puts its median 1.3-2.2x
+    * above its own min ON A QUIET BOX, so a median statistic against
+    * a min-recorded baseline flags by construction with no plan
+    * change — the mirror image of the false-negative the median was
+    * meant to fix, and unfixable without re-recording baselines
+    * (frozen this round, deliberately). Guide §1's "measure
+    * correctly": compare like order statistics. A genuine regression
+    * is slow in EVERY sample of every pass, so its min moves with its
+    * median and still flags; flagged(min-of-all) is exactly the r19
+    * rule, now with the median-trigger guaranteeing every borderline
+    * query gets a temporally-separated median-of-3 before the min is
+    * read. Returns (regressed names, second-pass samples per suspect)
+    * so the artifact records both passes.
     */
   def medianGate(firstPass: Seq[(String, Seq[Double])],
                  baseline: Map[String, Double],
@@ -67,8 +75,9 @@ object Bench {
       firstPass.map { case (n, ss) => (n, median(ss)) }, baseline)
     val second = suspects.map(n => n -> reTime(n)).toMap
     val stats = firstPass.map { case (n, ss) =>
-      val p2 = second.getOrElse(n, Seq.empty)
-      (n, if (p2.nonEmpty) math.min(median(ss), median(p2)) else median(ss))
+      val all = ss ++ second.getOrElse(n, Seq.empty)
+      // all is never empty: every firstPass entry timed at least once
+      (n, all.min)
     }
     (gateRegressed(stats, baseline), second)
   }
@@ -256,8 +265,9 @@ object Bench {
     // Up to three timed runs per query (one when the first sample is
     // sub-half-floor and can never flag; a third when the 2-sample
     // median would flag): shingle-pipeline queries show ~2× run-to-run
-    // noise (GC + localCheckpoint placement), so the gate reads
-    // per-pass medians and the reported number is the min.
+    // noise (GC + localCheckpoint placement), so the per-pass median
+    // only TRIGGERS the second pass and the verdict (like the
+    // reported number) is the min over all samples.
     // Errors are RECORDED, not swallowed: a failed query's sample is
     // near-zero wall time, so silently timing it would let a broken
     // query pass any total-seconds gate while looking "fast". The
@@ -327,10 +337,11 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     // ALL samples are recorded (samples map below), not just the min:
-    // the GATE reads per-pass MEDIANS (medianGate — symmetric, so the
-    // one-sided adaptive third sample can no longer bias the verdict),
-    // while the reported per-query number stays the min across every
-    // sample (comparable to the recorded baselines and prior rounds).
+    // the per-pass MEDIAN selects the suspects for medianGate's second
+    // pass (symmetric, so the one-sided adaptive third sample cannot
+    // bias the trigger), while the verdict AND the reported per-query
+    // number are the min across every sample (the order statistic the
+    // baselines were recorded in — see medianGate's doc).
     // block-lifetime gauge (VERDICT r17 item 2): the count of RDDs
     // still holding blocks after each query's samples + release. Flat
     // across the sweep = no accumulation; a rising series pinpoints
@@ -380,7 +391,7 @@ object Bench {
     // here, after every other query has run (VERDICT r11 item 1): a
     // load stall contiguous in the sorted run order can inflate all
     // samples of neighboring queries, but not samples taken minutes
-    // later. The gate is medianGate's min-across-passes-of-medians;
+    // later. The gate is medianGate's median-triggered min-of-all;
     // the reported per-query number is the min across every sample;
     // the artifact records the second-pass samples separately.
     val fns = SparkEntry.queries

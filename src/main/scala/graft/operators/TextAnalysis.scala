@@ -1394,7 +1394,16 @@ object TextAnalysis {
                   ngram: Int = 1): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
     require(ngram >= 1, s"ngram must be >= 1 (got $ngram)")
-    val tf = dsirTf(docs, buckets, ngram)
+    // tf feeds BOTH the bucket-count build and the score join. Left
+    // lazy, the two consumers are near-identical subtrees that
+    // Catalyst CANNOT reuse: the score side's `source != target`
+    // filter (on a grouping column) is pushed below its aggregate to
+    // the scan, so the canonicalized exchanges differ and the corpus
+    // pays the tokenize/shingle explode twice per run (two Generate
+    // branches in q158's plan). Pinning the doc-bucket frame — tiny
+    // by construction, ≤ `buckets` rows per doc — collapses that to
+    // ONE explode pass plus a checkpoint of the aggregated rows.
+    val tf = graft.operators.Dedup.materialize(dsirTf(docs, buckets, ngram))
     dsirScore(tf, dsirBucketCounts(tf, targetSource), targetSource, buckets)
   }
 

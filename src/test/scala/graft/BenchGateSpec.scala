@@ -44,8 +44,8 @@ class BenchGateSpec extends AnyFunSuite {
   test("median gate: second pass clears a first-pass contention stall (gate_rc 0)") {
     // r11/r19's false-flag shape: a load window inflated EVERY
     // first-pass sample of a contiguous band; the quiet re-run put
-    // them near baseline. The gate statistic is min-across-passes of
-    // per-pass medians, so one quiet pass clears the flag.
+    // them near baseline. The verdict is the min over all samples of
+    // both passes, so the quiet second pass clears the flag.
     var reTimed = List.empty[String]
     val (regressed, second) = Bench.medianGate(
       Seq("q_slow" -> Seq(6.0, 6.2, 5.9), "q_fast" -> Seq(0.2, 0.21)),
@@ -64,6 +64,23 @@ class BenchGateSpec extends AnyFunSuite {
       baseline,
       _ => fail("median of (2.0, 2.1, 6.0) is 2.1 — no suspect"))
     assert(regressed.isEmpty && second.isEmpty)
+  }
+
+  test("median gate: high dispersion with a baseline-near min never flags (q91/q158 shape)") {
+    // The r20 false-positive this round's correction exists for: a
+    // query whose per-pass MEDIANS both sit over 1.5x its
+    // min-recorded baseline purely from run-to-run dispersion
+    // (GC/checkpoint/JIT placement at the 1-2 s scale), while its
+    // best samples land near the baseline. The median TRIGGERS the
+    // second pass; the verdict reads the min over all samples, which
+    // clears. A median-statistic verdict flagged exactly this shape
+    // on its first live sweep with zero plan change.
+    val (regressed, second) = Bench.medianGate(
+      Seq("q_slow" -> Seq(4.1, 3.2, 2.1)), // median 3.2 > 1.5*2.0 -> suspect
+      baseline,
+      _ => Seq(3.4, 3.3, 2.9)) // re-time medians elevated too...
+    assert(second === Map("q_slow" -> Seq(3.4, 3.3, 2.9)))
+    assert(regressed.isEmpty) // ...but min 2.1 is 1.05x baseline: no flag
   }
 
   test("median gate: a genuine regression is slow in both passes (still flagged)") {

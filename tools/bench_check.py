@@ -29,32 +29,21 @@ def main(path):
         return 2
     cur = json.loads(m.group(0))
     base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
-    # The GATE is the median rule (graft.Bench.medianGate, VERDICT r19
-    # item 1): per query, min over passes of median(pass samples) —
-    # symmetric WITHIN a pass (the old min-of-samples read only the
-    # low tail, and the one-sided adaptive third sample biased it),
-    # min ACROSS the temporally-separated passes (a contention stall
-    # cannot span both). The artifact's `samples` array is pass-1
-    # followed by the second-pass re-times; `gate_second_pass` carries
-    # the second pass alone, so pass 1 is samples minus that suffix.
-    # When no samples ride the line (the stdout form), fall back to
-    # the reported min — the two agree on any quiet box.
+    # The GATE mirrors graft.Bench.medianGate (VERDICT r19 item 1,
+    # corrected in r20): the per-pass MEDIAN only selects which
+    # queries get a temporally-separated second pass; the VERDICT
+    # statistic is the MIN over every sample of both passes — the
+    # same order statistic the baselines were recorded in (a median
+    # statistic against a min-recorded baseline false-flags any query
+    # whose quiet-box median/min dispersion exceeds RegressionX, as
+    # q91/q158 did on the rule's first live sweep). The artifact's
+    # `samples` array already merges pass-1 and the second-pass
+    # re-times, so the statistic is simply its min; when no samples
+    # ride the line (the stdout form), the reported min is that min.
     samples = cur.get("samples", {})
-    second_pass = cur.get("gate_second_pass", {})
-    def med(ss):
-        ss = sorted(ss)
-        n = len(ss)
-        return ss[n // 2] if n % 2 else (ss[n // 2 - 1] + ss[n // 2]) / 2
     def gate_stat(name, reported_min):
         ss = samples.get(name)
-        if not ss:
-            return reported_min
-        p2 = second_pass.get(name, [])
-        p1 = ss[:len(ss) - len(p2)] if p2 and len(ss) > len(p2) else ss
-        stat = med(p1)
-        if p2:
-            stat = min(stat, med(p2))
-        return stat
+        return min(ss) if ss else reported_min
     # Errored queries carry a near-zero fail-fast sample; comparing that
     # against a baseline would print "faster" and pass the gate. Report
     # them loudly, skip them in the ratio loop, and fail the run.
