@@ -796,13 +796,17 @@ object Pipelines {
       graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf))
     // Deliberately LAZY end to end: the whole chain resolves into ONE
     // SQL execution at the consumer, so Catalyst's ReusedExchange
-    // already deduplicates the shared subtrees (`reps` under both the
-    // survivor join and the quality features; `kept`'s doc-bucket
-    // frame under the DSIR distribution build and score join) —
-    // measured: pinning these with materialize SPLIT the fused plan
-    // into extra checkpoint actions and made q154 slower, exactly the
-    // q152 single-execution profile in reverse. The CC labels inside
-    // keepBestPerCluster are checkpoint-backed already.
+    // deduplicates the identical shared subtrees (`reps` under both
+    // the survivor join and the quality features) — measured: pinning
+    // reps/kept with materialize SPLIT the fused plan into extra
+    // checkpoint actions and made q154 slower, exactly the q152
+    // single-execution profile in reverse. The one shared subtree
+    // ReusedExchange could NOT deduplicate — `kept`'s doc-bucket tf
+    // frame, whose score-side source filter is pushed below the
+    // aggregate and breaks exchange canonicalization — is pinned
+    // inside dsirWeights itself (measured q154 6.79→6.16 s min). The
+    // CC labels inside keepBestPerCluster are checkpoint-backed
+    // already.
     val reps = graft.operators.Dedup.keepBestPerCluster(docs, pairTable, "n_chars")
       .select(col("rep_doc_id").as("doc_id"))
     val survivors = docs.join(reps, Seq("doc_id"))
