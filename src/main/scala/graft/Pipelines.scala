@@ -347,6 +347,18 @@ object Pipelines {
     // diff + an empty heal + an empty append write per turn.
     val docsUnchanged = oldDocs eq newDocs
     val embUnchanged = oldEmb eq newEmb
+    // FROM-EMPTY shortcut (the stream fronts' delta-turn shape): a
+    // statically-empty OLD side makes the diff a pure projection of
+    // newDocs — every row is "added", no join survives the optimizer
+    // (PropagateEmptyRelation). Checkpointing that projection, and
+    // the added-keys self-join derived from it, costs two driver
+    // actions per micro-batch just to pin what is already a one-file
+    // batch scan — at the drain's job-wave-dominated scale the
+    // checkpoint costs more than its consumers' re-scans (q188:
+    // 10 driver actions per doc turn, of which these were two). Both
+    // frames stay LAZY on this path; consumers re-scan the batch.
+    val docsFromEmpty = !docsUnchanged && graft.operators.Dedup.staticallyEmpty(oldDocs)
+    val embFromEmpty = !embUnchanged && graft.operators.Dedup.staticallyEmpty(oldEmb)
     // the corpus-wide fingerprint diff runs ONCE per table: only the
     // delta (tiny by definition — it's the daily batch) is
     // materialized, and both its consumers (the returned change frame
@@ -354,10 +366,12 @@ object Pipelines {
     // diffFp keeps both sides' md5 fingerprints in the materialized
     // delta — the content identity the DSIR run stamp needs, already
     // paid for by the diff's own scan (no second corpus pass)
-    val docChangesFp = graft.operators.Dedup.materialize {
+    val docChangesFp = {
       val d = graft.operators.Snapshot.diffFp(oldDocs, newDocs, "doc_id", Seq("text", "lang"))
         .filter(col("status") =!= "unchanged")
-      if (docsUnchanged) d.limit(0) else d
+      if (docsUnchanged) graft.operators.Dedup.materialize(d.limit(0))
+      else if (docsFromEmpty) d
+      else graft.operators.Dedup.materialize(d)
     }
     val docChanges = docChangesFp.drop("oh", "nh")
     val addedDocKeys = docChanges.filter(col("status") === "added").select("doc_id")
@@ -410,10 +424,14 @@ object Pipelines {
     // delta rows instead of re-running the corpus join (the job-wave
     // constant is what dominates the micro-batched turn queries).
     // Without an eager tier consumer the join stays lazy, preserving
-    // the pair frame's lazy-by-design contract below.
-    val addedDocsRaw = newDocs.join(addedDocKeys, Seq("doc_id"))
+    // the pair frame's lazy-by-design contract below. From-empty
+    // turns skip both the join (every newDocs row IS the added batch)
+    // and the checkpoint (consumers re-scan the one-file batch).
+    val addedDocsRaw =
+      if (docsFromEmpty) newDocs
+      else newDocs.join(addedDocKeys, Seq("doc_id"))
     val addedDocs =
-      if (dsirStatePath.isDefined || bpeVocabPath.isDefined)
+      if ((dsirStatePath.isDefined || bpeVocabPath.isDefined) && !docsFromEmpty)
         graft.operators.Dedup.materialize(addedDocsRaw)
       else addedDocsRaw
     // ---- the turn's RUN IDENTITY, shared by the DSIR stamp and the
@@ -517,10 +535,15 @@ object Pipelines {
     // string form (stable for a given array, engine-portable)
     def fp(e: org.apache.spark.sql.DataFrame) =
       e.withColumn("_fp", col("embedding").cast("string"))
-    val embChanges = graft.operators.Dedup.materialize {
+    val embChanges = {
       val d = graft.operators.Snapshot.diff(fp(oldEmb), fp(newEmb), "vec_id", Seq("_fp"))
         .filter(col("status") =!= "unchanged")
-      if (embUnchanged) d.limit(0) else d
+      if (embUnchanged) graft.operators.Dedup.materialize(d.limit(0))
+      // from-empty: a pure "added" projection of the one-file batch —
+      // its 1-2 consumers (the key-filtered index appends) re-scan
+      // cheaper than the checkpoint action costs
+      else if (embFromEmpty) d
+      else graft.operators.Dedup.materialize(d)
     }
     if (healEdits && !embUnchanged) {
       val changedEmb = newEmb.join(

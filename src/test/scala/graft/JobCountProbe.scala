@@ -60,6 +60,15 @@ object JobCountProbe {
             execDesc.asScala.get(id).foreach(d =>
               println(s"[jobcount]     $s ($n jobs): ${d.linesIterator.next().take(140)}"))
           }
+        // JOBCOUNT_ALL: every SQL execution in id order with its
+        // description — the full action-wave ledger of a loop query
+        // (which tier launched each driver action), not just the five
+        // biggest AQE fan-outs
+        if (sys.env.get("JOBCOUNT_ALL").exists(_.nonEmpty))
+          execDesc.asScala.toSeq.sortBy(_._1).foreach { case (id, d) =>
+            val jobs = sites.getOrDefault(s"exec $id", 0)
+            println(s"[jobcount]   exec $id jobs=$jobs ${d.linesIterator.next().take(120)}")
+          }
       }
     }
   }

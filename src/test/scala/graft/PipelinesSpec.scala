@@ -146,6 +146,53 @@ class PipelinesSpec extends AnyFunSuite {
       "incremental pairs must equal the added-endpoint slice of the full run")
   }
 
+  test("from-empty delta turn: change frames stay LAZY, emissions equal the diff form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    val dir = tmp
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val day1Docs = docs.filter($"doc_id" % 5 =!= 0)
+    val d1e = emb.filter($"vec_id" < 16 || $"vec_id" % 5 =!= 0)
+    Dedup.persistMinhashSignatures(day1Docs, 3, 16, 4, s"$dir/mh")
+    Similarity.buildIvfIndex(d1e, nlist = 16, path = s"$dir/ivf")
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    // the stream fronts' delta-turn shape: LocalRelation empties as
+    // "yesterday" (TurnStream builds exactly these)
+    def emptyLike(df: org.apache.spark.sql.DataFrame) = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+    val out = Pipelines.dailyIncrementalDelta(spark,
+      emptyLike(docs), batch, emptyLike(emb), emptyLike(emb),
+      s"$dir/mh", s"$dir/ivf")
+    // 1. the change frames must NOT be checkpoint-backed on this path:
+    //    against an empty old side the diff is a pure projection of
+    //    the batch, and re-pinning it would re-add two driver actions
+    //    per micro-batch (the job-wave constant the drain queries pay
+    //    per turn). A materialize() regression surfaces here as a
+    //    LogicalRDD node backing the frame.
+    for (name <- Seq("doc_changes", "emb_changes"))
+      assert(out(name).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }.isEmpty, s"$name is checkpoint-backed — the from-empty turn re-pinned a pure batch projection")
+    // 2. semantics identical to the diff form: every batch row is
+    //    "added", and the pair emissions + signature appends match the
+    //    added-endpoint slice of a full run (EP5's oracle, from-empty
+    //    variant)
+    val added = out("doc_changes").filter($"status" === "added")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(added === batch.select($"doc_id").as[Long].collect().toSet)
+    assert(out("doc_changes").filter($"status" =!= "added").isEmpty)
+    val fullPairs = Dedup.minhashLshEstimated(docs, 3, 16, 4, 0.5)
+      .filter($"doc_a".isin(added.toSeq: _*) || $"doc_b".isin(added.toSeq: _*))
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(out("dedup_pairs"), fullPairs),
+      "from-empty pairs must equal the added-endpoint slice of the full run")
+    Dedup.persistMinhashSignatures(docs, 3, 16, 4, s"$dir/mh_full")
+    assert(same(spark.read.parquet(s"$dir/mh/sigs"), spark.read.parquet(s"$dir/mh_full/sigs")),
+      "state after the from-empty turn must equal the full rebuild")
+  }
+
   test("EP6 curated selection: every pick is a kept representative; lake pairs equal the self-contained form") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextAnalysis}
