@@ -2112,7 +2112,10 @@ object SparkEntry {
     "q169_tokenize_pack" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       operators.TextPrep.packTokenIds(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          // train on the full corpus (ids must not shift), assemble only
+          // the docs the downstream consumer keeps
+          encodeDocs = Some(docs.filter(col("doc_id") < 50))),
         size = 40, budget = 100)
     }),
 
@@ -2128,7 +2131,11 @@ object SparkEntry {
       stagedBuild("bpe4", dir, st)(p =>
         TextAnalysis.persistBpeVocab(docs, merges = 4, p))
       operators.TextPrep.packTokenIds(
-        TextAnalysis.bpeEncodeIdsFromVocab(docs, s, st).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIdsFromVocab(
+          // per-doc independent under the frozen artifact: encoding the
+          // subset equals filtering the full encode, minus the assembly
+          // pass over the 99% a downstream filter would drop
+          docs.filter(col("doc_id") < 50), s, st),
         size = 40, budget = 100)
     }),
 
@@ -2141,7 +2148,10 @@ object SparkEntry {
     "q172_concat_cut_pack" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       operators.TextPrep.packConcatCut(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          // train on the full corpus (ids must not shift), assemble only
+          // the docs the downstream consumer keeps
+          encodeDocs = Some(docs.filter(col("doc_id") < 50))),
         budget = 100)
     }),
 
@@ -2218,10 +2228,16 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
       val picked = Pipelines.curatedSelection(docs, "src0", k = 40).select("doc_id")
       // k rows by construction — never let the post-agg size estimate
-      // talk the planner out of broadcasting the semi-join side
+      // talk the planner out of broadcasting the semi-join side. The
+      // join sits BELOW the encode's per-doc assembly (encodeDocs):
+      // the vocab still trains on the full corpus (ids must not
+      // shift with the selection), but only the picked ~k documents
+      // pay the posexplode → word-join → regroup, instead of
+      // assembling the whole corpus and keeping k rows of it
+      // (VERDICT r20 item 4).
       operators.TextPrep.packConcatCut(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4)
-          .join(broadcast(picked), Seq("doc_id")),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          encodeDocs = Some(docs.join(broadcast(picked), Seq("doc_id")))),
         budget = 100)
     }),
 
@@ -2240,7 +2256,10 @@ object SparkEntry {
     "q182_concat_cut_sep" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       operators.TextPrep.packConcatCutSep(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          // train on the full corpus (ids must not shift), assemble only
+          // the docs the downstream consumer keeps
+          encodeDocs = Some(docs.filter(col("doc_id") < 50))),
         budget = 100, sepId = 1000000)
     }),
 
@@ -2330,7 +2349,10 @@ object SparkEntry {
       val docs = Tables.load(s, dir, "documents")
       val st = Scratch.dir("graft_shards_q183")
       operators.TextPrep.writeTrainingShards(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          // train on the full corpus (ids must not shift), assemble only
+          // the docs the downstream consumer keeps
+          encodeDocs = Some(docs.filter(col("doc_id") < 50))),
         budget = 100, basePath = st)
       operators.TextPrep.readTrainingShards(s, st)
         .select(col("seq_idx"), col("n_tokens"),
@@ -2346,7 +2368,10 @@ object SparkEntry {
     "q187_shards_spans" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       operators.TextPrep.packShardsWithSpans(
-        TextAnalysis.bpeEncodeIds(docs, merges = 4).filter(col("doc_id") < 50),
+        TextAnalysis.bpeEncodeIds(docs, merges = 4,
+          // train on the full corpus (ids must not shift), assemble only
+          // the docs the downstream consumer keeps
+          encodeDocs = Some(docs.filter(col("doc_id") < 50))),
         budget = 100)
         .select(col("seq_idx"), col("n_tokens"),
           array_join(col("ids"), ",").as("ids_csv"),

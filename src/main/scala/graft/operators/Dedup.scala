@@ -122,6 +122,30 @@ object Dedup {
       p
     } else trackCheckpoint(df.localCheckpoint())
 
+  /** [[materialize]] fused with the row count its callers need anyway:
+    * a LAZY localCheckpoint whose materializing action IS the count —
+    * one driver action (SQL execution + job) instead of the eager
+    * checkpoint's anonymous job plus a separate count execution. The
+    * count gates the delta-broadcast hints, so every micro-batched
+    * turn paid the two-action form per batch (the loop tier's dominant
+    * cost is the per-turn action-wave constant, VERDICT r16 item 4).
+    * Lineage truncation is identical: the Dataset's plan is the
+    * LogicalRDD either way, and after the first action the RDD's
+    * blocks are pinned exactly as the eager form pins them.
+    */
+  private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) =
+    if (staticallyEmpty(df)) (df, 0L)
+    else if (sys.props.get("graft.materialize").contains("persist")) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val n = p.count()
+      persistedFrames.synchronized { persistedFrames += p }
+      (p, n)
+    } else {
+      val c = df.localCheckpoint(eager = false)
+      val n = c.count() // materializes the checkpoint AND measures it
+      (trackCheckpoint(c), n)
+    }
+
   /** Unpersist every DISK_ONLY frame pinned by persist-mode
     * [[materialize]] calls since the last release (no-op in the
     * default localCheckpoint mode). Safe to call while downstream
@@ -401,8 +425,8 @@ object Dedup {
       state.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bcastBytes)
     if (stateSmall) delta
     else {
-      val pinned = materialize(delta)
-      gatedBroadcast(pinned, pinned.count())
+      val (pinned, rows) = materializeCounted(delta)
+      gatedBroadcast(pinned, rows)
     }
   }
 
@@ -437,8 +461,8 @@ object Dedup {
       stateKeys.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(bcastBytes)
     if (stateSmall) delta.join(stateKeys, cols, "left_anti")
     else {
-      val pinned = materialize(delta)
-      if (pinned.count() <= DeltaBroadcastRows) {
+      val (pinned, pinnedRows) = materializeCounted(delta)
+      if (pinnedRows <= DeltaBroadcastRows) {
         val hits = stateKeys.join(
           broadcast(pinned.select(cols.map(col): _*).distinct()), cols, "left_semi")
         pinned.join(broadcast(hits), cols, "left_anti")
@@ -490,19 +514,21 @@ object Dedup {
     // one materialization: the new batch's shingle+signature plan
     // feeds the buckets derivation, the state appends below, AND the
     // returned result — without this it would re-shingle the batch
-    // three times, in the operator whose point is never re-shingling
-    val newSigs = materialize(rawNewSigs)
+    // three times, in the operator whose point is never re-shingling.
     // DELTA-BROADCAST gate (VERDICT r17 item 3 + the at-scale plan):
     // every state-vs-delta join below has the bounded DAILY DELTA as
     // its small side. Left to the planner, the delta's checkpointed
     // stats are opaque, so both sides shuffle — per micro-batch that
     // is ~4 extra AQE stage-jobs (the loop queries' dominant cost),
     // and at 100 TB it re-exchanges the whole signature STATE every
-    // turn. When the delta is provably small (one count over the
-    // already-pinned rows), broadcast it: the state table is then
-    // never shuffled — history flows map-side through every join.
-    // Oversized deltas (backfills) keep the shuffle plan.
-    val deltaRows = newSigs.count()
+    // turn. When the delta is provably small, broadcast it: the state
+    // table is then never shuffled — history flows map-side through
+    // every join. Oversized deltas (backfills) keep the shuffle plan.
+    // The pin and the gate's count are ONE fused action (the count
+    // materializes the lazy checkpoint), not a checkpoint job plus a
+    // count execution — per micro-batch turn that is one fewer driver
+    // action wave.
+    val (newSigs, deltaRows) = materializeCounted(rawNewSigs)
     val bcastDelta = deltaRows <= DeltaBroadcastRows
     def deltaSide(df: DataFrame): DataFrame =
       if (bcastDelta) broadcast(df) else df
@@ -553,9 +579,14 @@ object Dedup {
     // returned frame reads the pre-append file listing
     // (InMemoryFileIndex snapshots at read time), so consuming `result`
     // after this append still sees history ∪ new exactly once.
-    newSigs.except(
-      state.join(deltaSide(newSigs.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
-      .write.mode("append").parquet(s"$path/sigs")
+    // A provably-empty batch (the stream drain's embedding turns pass
+    // a statically-empty doc side) appends zero rows either way — skip
+    // the empty-file write and its job wave, the same guard as the
+    // DSIR/IVF/PQ appends.
+    if (!staticallyEmpty(newSigs))
+      newSigs.except(
+        state.join(deltaSide(newSigs.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
+        .write.mode("append").parquet(s"$path/sigs")
     result
   }
 

@@ -88,8 +88,16 @@ object Similarity {
   /** Top-k nearest neighbours (cosine) for vec_id < nQueries.
     * Output: (qid, rnk, nid, cosine) ordered by (qid, rnk).
     */
-  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = normalized(embeddings)
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    cosineTopKOf(normalized(embeddings), nQueries, k)
+
+  /** [[cosineTopK]] over an ALREADY-normalized (vec_id, u) frame — the
+    * recall harnesses normalize (and pin) once and feed both the brute
+    * and the approximate side from the same subtree instead of each
+    * side re-scanning and re-normalizing the corpus. Values are
+    * bit-identical: same expressions, evaluated once.
+    */
+  private def cosineTopKOf(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("u").as("qu"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -113,8 +121,11 @@ object Similarity {
     * asserted in tests (recall ≥ 0.8 at k=5 on the testdata).
     * Output: (qid, rnk, nid, qdot) ordered by (qid, rnk).
     */
-  def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = normalized(embeddings)
+  def cosineTopKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    cosineTopKInt8Of(normalized(embeddings), nQueries, k)
+
+  private def cosineTopKInt8Of(en: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = en
       .select(col("vec_id"),
         expr("transform(u, x -> cast(floor(x * 127.0D + 0.5D) as bigint))").as("qv"))
     val q = e.filter(col("vec_id") < nQueries)
@@ -238,8 +249,10 @@ object Similarity {
     * `nlist` vectors by id are centroids; cell = argmax-cosine
     * centroid, ties to the lowest cid.
     */
-  private[operators] def ivfStructure(embeddings: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val e = normalized(embeddings)
+  private[operators] def ivfStructure(embeddings: DataFrame, nlist: Int): (DataFrame, DataFrame) =
+    ivfStructureOf(normalized(embeddings), nlist)
+
+  private def ivfStructureOf(e: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("u").as("cu"))
     (cents, assignToCells(e, cents))
@@ -1087,10 +1100,19 @@ object Similarity {
     * Output: (qid, n_matched, recall) ordered by qid.
     */
   def recallAtKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
-                   nlist: Int, nprobe: Int): DataFrame =
+                   nlist: Int, nprobe: Int): DataFrame = {
+    // ONE normalize pass feeds both sides (VERDICT r20 item 6): the
+    // brute and IVF subtrees each re-scanned the corpus and
+    // re-normalized it (a projection Catalyst cannot dedup across the
+    // join), so the pass ran 2× per evaluation. Pinning the normalized
+    // frame runs it once; both sides read the checkpointed rows.
+    // Output bit-identical: same expressions, evaluated once.
+    val e = Dedup.materialize(normalized(embeddings))
+    val (cents, assign) = ivfStructureOf(e, nlist)
     recallOf(
-      cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid")),
-      cosineTopKIvf(embeddings, nQueries, k, nlist, nprobe).select(col("qid"), col("nid")))
+      cosineTopKOf(e, nQueries, k).select(col("qid"), col("nid")),
+      ivfQuery(cents, assign, nQueries, k, nprobe).select(col("qid"), col("nid")))
+  }
 
   /** Recall@k of the int8-quantized full-scan path ([[cosineTopKInt8]])
     * against brute force — measures pure ranking fidelity lost to
@@ -1098,10 +1120,13 @@ object Similarity {
     * any miss is a quantization tie-flip near the k boundary).
     * Output: (qid, n_matched, recall) ordered by qid.
     */
-  def recallAtKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+  def recallAtKInt8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // same one-normalize-pass sharing as [[recallAtKIvf]]
+    val e = Dedup.materialize(normalized(embeddings))
     recallOf(
-      cosineTopK(embeddings, nQueries, k).select(col("qid"), col("nid")),
-      cosineTopKInt8(embeddings, nQueries, k).select(col("qid"), col("nid")))
+      cosineTopKOf(e, nQueries, k).select(col("qid"), col("nid")),
+      cosineTopKInt8Of(e, nQueries, k).select(col("qid"), col("nid")))
+  }
 
   /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
     * cosine >= minCos — the vector-space member of the dedup tier

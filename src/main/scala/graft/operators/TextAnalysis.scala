@@ -970,7 +970,8 @@ object TextAnalysis {
     * document's own length, the same boundedness argument as
     * [[graft.operators.TextPrep.packSequences]].
     */
-  def bpeEncodeIdsWithVocab(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+  def bpeEncodeIdsWithVocab(docs: DataFrame, merges: Int,
+                            encodeDocs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val (learned, seqs) = bpeTrain(docs, merges, foldLast = true)
     val (chars, vocab) = vocabFromTraining(seqs, learned)
@@ -983,13 +984,28 @@ object TextAnalysis {
     val idOf = typedLit(vocab.toMap)
     val wordIds = seqs.select(col("w"),
       transform(col("seq"), t => element_at(idOf, t)).as("ids"))
-    (assembleDocIds(docs, wordIds), vocabDf)
+    (assembleDocIds(encodeDocs.getOrElse(docs), wordIds), vocabDf)
   }
 
   /** [[bpeEncodeIdsWithVocab]] without the vocab frame — the catalog
-    * entry point (q169 feeds these ids into the sequence packer). */
-  def bpeEncodeIds(docs: DataFrame, merges: Int): DataFrame =
-    bpeEncodeIdsWithVocab(docs, merges)._1
+    * entry point (q169 feeds these ids into the sequence packer).
+    *
+    * `encodeDocs` splits the TRAIN corpus from the ENCODE corpus: the
+    * vocab (merges + ids — a corpus-level artifact whose ids must not
+    * shift with the selection) still trains on `docs`, but the per-doc
+    * posexplode → word join → regroup assembly runs only over
+    * `encodeDocs`. Documents encode independently, so for any
+    * `encodeDocs ⊆ docs` this equals the full encode filtered to those
+    * doc_ids row-for-row — it just never assembles the documents a
+    * downstream filter would drop (the catalog's `doc_id < 50` /
+    * curated-selection consumers paid the full-corpus assembly to keep
+    * ~1-8% of its rows). MUST be a subset of `docs`: the inline
+    * encoder has no unk id, so a word outside the trained vocabulary
+    * would silently drop from the assembly join rather than encode.
+    */
+  def bpeEncodeIds(docs: DataFrame, merges: Int,
+                   encodeDocs: Option[DataFrame] = None): DataFrame =
+    bpeEncodeIdsWithVocab(docs, merges, encodeDocs)._1
 
   /** Tokenizer FERTILITY by language: tokens-per-char under the
     * trained vocab, the standard tokenizer-evaluation metric (a vocab

@@ -143,23 +143,69 @@ object TurnStream {
     // every turn, instead of three driver jobs per micro-batch
     val bpeArt = bpeVocabPath.map(vp =>
       graft.operators.TextAnalysis.loadBpeVocabArtifact(spark, vp))
-    // pre-drain DSIR state summary for the per-tier gap probe — read
-    // ONCE per drain (lazily: a drain with no marked batches never
-    // pays it), not per marked batch; the buckets scan is bounded by
-    // state size, not batch size. Staleness is safe: a bid appended
-    // DURING this drain (a backfill, or a duplicate-content file whose
-    // first copy just ran) is missing from the snapshot, so the probe
-    // re-runs that batch's backfill — whose own per-append bid check
-    // reads fresh state and skips. Cost of staleness is one wasted
-    // append attempt, never a double-sum.
+    // pre-drain DSIR state summary — read ONCE per drain (lazily: a
+    // drain with no DSIR tier never pays it), then maintained
+    // DRIVER-SIDE: this drain is the single writer to the state root
+    // (the tier's standing contract), and every append it performs
+    // lands a bid that is a deterministic function of the turn
+    // (`persist:stream:<digest>:added`), so adding that bid to the
+    // accumulated set after each append keeps the snapshot EXACT
+    // without a per-turn state read (VERDICT r20 item 1: the per-turn
+    // dsirStateSummary was one driver action per doc micro-batch).
+    // The summary serves three consumers: the turn's own (nb, ng)
+    // params + replay-check set (via dsirKnownState), the marked-batch
+    // gap probe, and the backfill appends' knownBids. A bid whose
+    // batch produced zero cells never lands in state but IS added
+    // here — the later skip it causes would have appended zero rows
+    // anyway. The set dies with the process; a fresh drain re-reads
+    // state, so crash-resume semantics are unchanged.
     lazy val preDrainDsirSummary: (Int, Int, Set[String]) =
       dsirStatePath.map(dp =>
         graft.operators.TextAnalysis.dsirStateSummary(spark, dp))
         .getOrElse((0, 0, Set.empty))
+    var drainBids: Set[String] = Set.empty // bids THIS drain appended
+    def dsirKnown: Option[(Int, Int, Set[String])] =
+      dsirStatePath.map { _ =>
+        val (nb, ng, bids) = preDrainDsirSummary
+        (nb, ng, bids ++ drainBids)
+      }
+
+    // the embedding drain runs CONCURRENTLY with the doc drain below
+    // (guide §2.6 — overlap independent jobs): the two touch disjoint
+    // state tiers (docs: signatures/DSIR/encoded; embeddings: IVF) and
+    // the scaladoc's compose-in-either-order property is exactly
+    // independence, so the emb drain's micro-batch job waves back-fill
+    // the cores the doc drain's tail leaves idle instead of adding
+    // their wall-clock afterwards. Shared structures are thread-safe:
+    // `compactedBids`/`preDrainDsirSummary` are synchronized lazy
+    // vals, `drainBids` is mutated only by the doc drain, and the two
+    // write disjoint batch_<digest> dirs under the pairs sink.
+    val embStream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(embFeedDir)
+    @volatile var embFailure: Option[Throwable] = None
+    val embDrain = new Thread(() => {
+      try EventStream.runForeachBatch(embStream, s"$checkpointBase/embs") { (batch, _) =>
+        spark.sparkContext.setJobDescription("turnstream: emb batch digest")
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$pairsOut/batch_${StreamIds.embBid(batch)}")
+        if (!pairsDone(dir)) {
+          val turn = graft.Pipelines.dailyIncrementalDelta(spark,
+            emptyDocs, emptyDocs, emptyEmb, batch,
+            sigStatePath, ivfPath, n, numHashes, bands, minJ)
+          // an embedding turn emits no pairs; the empty write is still
+          // the turn's exactly-once marker
+          spark.sparkContext.setJobDescription("turnstream: pairs marker (emb)")
+          turn("dedup_pairs_raw").write.mode("overwrite").parquet(dir.toString)
+          spark.sparkContext.setJobDescription(null)
+        }
+      } catch { case t: Throwable => embFailure = Some(t) }
+    }, "graft-emb-drain")
+    embDrain.start()
 
     val docStream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(docFeedDir)
-    EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
+    try EventStream.runForeachBatch(docStream, s"$checkpointBase/docs") { (batch, _) =>
+      spark.sparkContext.setJobDescription("turnstream: doc batch digest")
       val bid = StreamIds.docBid(batch)
       val dir = new org.apache.hadoop.fs.Path(s"$pairsOut/batch_$bid")
       val marked = pairsDone(dir)
@@ -170,16 +216,23 @@ object TurnStream {
           dsirStatePath = dsirStatePath, dsirTargetSource = dsirTargetSource,
           runId = Some(s"stream:$bid"),
           bpeVocabPath = bpeVocabPath, encodedPath = encodedPath,
-          bpeArtifact = bpeArt)
+          bpeArtifact = bpeArt,
+          dsirKnownState = dsirKnown)
+        spark.sparkContext.setJobDescription("turnstream: pairs emission")
         turn("dedup_pairs_raw").write.mode("overwrite").parquet(dir.toString)
+        spark.sparkContext.setJobDescription(null)
+        // record the turn's DSIR append in the driver-side snapshot
+        // (grow-only turn, explicit runId → exactly this one bid)
+        if (dsirStatePath.isDefined)
+          drainBids += s"persist:stream:$bid:added"
       } else {
         // the marker says this batch's turn ran — over the tiers
         // enabled THEN. A tier enabled since (config change between
         // drains) has never seen this content: each opt-in tier
         // answers "did I ingest this batch?" from its own state (the
-        // DSIR check from the once-per-drain pre-drain bid snapshot, a
-        // set lookup here; the encoded check a key anti-join of the
-        // batch against the live view — the batch's own column-pruned
+        // DSIR check from the drain-accumulated bid snapshot, a set
+        // lookup here; the encoded check a key anti-join of the batch
+        // against the live view — the batch's own column-pruned
         // doc_id scan), and a gap lands the GAPPED TIER'S APPENDS
         // DIRECTLY. For a grow-only delta over empty history the
         // turn's opt-in tier writes reduce to exactly these two
@@ -193,20 +246,21 @@ object TurnStream {
         // Stored bids carry the appendDsirCells operation qualifier:
         // a grow-only stream turn's append lands as
         // "persist:stream:<digest>:added".
+        val knownDsirBids = dsirKnown.map(_._3)
         val needDsir = dsirStatePath.isDefined &&
-          !preDrainDsirSummary._3.exists(_.startsWith(s"persist:stream:$bid:"))
+          !knownDsirBids.exists(_.exists(_.startsWith(s"persist:stream:$bid:")))
         if (needDsir) {
           val (nb, ng, _) = preDrainDsirSummary
-          // knownBids deliberately NOT passed: the snapshot is pre-drain,
-          // so a bid appended DURING this drain (a duplicate-content
-          // file whose first copy's turn just ran, or an earlier
-          // backfill) is missing from it — handing it to the append as
-          // the replay authority would skip the fresh-state read and
-          // double-sum. The per-append guard's own small read is the
-          // intended cost of the probe's staleness.
+          // knownBids IS the replay authority here: the snapshot is the
+          // pre-drain read PLUS every bid this drain appended (tracked
+          // driver-side at both append sites), and this drain is the
+          // single writer — so unlike the old stale pre-drain-only
+          // snapshot, handing it to the append cannot double-sum; it
+          // only removes the per-append fresh-state read.
           graft.operators.TextAnalysis.persistDsirState(batch,
             dsirTargetSource, dsirStatePath.get, nb, ng,
-            batchId = s"stream:$bid:added")
+            batchId = s"stream:$bid:added", knownBids = knownDsirBids)
+          drainBids += s"persist:stream:$bid:added"
         }
         val needEnc = encodedPath.exists { ep =>
           // gap probe through deltaAntiState: past broadcastable state
@@ -221,22 +275,8 @@ object TurnStream {
           graft.operators.TextAnalysis.appendEncodedDocsWith(
             batch, spark, bpeArt.get, ep)
       }
-    }
-
-    val embStream = spark.readStream.schema(embSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(embFeedDir)
-    EventStream.runForeachBatch(embStream, s"$checkpointBase/embs") { (batch, _) =>
-      val dir = new org.apache.hadoop.fs.Path(
-        s"$pairsOut/batch_${StreamIds.embBid(batch)}")
-      if (!pairsDone(dir)) {
-        val turn = graft.Pipelines.dailyIncrementalDelta(spark,
-          emptyDocs, emptyDocs, emptyEmb, batch,
-          sigStatePath, ivfPath, n, numHashes, bands, minJ)
-        // an embedding turn emits no pairs; the empty write is still
-        // the turn's exactly-once marker
-        turn("dedup_pairs_raw").write.mode("overwrite").parquet(dir.toString)
-      }
-    }
+    } finally embDrain.join()
+    embFailure.foreach(throw _)
   }
 
   /** The pairs sink's declared schema — the contract every batch
