@@ -858,7 +858,10 @@ object Pipelines {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val pairTable = pairs.getOrElse(
-      graft.operators.Dedup.jaccardPairsCapped(docs, n, minJ, maxDf))
+      // unordered: every consumer below is set-semantics (CC canon,
+      // keep-best groupBy, quality/DSIR joins) — the ordered form's
+      // range sort would land inside the CC canon checkpoint
+      graft.operators.Dedup.jaccardPairsCappedUnordered(docs, n, minJ, maxDf))
     // Deliberately LAZY end to end: the whole chain resolves into ONE
     // SQL execution at the consumer, so Catalyst's ReusedExchange
     // deduplicates the identical shared subtrees (`reps` under both

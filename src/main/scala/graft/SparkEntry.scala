@@ -408,20 +408,20 @@ object SparkEntry {
     // default dispatch (O(log d) large/small-star since r17) ----
     "q64_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
+        Dedup.jaccardPairsCappedUnordered(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
     // the star variant pinned EXPLICITLY (independent of the dispatch
     // default), oracle-checked against the SAME connected-components
     // semantics (component-min labels)
     "q124_dup_clusters_star" -> ((s, dir) =>
       Dedup.duplicateClustersStar(
-        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
+        Dedup.jaccardPairsCappedUnordered(Tables.load(s, dir, "documents"), n = 3, minJ = 0.5, maxDf = 20))),
     // split AFTER clustering: every near-dup family lands whole in one
     // split, so no test doc's near-copy leaks into train (q52 is the
     // per-doc form; this is the leakage-free production form)
     "q127_leakfree_split" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.Sampling.leakFreeSplit(docs,
-        Dedup.jaccardPairsCapped(docs, n = 3, minJ = 0.5, maxDf = 20), trainPct = 80)
+        Dedup.jaccardPairsCappedUnordered(docs, n = 3, minJ = 0.5, maxDf = 20), trainPct = 80)
     }),
 
     // ---- Benchmark decontamination: corpus docs sharing any 5-gram
@@ -519,7 +519,7 @@ object SparkEntry {
     "q74_dedup_keep_best" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.keepBestPerCluster(docs,
-        Dedup.jaccardPairsCapped(docs, n = 3, minJ = 0.5, maxDf = 20),
+        Dedup.jaccardPairsCappedUnordered(docs, n = 3, minJ = 0.5, maxDf = 20),
         scoreCol = "n_chars")
     }),
 
@@ -559,7 +559,7 @@ object SparkEntry {
     // ---- Fixed-point PageRank over the near-dup pair graph ----
     "q80_pagerank" -> ((s, dir) =>
       operators.Graph.pageRank(
-        Dedup.jaccardPairsCapped(Tables.load(s, dir, "documents"),
+        Dedup.jaccardPairsCappedUnordered(Tables.load(s, dir, "documents"),
           n = 3, minJ = 0.5, maxDf = 20), iters = 2)),
 
     // ---- Custom whole-operator plan: per-user top-3 events by value
@@ -1130,7 +1130,12 @@ object SparkEntry {
       val t0 = ev.agg(min($"ts")).head().getTimestamp(0)
       def plusDays(d: Int) = new java.sql.Timestamp(t0.getTime + d.toLong * 86400000L)
       // pin the capped window ONCE: the 8 pull writes below filter the
-      // pinned rows instead of re-scanning the events table per pull
+      // pinned rows instead of re-scanning the events table per pull.
+      // NOT staged (unlike the other feeds): the drain's watermark
+      // trajectory depends on the pulls arriving in pull order, which
+      // the file stream derives from the part files' mtimes — an
+      // appended build preserves that order, a staged deep-copy's
+      // near-identical copy timestamps would not.
       val capped = operators.Dedup.materialize(ev.filter($"ts" < lit(plusDays(8))))
       val feed = Scratch.dir("graft_overlap_q191") + "/feed"
       // pull d covers [day d−1, day d+1) ∩ [t0, t0+8d): every interior

@@ -122,16 +122,16 @@ object Dedup {
       p
     } else trackCheckpoint(df.localCheckpoint())
 
-  /** [[materialize]] fused with the row count its callers need anyway:
-    * a LAZY localCheckpoint whose materializing action IS the count —
-    * one driver action (SQL execution + job) instead of the eager
-    * checkpoint's anonymous job plus a separate count execution. The
-    * count gates the delta-broadcast hints, so every micro-batched
-    * turn paid the two-action form per batch (the loop tier's dominant
-    * cost is the per-turn action-wave constant, VERDICT r16 item 4).
-    * Lineage truncation is identical: the Dataset's plan is the
-    * LogicalRDD either way, and after the first action the RDD's
-    * blocks are pinned exactly as the eager form pins them.
+  /** [[materialize]] fused with the row count its callers need anyway
+    * (the count gates the delta-broadcast hints, so every micro-batched
+    * turn and CC round paid pin-then-count as two driver actions).
+    * The pin stays the eager localCheckpoint; the count then reads the
+    * ALREADY-materialized checkpoint blocks at the RDD level —
+    * `toRdd.count()` over a LogicalRDD is a bare job with no SQL
+    * execution (no analysis/optimization/AQE wrapper), so the pair
+    * costs one driver action instead of two. (A lazy-checkpoint form
+    * was tried first and won nothing: `Dataset.localCheckpoint` wraps
+    * an execution whether or not it is eager.)
     */
   private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) =
     if (staticallyEmpty(df)) (df, 0L)
@@ -141,9 +141,8 @@ object Dedup {
       persistedFrames.synchronized { persistedFrames += p }
       (p, n)
     } else {
-      val c = df.localCheckpoint(eager = false)
-      val n = c.count() // materializes the checkpoint AND measures it
-      (trackCheckpoint(c), n)
+      val m = materialize(df)
+      (m, m.queryExecution.toRdd.count())
     }
 
   /** Unpersist every DISK_ONLY frame pinned by persist-mode
@@ -197,13 +196,20 @@ object Dedup {
 
   /** Word n-gram shingle set per document: (doc_id, shingle), distinct. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
+    shinglesRaw(docs, n).distinct()
+
+  /** The exploded (doc_id, shingle) rows BEFORE the distinct — for
+    * [[jaccardPairsCappedUnordered]], which dedups and computes the
+    * df cap on one shingle-keyed exchange instead of letting the
+    * distinct spend its own (doc_id, shingle)-keyed one first.
+    */
+  private def shinglesRaw(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")
       ).as("shingle"))
-      .distinct()
 
   /** Duplicated-span inventory: every word n-gram span occurring in at
     * least `minDf` DISTINCT documents, with its document frequency,
@@ -251,7 +257,7 @@ object Dedup {
     */
   def crossSourceDups(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    jaccardPairsCapped(docs, n, minJ, maxDf)
+    jaccardPairsCappedUnordered(docs, n, minJ, maxDf)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
       .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
@@ -298,14 +304,31 @@ object Dedup {
     * stop-word contract: boilerplate shingles carry no identity
     * signal, and scores are over the informative universe only.
     */
-  def jaccardPairsCapped(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
-    val sh = shingles(docs, n)
-    // df via a count window over the shingle-partitioned exchange the
-    // self-join needs anyway (not a separate groupBy+join branch): one
-    // shuffle computes the cap AND pre-partitions both join sides, and
-    // the whole cap costs one plan node — measurably cheaper end-to-end
-    // than the aggregate+semi-join formulation (fewer codegen units,
-    // fewer stages) at identical semantics.
+  def jaccardPairsCapped(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame =
+    jaccardPairsCappedUnordered(docs, n, minJ, maxDf).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[jaccardPairsCapped]] WITHOUT the final global sort — for the
+    * SET-semantics consumers (connected components, keep-best,
+    * leak-free split, PageRank, cross-source rollup, the curated
+    * chain): each one canonicalizes/groups/joins the pair rows, so
+    * the ordered form's range sort — a sampling pass plus an exchange
+    * that lands INSIDE the consumer's first checkpoint — is dead
+    * weight. The ordered form stays the public/oracle contract (q11
+    * returns the pair table directly; persisted pair artifacts keep
+    * it for stable file layout).
+    */
+  private[graft] def jaccardPairsCappedUnordered(docs: DataFrame, n: Int, minJ: Double, maxDf: Int): DataFrame = {
+    // ONE shingle-keyed exchange serves the dedup, the df cap AND the
+    // self-join's co-partitioning: the raw exploded rows repartition
+    // by shingle; the (doc_id, shingle) dropDuplicates then needs no
+    // exchange of its own (hash-partitioning on a subset of the
+    // grouping keys satisfies its distribution), and the df count
+    // window rides the same partitioning — previously the distinct
+    // spent a full (doc_id, shingle)-keyed exchange of the exploded
+    // set before the window exchanged the distinct set AGAIN by
+    // shingle. The window (sort-based, streaming) keeps the cap
+    // skew-safe at corpus scale: a boilerplate shingle's rows stream
+    // through the count, they are never collected into memory.
     // materialize once: this frame feeds BOTH self-join sides plus
     // the per-doc counts, and no ReusedExchange fires across those
     // branches — without it the text explode + window runs 3-4x per
@@ -314,7 +337,9 @@ object Dedup {
     // shingle partitioning, so the self-join still skips its shuffle;
     // -Dgraft.materialize=persist selects the lineage-safe DISK_ONLY
     // form for fault-tolerant cluster runs (see [[materialize]]).
-    val capped = materialize(sh
+    val capped = materialize(shinglesRaw(docs, n)
+      .repartition(col("shingle"))
+      .dropDuplicates(Seq("doc_id", "shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df"))
@@ -325,7 +350,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, cnt)
       .filter(col("jaccard") >= minJ)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash + banded LSH near-dup detection, exact-verified.
@@ -1035,12 +1059,12 @@ object Dedup {
       .localCheckpoint())
     // canonical larger→smaller edges; the invariant src > dst holds
     // for every edge both halves emit, so no re-canonicalization per round
-    var edges = trackCheckpoint(canon
+    // pin + count fused (one action): the count is the convergence
+    // probe's baseline and the materializer in one
+    var (edges, edgeCount) = materializeCounted(canon
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint())
+      .distinct())
     releaseCheckpoint(canon) // nodes+edges were its only consumers
-    var edgeCount = edges.count()
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -1064,12 +1088,11 @@ object Dedup {
       // so m(u) = min nbr; emit (u, m(u)) and (v, m(u)) for v ≠ m(u)
       val smallMin = afterLarge.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val withM = afterLarge.join(smallMin, Seq("src"))
-      val next = trackCheckpoint(withM.filter(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(withM.select(col("src"), col("m").as("dst")))
-        .distinct()
-        .localCheckpoint())
-      val nextCount = next.count()
+      val (next, nextCount) = materializeCounted(
+        withM.filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(withM.select(col("src"), col("m").as("dst")))
+          .distinct())
       changed = nextCount != edgeCount ||
         next.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() > 0
       // the change probe was the last consumer of this round's

@@ -18,10 +18,16 @@ object JobCountProbe {
     val counter = new java.util.concurrent.atomic.AtomicInteger
     val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val execStart = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+    val execMs = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-          execDesc.put(s.executionId, s.description); ()
+          execDesc.put(s.executionId, s.description)
+          execStart.put(s.executionId, s.time); ()
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+          Option(execStart.get(s.executionId)).foreach(t0 =>
+            execMs.put(s.executionId, s.time - t0)); ()
         case _ => ()
       }
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -40,6 +46,8 @@ object JobCountProbe {
       counter.set(0)
       sites.clear()
       execDesc.clear()
+      execStart.clear()
+      execMs.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -67,7 +75,8 @@ object JobCountProbe {
         if (sys.env.get("JOBCOUNT_ALL").exists(_.nonEmpty))
           execDesc.asScala.toSeq.sortBy(_._1).foreach { case (id, d) =>
             val jobs = sites.getOrDefault(s"exec $id", 0)
-            println(s"[jobcount]   exec $id jobs=$jobs ${d.linesIterator.next().take(120)}")
+            val ms = execMs.getOrDefault(id, -1L)
+            println(s"[jobcount]   exec $id jobs=$jobs ms=$ms ${d.linesIterator.next().take(120)}")
           }
       }
     }
