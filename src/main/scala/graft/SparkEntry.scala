@@ -2094,13 +2094,15 @@ object SparkEntry {
       val st = Scratch.dir("graft_daily_q168")
       stagedMh("docs-lt50", dir, st + "/mh")(docs)
       stagedIvf("day1emb", dir, st + "/ivf")(day1Emb)
-      // codebooks trained on the real corpus, codes emptied — staged
-      // as ONE recipe so reps/queries reuse the build+compact pair
-      stagedBuild("pq-emptied", dir, st + "/pq") { p =>
+      // codebooks trained on the real corpus, codes emptied, then the
+      // deterministic day-1 codes appended — staged as ONE recipe (the
+      // whole thing is day-0 state, a pure function of the inputs; the
+      // TURN below, the query's subject, stays fully timed per sample)
+      stagedBuild("pq-day1", dir, st + "/pq") { p =>
         Similarity.buildPqIndex(emb, m = 8, ks = 16, path = p)
         Similarity.compactPqIndex(s, p, emb.select("vec_id")) // empty the codes
+        Similarity.appendToPqIndex(day1Emb, s, p)
       }
-      Similarity.appendToPqIndex(day1Emb, s, st + "/pq")
       Pipelines.dailyIncremental(s, docs, docs, day1Emb, emb,
         st + "/mh", st + "/ivf", healEdits = true, healVia = "tombstone",
         pqPath = Some(st + "/pq"))

@@ -842,6 +842,32 @@ object Similarity {
     else raw.join(spark.read.parquet(t.toString), raw.columns.toSeq, "left_anti")
   }
 
+  /** Memoized subspace count of a persisted PQ index, keyed on the
+    * codebooks directory's file signature (names + mtimes + lengths —
+    * one driver-side listing, no Spark job). The count is a property
+    * of the tiny codebooks artifact, yet each of the three index
+    * operators re-derived it with its own agg+head job — three driver
+    * actions per daily PQ turn for a constant. Any codebook rewrite
+    * (retrain, swapRewrite) changes the signature and invalidates.
+    */
+  private val pqMMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def pqSubspaces(spark: org.apache.spark.sql.SparkSession,
+                          path: String, c1: DataFrame): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(dir).map(s =>
+      s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      .sorted.mkString("|")
+    val cached = pqMMemo.get(path)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val m = c1.agg(max(col("s"))).head().getInt(0) + 1
+      pqMMemo.put(path, (sig, m))
+      m
+    }
+  }
+
   /** O(|edits|) stale-key healing for the persisted PQ index — the
     * [[tombstoneIvfIndex]] twin for the code table: superseded code
     * rows (changed vectors' old encodings, removed vectors) are
@@ -856,7 +882,7 @@ object Similarity {
                        spark: org.apache.spark.sql.SparkSession, path: String,
                        removedKeys: DataFrame): Unit = {
     val c1 = spark.read.parquet(s"$path/codebooks")
-    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
+    val m = pqSubspaces(spark, path, c1)
     val staleKeys = currentChanged.select(col("vec_id"))
       .unionByName(removedKeys.select(col("vec_id"))).distinct()
     val codes = pqCodesView(spark, path)
@@ -885,7 +911,7 @@ object Similarity {
     // m is a property of the index, not a caller opinion: passing a
     // mismatched m would silently sum a subset of each vector's codes
     // (and truncate dot products) — derive it from the artifact
-    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
+    val m = pqSubspaces(spark, path, c1)
     val codes = pqCodesView(spark, path)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
       .select(col("vec_id"), col("s").cast("int").as("s"), col("c").cast("long").as("cid"))
@@ -909,7 +935,7 @@ object Similarity {
   def appendToPqIndex(newVectors: DataFrame, spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     val c1 = spark.read.parquet(s"$path/codebooks")
-    val m = c1.agg(max(col("s"))).head().getInt(0) + 1
+    val m = pqSubspaces(spark, path, c1)
     val e = pqInt8(newVectors)
     pqDimCheck(e, m)
     writeCodes(pqMelt(e, m), c1, path, "append")
